@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives. All pure `functions._` compositions —
+  * codegen'd by Catalyst, no UDFs — and written so the identical
+  * semantics are expressible in ANSI SQL (the DuckDB oracle).
+  *
+  * Tokenization matches the reference word counter
+  * (reference main.go:141-151): split on runs of non-letter runes
+  * (`unicode.IsLetter` ⇒ `\p{L}`), lowercase, drop empties.
+  */
+object Text {
+
+  /** Non-letter separator run; `\p{L}` is identical in Java regex
+    * (Spark) and RE2 (DuckDB oracle). */
+  val SepPattern = "[^\\p{L}]+"
+
+  /** Lowercased letter-run tokens of `c`, empties removed. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), SepPattern), w => w =!= lit(""))
+
+  /** Case/punctuation-normalized form: letter runs joined by single
+    * spaces. Basis for exact-normalized dedup and fingerprints. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), SepPattern, " "))
+
+  /** Rolling content fingerprint of the normalized text. */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Whitespace-separated token count. */
+  def wsTokens(c: Column): Column = regexp_count(c, lit("\\S+"))
+
+  /** BPE-ish sub-token count: letter runs, digit runs, and single
+    * non-space symbols each count as one token. */
+  val BpePattern = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"
+  def bpeTokens(c: Column): Column = regexp_count(c, lit(BpePattern))
+
+  /** Word w-shingles (space-joined runs of `n` consecutive tokens),
+    * distinct. Empty when fewer than `n` tokens. */
+  def shingles(toks: Column, n: Int): Column = {
+    // sequence(a,b) is descending when b<a, so guard short docs.
+    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", (0 until n).map(k => get(toks, i + k)): _*)))
+  }
+}
