@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for session defaults shared by Verify, Bench, and tests.
+  *
+  * Tuned for the driver's local[N] harness but written for cluster
+  * scale: shuffle parallelism tracks the executor-thread count instead
+  * of Spark's default 200 (on a real cluster this would be set to
+  * ~2-3x total cores / managed by AQE coalescing), AQE stays on for
+  * runtime skew/partition re-planning, and parquet timestamps are
+  * written as TIMESTAMP_MICROS so any engine (the DuckDB oracle
+  * included) reads them back bit-identically.
+  */
+object GraftSession {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def local(appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -4,12 +4,16 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Column-level text primitives. All pure `functions._` compositions —
-  * codegen'd by Catalyst, no UDFs — and written so the identical
-  * semantics are expressible in ANSI SQL (the DuckDB oracle).
+  * no UDFs, no SerDe round-trip (higher-order functions like
+  * filter/transform evaluate interpreted in Spark, but stay inside the
+  * JVM row pipeline) — and written so the identical semantics are
+  * expressible in ANSI SQL (the DuckDB oracle).
   *
   * Tokenization matches the reference word counter
   * (reference main.go:141-151): split on runs of non-letter runes
-  * (`unicode.IsLetter` ⇒ `\p{L}`), lowercase, drop empties.
+  * (`unicode.IsLetter` ⇒ `\p{L}`) FIRST, then lowercase each token —
+  * the reference's order, which differs from lowercase-then-split for
+  * characters whose lowercase form introduces non-letters (U+0130).
   */
 object Text {
 
@@ -17,14 +21,16 @@ object Text {
     * (Spark) and RE2 (DuckDB oracle). */
   val SepPattern = "[^\\p{L}]+"
 
-  /** Lowercased letter-run tokens of `c`, empties removed. */
+  /** Letter-run tokens of `c`, each lowercased after the split
+    * (reference main.go:141-151 order), empties removed. */
   def tokens(c: Column): Column =
-    filter(split(lower(c), SepPattern), w => w =!= lit(""))
+    filter(transform(split(c, SepPattern), w => lower(w)), w => w =!= lit(""))
 
   /** Case/punctuation-normalized form: letter runs joined by single
-    * spaces. Basis for exact-normalized dedup and fingerprints. */
+    * spaces, separators resolved before lowercasing (same order as
+    * `tokens`). Basis for exact-normalized dedup and fingerprints. */
   def normText(c: Column): Column =
-    trim(regexp_replace(lower(c), SepPattern, " "))
+    trim(lower(regexp_replace(c, SepPattern, " ")))
 
   /** Rolling content fingerprint of the normalized text. */
   def fingerprint(c: Column): Column = md5(normText(c))

@@ -1,0 +1,71 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.WordCount
+import graft.sources.Tables
+
+/** A-family bindings: the reference's own word-count surface
+  * (reference main.go:84-197) over the `documents` table.
+  *
+  * Each oracle reproduces the Spark semantics in DuckDB SQL with the
+  * same column names and a total ORDER BY, so the driver's
+  * hash-compare is deterministic.
+  */
+object WcRegistry {
+
+  /** DuckDB spelling of graft.functions.Text.tokens: split on
+    * non-letter runs first, lowercase each token, drop empties. */
+  private val TokCte =
+    """WITH toks AS (
+      |  SELECT doc_id, source, lower(w) AS word
+      |  FROM (SELECT doc_id, source,
+      |               unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS w
+      |        FROM documents)
+      |  WHERE w <> ''
+      |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wc_wordcount" -> ((s, d) =>
+      WordCount.wordCount(Tables.documents(s, d))
+        .orderBy(col("word"))),
+    "wc_distinct_words" -> ((s, d) =>
+      WordCount.distinctWords(Tables.documents(s, d))),
+    "wc_total_words" -> ((s, d) =>
+      WordCount.totalWords(Tables.documents(s, d))),
+    "wc_per_doc" -> ((s, d) =>
+      WordCount.perDoc(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("word"))),
+    "wc_topk" -> ((s, d) =>
+      WordCount.topK(Tables.documents(s, d), 20)),
+    "wc_per_source" -> ((s, d) =>
+      WordCount.perGroup(Tables.documents(s, d), "source")
+        .orderBy(col("source"), col("word"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "wc_wordcount" ->
+      s"""$TokCte
+         |SELECT word, count(*) AS cnt FROM toks
+         |GROUP BY word ORDER BY word""".stripMargin,
+    "wc_distinct_words" ->
+      s"""$TokCte
+         |SELECT count(DISTINCT word) AS n_words FROM toks""".stripMargin,
+    "wc_total_words" ->
+      s"""$TokCte
+         |SELECT count(*) AS n_tokens FROM toks""".stripMargin,
+    "wc_per_doc" ->
+      s"""$TokCte
+         |SELECT doc_id, word, count(*) AS cnt FROM toks
+         |GROUP BY doc_id, word ORDER BY doc_id, word""".stripMargin,
+    "wc_topk" ->
+      s"""$TokCte
+         |SELECT word, count(*) AS cnt FROM toks
+         |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""".stripMargin,
+    "wc_per_source" ->
+      s"""$TokCte
+         |SELECT source, word, count(*) AS cnt FROM toks
+         |GROUP BY source, word ORDER BY source, word""".stripMargin,
+  )
+}

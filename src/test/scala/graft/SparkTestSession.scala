@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for all specs (JVM-wide; Spark sessions are
+  * expensive and getOrCreate makes reuse safe across suites). */
+object SparkTestSession {
+  lazy val get: SparkSession = {
+    val s = SparkSession.builder()
+      .appName("graft-test")
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
