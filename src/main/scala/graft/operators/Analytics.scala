@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+
+/** B-family: general relational analytics — the reference's
+  * scan→group→aggregate pattern (reference main.go:84-197) widened to
+  * joins, windows, rollups and time-series aggregation.
+  *
+  * Scale posture (SURVEY §4): every dimension join that is small at any
+  * SF (region, nation) is broadcast explicitly; fact⋈fact joins
+  * (orders⋈lineitem, customer⋈orders) shuffle on their keys and are
+  * left to AQE for runtime re-planning. All money sums aggregate in
+  * DECIMAL(38,6) (see [[graft.functions.Num]]) so results are
+  * partition-order-independent — reproducible at any parallelism.
+  */
+object Analytics {
+
+  /** TPC-H Q1-style pricing summary: one scan, one shuffle, map-side
+    * partial aggregation; filter pushed to parquet. */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Num.dsum(col("l_quantity")).as("sum_qty"),
+        Num.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        Num.davg(col("l_quantity")).as("avg_qty"),
+        Num.davg(col("l_extendedprice")).as("avg_price"),
+        Num.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style shipping priority: two fact joins on their natural
+    * keys (custkey, orderkey), top-10 revenue with a deterministic
+    * orderkey tie-break. */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, segment: String,
+                       cutoff: String): DataFrame =
+    customer.filter(col("c_mktsegment") === segment)
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  /** TPC-H Q5-style local-supplier volume: the 6-way join. region and
+    * nation are broadcast (tiny at any SF); customer⋈orders⋈lineitem⋈
+    * supplier shuffle on their keys. */
+  def localSupplierVolume(region: DataFrame, nation: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          orders: DataFrame, lineitem: DataFrame,
+                          regionName: String, yearStart: String,
+                          yearEnd: String): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit(yearStart).cast("timestamp") &&
+        col("o_orderdate") < lit(yearEnd).cast("timestamp"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+
+  /** Per-nation top-N customers by lifetime spend (rank window).
+    * Spend is an exact decimal sum so the rank order is reproducible;
+    * ties broken on custkey. */
+  def topCustomersPerNation(nation: DataFrame, customer: DataFrame,
+                            orders: DataFrame, n: Int): DataFrame = {
+    val spend = customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .agg(Num.dsum(col("o_totalprice")).as("spend"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("spend").desc, col("c_custkey").asc)
+    spend.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= n)
+      .select(col("n_name"), col("c_custkey"), col("c_name"),
+        col("spend"), col("rnk"))
+  }
+
+  /** ROLLUP(status, priority): grouping-set aggregation — count and
+    * exact total per level, plus the grand total. */
+  def ordersRollup(orders: DataFrame): DataFrame =
+    orders
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.dsum(col("o_totalprice")).as("total_price"))
+
+  /** Top-N parts per brand by retail price (row_number window),
+    * deterministic via partkey tie-break. */
+  def topPartsPerBrand(part: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    part.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"),
+        col("p_retailprice"), col("rn"))
+  }
+
+  /** Tumbling 1-hour window aggregation over the event stream: the
+    * batch shape of the streaming G-family. Hour emitted as a
+    * formatted string so every engine compares it identically. */
+  def eventsHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Num.dsum(col("value")).as("total_value"))
+
+  /** JSON property extraction + aggregation: props is an opaque JSON
+    * string column; `$.k` is pulled with the codegen'd JSON path
+    * expression, never a UDF. */
+  def eventsJsonAgg(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Num.dsum(col("k")).as("sum_k"),
+        Num.davg(col("k")).as("avg_k"))
+
+  /** Gap-based sessionization (gap > `gapMinutes` starts a new
+    * session): two windows over (user, time) — lag to flag session
+    * starts, running sum to number them — then one aggregation per
+    * session. Timestamps flow as exact epoch-micros. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+  }
+}

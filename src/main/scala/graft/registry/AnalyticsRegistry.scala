@@ -1,0 +1,148 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.Num.{davgSql, dsumSql}
+import graft.operators.Analytics
+import graft.sources.Tables
+
+/** B-family bindings: relational analytics over the TPC-H-ish tables.
+  * Oracle SQL mirrors each Spark plan with identical column names,
+  * decimal-exact sums, and deterministic tie-breaks on every LIMIT.
+  */
+object AnalyticsRegistry {
+
+  private val Q1Cutoff = "1998-09-02"
+  private val Q3Cutoff = "1998-03-15"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> ((s, d) =>
+      Analytics.pricingSummary(Tables.lineitem(s, d), Q1Cutoff)),
+    "q3_shipping_priority" -> ((s, d) =>
+      Analytics.shippingPriority(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), "BUILDING", Q3Cutoff)),
+    "q5_local_supplier" -> ((s, d) =>
+      Analytics.localSupplierVolume(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), "ASIA", "1996-01-01", "1997-01-01")),
+    "q_top_customers_window" -> ((s, d) =>
+      Analytics.topCustomersPerNation(Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d), 5)),
+    "q_orders_rollup" -> ((s, d) =>
+      Analytics.ordersRollup(Tables.orders(s, d))),
+    "q_part_topn_per_brand" -> ((s, d) =>
+      Analytics.topPartsPerBrand(Tables.part(s, d), 3)),
+    "q_events_minutely" -> ((s, d) =>
+      Analytics.eventsHourly(Tables.events(s, d))),
+    "q_events_json" -> ((s, d) =>
+      Analytics.eventsJsonAgg(Tables.events(s, d))),
+    "q_events_sessionize" -> ((s, d) =>
+      Analytics.sessionize(Tables.events(s, d), 30)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${davgSql("l_quantity")} AS avg_qty,
+         |  ${davgSql("l_extendedprice")} AS avg_price,
+         |  ${davgSql("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '$Q1Cutoff 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         |  o_orderpriority,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '$Q3Cutoff 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '$Q3Cutoff 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey ASC
+         |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      s"""SELECT n_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name""".stripMargin,
+    "q_top_customers_window" ->
+      s"""WITH spend AS (
+         |  SELECT c_custkey, c_name, c_nationkey,
+         |    ${dsumSql("o_totalprice")} AS spend
+         |  FROM customer JOIN orders ON c_custkey = o_custkey
+         |  GROUP BY c_custkey, c_name, c_nationkey
+         |), ranked AS (
+         |  SELECT n_name, c_custkey, c_name, spend,
+         |    rank() OVER (PARTITION BY n_name
+         |                 ORDER BY spend DESC, c_custkey ASC) AS rnk
+         |  FROM spend JOIN nation ON c_nationkey = n_nationkey
+         |)
+         |SELECT n_name, c_custkey, c_name, spend, rnk
+         |FROM ranked WHERE rnk <= 5""".stripMargin,
+    "q_orders_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  count(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders
+         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_part_topn_per_brand" ->
+      s"""WITH ranked AS (
+         |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         |    row_number() OVER (PARTITION BY p_brand
+         |                       ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+         |  FROM part
+         |)
+         |SELECT p_brand, p_partkey, p_name, p_retailprice, rn
+         |FROM ranked WHERE rn <= 3""".stripMargin,
+    "q_events_minutely" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         |  event_type, count(*) AS n_events,
+         |  ${dsumSql("value")} AS total_value
+         |FROM events
+         |GROUP BY 1, 2""".stripMargin,
+    "q_events_json" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |  ${dsumSql("CAST(json_extract_string(props, 'k') AS INTEGER)")} AS sum_k,
+         |  ${davgSql("CAST(json_extract_string(props, 'k') AS INTEGER)")} AS avg_k
+         |FROM events
+         |GROUP BY event_type""".stripMargin,
+    "q_events_sessionize" ->
+      s"""WITH t AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |                            ORDER BY ts ASC, event_id ASC) AS prev_us
+         |  FROM events
+         |), flagged AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM t
+         |), numbered AS (
+         |  SELECT user_id, ts_us,
+         |    sum(new_session) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us ASC, event_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM flagged
+         |)
+         |SELECT user_id, session_id,
+         |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+         |  count(*) AS n_events
+         |FROM numbered
+         |GROUP BY user_id, session_id""".stripMargin,
+  )
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  def ev(rows: (Long, Long, String)*) = // (event_id, ts_us, type)
+    rows.toDF("event_id", "ts_us", "event_type")
+      .selectExpr("event_id", "timestamp_micros(ts_us) AS ts",
+        "1 AS user_id", "event_type", "1.0 AS value", "'{}' AS props")
+
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    val m = 60L * 1000000L // one minute in micros
+    val sessions = Analytics.sessionize(
+      ev((1L, 0L, "a"), (2L, 30 * m, "a"), (3L, 60 * m, "a"),
+         (4L, 91 * m, "a"), (5L, 100 * m, "a")), gapMinutes = 30)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    // gap of exactly 30min keeps the session; 31min splits it
+    assert(sessions.map(s => (s._3, s._4, s._5)).toSeq ==
+      Seq((0L, 60 * m, 3L), (91 * m, 100 * m, 2L)))
+  }
+
+  test("rollup emits leaf, subtotal and grand-total rows") {
+    val orders = Seq(("O", "1-URGENT", 10.0), ("O", "2-HIGH", 20.0),
+      ("F", "1-URGENT", 5.0)).toDF("o_orderstatus", "o_orderpriority", "o_totalprice")
+    val r = Analytics.ordersRollup(orders).collect()
+    assert(r.length == 3 + 2 + 1) // leaves + per-status + grand total
+    val grand = r.find(x => x.isNullAt(0) && x.isNullAt(1)).get
+    assert(grand.getLong(2) == 3L && grand.getDouble(3) == 35.0)
+  }
+
+  test("hourly aggregation buckets by wall-clock hour") {
+    val r = Analytics.eventsHourly(
+      ev((1L, 0L, "a"), (2L, 3599L * 1000000L, "a"), (3L, 3600L * 1000000L, "a")))
+      .as[(String, String, Long, Double)].collect().sortBy(_._1)
+    assert(r.map(x => (x._1, x._3)).toSeq == Seq(
+      ("1970-01-01 00:00:00", 2L), ("1970-01-01 01:00:00", 1L)))
+  }
+}
