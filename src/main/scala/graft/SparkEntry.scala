@@ -16,6 +16,7 @@ object SparkEntry {
   private def registries = Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])](
     (WcRegistry.queries, WcRegistry.oracleSql),
     (AnalyticsRegistry.queries, AnalyticsRegistry.oracleSql),
+    (TextAnalysisRegistry.queries, TextAnalysisRegistry.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** C-family: text analysis for a training-data pipeline — token
+  * accounting, quality scoring, language ID, fingerprinting, corpus
+  * statistics. All single-pass, shuffle-free per-document column math
+  * (`functions._` only), so they pipeline inside whole-stage codegen
+  * and scale linearly; only `wordStats` shuffles (one agg on lang).
+  *
+  * Every formula is restricted to IEEE ops in a fixed order so the
+  * DuckDB oracle reproduces results bit-for-bit (SURVEY §5).
+  */
+object TextAnalysis {
+
+  /** Stopword vote lists for language ID. Tiny on purpose: the vote
+    * count, not the list size, is the operator. */
+  val StopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "von", "mit"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "que", "pour", "les"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni", "ta", "men", "zai"),
+  )
+
+  private def stopHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Token accounting: whitespace tokens, BPE-ish sub-tokens, and
+    * letter-run words per document. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      Text.wsTokens(col("text")).as("ws_tokens"),
+      Text.bpeTokens(col("text")).as("bpe_tokens"),
+      size(Text.tokens(col("text"))).as("word_tokens"))
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * word length, and a composite in [0,1]. Pure fixed-order double
+    * arithmetic — no transcendental functions, so every engine agrees
+    * to the last bit. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val nChars = length(col("text"))
+    val nToks = size(toks)
+    val punct = regexp_count(col("text"), lit("[^\\p{L}\\p{N}\\s]"))
+    val letters = length(regexp_replace(col("text"), "[^\\p{L}]", ""))
+    val stops = stopHits(toks, StopwordsByLang.flatMap(_._2).distinct.sorted)
+    docs.select(col("doc_id"), nChars.as("n_chars_c"), nToks.as("n_tokens"),
+        punct.as("n_punct"), letters.as("n_letters"), stops.as("n_stop"))
+      .select(col("doc_id"), col("n_chars_c"), col("n_tokens"),
+        (col("n_punct").cast("double") / greatest(col("n_chars_c"), lit(1)))
+          .as("punct_ratio"),
+        (col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1)))
+          .as("stop_ratio"),
+        (col("n_letters").cast("double") / greatest(col("n_tokens"), lit(1)))
+          .as("mean_wlen"))
+      .withColumn("quality",
+        (lit(1.0) - col("punct_ratio")) * (lit(1.0) - col("stop_ratio"))
+          * (least(col("n_tokens"), lit(100)).cast("double") / lit(100.0)))
+  }
+
+  /** Stopword-vote language ID: count token hits per language list,
+    * argmax with a lexicographic (first-listed) tie-break. Emits the
+    * vote columns so the decision is auditable. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val voted = docs.select(
+      col("doc_id") +: col("lang") +:
+        StopwordsByLang.map { case (l, ws) => stopHits(toks, ws).as(s"s_$l") }: _*)
+    val langs = StopwordsByLang.map(_._1)
+    val pred = langs.foldRight(lit(langs.last)) { case (l, rest) =>
+      val beatsAll = langs.filter(_ > l)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .foldLeft(lit(true))(_ && _)
+      when(beatsAll, lit(l)).otherwise(rest)
+    }
+    voted.withColumn("pred_lang", pred)
+      .withColumn("matched", (col("pred_lang") === col("lang")).cast("int"))
+  }
+
+  /** Content fingerprint: md5 over the case/punctuation-normalized
+    * text — the join key for exact-normalized dedup. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+
+  /** Per-language corpus statistics: type-token ratio and average
+    * word length. One explode + one agg on lang (bounded key space). */
+  def wordStats(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("word")).as("n_types"),
+        (count_distinct(col("word")).cast("double") / count(lit(1))).as("ttr"),
+        (sum(length(col("word"))).cast("double") / count(lit(1))).as("avg_wlen"))
+}

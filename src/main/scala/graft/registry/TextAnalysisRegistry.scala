@@ -1,0 +1,100 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+
+/** C-family bindings. The oracle SQL is generated from the same
+  * stopword lists as the Spark side (single source of truth) and uses
+  * list-lambda DuckDB spellings of the identical per-document math.
+  */
+object TextAnalysisRegistry {
+
+  /** DuckDB spelling of Text.tokens as a per-row list column. */
+  private val ToksExpr =
+    "list_filter(list_transform(regexp_split_to_array(text, '[^\\p{L}]+'), w -> lower(w)), w -> w <> '')"
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def hits(words: Seq[String]): String =
+    s"len(list_filter(toks, t -> list_contains(${sqlList(words)}, t)))"
+
+  /** The argmax-with-first-tie-break CASE chain, same order as
+    * TextAnalysis.langId. */
+  private val PredLangCase: String = {
+    val langs = TextAnalysis.StopwordsByLang.map(_._1)
+    val whens = langs.dropRight(1).map { l =>
+      val conds = langs.filter(_ > l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "ta_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "ta_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "ta_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "ta_word_stats" -> ((s, d) => TextAnalysis.wordStats(Tables.documents(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = {
+    val allStops = TextAnalysis.StopwordsByLang.flatMap(_._2).distinct.sorted
+    val voteCols = TextAnalysis.StopwordsByLang
+      .map { case (l, ws) => s"${hits(ws)} AS s_$l" }.mkString(",\n  ")
+    Map(
+      "ta_tokens" ->
+        """SELECT doc_id,
+          |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+          |  len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS bpe_tokens,
+          |  len(list_filter(list_transform(regexp_split_to_array(text, '[^\p{L}]+'), w -> lower(w)), w -> w <> '')) AS word_tokens
+          |FROM documents""".stripMargin,
+      "ta_quality" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, text, $ToksExpr AS toks FROM documents
+           |), counted AS (
+           |  SELECT doc_id,
+           |    length(text) AS n_chars_c,
+           |    len(toks) AS n_tokens,
+           |    len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]')) AS n_punct,
+           |    length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS n_letters,
+           |    ${hits(allStops)} AS n_stop
+           |  FROM base
+           |), ratios AS (
+           |  SELECT doc_id, n_chars_c, n_tokens,
+           |    CAST(n_punct AS DOUBLE) / greatest(n_chars_c, 1) AS punct_ratio,
+           |    CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,
+           |    CAST(n_letters AS DOUBLE) / greatest(n_tokens, 1) AS mean_wlen
+           |  FROM counted
+           |)
+           |SELECT doc_id, n_chars_c, n_tokens, punct_ratio, stop_ratio, mean_wlen,
+           |  (1.0 - punct_ratio) * (1.0 - stop_ratio)
+           |    * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) AS quality
+           |FROM ratios""".stripMargin,
+      "ta_langid" ->
+        s"""WITH voted AS (
+           |  SELECT doc_id, lang, $voteCols
+           |  FROM (SELECT doc_id, lang, $ToksExpr AS toks FROM documents)
+           |)
+           |SELECT doc_id, lang, ${TextAnalysis.StopwordsByLang.map(p => "s_" + p._1).mkString(", ")},
+           |  $PredLangCase AS pred_lang,
+           |  CAST(($PredLangCase) = lang AS INTEGER) AS matched
+           |FROM voted""".stripMargin,
+      "ta_fingerprint" ->
+        """SELECT doc_id,
+          |  md5(trim(lower(regexp_replace(text, '[^\p{L}]+', ' ', 'g')))) AS fp
+          |FROM documents""".stripMargin,
+      "ta_word_stats" ->
+        s"""WITH toks AS (
+           |  SELECT lang, unnest($ToksExpr) AS word FROM documents
+           |)
+           |SELECT lang, count(*) AS n_tokens,
+           |  count(DISTINCT word) AS n_types,
+           |  CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS ttr,
+           |  CAST(sum(length(word)) AS DOUBLE) / count(*) AS avg_wlen
+           |FROM toks GROUP BY lang""".stripMargin,
+    )
+  }
+}
