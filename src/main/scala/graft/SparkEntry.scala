@@ -17,6 +17,7 @@ object SparkEntry {
     (WcRegistry.queries, WcRegistry.oracleSql),
     (AnalyticsRegistry.queries, AnalyticsRegistry.oracleSql),
     (TextAnalysisRegistry.queries, TextAnalysisRegistry.oracleSql),
+    (DedupRegistry.queries, DedupRegistry.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hash-sketch columns for near-duplicate detection: MinHash
+  * signatures, LSH band keys, and SimHash bit votes. All built on
+  * Spark's XxHash64 expression (seeded by prepending the permutation
+  * index to the hash input), so signatures are deterministic across
+  * runs, partitionings and cluster sizes — no RNG state anywhere.
+  */
+object Hashing {
+
+  /** MinHash signature: `perms` permutations, where permutation `i` is
+    * xxhash64(i, shingle) and the signature element is the min over the
+    * document's shingle set. Null signature for shingle-less docs.
+    * The permutation loop unrolls at plan-build time (fixed width). */
+  def minhashSig(shingles: Column, perms: Int): Column =
+    array((0 until perms).map(i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*)
+
+  /** LSH band keys: hash of each `rowsPerBand`-slice of the signature.
+    * Two docs sharing any band key are near-dup candidates. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand))): _*)
+
+  /** Per-word SimHash bit votes over a precomputed 64-bit hash: +cnt
+    * where bit j is set, -cnt where clear — 64 signed votes. */
+  def simhashVotes(hash: Column, cnt: Column): Column =
+    array((0 until 64).map(j =>
+      when(shiftright(hash, j).bitwiseAND(lit(1L)) === 1L, cnt)
+        .otherwise(-cnt)): _*)
+
+  /** 16-bit band of a 64-bit SimHash (4 bands → finds all pairs with
+    * Hamming distance ≤ 3 by pigeonhole). */
+  def simhashBand(sim: Column, band: Int): Column =
+    shiftrightunsigned(sim, band * 16).bitwiseAND(lit(0xFFFFL))
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column math over `array<float>` embeddings.
+  *
+  * Everything is `aggregate(zip_with(...))` — a strict left-to-right
+  * fold in double precision. Sequential order is load-bearing: it makes
+  * the result independent of Spark partitioning AND bit-identical to
+  * any engine that folds lists left-to-right (the DuckDB oracle's
+  * `list_reduce`), per SURVEY §5. No UDFs, no linear-algebra library —
+  * the hot loop stays inside Spark's row pipeline.
+  */
+object Vec {
+
+  /** Cast an `array<float>` to `array<double>` before any arithmetic
+    * so every multiply/add is a double-precision IEEE op. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Σ aᵢ·bᵢ as a strict left fold: ((0+x₁)+x₂)+… */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Euclidean norm (sqrt is correctly rounded per IEEE — identical on
+    * every conforming engine). */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity; NaN on zero vectors (0/0), like the oracle. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, Text, Vec}
+
+/** D-family: deduplication for a training-data corpus.
+  *
+  * Scale invariant (SURVEY §4): no operator ever materializes all
+  * pairs. Exact dedup is one hash shuffle; every near-dup pipeline is
+  * candidate-generation (shuffle on a blocking key: shared shingle,
+  * LSH band bucket, SimHash band, class label) followed by
+  * verification on the candidate pairs only. Work is linear in input
+  * plus output, never O(n²).
+  */
+object Dedup {
+
+  /** Exact dedup map: every doc → the smallest doc_id with identical
+    * bytes. One groupBy-equivalent window on the md5 key. */
+  def exact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("int"))
+      .select(col("doc_id"), col("keep_id"), col("is_dup"))
+  }
+
+  /** Exact dedup on case/punctuation-normalized text. */
+  def exactNormalized(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("int"))
+      .select(col("doc_id"), col("keep_id"), col("is_dup"))
+  }
+
+  /** Word n-gram exact-Jaccard near-dup pairs.
+    *
+    * Candidates = pairs sharing ≥1 shingle (complete for J > 0: any
+    * pair with positive Jaccard shares a shingle, so generating pairs
+    * by co-grouping on the shingle key loses nothing). The size-ratio
+    * prune min/max ≥ τ is lossless for J ≥ τ since J ≤ min/max. The
+    * shuffle key is the shingle, the pair list is bounded by output
+    * size — never all-pairs. */
+  def ngramJaccard(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    val sets = docs
+      .select(col("doc_id"), Text.shingles(Text.tokens(col("text")), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = sets.select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+    val ex = sizes.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double")
+        / greatest(col("sz_a"), col("sz_b")) >= tau)
+    cand
+      .withColumn("jaccard", col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash + LSH near-dup detection (candidate pairs → exact-Jaccard
+    * verification).
+    *
+    * Signature: `bands*rowsPerBand` xxhash64 permutations over the
+    * word n-gram shingle set. Banding: two docs are candidates iff
+    * some band of their signatures hashes equal — the classic
+    * sub-quadratic trade: P(candidate) = 1-(1-J^r)^b. The shuffle key
+    * is the (band, bandHash) bucket; only intra-bucket pairs are ever
+    * formed, then verified with the true Jaccard on the (distinct)
+    * shingle sets. */
+  def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 16,
+                 rowsPerBand: Int = 8, tau: Double = 0.8): DataFrame = {
+    val sets = docs
+      .select(col("doc_id"), Text.shingles(Text.tokens(col("text")), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = sets.withColumn("sig",
+      Hashing.minhashSig(col("sh"), bands * rowsPerBand))
+    val banded = sigs.select(col("doc_id"),
+        posexplode(Hashing.bandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bkey")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash near-dup pairs at Hamming distance ≤ `maxDist`.
+    *
+    * SimHash: per-word xxhash64 bit votes weighted by term frequency,
+    * summed per bit, sign → bit. Blocking: 4 disjoint 16-bit bands —
+    * pigeonhole guarantees any pair within Hamming ≤ 3 agrees on at
+    * least one whole band, so band-equality candidate generation is
+    * exact, not approximate, for maxDist ≤ 3. */
+  def simhash(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val votes = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"),
+        posexplode(Hashing.simhashVotes(xxhash64(col("word")), col("cnt")))
+          .as(Seq("bit", "vote")))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+    val sims = votes.groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+        .otherwise(0L)).as("simhash"))
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), Hashing.simhashBand(col("simhash"), b).as("bkey"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Hashing.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by `label` (at corpus
+    * scale the block key would be a coarse cluster/LSH bucket; the
+    * shape — block, pair within block, threshold — is the same). */
+  def embeddingNearDup(embeddings: DataFrame, tau: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      Vec.toDouble(col("embedding")).as("v"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Vec.cosine(col("a.v"), col("b.v")).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+  }
+}

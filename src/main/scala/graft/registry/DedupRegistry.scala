@@ -1,0 +1,80 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** D-family bindings. dd_minhash / dd_simhash have no oracle (DuckDB
+  * has no xxhash64), so they are rows-checked by the driver and
+  * exactness-checked by DedupSpec instead (SURVEY §2).
+  */
+object DedupRegistry {
+
+  val JaccardTau = 0.8
+  val CosineTau = 0.35 // synthetic embeddings top out near 0.47 within-label
+
+  /** DuckDB spelling of Text.shingles(Text.tokens(text), 3). */
+  private val Sh3 =
+    """list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
+      |    i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3])))""".stripMargin
+  private val ToksExpr =
+    "list_filter(list_transform(regexp_split_to_array(text, '[^\\p{L}]+'), w -> lower(w)), w -> w <> '')"
+
+  private val Dot =
+    "list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (acc, x) -> acc + x)"
+  private def nrm(side: String) =
+    s"sqrt(list_reduce(list_transform($side.v, x -> x * x), (acc, x) -> acc + x))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dd_exact_norm" -> ((s, d) => Dedup.exactNormalized(Tables.documents(s, d))),
+    "dd_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), 3, JaccardTau)),
+    "dd_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "dd_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDup(Tables.embeddings(s, d), CosineTau)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dd_exact" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |k AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM m)
+        |SELECT doc_id, keep_id,
+        |  CAST(doc_id <> keep_id AS INTEGER) AS is_dup FROM k""".stripMargin,
+    "dd_exact_norm" ->
+      """WITH m AS (SELECT doc_id,
+        |  md5(trim(lower(regexp_replace(text, '[^\p{L}]+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |k AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM m)
+        |SELECT doc_id, keep_id,
+        |  CAST(doc_id <> keep_id AS INTEGER) AS is_dup FROM k""".stripMargin,
+    "dd_ngram_jaccard" ->
+      s"""WITH sets AS (
+         |  SELECT doc_id, $Sh3 AS sh
+         |  FROM (SELECT doc_id, $ToksExpr AS toks FROM documents)
+         |  WHERE len($Sh3) > 0
+         |), ex AS (
+         |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets
+         |), cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.sz AS sz_a, b.sz AS sz_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |  HAVING CAST(least(sz_a, sz_b) AS DOUBLE) / greatest(sz_a, sz_b) >= $JaccardTau
+         |)
+         |SELECT id_a, id_b,
+         |  CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard
+         |FROM cand
+         |WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= $JaccardTau""".stripMargin,
+    "dd_embedding" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  $Dot / (${nrm("a")} * ${nrm("b")}) AS cos_sim
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $Dot / (${nrm("a")} * ${nrm("b")}) >= $CosineTau""".stripMargin,
+  )
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Exactness checks for the hash-sketch dedup paths that have no SQL
+  * oracle (minhash, simhash): near-dup pairs must be found, unrelated
+  * docs must not pair, and reported scores must be exact. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  // Two near-identical docs (one word changed), one unrelated doc,
+  // one exact duplicate of doc 1.
+  val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon")
+  def docs = Seq(
+    (1L, base, "s"),
+    (2L, base.replace("theta", "THETA"), "s"), // case change only → same tokens
+    (3L, base.replace("iota kappa", "iota hacked"), "s"),
+    (4L, "completely different words entirely unrelated content here now", "s"),
+  ).toDF("doc_id", "text", "source")
+
+  test("minhash+LSH finds near-dup pairs and verifies with exact jaccard") {
+    val pairs = Dedup.minhashLsh(docs, n = 3, tau = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L))) // identical token streams
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated never pairs
+    val j12 = Dedup.minhashLsh(docs, n = 3, tau = 0.5)
+      .filter("id_a = 1 AND id_b = 2").as[(Long, Long, Double)].head()._3
+    assert(j12 == 1.0) // exact jaccard on identical shingle sets
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups within 3, unrelated out") {
+    val pairs = Dedup.simhash(docs, maxDist = 3)
+      .as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 0) // same token multiset → same sketch
+    assert(!m.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("exact dedup maps duplicates to the smallest doc_id") {
+    val dupDocs = Seq((10L, "x y z", "s"), (11L, "x y z", "s"),
+      (12L, "other", "s")).toDF("doc_id", "text", "source")
+    val m = Dedup.exact(dupDocs).as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(10L) == (10L, 0) && m(11L) == (10L, 1) && m(12L) == (12L, 0))
+  }
+}
