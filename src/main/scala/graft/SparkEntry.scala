@@ -18,6 +18,7 @@ object SparkEntry {
     (AnalyticsRegistry.queries, AnalyticsRegistry.oracleSql),
     (TextAnalysisRegistry.queries, TextAnalysisRegistry.oracleSql),
     (DedupRegistry.queries, DedupRegistry.oracleSql),
+    (SimilarityRegistry.queries, SimilarityRegistry.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

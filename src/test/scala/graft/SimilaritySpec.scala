@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  // 3 clusters along axes + a probe near each; 8-dim for readability.
+  def vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+    (1L, Array(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+    (2L, Array(0.8f, 0.2f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+    (3L, Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f), 1),
+    (4L, Array(0f, 0f, 0.9f, 0.1f, 0f, 0f, 0f, 0f), 1),
+    (5L, Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 1f), 2),
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute force returns exact top-k in deterministic order") {
+    val r = Similarity.knnBruteForce(vecs, probeMod = 3, k = 2)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    assert(r(0L) == Seq(1L, 2L)) // axis-0 cluster, nearest first
+    assert(r(3L) == Seq(4L, 5L) || r(3L).head == 4L)
+  }
+
+  test("LSH hyperplanes are deterministic and scores are exact cosines") {
+    val h1 = Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq
+    val h2 = Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq
+    assert(h1 == h2)
+    val lsh = Similarity.knnLsh(vecs, probeMod = 3, k = 2,
+      nTables = 2, planesPerTable = 2, dim = 8)
+      .as[(Long, Long, Double, Int)].collect()
+    val bf = Similarity.knnBruteForce(vecs, probeMod = 3, k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(x => (x._1, x._2) -> x._3).toMap
+    // every LSH result's score equals the exact cosine for that pair
+    lsh.foreach { case (p, nb, cos, _) => assert(bf((p, nb)) == cos) }
+    // per-probe result count bounded by k
+    lsh.groupBy(_._1).foreach { case (_, rows) => assert(rows.length <= 2) }
+  }
+}
