@@ -19,6 +19,7 @@ object SparkEntry {
     (TextAnalysisRegistry.queries, TextAnalysisRegistry.oracleSql),
     (DedupRegistry.queries, DedupRegistry.oracleSql),
     (SimilarityRegistry.queries, SimilarityRegistry.oracleSql),
+    (MultimodalRegistry.queries, MultimodalRegistry.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

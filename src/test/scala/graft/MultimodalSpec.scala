@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  def docs = Seq(
+    (1L, "a" * 200, "s"),
+    (2L, "short", "s"),
+    (3L, "%PDF-1.4 fake pdf header content", "s"),
+  ).toDF("doc_id", "text", "source")
+
+  test("metadata sniffs kind and hashes payload bytes") {
+    val m = Multimodal.metadata(docs).as[(Long, Int, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(m(1L)._2 == 200 && m(1L)._4 == "text/plain")
+    assert(m(3L)._4 == "application/pdf")
+  }
+
+  test("frame sampling: full windows only, correct stride arithmetic") {
+    val f = Multimodal.frames(docs, frameLen = 64, stride = 48)
+      .as[(Long, Long, Int, String)].collect()
+    val byDoc = f.groupBy(_._1)
+    assert(byDoc(1L).length == (200 - 64) / 48 + 1) // = 3
+    assert(byDoc(1L).forall(_._3 == 64)) // every frame full length
+    assert(!byDoc.contains(2L)) // shorter than one frame → no rows
+    // all frames of doc 1 are identical bytes → identical hashes
+    assert(byDoc(1L).map(_._4).distinct.length == 1)
+  }
+
+  test("batched decode is batch-size- and partition-independent") {
+    val a = Multimodal.features(docs.repartition(1), batchSize = 2)
+      .as[(Long, Int, Array[Float])].collect().sortBy(_._1)
+    val b = Multimodal.features(docs.repartition(3), batchSize = 64)
+      .as[(Long, Int, Array[Float])].collect().sortBy(_._1)
+    assert(a.length == 3 && a.map(_._1).sameElements(b.map(_._1)))
+    a.zip(b).foreach { case (x, y) =>
+      assert(x._2 == y._2 && x._3.sameElements(y._3))
+    }
+    assert(a.forall(_._3.length == 16)) // fixed-length feature vector
+    // L1 normalization: histogram sums to ~1
+    assert(math.abs(a.head._3.sum - 1f) < 1e-5)
+  }
+}
