@@ -20,6 +20,7 @@ object SparkEntry {
     (DedupRegistry.queries, DedupRegistry.oracleSql),
     (SimilarityRegistry.queries, SimilarityRegistry.oracleSql),
     (MultimodalRegistry.queries, MultimodalRegistry.oracleSql),
+    (StreamsRegistry.queries, StreamsRegistry.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

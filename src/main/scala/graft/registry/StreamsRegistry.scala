@@ -1,0 +1,52 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.Streams
+
+/** G-family bindings. Both queries execute a real Structured Streaming
+  * job (AvailableNow over the parquet source, memory sink) and return
+  * the sink's contents; with the stream fully drained the results
+  * equal the batch computation, so the batch SQL is a valid oracle.
+  */
+object StreamsRegistry {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_wordcount" -> ((s, d) => Streams.wordCount(s, d)),
+    "st_sessionize" -> ((s, d) => Streams.sessionize(s, d)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "st_wordcount" ->
+      """WITH toks AS (
+        |  SELECT lower(w) AS word
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS w
+        |        FROM documents)
+        |  WHERE w <> ''
+        |)
+        |SELECT word, count(*) AS cnt FROM toks GROUP BY word""".stripMargin,
+    "st_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                            ORDER BY ts ASC, event_id ASC) AS prev_us
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM t
+        |), numbered AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |  count(*) AS n_events
+        |FROM numbered
+        |GROUP BY user_id, session_id""".stripMargin,
+  )
+}
