@@ -44,12 +44,20 @@ object Text {
   def bpeTokens(c: Column): Column = regexp_count(c, lit(BpePattern))
 
   /** Word w-shingles (space-joined runs of `n` consecutive tokens),
-    * distinct. Empty when fewer than `n` tokens. */
-  def shingles(toks: Column, n: Int): Column = {
-    // sequence(a,b) is descending when b<a, so guard short docs.
-    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
-      .otherwise(array().cast("array<int>"))
-    array_distinct(transform(idx, i =>
-      concat_ws(" ", (0 until n).map(k => get(toks, i + k)): _*)))
-  }
+    * distinct. Empty when fewer than `n` tokens.
+    *
+    * `toks` is bound ONCE as a lambda variable (`transform(array(toks),
+    * ts => …)`): higher-order functions evaluate interpreted, so a
+    * direct `get(toks, i+k)` would re-run the whole tokenize pipeline
+    * for every element access (~n×positions re-tokenizations per doc,
+    * two orders of magnitude slower); a lambda variable is a
+    * materialized value and each access is O(1). */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(flatten(transform(array(toks), ts => {
+      // sequence(a,b) is descending when b<a, so guard short docs.
+      val idx = when(size(ts) >= n, sequence(lit(0), size(ts) - n))
+        .otherwise(array().cast("array<int>"))
+      transform(idx, i =>
+        concat_ws(" ", (0 until n).map(k => get(ts, i + k)): _*))
+    })))
 }

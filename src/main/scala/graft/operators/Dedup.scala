@@ -76,11 +76,23 @@ object Dedup {
     * shingle sets. */
   def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 16,
                  rowsPerBand: Int = 8, tau: Double = 0.8): DataFrame = {
-    val sets = docs
-      .select(col("doc_id"), Text.shingles(Text.tokens(col("text")), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sigs = sets.withColumn("sig",
-      Hashing.minhashSig(col("sh"), bands * rowsPerBand))
+    val perms = bands * rowsPerBand
+    // (doc_id, shingle) rows: the ONLY evaluation of the tokenize→
+    // shingle pipeline, persisted because the signature aggregation
+    // and both sides of the verification join re-read it (at cluster
+    // scale this is the standard materialize-the-shingle-table step).
+    val rows = docs
+      .select(col("doc_id"),
+        explode(Text.shingles(Text.tokens(col("text")), n)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Set size + all `perms` signature mins in ONE codegen'd hash
+    // aggregate (map-side combined): each shingle is hashed once per
+    // permutation — never re-tokenized, never per-row array lambdas.
+    val aggs = count(lit(1)).as("sz") +: (0 until perms).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"m$i"))
+    val sigs = rows.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), col("sz"),
+        array((0 until perms).map(i => col(s"m$i")): _*).as("sig"))
     val banded = sigs.select(col("doc_id"),
         posexplode(Hashing.bandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "bkey")))
@@ -89,12 +101,21 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    cand
-      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))))
+    // Verify on the shingle rows: |A∩B| by joining both sides of each
+    // candidate pair back to the persisted rows (pairs with no shared
+    // shingle can't reach any tau > 0, so the inner join is lossless).
+    val inter = cand
+      .join(rows.as("ra"), col("id_a") === col("ra.doc_id"))
+      .join(rows.as("rb"),
+        col("id_b") === col("rb.doc_id") && col("ra.s") === col("rb.s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sigs.select(col("doc_id"), col("sz"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
