@@ -22,9 +22,11 @@ object Text {
   val SepPattern = "[^\\p{L}]+"
 
   /** Letter-run tokens of `c`, each lowercased after the split
-    * (reference main.go:141-151 order), empties removed. */
-  def tokens(c: Column): Column =
-    filter(transform(split(c, SepPattern), w => lower(w)), w => w =!= lit(""))
+    * (reference main.go:141-151 order), empties removed. Backed by a
+    * codegen'd Catalyst expression ([[graft.plans.TokenizeExpr]]);
+    * identical semantics to
+    * `filter(transform(split(c, SepPattern), lower), _ =!= "")`. */
+  def tokens(c: Column): Column = graft.plans.Exprs.tokens(c)
 
   /** Case/punctuation-normalized form: letter runs joined by single
     * spaces, separators resolved before lowercasing (same order as

@@ -18,9 +18,12 @@ object Vec {
     * so every multiply/add is a double-precision IEEE op. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Σ aᵢ·bᵢ as a strict left fold: ((0+x₁)+x₂)+… */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ as a strict left fold: ((0+x₁)+x₂)+… Backed by a
+    * codegen'd Catalyst expression ([[graft.plans.DotExpr]]) with the
+    * identical accumulation order to
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`; float inputs promote
+    * per element exactly as CAST would. */
+  def dot(a: Column, b: Column): Column = graft.plans.Exprs.dot(a, b)
 
   /** Euclidean norm (sqrt is correctly rounded per IEEE — identical on
     * every conforming engine). */

@@ -161,7 +161,7 @@ object Dedup {
     * shape — block, pair within block, threshold — is the same). */
   def embeddingNearDup(embeddings: DataFrame, tau: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label"),
-      Vec.toDouble(col("embedding")).as("v"))
+      col("embedding").as("v")) // float arrays: DotExpr promotes per element
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

@@ -22,7 +22,7 @@ object Similarity {
     * `probePred` rows, broadcast). Deterministic rank: cosine desc,
     * then neighbor id. */
   def knnBruteForce(embeddings: DataFrame, probeMod: Int, k: Int): DataFrame = {
-    val e = embeddings.select(col("vec_id"), Vec.toDouble(col("embedding")).as("v"))
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
     val probes = e.filter(col("vec_id") % probeMod === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     broadcast(probes).join(e, col("vec_id") =!= col("probe_id"))
@@ -55,7 +55,7 @@ object Similarity {
              nTables: Int = 4, planesPerTable: Int = 6,
              dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nTables * planesPerTable, dim)
-    val e = embeddings.select(col("vec_id"), Vec.toDouble(col("embedding")).as("v"))
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
     val buckets = (0 until nTables).map { t =>
       val bits = (0 until planesPerTable).map { p =>
         val plane = array(planes(t * planesPerTable + p).map(lit): _*)

@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for graft's hottest scalar paths.
+  *
+  * Spark's higher-order functions (transform/filter/aggregate/zip_with)
+  * are CodegenFallback: each lambda application is an interpreted
+  * `Expression.eval` tree walk. For per-token and per-vector-element
+  * loops that interpretation dominates the query (measured ~10x on the
+  * word-count path, ~40x on cosine). These expressions participate in
+  * whole-stage codegen via `doGenCode` — the generated stage calls one
+  * static kernel per row.
+  */
+
+/** `tokens(text)`: letter-run tokens, lowercased after the split. */
+case class TokenizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tokens() needs a string input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenizeExpr =
+    copy(child = newChild)
+}
+
+/** `dot(a, b)`: Σ aᵢ·bᵢ, strict left-to-right double accumulation over
+  * float/double array columns (promotion exactly as SQL CAST). */
+case class DotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def elem(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elem(left), elem(right)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"dot() needs float/double array inputs, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+
+  private def kernel: String = (elem(left).get, elem(right).get) match {
+    case (FloatType, FloatType) => "dotFF"
+    case (FloatType, DoubleType) => "dotFD"
+    case (DoubleType, FloatType) => "dotDF"
+    case (DoubleType, DoubleType) => "dotDD"
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    kernel match {
+      case "dotFF" => VecKernels.dotFF(x, y)
+      case "dotFD" => VecKernels.dotFD(x, y)
+      case "dotDF" => VecKernels.dotDF(x, y)
+      case "dotDD" => VecKernels.dotDD(x, y)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecKernels.$kernel($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object Exprs {
+  /** Column wrapper for [[TokenizeExpr]]. */
+  def tokens(c: Column): Column =
+    ColumnBridge.column(TokenizeExpr(ColumnBridge.expression(c)))
+
+  /** Column wrapper for [[DotExpr]]. */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
