@@ -10,8 +10,8 @@ import graft.sources.Tables
   * (reference main.go:84-197) over the `documents` table.
   *
   * Each oracle reproduces the Spark semantics in DuckDB SQL with the
-  * same column names and a total ORDER BY, so the driver's
-  * hash-compare is deterministic.
+  * same column names; the compare is row-order-insensitive, so only
+  * LIMIT queries (topk) carry a total ORDER BY.
   */
 object WcRegistry {
 
@@ -28,27 +28,24 @@ object WcRegistry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wc_wordcount" -> ((s, d) =>
-      WordCount.wordCount(Tables.documents(s, d))
-        .orderBy(col("word"))),
+      WordCount.wordCount(Tables.documents(s, d))),
     "wc_distinct_words" -> ((s, d) =>
       WordCount.distinctWords(Tables.documents(s, d))),
     "wc_total_words" -> ((s, d) =>
       WordCount.totalWords(Tables.documents(s, d))),
     "wc_per_doc" -> ((s, d) =>
-      WordCount.perDoc(Tables.documents(s, d))
-        .orderBy(col("doc_id"), col("word"))),
+      WordCount.perDoc(Tables.documents(s, d))),
     "wc_topk" -> ((s, d) =>
       WordCount.topK(Tables.documents(s, d), 20)),
     "wc_per_source" -> ((s, d) =>
-      WordCount.perGroup(Tables.documents(s, d), "source")
-        .orderBy(col("source"), col("word"))),
+      WordCount.perGroup(Tables.documents(s, d), "source")),
   )
 
   def oracleSql: Map[String, String] = Map(
     "wc_wordcount" ->
       s"""$TokCte
          |SELECT word, count(*) AS cnt FROM toks
-         |GROUP BY word ORDER BY word""".stripMargin,
+         |GROUP BY word""".stripMargin,
     "wc_distinct_words" ->
       s"""$TokCte
          |SELECT count(DISTINCT word) AS n_words FROM toks""".stripMargin,
@@ -58,7 +55,7 @@ object WcRegistry {
     "wc_per_doc" ->
       s"""$TokCte
          |SELECT doc_id, word, count(*) AS cnt FROM toks
-         |GROUP BY doc_id, word ORDER BY doc_id, word""".stripMargin,
+         |GROUP BY doc_id, word""".stripMargin,
     "wc_topk" ->
       s"""$TokCte
          |SELECT word, count(*) AS cnt FROM toks
@@ -66,6 +63,6 @@ object WcRegistry {
     "wc_per_source" ->
       s"""$TokCte
          |SELECT source, word, count(*) AS cnt FROM toks
-         |GROUP BY source, word ORDER BY source, word""".stripMargin,
+         |GROUP BY source, word""".stripMargin,
   )
 }

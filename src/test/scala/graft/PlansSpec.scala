@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.Exprs
+
+/** The native kernels must be drop-in equal to the column-function
+  * compositions they replaced — including Unicode edge cases and the
+  * exact float accumulation order. */
+class PlansSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  /** The original interpreted composition TokenizeExpr replaces. */
+  private def hofTokens(c: org.apache.spark.sql.Column) =
+    filter(transform(split(c, "[^\\p{L}]+"), w => lower(w)), w => w =!= lit(""))
+
+  test("TokenizeExpr == split-then-lower HOF composition, incl. Unicode") {
+    val texts = Seq(
+      "Hello, hello world! 42",
+      "İstanbul Straße ŒUF — naïve façade", // U+0130, ß, Œ, diacritics
+      "...", "", "a", "ΑΒΓ αβγ МОСКВА 北京 mixed123end",
+    ).toDF("text")
+    val rows = texts.select(
+      Exprs.tokens(col("text")).as("fast"), hofTokens(col("text")).as("ref"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (fast, ref) => assert(fast == ref) }
+  }
+
+  test("DotExpr == aggregate(zip_with) fold on doubles; float promotes as CAST") {
+    val a = Array(0.1f, -2.5f, 3.25f, 1e-7f)
+    val b = Array(4.0f, 0.5f, -1.125f, 2e7f)
+    val df = Seq((a, b)).toDF("a", "b")
+    val hof = df.select(
+      aggregate(zip_with(transform(col("a"), _.cast("double")),
+        transform(col("b"), _.cast("double")), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)).as[Double].head()
+    val fast = df.select(Exprs.dot(col("a"), col("b"))).as[Double].head()
+    assert(fast == hof) // bit-identical, not approximately
+    // mixed float/double inputs
+    val mixed = df.select(Exprs.dot(col("a"),
+      transform(col("b"), _.cast("double")))).as[Double].head()
+    assert(mixed == hof)
+  }
+
+  test("expressions stay codegen-compatible (no fallback errors) and null-safe") {
+    val df = Seq(Some("x y"), None).toDF("text")
+    val r = df.select(Exprs.tokens(col("text"))).collect()
+    assert(r(0).getSeq[String](0) == Seq("x", "y") && r(1).isNullAt(0))
+  }
+}
