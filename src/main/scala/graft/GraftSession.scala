@@ -22,6 +22,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Sketch aggregates are wide (MinHash: 128 min-columns); the
+      // default 100-field limit would kick them out of codegen.
+      .config("spark.sql.codegen.maxFields", "250")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no type
       // for; read as epoch-nanos long, Tables.events converts to micros.

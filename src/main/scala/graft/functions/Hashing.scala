@@ -25,13 +25,6 @@ object Hashing {
     array((0 until bands).map(b =>
       xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand))): _*)
 
-  /** Per-word SimHash bit votes over a precomputed 64-bit hash: +cnt
-    * where bit j is set, -cnt where clear — 64 signed votes. */
-  def simhashVotes(hash: Column, cnt: Column): Column =
-    array((0 until 64).map(j =>
-      when(shiftright(hash, j).bitwiseAND(lit(1L)) === 1L, cnt)
-        .otherwise(-cnt)): _*)
-
   /** 16-bit band of a 64-bit SimHash (4 bands → finds all pairs with
     * Hamming distance ≤ 3 by pigeonhole). */
   def simhashBand(sim: Column, band: Int): Column =

@@ -49,7 +49,9 @@ object Dedup {
       .select(col("doc_id"), Text.shingles(Text.tokens(col("text")), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val sizes = sets.select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+    // Persisted: both sides of the self-join below re-read these rows.
     val ex = sizes.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -86,11 +88,14 @@ object Dedup {
         explode(Text.shingles(Text.tokens(col("text")), n)).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Set size + all `perms` signature mins in ONE codegen'd hash
-    // aggregate (map-side combined): each shingle is hashed once per
-    // permutation — never re-tokenized, never per-row array lambdas.
+    // aggregate (map-side combined). The variable-length shingle
+    // string is hashed ONCE (h); each permutation re-hashes the fixed
+    // 8-byte h — standard one-string-hash + k integer mixes, ~16x less
+    // byte traffic than k string hashes.
     val aggs = count(lit(1)).as("sz") +: (0 until perms).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"m$i"))
-    val sigs = rows.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    val sigs = rows.withColumn("h", xxhash64(col("s")))
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), col("sz"),
         array((0 until perms).map(i => col(s"m$i")): _*).as("sig"))
     val banded = sigs.select(col("doc_id"),
@@ -128,19 +133,23 @@ object Dedup {
     * least one whole band, so band-equality candidate generation is
     * exact, not approximate, for maxDist ≤ 3. */
   def simhash(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val votes = docs
+    // Term frequencies once, then all 64 bit votes as conditional-sum
+    // aggregates in ONE codegen'd pass (no per-bit row blowup): vote_j
+    // = Σ ±cnt by bit j of xxhash64(word); sign → bit of the sketch.
+    val tf = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("word")))
+    val voteAggs = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"v$j"))
+    val sims = tf.groupBy(col("doc_id"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("doc_id"),
-        posexplode(Hashing.simhashVotes(xxhash64(col("word")), col("cnt")))
-          .as(Seq("bit", "vote")))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("vote")).as("v"))
-    val sims = votes.groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-        .otherwise(0L)).as("simhash"))
+        (0 until 64).map(j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
     val banded = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), Hashing.simhashBand(col("simhash"), b).as("bkey"))): _*))
