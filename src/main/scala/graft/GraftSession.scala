@@ -17,6 +17,7 @@ object GraftSession {
 
   def local(appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -14,6 +14,7 @@ object StreamsRegistry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_wordcount" -> ((s, d) => Streams.wordCount(s, d)),
     "st_sessionize" -> ((s, d) => Streams.sessionize(s, d)),
+    "st_events_hourly" -> ((s, d) => Streams.eventsHourly(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -25,6 +26,12 @@ object StreamsRegistry {
         |  WHERE w <> ''
         |)
         |SELECT word, count(*) AS cnt FROM toks GROUP BY word""".stripMargin,
+    "st_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST((value) AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
     "st_sessionize" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

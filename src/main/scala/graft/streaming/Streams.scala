@@ -63,6 +63,35 @@ object Streams {
     spark.table(sink)
   }
 
+  /** Streaming tumbling-window aggregation ≡ the batch `eventsHourly`:
+    * event-time `window()` in complete mode (windows may always update
+    * — for watermark-bounded state swap in `withWatermark` + append;
+    * complete keeps the ≡-batch contract exact for the oracle). */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(stageAsDir(s"$dir/events.parquet"))
+    val ts =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts")
+    val agg = stream
+      .select(ts.as("ts"), col("event_type"), col("value"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"), col("total_value"))
+    val sink = s"st_hr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** Per-invocation sessionizer: merges the open session carried in
     * state with this batch's (sorted) events, emits every session seen
     * so far in its current extent, and keeps the last one open in

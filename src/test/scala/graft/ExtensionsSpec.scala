@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TextCorpus
+
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  test("graft_tokens / graft_dot are SQL-callable via session extensions") {
+    import spark.implicits._
+    val toks = spark.sql("SELECT graft_tokens('Hello, WORLD! 42 foo') AS t")
+      .as[Seq[String]].head()
+    assert(toks == Seq("hello", "world", "foo"))
+    val dot = spark.sql(
+      "SELECT graft_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d")
+      .as[Double].head()
+    assert(dot == 1.5 * 2.0 + 2.0 * 0.5)
+  }
+
+  test("text corpus source mirrors the reference's file-walk input") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.txt"),
+      "Hello hello world")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b.txt"),
+      "it's 42 degrees")
+    val docs = TextCorpus.perFile(spark, dir)
+    assert(docs.count() == 2)
+    assert(docs.columns.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val wc = graft.operators.WordCount.wordCount(docs)
+      .as[(String, Long)].collect().toMap
+    assert(wc("hello") == 2L && wc("it") == 1L && !wc.contains("42"))
+  }
+}

@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
 object SparkTestSession {
   lazy val get: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .appName("graft-test")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
