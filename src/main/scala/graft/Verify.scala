@@ -9,13 +9,23 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.local("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // Queries are independent jobs; run them on a small pool so the
+    // cluster (here: local[N]) pipelines scheduling gaps. Spark's
+    // scheduler is thread-safe; FAIR mode keeps one long query from
+    // starving the rest.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
     }
+    tasks.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
