@@ -97,6 +97,36 @@ object Analytics {
         col("spend"), col("rnk"))
   }
 
+  /** Skew-safe variant of [[topCustomersPerNation]]: a rank window
+    * partitioned by nation has only ~25 distinct keys — at cluster
+    * scale one straggler task per giant nation. Two-phase top-N fixes
+    * the shape: phase 1 ranks within (nation, salt) buckets — `salt`
+    * splits each hot key across `saltBuckets` tasks — and keeps each
+    * bucket's top N; phase 2 ranks the surviving ≤ N·saltBuckets rows
+    * per nation. Any global top-N row is top-N within its bucket, so
+    * the result is IDENTICAL to the unsalted window (spec-checked). */
+  def topCustomersPerNationSalted(nation: DataFrame, customer: DataFrame,
+                                  orders: DataFrame, n: Int,
+                                  saltBuckets: Int = 16): DataFrame = {
+    val spend = customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .agg(Num.dsum(col("o_totalprice")).as("spend"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("salt", pmod(col("c_custkey"), lit(saltBuckets)))
+    val wSalted = Window.partitionBy(col("n_name"), col("salt"))
+      .orderBy(col("spend").desc, col("c_custkey").asc)
+    val survivors = spend
+      .withColumn("srnk", row_number().over(wSalted))
+      .filter(col("srnk") <= n)
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("spend").desc, col("c_custkey").asc)
+    survivors.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= n)
+      .select(col("n_name"), col("c_custkey"), col("c_name"),
+        col("spend"), col("rnk"))
+  }
+
   /** ROLLUP(status, priority): grouping-set aggregation — count and
     * exact total per level, plus the grand total. */
   def ordersRollup(orders: DataFrame): DataFrame =

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+import graft.sources.Tables
+
+/** Scale-shape checks: transformations that exist purely for cluster
+  * behavior (skew salting, bucketed co-location) must not change
+  * results — and the co-located join must actually drop its shuffle. */
+class ScaleShapeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+  val d = "/root/testdata/sf0.001"
+
+  test("salted two-phase top-N == unsalted window top-N on real data") {
+    val plain = Analytics.topCustomersPerNation(
+      Tables.nation(spark, d), Tables.customer(spark, d),
+      Tables.orders(spark, d), 5).collect().map(_.toSeq).toSet
+    val salted = Analytics.topCustomersPerNationSalted(
+      Tables.nation(spark, d), Tables.customer(spark, d),
+      Tables.orders(spark, d), 5, saltBuckets = 7).collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    import org.apache.spark.sql.functions._
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) // stale location from an aborted run
+        scala.reflect.io.Directory(loc).deleteRecursively()
+    }
+    Tables.orders(spark, d).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    Tables.lineitem(spark, d).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+    // MERGE hint: at this toy SF Spark would broadcast (also
+    // shuffle-free, but then the test wouldn't exercise bucketing);
+    // at real scale both sides are too big to broadcast and the
+    // sort-merge path below is exactly what runs.
+    val joined = spark.table("orders_b").hint("MERGE")
+      .join(spark.table("lineitem_b").hint("MERGE"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // the join itself must need no Exchange: both sides pre-partitioned
+    // on the key by bucketing (the agg after it may still shuffle)
+    val joinSection = plan.split("SortMergeJoin|ShuffledHashJoin")
+    assert(joinSection.length > 1,
+      s"expected a sort-merge/shuffled-hash join over bucketed tables:\n$plan")
+    assert(!joinSection.last.contains("Exchange"),
+      s"bucketed join still shuffles:\n$plan")
+    // and it returns the same rows as the plain join
+    val plain = Tables.orders(spark, d)
+      .join(Tables.lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .collect().map(_.toSeq).toSet
+    assert(joined.collect().map(_.toSeq).toSet == plain)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+  }
+}
