@@ -135,6 +135,13 @@ object Analytics {
       .agg(count(lit(1)).as("n_orders"),
         Num.dsum(col("o_totalprice")).as("total_price"))
 
+  /** CUBE(status, priority): all four grouping sets in one pass. */
+  def ordersCube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.dsum(col("o_totalprice")).as("total_price"))
+
   /** Top-N parts per brand by retail price (row_number window),
     * deterministic via partkey tie-break. */
   def topPartsPerBrand(part: DataFrame, n: Int): DataFrame = {

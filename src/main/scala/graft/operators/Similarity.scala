@@ -45,6 +45,46 @@ object Similarity {
       z.toDouble / 9.223372036854776e18
     }
 
+  /** ANN via IVF (inverted-file) coarse quantization: a deterministic
+    * codebook (every `centroidMod`-th vector), each vector assigned to
+    * its nearest centroid cell, probes search their `nProbe` nearest
+    * cells only. The index is one small broadcast table + a cell id
+    * per vector; per-probe work is bounded by cell occupancy. Recall
+    * trades against nProbe; scores of returned pairs are exact. */
+  def knnIvf(embeddings: DataFrame, probeMod: Int, k: Int,
+             centroidMod: Int = 37, nProbe: Int = 2): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val cents = e.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // nearest-cell assignment: argmax cosine over the broadcast codebook
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"),
+        Vec.cosine(col("v"), col("cv")).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+    // probes search their nProbe nearest cells
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probeCells = e.filter(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("pv"), col("cid"),
+        Vec.cosine(col("pv"), col("cv")).as("ccos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("probe_id"), col("pv"), col("cid").as("pcell"))
+    broadcast(probeCells).join(assigned,
+        col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        Vec.cosine(col("pv"), col("v")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+  }
+
   /** ANN via multi-table random-hyperplane LSH: `nTables` independent
     * hash tables of `planesPerTable` sign bits each; a probe's
     * candidate set is the union of its buckets across tables

@@ -31,6 +31,16 @@ object WordCount {
       .select(explode(Text.tokens(col(textCol))).as("word"))
       .agg(count_distinct(col("word")).as("n_words"))
 
+  /** Approximate distinct-word count via HyperLogLog++ — the sketch
+    * path for corpora where exact count_distinct's shuffle of every
+    * distinct token is the bottleneck. Mergeable across partitions,
+    * one small state per task. */
+  def distinctWordsApprox(docs: DataFrame, rsd: Double = 0.05,
+                          textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(Text.tokens(col(textCol))).as("word"))
+      .agg(approx_count_distinct(col("word"), rsd).as("n_words_approx"))
+
   /** Total token count across the corpus. */
   def totalWords(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.agg(sum(size(Text.tokens(col(textCol)))).as("n_tokens"))

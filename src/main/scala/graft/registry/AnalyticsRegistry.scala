@@ -30,6 +30,10 @@ object AnalyticsRegistry {
         Tables.customer(s, d), Tables.orders(s, d), 5)),
     "q_orders_rollup" -> ((s, d) =>
       Analytics.ordersRollup(Tables.orders(s, d))),
+    "q_orders_cube" -> ((s, d) =>
+      Analytics.ordersCube(Tables.orders(s, d))),
+    "q_asof_last_order" -> ((s, d) =>
+      graft.operators.AsOf.eventsLastOrder(Tables.events(s, d), Tables.orders(s, d))),
     "q_part_topn_per_brand" -> ((s, d) =>
       Analytics.topPartsPerBrand(Tables.part(s, d), 3)),
     "q_events_minutely" -> ((s, d) =>
@@ -100,6 +104,24 @@ object AnalyticsRegistry {
          |  ${dsumSql("o_totalprice")} AS total_price
          |FROM orders
          |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_orders_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  count(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders
+         |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_asof_last_order" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                       ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders
+        |)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  r.o_orderkey AS last_orderkey, r.o_totalprice AS last_totalprice
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
     "q_part_topn_per_brand" ->
       s"""WITH ranked AS (
          |  SELECT p_brand, p_partkey, p_name, p_retailprice,

@@ -24,6 +24,8 @@ object SimilarityRegistry {
       Similarity.knnBruteForce(Tables.embeddings(s, d), ProbeMod, K)),
     "knn_lsh" -> ((s, d) =>
       Similarity.knnLsh(Tables.embeddings(s, d), ProbeMod, K)),
+    "knn_ivf" -> ((s, d) =>
+      Similarity.knnIvf(Tables.embeddings(s, d), ProbeMod, K)),
   )
 
   def oracleSql: Map[String, String] = Map(

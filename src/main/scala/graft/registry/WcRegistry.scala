@@ -31,6 +31,8 @@ object WcRegistry {
       WordCount.wordCount(Tables.documents(s, d))),
     "wc_distinct_words" -> ((s, d) =>
       WordCount.distinctWords(Tables.documents(s, d))),
+    "wc_distinct_approx" -> ((s, d) =>
+      WordCount.distinctWordsApprox(Tables.documents(s, d))),
     "wc_total_words" -> ((s, d) =>
       WordCount.totalWords(Tables.documents(s, d))),
     "wc_per_doc" -> ((s, d) =>
