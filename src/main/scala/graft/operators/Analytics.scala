@@ -153,6 +153,23 @@ object Analytics {
         col("p_retailprice"), col("rn"))
   }
 
+  /** Semi/anti-join census: per market segment, how many customers
+    * have at least one order vs none. Two hash semi-joins (no payload
+    * duplication, no row explosion) + one agg. */
+  def customerOrderCensus(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val keys = orders.select(col("o_custkey"))
+    val active = customer.join(keys, col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_active"))
+    val inactive = customer.join(keys, col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_inactive"))
+    active.join(inactive, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+  }
+
   /** Tumbling 1-hour window aggregation over the event stream: the
     * batch shape of the streaming G-family. Hour emitted as a
     * formatted string so every engine compares it identically. */

@@ -38,6 +38,10 @@ object AnalyticsRegistry {
       Analytics.topPartsPerBrand(Tables.part(s, d), 3)),
     "q_events_minutely" -> ((s, d) =>
       Analytics.eventsHourly(Tables.events(s, d))),
+    "q_semi_anti_census" -> ((s, d) =>
+      Analytics.customerOrderCensus(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_range_join" -> ((s, d) =>
+      graft.operators.RangeJoin.eventPairsWithin(Tables.events(s, d), 5)),
     "q_events_json" -> ((s, d) =>
       Analytics.eventsJsonAgg(Tables.events(s, d))),
     "q_events_sessionize" -> ((s, d) =>
@@ -137,6 +141,26 @@ object AnalyticsRegistry {
          |  ${dsumSql("value")} AS total_value
          |FROM events
          |GROUP BY 1, 2""".stripMargin,
+    "q_semi_anti_census" ->
+      """WITH active AS (
+        |  SELECT c_mktsegment, count(*) AS n_active FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY 1
+        |), inactive AS (
+        |  SELECT c_mktsegment, count(*) AS n_inactive FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY 1
+        |)
+        |SELECT c_mktsegment,
+        |  coalesce(n_active, 0) AS n_active,
+        |  coalesce(n_inactive, 0) AS n_inactive
+        |FROM active FULL OUTER JOIN inactive USING (c_mktsegment)""".stripMargin,
+    "q_range_join" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 300000000""".stripMargin,
     "q_events_json" ->
       s"""SELECT event_type, count(*) AS n_events,
          |  ${dsumSql("CAST(json_extract_string(props, 'k') AS INTEGER)")} AS sum_k,
