@@ -12,8 +12,9 @@ object Bench {
     val defaults = Seq(
       "wc_wordcount", "wc_topk", "wc_per_doc",
       "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-      "q_events_sessionize", "ta_quality", "dd_exact", "dd_minhash",
-      "knn_bruteforce",
+      "q_events_sessionize", "q_asof_last_order", "q_range_join",
+      "ta_quality", "dd_exact", "dd_minhash", "dd_simhash",
+      "knn_bruteforce", "knn_ivf",
     ).filter(SparkEntry.queries.contains)
     sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
