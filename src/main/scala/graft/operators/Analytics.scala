@@ -153,6 +153,28 @@ object Analytics {
         col("p_retailprice"), col("rn"))
   }
 
+  /** Window-function suite over orders: quartile, relative rank,
+    * cumulative distribution and a 3-row moving average per customer
+    * order history — one shuffle on custkey, every function shares the
+    * same window frame pass. */
+  def orderWindowStats(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wAvg = w.rowsBetween(-2, Window.currentRow)
+    orders.select(col("o_custkey"), col("o_orderkey"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      avg(col("o_totalprice")).over(wAvg).as("moving_avg3"))
+  }
+
+  /** Exact interpolated percentiles of event values per type. */
+  def eventValuePercentiles(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"))
+
   /** Semi/anti-join census: per market segment, how many customers
     * have at least one order vs none. Two hash semi-joins (no payload
     * duplication, no row explosion) + one agg. */

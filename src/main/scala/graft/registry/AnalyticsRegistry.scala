@@ -38,6 +38,10 @@ object AnalyticsRegistry {
       Analytics.topPartsPerBrand(Tables.part(s, d), 3)),
     "q_events_minutely" -> ((s, d) =>
       Analytics.eventsHourly(Tables.events(s, d))),
+    "q_window_suite" -> ((s, d) =>
+      Analytics.orderWindowStats(Tables.orders(s, d))),
+    "q_value_percentiles" -> ((s, d) =>
+      Analytics.eventValuePercentiles(Tables.events(s, d))),
     "q_semi_anti_census" -> ((s, d) =>
       Analytics.customerOrderCensus(Tables.customer(s, d), Tables.orders(s, d))),
     "q_range_join" -> ((s, d) =>
@@ -141,6 +145,23 @@ object AnalyticsRegistry {
          |  ${dsumSql("value")} AS total_value
          |FROM events
          |GROUP BY 1, 2""".stripMargin,
+    "q_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  avg(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+    "q_value_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_semi_anti_census" ->
       """WITH active AS (
         |  SELECT c_mktsegment, count(*) AS n_active FROM customer
