@@ -15,6 +15,7 @@ object StreamsRegistry {
     "st_wordcount" -> ((s, d) => Streams.wordCount(s, d)),
     "st_sessionize" -> ((s, d) => Streams.sessionize(s, d)),
     "st_events_hourly" -> ((s, d) => Streams.eventsHourly(s, d)),
+    "st_dedup" -> ((s, d) => Streams.dedupExact(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -32,6 +33,9 @@ object StreamsRegistry {
         |  CAST(sum(CAST((value) AS DECIMAL(38,6))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    "st_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
     "st_sessionize" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

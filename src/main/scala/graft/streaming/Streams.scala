@@ -92,6 +92,28 @@ object Streams {
     spark.table(sink)
   }
 
+  /** Streaming exact dedup ≡ batch [[graft.operators.Dedup.exact]]
+    * keyed output: running (fingerprint → keeper, count) state in
+    * complete mode. The keeper is min(doc_id) — deterministic under
+    * any arrival order, unlike first-seen dropDuplicates. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(stageAsDir(s"$dir/documents.parquet"))
+    val agg = stream
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+    val sink = s"st_dd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** Per-invocation sessionizer: merges the open session carried in
     * state with this batch's (sorted) events, emits every session seen
     * so far in its current extent, and keeps the last one open in
