@@ -98,7 +98,7 @@ object Similarity {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
     val buckets = (0 until nTables).map { t =>
       val bits = (0 until planesPerTable).map { p =>
-        val plane = array(planes(t * planesPerTable + p).map(lit): _*)
+        val plane = array(planes(t * planesPerTable + p).toIndexedSeq.map(lit): _*)
         when(Vec.dot(col("v"), plane) >= 0, lit(1L << p)).otherwise(0L)
       }.reduce(_ + _)
       struct(lit(t).as("table"), bits.as("bucket"))
