@@ -10,17 +10,25 @@ import graft.sources.TextCorpus
   * timing (reference main.go:62-81: flag parsing → processFiles →
   * printResult → len(finalResult) → elapsed).
   *
-  * Usage: runMain graft.WordCountCli <dir> [topN]
-  * (topN caps printed rows; counts are computed over everything.)
+  * Usage: runMain graft.WordCountCli [-profile] [-top=N] <path>...
+  * Paths may be files or directories (the reference takes a file
+  * list; Spark's reader accepts both). `-profile` maps the
+  * reference's pprof flag (main.go:27) to the Spark UI; `-top=N`
+  * caps printed rows — counts always cover everything.
   */
 object WordCountCli {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: WordCountCli <textdir> [topN]")
-    val dir = args(0)
-    val topN = if (args.length > 1) args(1).toInt else Int.MaxValue
+    val (flags, paths) = args.partition(_.startsWith("-"))
+    require(paths.nonEmpty, "usage: WordCountCli [-profile] [-top=N] <path>...")
+    val topN = flags.collectFirst { case f if f.startsWith("-top=") =>
+      f.stripPrefix("-top=").toInt }.getOrElse(Int.MaxValue)
+    if (flags.exists(_.startsWith("-profile")))
+      System.err.println("[graft] profiling: inspect the Spark UI / event log " +
+        "(per-stage CPU, memory, spill) — the engine-native equivalent of pprof")
     val spark = GraftSession.local("graft-wordcount")
     val t0 = System.nanoTime()
-    val docs = TextCorpus.perFile(spark, dir)
+    val docs = paths.toIndexedSeq.map(p => TextCorpus.perFile(spark, p))
+      .reduce(_ unionByName _)
     val counts = WordCount.wordCount(docs)
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(topN)
