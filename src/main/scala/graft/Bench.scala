@@ -32,10 +32,11 @@ object Bench {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      once() // warm-up
-      val t0 = System.nanoTime()
-      once()
-      name -> (System.nanoTime() - t0) / 1e9
+      once() // warm-up (JIT, code cache, parquet footers)
+      val times = (0 until 3).map { _ =>
+        val t0 = System.nanoTime(); once(); (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.sorted.apply(1) // median damps GC/scheduler noise
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
