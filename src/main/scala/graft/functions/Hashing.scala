@@ -11,15 +11,10 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** MinHash signature: `perms` permutations, where permutation `i` is
-    * xxhash64(i, shingle) and the signature element is the min over the
-    * document's shingle set. Null signature for shingle-less docs.
-    * The permutation loop unrolls at plan-build time (fixed width). */
-  def minhashSig(shingles: Column, perms: Int): Column =
-    array((0 until perms).map(i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*)
-
-  /** LSH band keys: hash of each `rowsPerBand`-slice of the signature.
+  /** LSH band keys: hash of each `rowsPerBand`-slice of the signature
+    * (the signature itself is computed as min-aggregates over exploded
+    * shingle rows — see Dedup.minhashLsh — because a per-row array
+    * lambda would re-hash the shingle set per permutation).
     * Two docs sharing any band key are near-dup candidates. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map(b =>

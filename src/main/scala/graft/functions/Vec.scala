@@ -14,10 +14,6 @@ import org.apache.spark.sql.functions._
   */
 object Vec {
 
-  /** Cast an `array<float>` to `array<double>` before any arithmetic
-    * so every multiply/add is a double-precision IEEE op. */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
-
   /** Σ aᵢ·bᵢ as a strict left fold: ((0+x₁)+x₂)+… Backed by a
     * codegen'd Catalyst expression ([[graft.plans.DotExpr]]) with the
     * identical accumulation order to
