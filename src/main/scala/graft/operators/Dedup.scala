@@ -165,6 +165,42 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Near-dup pairs → canonical keeper: connected components by
+    * iterative min-label propagation (the last step of a dedup
+    * pipeline — transitive closure of pairwise matches). Converges in
+    * O(component diameter) rounds; each round is one shuffle;
+    * `localCheckpoint` truncates lineage so plans stay flat. Output:
+    * (doc_id, cluster_id = min doc_id in the component). */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var prevSum = Long.MaxValue
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val neighborMin = edges
+        .join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      labels = labels
+        .join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // min-labels only decrease; a stable sum means a fixed point
+      val sum = labels.agg(org.apache.spark.sql.functions.sum(col("label")))
+        .head().getLong(0)
+      done = sum == prevSum
+      prevSum = sum
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (at corpus
     * scale the block key would be a coarse cluster/LSH bucket; the
     * shape — block, pair within block, threshold — is the same). */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -85,6 +86,52 @@ object TextAnalysis {
     * text — the join key for exact-normalized dedup. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+
+  /** Word co-occurrence: top document-level word pairs with lift
+    * (observed/expected ratio — rational arithmetic only, no log, so
+    * every engine agrees bitwise). Pairs come from per-doc DISTINCT
+    * tokens, so the self-join is bounded by vocabulary-per-doc, not
+    * token count. */
+  def cooccurrence(docs: DataFrame, topN: Int): DataFrame = {
+    val dw = docs
+      .select(col("doc_id"), explode(array_distinct(Text.tokens(col("text")))).as("w"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val df = dw.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val pairs = dw.as("a").join(dw.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(df.select(col("w").as("w1"), col("df").as("df1")), "w1")
+      .join(df.select(col("w").as("w2"), col("df").as("df2")), "w2")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift", col("n_both").cast("double") * col("n_docs")
+        / (col("df1") * col("df2")))
+      .select(col("w1"), col("w2"), col("n_both"), col("lift"))
+      .orderBy(col("n_both").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+  }
+
+  /** TF-IDF-style term salience, log-free: score = tf · N/df (the
+    * monotone core of tf-idf; the log is presentation). Top `perDoc`
+    * terms per document, deterministic tie-break. */
+  def tfidf(docs: DataFrame, perDoc: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w").asc)
+    tf.join(df, "w")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= perDoc)
+      .select(col("doc_id"), col("w"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+  }
 
   /** Per-language corpus statistics: type-token ratio and average
     * word length. One explode + one agg on lang (bounded key space). */

@@ -35,6 +35,8 @@ object DedupRegistry {
     "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dd_embedding" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), CosineTau)),
+    "dd_clusters" -> ((s, d) =>
+      Dedup.clusters(Dedup.minhashLsh(Tables.documents(s, d)))),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -38,6 +38,9 @@ object TextAnalysisRegistry {
     "ta_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "ta_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "ta_word_stats" -> ((s, d) => TextAnalysis.wordStats(Tables.documents(s, d))),
+    "ta_cooccurrence" -> ((s, d) =>
+      TextAnalysis.cooccurrence(Tables.documents(s, d), 50)),
+    "ta_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d), 3)),
   )
 
   def oracleSql: Map[String, String] = {
@@ -86,6 +89,44 @@ object TextAnalysisRegistry {
         """SELECT doc_id,
           |  md5(trim(lower(regexp_replace(text, '[^\p{L}]+', ' ', 'g')))) AS fp
           |FROM documents""".stripMargin,
+      "ta_cooccurrence" ->
+        s"""WITH dw AS (
+           |  SELECT DISTINCT doc_id, unnest($ToksExpr) AS w FROM documents
+           |), df AS (
+           |  SELECT w, count(*) AS df FROM dw GROUP BY w
+           |), n AS (SELECT count(*) AS n_docs FROM documents),
+           |pairs AS (
+           |  SELECT a.w AS w1, b.w AS w2, count(*) AS n_both
+           |  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+           |  GROUP BY 1, 2
+           |)
+           |SELECT w1, w2, n_both,
+           |  CAST(n_both AS DOUBLE) * n_docs / (d1.df * d2.df) AS lift
+           |FROM pairs
+           |JOIN df d1 ON d1.w = w1
+           |JOIN df d2 ON d2.w = w2
+           |CROSS JOIN n
+           |ORDER BY n_both DESC, w1 ASC, w2 ASC
+           |LIMIT 50""".stripMargin,
+      "ta_tfidf" ->
+        s"""WITH tf AS (
+           |  SELECT doc_id, w, count(*) AS tf
+           |  FROM (SELECT doc_id, unnest($ToksExpr) AS w FROM documents)
+           |  GROUP BY 1, 2
+           |), df AS (
+           |  SELECT w, count(*) AS df FROM tf GROUP BY w
+           |), n AS (SELECT count(*) AS n_docs FROM documents),
+           |scored AS (
+           |  SELECT doc_id, tf.w AS w, tf, df,
+           |    CAST(tf AS DOUBLE) * n_docs / df AS score
+           |  FROM tf JOIN df USING (w) CROSS JOIN n
+           |), ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY score DESC, w ASC) AS rnk
+           |  FROM scored
+           |)
+           |SELECT doc_id, w, tf, df, score, rnk
+           |FROM ranked WHERE rnk <= 3""".stripMargin,
       "ta_word_stats" ->
         s"""WITH toks AS (
            |  SELECT lang, unnest($ToksExpr) AS word FROM documents
