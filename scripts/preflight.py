@@ -39,6 +39,13 @@ def compare(name, sdf, ddf):
         return f"shape spark={sdf.shape} duck={ddf.shape}"
     for c in sdf.columns:
         a, b = sdf[c].to_numpy(), ddf[c].to_numpy()
+        # The driver's hash is dtype-sensitive: int64 1 vs float64 1.0
+        # mismatch there even when values are equal. Flag kind drift
+        # (int vs float vs object) instead of coercing it away.
+        if a.dtype.kind != b.dtype.kind:
+            return (f"col {c}: dtype kind mismatch spark={a.dtype} "
+                    f"duck={b.dtype} (driver hash is type-sensitive; "
+                    f"CAST the oracle or the Spark column)")
         if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
             af = a.astype(np.float64)
             bf = b.astype(np.float64)

@@ -191,10 +191,12 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint(true)
-      // min-labels only decrease; a stable sum means a fixed point
-      val sum = labels.agg(org.apache.spark.sql.functions.sum(col("label")))
-        .head().getLong(0)
-      done = sum == prevSum
+      // min-labels only decrease; a stable sum means a fixed point.
+      // sum() is NULL on an empty label set (no near-dup pairs at
+      // all) — treat that as converged rather than NPE on getLong.
+      val sumRow = labels.agg(org.apache.spark.sql.functions.sum(col("label"))).head()
+      val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+      done = sum == prevSum || sumRow.isNullAt(0)
       prevSum = sum
       iter += 1
     }

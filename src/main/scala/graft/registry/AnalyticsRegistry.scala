@@ -201,9 +201,9 @@ object AnalyticsRegistry {
          |  FROM t
          |), numbered AS (
          |  SELECT user_id, ts_us,
-         |    sum(new_session) OVER (PARTITION BY user_id
+         |    CAST(sum(new_session) OVER (PARTITION BY user_id
          |      ORDER BY ts_us ASC, event_id ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          |  FROM flagged
          |)
          |SELECT user_id, session_id,

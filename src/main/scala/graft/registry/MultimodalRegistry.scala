@@ -1,6 +1,7 @@
 package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
 import graft.sources.Tables
@@ -11,15 +12,24 @@ import graft.sources.Tables
   * the identical bytes Spark's BINARY ops see. The PNG/JPEG magic
   * branches of the sniffer cannot fire on ASCII input, so the oracle
   * CASE carries only the branches reachable in this corpus — same
-  * output, every row. mm_features is spec-checked (mapPartitions
-  * decode stub has no SQL equivalent).
+  * output, every row. mm_features unrolls its feature vector into
+  * scalar bins, which both keeps the driver harness sortable and lets
+  * DuckDB recompute the byte histogram as an oracle.
   */
 object MultimodalRegistry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> ((s, d) => Multimodal.metadata(Tables.documents(s, d))),
     "mm_frames" -> ((s, d) => Multimodal.frames(Tables.documents(s, d))),
-    "mm_features" -> ((s, d) => Multimodal.features(Tables.documents(s, d))),
+    // The library API returns `features array<float>`; the driver
+    // harness needs scalar, sortable columns (pandas sort_values on an
+    // ndarray column throws), so the binding unrolls the 16 bins into
+    // f0..f15 FLOAT columns — which also makes the histogram stub
+    // oracle-checkable in DuckDB.
+    "mm_features" -> ((s, d) =>
+      Multimodal.features(Tables.documents(s, d)).select(
+        col("doc_id") +: col("n_bytes").cast("bigint").as("n_bytes") +:
+          (0 until 16).map(i => col("features")(i).as(f"f$i%02d")): _*)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -44,5 +54,26 @@ object MultimodalRegistry {
         |  length(substr(text, CAST(unnest(range(nf)) * 48 + 1 AS INTEGER), 64)) AS frame_len,
         |  md5(substr(text, CAST(unnest(range(nf)) * 48 + 1 AS INTEGER), 64)) AS frame_md5
         |FROM n WHERE nf > 0""".stripMargin,
+    // Byte-histogram decode stub, unrolled to 16 FLOAT bins. ord() on
+    // char-substr == payload byte because the corpus is pure ASCII
+    // (verified at sf0.01 and sf0.1). FLOAT/FLOAT division is IEEE-754
+    // single, correctly rounded in both engines, so bins match
+    // bit-for-bit with the Scala Float math in decodeBatchStub.
+    "mm_features" -> {
+      val bins = (0 until 16).map { i =>
+        val name = f"f$i%02d"
+        s"  CAST(count(*) FILTER (WHERE ch.bin = $i) AS FLOAT)" +
+          s" / CAST(greatest(length(d.text), 1) AS FLOAT) AS $name"
+      }.mkString(",\n")
+      s"""WITH ch AS (
+         |  SELECT doc_id,
+         |    ord(substr(text, CAST(unnest(range(length(text))) + 1 AS INTEGER), 1)) % 16 AS bin
+         |  FROM documents
+         |)
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes,
+         |$bins
+         |FROM documents d LEFT JOIN ch USING (doc_id)
+         |GROUP BY d.doc_id, length(d.text)""".stripMargin
+    },
   )
 }

@@ -26,7 +26,13 @@ object Streams {
       Integer.toHexString(file.hashCode), src.getFileName.toString)
     Files.createDirectories(dir)
     val link = dir.resolve(src.getFileName.toString)
-    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    // Verify runs queries on a thread pool and several streams stage
+    // the same table; check-then-create races, so treat "already
+    // exists" as success instead.
+    if (!Files.exists(link)) {
+      try Files.createSymbolicLink(link, src)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
     dir.toString
   }
 
