@@ -1,22 +1,41 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Vec
+import graft.plans.Exprs
 
 /** E-family: nearest-neighbor search over an embedding column.
   *
   * Brute force is the correctness baseline: broadcast the (small)
   * probe set, one distributed pass over the vectors computing cosine,
-  * per-probe top-k via a rank window — at 1000 executors that is a
-  * full scan per batch of probes, which is exactly what exact k-NN
-  * costs. The LSH variant is the scale path: random-hyperplane
-  * buckets shrink each probe's comparison set to its bucket, making
-  * the per-probe cost sub-linear at the price of recall.
+  * bounded per-partition top-k before the only exchange — at 1000
+  * executors that is a full scan per batch of probes, which is exactly
+  * what exact k-NN costs, with k x partitions (not |corpus|) rows
+  * shuffled per probe. The LSH variant is the scale path: random-
+  * hyperplane buckets shrink each probe's comparison set to its
+  * bucket, making the per-probe cost sub-linear at the price of
+  * recall. IVF assigns each vector to its nearest codebook cell with a
+  * per-row argmax expression (no row blowup, no shuffle), so the index
+  * build is a projection and probes search nProbe cells only.
   */
 object Similarity {
+
+  /** Bounded top-k ranking: (probe_id, neighbor_id, cos_sim) scored
+    * rows → at most k rows per probe with a dense 1-based `rnk`
+    * (cos desc, neighbor asc). The graft_topk aggregate keeps ≤ k rows
+    * per probe per partition map-side, so the exchange moves
+    * k x partitions rows per probe instead of the full scored set —
+    * the scale fix over a `row_number` window, which must shuffle and
+    * sort everything. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("probe_id"))
+      .agg(Exprs.topK(col("cos_sim"), col("neighbor_id"), k).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("probe_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("cos_sim"), (col("pos") + 1).cast("int").as("rnk"))
 
   /** Exact top-k cosine neighbors for every probe vector (probe set =
     * `probePred` rows, broadcast). Deterministic rank: cosine desc,
@@ -25,12 +44,10 @@ object Similarity {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
     val probes = e.filter(col("vec_id") % probeMod === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-    broadcast(probes).join(e, col("vec_id") =!= col("probe_id"))
+    val scored = broadcast(probes).join(e, col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         Vec.cosine(col("pv"), col("v")).as("cos_sim"))
-      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes: a tiny splitmix-style
@@ -45,44 +62,56 @@ object Similarity {
       z.toDouble / 9.223372036854776e18
     }
 
+  /** One-row broadcast codebook for IVF: aligned arrays of centroid
+    * ids and L2-normalized centroid vectors (every `centroidMod`-th
+    * vector, sorted by id so array order is deterministic). The
+    * normalization makes per-row cell ranking a plain dot product. */
+  private def codebook(e: DataFrame, centroidMod: Int): DataFrame =
+    e.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb"))
+      .select(
+        transform(col("cb"), x => x.getField("cid")).as("cids"),
+        transform(col("cb"), { x =>
+          val cv = x.getField("cv")
+          val nrm = sqrt(Exprs.dot(cv, cv))
+          transform(cv, v => v / nrm)
+        }).as("units"))
+
+  /** Cell assignment as a projection: scan → broadcast 1-row codebook
+    * → per-row argmax expression. No Exchange between the scan and the
+    * assignment (asserted by ScaleShapeSpec) and no n x n_centroids
+    * row materialization — the shape that survives 100x scale. */
+  private[graft] def ivfAssigned(embeddings: DataFrame,
+                                 centroidMod: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    e.crossJoin(broadcast(codebook(e, centroidMod)))
+      .select(col("vec_id"), col("v"),
+        get(Exprs.nearestCells(col("v"), col("cids"), col("units"), 1), lit(0))
+          .as("cell"))
+  }
+
   /** ANN via IVF (inverted-file) coarse quantization: a deterministic
     * codebook (every `centroidMod`-th vector), each vector assigned to
-    * its nearest centroid cell, probes search their `nProbe` nearest
-    * cells only. The index is one small broadcast table + a cell id
-    * per vector; per-probe work is bounded by cell occupancy. Recall
-    * trades against nProbe; scores of returned pairs are exact. */
+    * its nearest centroid cell by a per-row argmax over the broadcast
+    * codebook, probes search their `nProbe` nearest cells only. The
+    * index is one small broadcast table + a cell id per vector;
+    * per-probe work is bounded by cell occupancy. Recall trades
+    * against nProbe; scores of returned pairs are exact. */
   def knnIvf(embeddings: DataFrame, probeMod: Int, k: Int,
              centroidMod: Int = 37, nProbe: Int = 2): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    val cents = e.filter(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // nearest-cell assignment: argmax cosine over the broadcast codebook
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid").asc)
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cid"),
-        Vec.cosine(col("v"), col("cv")).as("ccos"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("cid").as("cell"))
-    // probes search their nProbe nearest cells
-    val wProbe = Window.partitionBy(col("probe_id"))
-      .orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = ivfAssigned(embeddings, centroidMod)
     val probeCells = e.filter(col("vec_id") % probeMod === 0)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-      .crossJoin(broadcast(cents))
-      .select(col("probe_id"), col("pv"), col("cid"),
-        Vec.cosine(col("pv"), col("cv")).as("ccos"))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nProbe)
-      .select(col("probe_id"), col("pv"), col("cid").as("pcell"))
-    broadcast(probeCells).join(assigned,
+      .crossJoin(broadcast(codebook(e, centroidMod)))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        explode(Exprs.nearestCells(col("v"), col("cids"), col("units"), nProbe))
+          .as("pcell"))
+    val scored = broadcast(probeCells).join(assigned,
         col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         Vec.cosine(col("pv"), col("v")).as("cos_sim"))
-      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, k)
   }
 
   /** ANN via multi-table random-hyperplane LSH: `nTables` independent
@@ -110,14 +139,12 @@ object Similarity {
     val probes = bucketed.filter(col("vec_id") % probeMod === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("table").as("ptable"), col("bucket").as("pbucket"))
-    broadcast(probes).join(bucketed,
+    val scored = broadcast(probes).join(bucketed,
         col("table") === col("ptable") && col("bucket") === col("pbucket") &&
           col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         Vec.cosine(col("pv"), col("v")).as("cos_sim"))
       .distinct() // union of candidate sets across tables (cosine is deterministic)
-      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, k)
   }
 }

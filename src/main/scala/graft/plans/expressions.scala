@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -82,6 +82,43 @@ case class DotExpr(left: Expression, right: Expression) extends BinaryExpression
     copy(left = newLeft, right = newRight)
 }
 
+/** `nearest_cells(v, cids, units, nProbe)`: the IVF cell-assignment
+  * argmax as a scalar projection over the broadcast codebook — the
+  * top-nProbe centroid ids for a float vector, best-first. See
+  * [[IvfKernels.nearestCells]] for why this shape (vs crossJoin +
+  * window) is the one that survives 100x scale. */
+case class NearestCellsExpr(first: Expression, second: Expression,
+                            third: Expression, nProbe: Int)
+  extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(LongType, _),
+            ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        "nearest_cells() needs (array<float>, array<bigint>, " +
+          s"array<array<double>>), got ${a.catalogString} / " +
+          s"${b.catalogString} / ${c.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any, cids: Any, units: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    IvfKernels.nearestCells(v.asInstanceOf[ArrayData],
+      cids.asInstanceOf[ArrayData], units.asInstanceOf[ArrayData], nProbe)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.plans.IvfKernels.nearestCells($a, $b, $c, $nProbe)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): NearestCellsExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object Exprs {
   /** Column wrapper for [[TokenizeExpr]]. */
   def tokens(c: Column): Column =
@@ -91,4 +128,14 @@ object Exprs {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper for [[NearestCellsExpr]]. */
+  def nearestCells(v: Column, cids: Column, units: Column, nProbe: Int): Column =
+    ColumnBridge.column(NearestCellsExpr(ColumnBridge.expression(v),
+      ColumnBridge.expression(cids), ColumnBridge.expression(units), nProbe))
+
+  /** Column wrapper for [[TopKByScore]] (as an aggregate). */
+  def topK(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(TopKByScore(ColumnBridge.expression(score),
+      ColumnBridge.expression(id), k).toAggregateExpression())
 }

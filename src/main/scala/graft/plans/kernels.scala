@@ -87,3 +87,53 @@ object VecKernels {
     acc
   }
 }
+
+/** IVF coarse-quantization kernel: per-row nearest-cells selection over
+  * a broadcast codebook. Replaces the crossJoin + row_number argmax
+  * (which materialized and shuffled n x n_centroids rows) with a plain
+  * projection — zero row blowup, no exchange between scan and cell
+  * assignment. Centroids arrive L2-normalized, so ranking by
+  * dot(v, unit_c) is exactly ranking by cosine (norm(v) > 0 scales all
+  * candidates equally); ties break on the smaller centroid id. */
+object IvfKernels {
+
+  /** Top-`nProbe` centroid ids for `v` (float vector) against aligned
+    * arrays `cids` (bigint) and `units` (L2-normalized double vectors),
+    * best-first. */
+  def nearestCells(v: ArrayData, cids: ArrayData, units: ArrayData,
+                   nProbe: Int): ArrayData = {
+    val nC = math.min(cids.numElements(), units.numElements())
+    val n = math.min(nProbe, nC)
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    // sorted best-first insertion lists (n is tiny: 1-4)
+    val bestS = new Array[Double](n)
+    val bestI = new Array[Long](n)
+    var count = 0
+    var c = 0
+    while (c < nC) {
+      val u = units.getArray(c)
+      val dim = math.min(v.numElements(), u.numElements())
+      var acc = 0.0; var j = 0
+      while (j < dim) { acc += v.getFloat(j).toDouble * u.getDouble(j); j += 1 }
+      val cid = cids.getLong(c)
+      // find insert position: first slot this candidate beats
+      var pos = count
+      while (pos > 0 && better(acc, cid, bestS(pos - 1), bestI(pos - 1))) pos -= 1
+      if (pos < n) {
+        val last = math.min(count, n - 1)
+        var m = last
+        while (m > pos) { bestS(m) = bestS(m - 1); bestI(m) = bestI(m - 1); m -= 1 }
+        bestS(pos) = acc; bestI(pos) = cid
+        if (count < n) count += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bestI, count))
+  }
+
+  // SQL double ordering (-0.0 == 0.0, NaN greatest); ties on smaller id.
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val cmp = if (s1 == s2) 0 else java.lang.Double.compare(s1, s2)
+    if (cmp != 0) cmp > 0 else i1 < i2
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Analytics
+import graft.operators.{Analytics, Similarity}
 import graft.sources.Tables
 
 /** Scale-shape checks: transformations that exist purely for cluster
@@ -62,5 +62,45 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(joined.collect().map(_.toSeq).toSet == plain)
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+  }
+
+  test("IVF cell assignment is a projection: no hash-partition exchange, no window") {
+    val assigned = Similarity.ivfAssigned(Tables.embeddings(spark, d), 37)
+    val plan = assigned.queryExecution.executedPlan.toString
+    // the n x n_centroids crossJoin+row_number argmax would show up as
+    // an Exchange hashpartitioning(vec_id) feeding a Window sort
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"IVF assignment shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"IVF assignment uses a window:\n$plan")
+    // and every vector got a cell from the codebook
+    import org.apache.spark.sql.functions.col
+    assert(assigned.filter(col("cell").isNull).count() == 0)
+  }
+
+  test("bounded top-k aggregate == row_number window top-k for brute-force kNN") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.Vec
+    val emb = Tables.embeddings(spark, d)
+    val viaAgg = Similarity.knnBruteForce(emb, probeMod = 50, k = 10)
+      .collect().map(_.toSeq).toSet
+    // the pre-round-4 shape: full-shuffle row_number window
+    val e = emb.select(col("vec_id"), col("embedding").as("v"))
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val viaWindow = broadcast(probes).join(e, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        Vec.cosine(col("pv"), col("v")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= 10)
+      .collect().map(_.toSeq).toSet
+    assert(viaAgg == viaWindow && viaAgg.nonEmpty)
+    // and the aggregate path must not sort/shuffle the full scored set
+    val plan = Similarity.knnBruteForce(emb, probeMod = 50, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"top-k still uses a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected partial+final graft_topk aggregate:\n$plan")
   }
 }
