@@ -179,7 +179,7 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
-    var prevSum = Long.MaxValue
+    var prevSum: java.math.BigDecimal = null
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
@@ -192,12 +192,15 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint(true)
       // min-labels only decrease; a stable sum means a fixed point.
-      // sum() is NULL on an empty label set (no near-dup pairs at
-      // all) — treat that as converged rather than NPE on getLong.
-      val sumRow = labels.agg(org.apache.spark.sql.functions.sum(col("label"))).head()
-      val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-      done = sum == prevSum || sumRow.isNullAt(0)
-      prevSum = sum
+      // The sum runs in DECIMAL(38,0) so billions of 64-bit ids can't
+      // wrap around to a false convergence. sum() is NULL on an empty
+      // label set (no near-dup pairs at all) — treat as converged.
+      val sumRow = labels
+        .agg(sum(col("label").cast("decimal(38,0)"))).head()
+      val labelSum = if (sumRow.isNullAt(0)) null
+        else sumRow.getDecimal(0)
+      done = sumRow.isNullAt(0) || (prevSum != null && labelSum.compareTo(prevSum) == 0)
+      prevSum = labelSum
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

@@ -26,6 +26,24 @@ object DedupRegistry {
   private def nrm(side: String) =
     s"sqrt(list_reduce(list_transform($side.v, x -> x * x), (acc, x) -> acc + x))"
 
+  /** Shared CTE chain producing the n-gram Jaccard candidate table
+    * `cand(id_a, id_b, sz_a, sz_b, inter)` — used by the pair oracle
+    * and, under WITH RECURSIVE, by the clustering oracle. */
+  private val JaccardCtes =
+    s"""sets AS (
+       |  SELECT doc_id, $Sh3 AS sh
+       |  FROM (SELECT doc_id, $ToksExpr AS toks FROM documents)
+       |  WHERE len($Sh3) > 0
+       |), ex AS (
+       |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets
+       |), cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         a.sz AS sz_a, b.sz AS sz_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4
+       |  HAVING CAST(least(sz_a, sz_b) AS DOUBLE) / greatest(sz_a, sz_b) >= $JaccardTau
+       |)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dd_exact_norm" -> ((s, d) => Dedup.exactNormalized(Tables.documents(s, d))),
@@ -35,8 +53,12 @@ object DedupRegistry {
     "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dd_embedding" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), CosineTau)),
+    // Clustering over the SQL-expressible near-dup pair source so the
+    // transitive closure itself is oracle-checked (clusters() is pair-
+    // source agnostic; composition over MinHash pairs is spec-covered
+    // by ClustersSpec + DedupSpec).
     "dd_clusters" -> ((s, d) =>
-      Dedup.clusters(Dedup.minhashLsh(Tables.documents(s, d)))),
+      Dedup.clusters(Dedup.ngramJaccard(Tables.documents(s, d), 3, JaccardTau))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -53,23 +75,31 @@ object DedupRegistry {
         |SELECT doc_id, keep_id,
         |  CAST(doc_id <> keep_id AS INTEGER) AS is_dup FROM k""".stripMargin,
     "dd_ngram_jaccard" ->
-      s"""WITH sets AS (
-         |  SELECT doc_id, $Sh3 AS sh
-         |  FROM (SELECT doc_id, $ToksExpr AS toks FROM documents)
-         |  WHERE len($Sh3) > 0
-         |), ex AS (
-         |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets
-         |), cand AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |         a.sz AS sz_a, b.sz AS sz_b, count(*) AS inter
-         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4
-         |  HAVING CAST(least(sz_a, sz_b) AS DOUBLE) / greatest(sz_a, sz_b) >= $JaccardTau
-         |)
+      s"""WITH $JaccardCtes
          |SELECT id_a, id_b,
          |  CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard
          |FROM cand
          |WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= $JaccardTau""".stripMargin,
+    // Transitive closure of the near-dup pair graph: reach(id, r) walks
+    // every node to everything reachable from it (edges symmetric,
+    // UNION dedups so the recursion terminates); min(r) per id is the
+    // component's minimum doc_id — exactly clusters()'s min-label
+    // propagation fixed point.
+    "dd_clusters" ->
+      s"""WITH RECURSIVE $JaccardCtes, pairs AS (
+         |  SELECT id_a, id_b FROM cand
+         |  WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= $JaccardTau
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+         |)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id""".stripMargin,
     "dd_embedding" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
