@@ -206,9 +206,10 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** Embedding-cosine near-dup pairs, blocked by `label` (at corpus
-    * scale the block key would be a coarse cluster/LSH bucket; the
-    * shape — block, pair within block, threshold — is the same). */
+  /** Embedding-cosine near-dup pairs, blocked by `label` — the
+    * exact-recall-within-class variant (full recall inside each label,
+    * oracle-friendly). For a corpus with no class column, the blocked
+    * scale path is [[embeddingNearDupLsh]]. */
   def embeddingNearDup(embeddings: DataFrame, tau: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label"),
       col("embedding").as("v")) // float arrays: DotExpr promotes per element
@@ -216,6 +217,28 @@ object Dedup {
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         Vec.cosine(col("a.v"), col("b.v")).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+  }
+
+  /** Embedding-cosine near-dup pairs blocked by random-hyperplane LSH
+    * buckets — the label-free scale path: the shuffle key is the
+    * (table, bucket) sign-hash, so only intra-bucket pairs are ever
+    * scored (work bounded by bucket occupancy, never all-pairs).
+    * Recall for a pair at cosine c is 1-(1-p^r)^T with
+    * p = 1 - arccos(c)/pi — tunable via nTables/planesPerTable; the
+    * planes are deterministic ([[Similarity.hyperplanes]]), so an
+    * oracle recomputes the identical blocking. */
+  def embeddingNearDupLsh(embeddings: DataFrame, tau: Double,
+                          nTables: Int = 6, planesPerTable: Int = 4,
+                          dim: Int = 64): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val bucketed = Similarity.lshBucketed(e, nTables, planesPerTable, dim)
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Vec.cosine(col("a.v"), col("b.v")).as("cos_sim"))
+      .distinct() // same pair from several tables: cosine is deterministic
       .filter(col("cos_sim") >= tau)
   }
 }

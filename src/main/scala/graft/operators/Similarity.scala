@@ -114,6 +114,27 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** (vec_id, v, table, bucket) rows: `nTables` deterministic
+    * hyperplane sign-buckets per vector — the shared LSH blocking
+    * primitive used by ANN search ([[knnLsh]]) and embedding near-dup
+    * blocking ([[Dedup.embeddingNearDupLsh]]). The bucket of a vector
+    * is `planesPerTable` sign bits of dot(v, plane); planes come from
+    * [[hyperplanes]], so any engine can recompute them. */
+  private[operators] def lshBucketed(e: DataFrame, nTables: Int,
+                                     planesPerTable: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nTables * planesPerTable, dim)
+    val buckets = (0 until nTables).map { t =>
+      val bits = (0 until planesPerTable).map { p =>
+        val plane = array(planes(t * planesPerTable + p).toIndexedSeq.map(lit): _*)
+        when(Vec.dot(col("v"), plane) >= 0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), bits.as("bucket"))
+    }
+    e.select(col("vec_id"), col("v"), explode(array(buckets: _*)).as("tb"))
+      .select(col("vec_id"), col("v"),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
   /** ANN via multi-table random-hyperplane LSH: `nTables` independent
     * hash tables of `planesPerTable` sign bits each; a probe's
     * candidate set is the union of its buckets across tables
@@ -123,19 +144,8 @@ object Similarity {
   def knnLsh(embeddings: DataFrame, probeMod: Int, k: Int,
              nTables: Int = 4, planesPerTable: Int = 6,
              dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(nTables * planesPerTable, dim)
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    val buckets = (0 until nTables).map { t =>
-      val bits = (0 until planesPerTable).map { p =>
-        val plane = array(planes(t * planesPerTable + p).toIndexedSeq.map(lit): _*)
-        when(Vec.dot(col("v"), plane) >= 0, lit(1L << p)).otherwise(0L)
-      }.reduce(_ + _)
-      struct(lit(t).as("table"), bits.as("bucket"))
-    }
-    val bucketed = e.select(col("vec_id"), col("v"),
-        explode(array(buckets: _*)).as("tb"))
-      .select(col("vec_id"), col("v"),
-        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val bucketed = lshBucketed(e, nTables, planesPerTable, dim)
     val probes = bucketed.filter(col("vec_id") % probeMod === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("table").as("ptable"), col("bucket").as("pbucket"))

@@ -26,6 +26,25 @@ object DedupRegistry {
   private def nrm(side: String) =
     s"sqrt(list_reduce(list_transform($side.v, x -> x * x), (acc, x) -> acc + x))"
 
+  /** DuckDB spelling of [[graft.operators.Similarity.lshBucketed]]:
+    * one SELECT per hash table; the bucket is `planesPerTable` sign
+    * bits of dot(v, plane) with the plane components inlined as double
+    * literals (Double.toString round-trips exactly, and DuckDB's
+    * float→double cast matches Spark's per-element promotion, so the
+    * keys agree bit-for-bit). */
+  private def lshBucketSql(nTables: Int, planesPerTable: Int, dim: Int): String = {
+    val planes = graft.operators.Similarity.hyperplanes(nTables * planesPerTable, dim)
+    (0 until nTables).map { t =>
+      val bits = (0 until planesPerTable).map { p =>
+        val lits = planes(t * planesPerTable + p).mkString("[", ", ", "]")
+        s"""(CASE WHEN list_reduce(list_transform(list_zip(v, $lits),
+           |      q -> q[1] * q[2]), (acc, x) -> acc + x) >= 0
+           |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"  SELECT vec_id, v, $t AS tbl,\n$bits AS bucket FROM e"
+    }.mkString("\n  UNION ALL\n")
+  }
+
   /** Shared CTE chain producing the n-gram Jaccard candidate table
     * `cand(id_a, id_b, sz_a, sz_b, inter)` — used by the pair oracle
     * and, under WITH RECURSIVE, by the clustering oracle. */
@@ -53,6 +72,8 @@ object DedupRegistry {
     "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dd_embedding" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), CosineTau)),
+    "dd_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDupLsh(Tables.embeddings(s, d), CosineTau)),
     // Clustering over the SQL-expressible near-dup pair source so the
     // transitive closure itself is oracle-checked (clusters() is pair-
     // source agnostic; composition over MinHash pairs is spec-covered
@@ -107,6 +128,20 @@ object DedupRegistry {
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  $Dot / (${nrm("a")} * ${nrm("b")}) AS cos_sim
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $Dot / (${nrm("a")} * ${nrm("b")}) >= $CosineTau""".stripMargin,
+    // The LSH blocking is deterministic (splitmix-mixed hyperplanes),
+    // so the oracle recomputes the identical (table, bucket) keys from
+    // the same plane constants, emitted below as double literals.
+    "dd_embedding_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), bucketed AS (
+         |${lshBucketSql(nTables = 6, planesPerTable = 4, dim = 64)}
+         |)
+         |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  $Dot / (${nrm("a")} * ${nrm("b")}) AS cos_sim
+         |FROM bucketed a JOIN bucketed b
+         |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE $Dot / (${nrm("a")} * ${nrm("b")}) >= $CosineTau""".stripMargin,
   )
 }
