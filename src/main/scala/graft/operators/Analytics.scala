@@ -168,12 +168,27 @@ object Analytics {
       avg(col("o_totalprice")).over(wAvg).as("moving_avg3"))
   }
 
-  /** Exact interpolated percentiles of event values per type. */
+  /** Exact interpolated percentiles of event values per type. Exact
+    * `percentile` buffers every group value in executor memory — keep
+    * it for oracle-exact answers; the scale path for skewed/huge
+    * groups is [[eventValuePercentilesApprox]]. */
   def eventValuePercentiles(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))
       .agg(expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.9)").as("p90"),
         expr("percentile(value, 0.99)").as("p99"))
+
+  /** Sketch-path percentiles: `approx_percentile` maintains a bounded
+    * quantile sketch per group (mergeable, map-side combinable), so a
+    * skewed event_type with billions of rows costs O(accuracy) memory
+    * instead of buffering the group. Rank error ≤ 1/accuracy. */
+  def eventValuePercentilesApprox(events: DataFrame,
+                                  accuracy: Int = 10000): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(expr(s"approx_percentile(value, array(0.5, 0.9, 0.99), $accuracy)")
+        .as("ps"))
+      .select(col("event_type"), col("ps")(0).as("p50"),
+        col("ps")(1).as("p90"), col("ps")(2).as("p99"))
 
   /** Semi/anti-join census: per market segment, how many customers
     * have at least one order vs none. Two hash semi-joins (no payload

@@ -42,6 +42,10 @@ object AnalyticsRegistry {
       Analytics.orderWindowStats(Tables.orders(s, d))),
     "q_value_percentiles" -> ((s, d) =>
       Analytics.eventValuePercentiles(Tables.events(s, d))),
+    // sketch path: no SQL oracle (DuckDB's approx sketch differs);
+    // AnalyticsSpec bounds its rank error against the exact version.
+    "q_value_percentiles_approx" -> ((s, d) =>
+      Analytics.eventValuePercentilesApprox(Tables.events(s, d))),
     "q_semi_anti_census" -> ((s, d) =>
       Analytics.customerOrderCensus(Tables.customer(s, d), Tables.orders(s, d))),
     "q_range_join" -> ((s, d) =>

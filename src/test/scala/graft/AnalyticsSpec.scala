@@ -34,6 +34,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(grand.getLong(2) == 3L && grand.getDouble(3) == 35.0)
   }
 
+  test("approx percentiles stay within rank tolerance of exact on real data") {
+    import graft.sources.Tables
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = Analytics.eventValuePercentiles(events)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val approx = Analytics.eventValuePercentilesApprox(events)
+      .as[(String, Double, Double, Double)].collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+    // approx returns an actual data value near the requested rank; at
+    // accuracy 10000 the rank error is tiny, so each approx percentile
+    // must fall inside a +/-2-rank-point exact bracket.
+    import org.apache.spark.sql.functions._
+    approx.foreach { case (tpe, a50, a90, a99) =>
+      val bracket = events.filter(col("event_type") === tpe)
+        .agg(expr("percentile(value, array(0.48, 0.52, 0.88, 0.92, 0.97, 1.0))"))
+        .as[Seq[Double]].head()
+      assert(a50 >= bracket(0) && a50 <= bracket(1), s"$tpe p50 $a50 !in $bracket")
+      assert(a90 >= bracket(2) && a90 <= bracket(3), s"$tpe p90 $a90 !in $bracket")
+      assert(a99 >= bracket(4) && a99 <= bracket(5), s"$tpe p99 $a99 !in $bracket")
+      assert((exact(tpe)._1 - a50).abs <= (exact(tpe)._1.abs + 1) * 0.05)
+    }
+  }
+
   test("hourly aggregation buckets by wall-clock hour") {
     val r = Analytics.eventsHourly(
       ev((1L, 0L, "a"), (2L, 3599L * 1000000L, "a"), (3L, 3600L * 1000000L, "a")))
