@@ -15,7 +15,10 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-  def local(appName: String = "graft"): SparkSession = {
+  /** `enableUi` powers WordCountCli's `-profile`: the Spark UI (and
+    * its per-stage CPU/memory/spill views) is the engine-native
+    * equivalent of the reference's pprof flag. */
+  def local(appName: String = "graft", enableUi: Boolean = false): SparkSession = {
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .appName(appName)
@@ -30,7 +33,7 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no type
       // for; read as epoch-nanos long, Tables.events converts to micros.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", enableUi.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -1,20 +1,52 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's own input mode: a directory of plain-text files,
   * one "document" per file (reference main.go:84-111 walks a file
-  * list; chunked reads at main.go:115-140 are subsumed by Spark's
-  * splittable file reader). Produces the same shape as the parquet
-  * `documents` table so every operator runs unchanged on either. */
+  * list). Produces the same shape as the parquet `documents` table so
+  * every operator runs unchanged on either.
+  *
+  * Fault tolerance matches the reference (main.go:119-131 warns and
+  * continues past an unreadable file): every reader sets
+  * `ignoreCorruptFiles` / `ignoreMissingFiles`, so one bad or vanished
+  * object logs a warning instead of killing a 100 TB run.
+  */
 object TextCorpus {
 
-  /** One row per file: doc_id from a stable hash of the path, the
-    * whole file as `text`, the path as `source`. */
-  def perFile(spark: SparkSession, dir: String): DataFrame =
+  /** Tolerant text reader: skip-and-warn on corrupt or vanished files
+    * (the Spark-native form of the reference's per-file error path). */
+  private def reader(spark: SparkSession): DataFrameReader =
     spark.read
+      .option("ignoreCorruptFiles", "true")
+      .option("ignoreMissingFiles", "true")
+
+  /** One row per file: doc_id from a stable hash of the path, the
+    * whole file as `text`, the path as `source`. Materializes each
+    * file as ONE row — fine for bounded documents; for arbitrarily
+    * large files use [[perFileChunked]]. */
+  def perFile(spark: SparkSession, dir: String): DataFrame =
+    reader(spark)
       .option("wholetext", "true")
+      .text(dir)
+      .select(
+        xxhash64(input_file_name()).as("doc_id"),
+        col("value").as("text"),
+        lit("").as("lang"),
+        input_file_name().as("source"),
+        length(col("value")).cast("long").as("n_chars"))
+
+  /** Chunked ingest for big files (reference main.go:134-140 streams
+    * 1 MB chunks): one row per LINE, but doc_id/source still per FILE,
+    * so per-file aggregations (word counts) are identical to
+    * [[perFile]] — a newline is a token separator, never part of a
+    * word. Spark's text source splits each file into byte-range tasks
+    * at line boundaries, so a 10 GB file parallelizes across the
+    * cluster instead of materializing as one OOM-sized row. `n_chars`
+    * is per chunk row; sum it per doc_id for the file total. */
+  def perFileChunked(spark: SparkSession, dir: String): DataFrame =
+    reader(spark)
       .text(dir)
       .select(
         xxhash64(input_file_name()).as("doc_id"),
@@ -26,7 +58,8 @@ object TextCorpus {
   /** One row per line (for corpora where a line is a record); doc_id
     * is the stable (file, line) hash. */
   def perLine(spark: SparkSession, dir: String): DataFrame =
-    spark.read.text(dir)
+    reader(spark)
+      .text(dir)
       .select(
         xxhash64(input_file_name(), col("value")).as("doc_id"),
         col("value").as("text"),
