@@ -14,6 +14,10 @@ object StreamsRegistry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_wordcount" -> ((s, d) => Streams.wordCount(s, d)),
     "st_sessionize" -> ((s, d) => Streams.sessionize(s, d)),
+    // append-mode closed sessions: no SQL oracle (emission depends on
+    // watermark progress, not just the data); EventTimeSessionSpec
+    // proves closed == batch sessions and timeout-based closure.
+    "st_sessionize_closed" -> ((s, d) => Streams.sessionizeClosed(s, d)),
     "st_events_hourly" -> ((s, d) => Streams.eventsHourly(s, d)),
     "st_dedup" -> ((s, d) => Streams.dedupExact(s, d)),
   )

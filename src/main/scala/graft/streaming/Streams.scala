@@ -39,6 +39,16 @@ object Streams {
   /** One event inside the sessionizer. */
   case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
 
+  /** Event with its native event-time column: the EventTimeTimeout
+    * checker requires the watermarked timestamp attribute to reach the
+    * stateful operator, so the closed-session path keeps `ts` (an
+    * Instant preserves the full micros) instead of projecting it to a
+    * long upstream. */
+  case class SessionEventTs(user_id: Long, event_id: Long,
+                            ts: java.time.Instant) {
+    def us: Long = ts.getEpochSecond * 1000000L + ts.getNano / 1000L
+  }
+
   /** Open-session state carried across micro-batches. */
   case class OpenSession(startUs: Long, endUs: Long, n: Long)
 
@@ -146,6 +156,101 @@ object Streams {
     open.foreach(state.update)
     (sessions ++ open).iterator
       .map(s => Session(userId, s.startUs, s.endUs, s.n))
+  }
+
+  /** Closed-session sessionizer group function: append-mode semantics.
+    * A session is emitted exactly once — either when a later event of
+    * the same user starts a new session (in-batch gap), or when the
+    * event-time watermark passes session_end + gap (EventTimeTimeout),
+    * at which point no on-time event can ever extend it. Out-of-order
+    * events within the allowed lateness land in earlier batches' open
+    * state and re-sort here. */
+  def sessionizeClosedGroup(gapUs: Long)(
+      userId: Long, events: Iterator[SessionEventTs],
+      state: GroupState[OpenSession]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      // watermark >= end + gap: the open session is final
+      val s = state.get
+      state.remove()
+      Iterator.single(Session(userId, s.startUs, s.endUs, s.n))
+    } else {
+      // Interval merge: the open state session and this batch's events
+      // (as unit intervals), sorted by start — handles late-but-allowed
+      // events that precede the open session, not just extend it.
+      val items = (state.getOption.toSeq ++
+        events.map(e => OpenSession(e.us, e.us, 1)).toSeq)
+        .sortBy(s => (s.startUs, s.endUs))
+      var closed = Vector.empty[OpenSession]
+      var open = Option.empty[OpenSession]
+      items.foreach { it =>
+        open match {
+          case Some(s) if it.startUs <= s.endUs + gapUs =>
+            open = Some(OpenSession(s.startUs, math.max(s.endUs, it.endUs),
+              s.n + it.n))
+          case Some(s) =>
+            closed :+= s
+            open = Some(it)
+          case None =>
+            open = Some(it)
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        // fire once the watermark proves no extension is possible
+        state.setTimeoutTimestamp((s.endUs + gapUs) / 1000L + 1L)
+      }
+      closed.iterator.map(s => Session(userId, s.startUs, s.endUs, s.n))
+    }
+  }
+
+  /** Closed-session streaming sessionization over any streaming frame
+    * with (user_id, event_id, ts) columns: watermark + EventTimeTimeout
+    * + append output. Unlike [[sessionize]]'s update-mode snapshots,
+    * each session is emitted exactly once, when it can no longer grow —
+    * the shape a downstream consumer (e.g. a sessions table) wants.
+    * State per user is one open session; the watermark bounds it. */
+  def sessionizeClosedFromStream(events: DataFrame, gapMinutes: Int,
+                                 lateness: String): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[SessionEventTs]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        sessionizeClosedGroup(gapMinutes * 60L * 1000000L))
+  }
+
+  /** File-source binding of [[sessionizeClosedFromStream]]: the
+    * AvailableNow run drains the data, then the advanced watermark
+    * (max event time - lateness) fires timeouts in the final batch, so
+    * every session sealed by that watermark is appended exactly once;
+    * sessions within gap+lateness of the stream's end stay open in
+    * state — correct append semantics for a stream that could still
+    * receive data. Multi-batch out-of-order behavior is
+    * EventTimeSessionSpec's job. */
+  def sessionizeClosed(spark: SparkSession, dir: String,
+                       gapMinutes: Int = 30,
+                       lateness: String = "10 minutes"): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(stageAsDir(s"$dir/events.parquet"))
+    val ts =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts")
+    val sessions = sessionizeClosedFromStream(
+      stream.select(col("user_id"), col("event_id"), ts.as("ts")),
+      gapMinutes, lateness)
+    val sink = s"st_sessc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = sessions.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
   }
 
   /** Streaming gap-sessionization via flatMapGroupsWithState — custom
