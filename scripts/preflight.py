@@ -40,12 +40,16 @@ def compare(name, sdf, ddf):
     for c in sdf.columns:
         a, b = sdf[c].to_numpy(), ddf[c].to_numpy()
         # The driver's hash is dtype-sensitive: int64 1 vs float64 1.0
-        # mismatch there even when values are equal. Flag kind drift
-        # (int vs float vs object) instead of coercing it away.
-        if a.dtype.kind != b.dtype.kind:
-            return (f"col {c}: dtype kind mismatch spark={a.dtype} "
-                    f"duck={b.dtype} (driver hash is type-sensitive; "
-                    f"CAST the oracle or the Spark column)")
+        # mismatch there even when values are equal. Compare FULL
+        # dtypes; the only whitelisted drift is integer WIDTH (e.g.
+        # Spark row_number int32 vs DuckDB BIGINT int64 — driver-green
+        # in rounds 2-3, so its hash normalizes integral widths).
+        if a.dtype != b.dtype:
+            int_kinds = {"i", "u"}
+            if not (a.dtype.kind in int_kinds and b.dtype.kind in int_kinds):
+                return (f"col {c}: dtype mismatch spark={a.dtype} "
+                        f"duck={b.dtype} (driver hash is type-sensitive; "
+                        f"CAST the oracle or the Spark column)")
         if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
             af = a.astype(np.float64)
             bf = b.astype(np.float64)

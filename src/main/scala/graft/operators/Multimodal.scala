@@ -76,10 +76,14 @@ object Multimodal {
     * without media libraries. */
   def decodeBatchStub(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Int, Array[Float])] =
     batch.map { case (id, bytes) =>
-      val hist = new Array[Float](16)
-      bytes.foreach(b => hist((b & 0xFF) % 16) += 1f)
+      // exact Int counts (a Float accumulator stops incrementing at
+      // 2^24 — ~268 MB payloads would silently plateau); rounding
+      // happens once, at the final float conversion, exactly like an
+      // oracle's count(*) cast to FLOAT.
+      val hist = new Array[Int](16)
+      bytes.foreach(b => hist((b & 0xFF) % 16) += 1)
       val n = math.max(bytes.length, 1).toFloat
-      (id, bytes.length, hist.map(_ / n))
+      (id, bytes.length, hist.map(_.toFloat / n))
     }
 
   /** Batched per-partition feature extraction: each partition streams
