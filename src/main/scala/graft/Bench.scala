@@ -1,11 +1,20 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+
 /** Benchmark main: times the headline queries at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line for the driver. Each query runs once warm-up
-  * (JIT + code cache + parquet footer cache) and once timed, fully
-  * executed through the noop sink — unlike count(), noop evaluates
-  * every output column, so projection-only queries can't cheat by
-  * pruning their own compute. */
+  * (JIT + code cache + parquet footer cache) and `Runs` timed passes,
+  * fully executed through the noop sink — unlike count(), noop
+  * evaluates every output column, so projection-only queries can't
+  * cheat by pruning their own compute.
+  *
+  * Variance is first-class (round-3 lesson: a 21.6% total swing with
+  * zero benched-code changes): `queries` carries the median, `stats`
+  * carries {median,min,max,n} per query so the driver/judge can see
+  * run-to-run spread, and `trend` times a 3-query subset at sf0.01 as
+  * a scaling reference alongside the main SF.
+  */
 object Bench {
   /** Headliners — the queries whose latency the round is graded on.
     * Kept to the representative per-family workloads so quadratic
@@ -23,25 +32,61 @@ object Bench {
       .getOrElse(defaults)
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.local("graft-bench")
-    val results = headliners.map { name =>
-      val fn = SparkEntry.queries(name)
+  /** Timed passes per query (after one warm-up). */
+  def runs: Int =
+    sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(5)
+
+  /** Small cross-SF subset: one cheap scan-agg, one join-heavy, one
+    * sketch-heavy — enough to see whether per-query cost scales with
+    * data or is dominated by fixed overhead. */
+  val TrendQueries: Seq[String] =
+    Seq("wc_wordcount", "q1_pricing_summary", "dd_minhash")
+
+  private def time(spark: SparkSession, name: String, sfDir: Seq[String],
+                   n: Int): Map[String, Seq[Double]] = {
+    val fn = SparkEntry.queries(name)
+    sfDir.map { d =>
       def once(): Unit =
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        try fn(spark, d).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+          System.err.println(s"[bench] $name@$d failed: ${e.getMessage}") }
       once() // warm-up (JIT, code cache, parquet footers)
-      val times = (0 until 3).map { _ =>
+      d -> (0 until n).map { _ =>
         val t0 = System.nanoTime(); once(); (System.nanoTime() - t0) / 1e9
       }
-      name -> times.sorted.apply(1) // median damps GC/scheduler noise
+    }.toMap
+  }
+
+  private def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val trendDir = "/root/testdata/sf0.01"
+    val spark = GraftSession.local("graft-bench")
+    val results = headliners.map { name =>
+      name -> time(spark, name, Seq(sfDir), runs)(sfDir)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + median(ts) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val stats = results.map { case (k, ts) =>
+      "\"" + k + "\":{\"median\":" + median(ts) + ",\"min\":" + ts.min +
+        ",\"max\":" + ts.max + ",\"n\":" + ts.size + "}"
+    }.mkString("{", ",", "}")
+    val total = results.map { case (_, ts) => median(ts) }.sum
+    // cross-SF trend: reuse the main-SF medians, time sf0.01 fresh
+    val trend =
+      if (new java.io.File(trendDir).isDirectory && trendDir != sfDir) {
+        val small = TrendQueries.filter(SparkEntry.queries.contains).map { name =>
+          name -> median(time(spark, name, Seq(trendDir), 3)(trendDir))
+        }
+        val mainMap = results.toMap
+        val smallJson = small.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val mainJson = TrendQueries.flatMap(q => mainMap.get(q).map(ts =>
+          "\"" + q + "\":" + median(ts))).mkString("{", ",", "}")
+        s""","trend":{"$trendDir":$smallJson,"$sfDir":$mainJson}"""
+      } else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats$trend,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
