@@ -62,33 +62,68 @@ object Similarity {
       z.toDouble / 9.223372036854776e18
     }
 
-  /** One-row broadcast codebook for IVF: aligned arrays of centroid
-    * ids and L2-normalized centroid vectors (every `centroidMod`-th
-    * vector, sorted by id so array order is deterministic). The
-    * normalization makes per-row cell ranking a plain dot product. */
-  private def codebook(e: DataFrame, centroidMod: Int): DataFrame =
+  /** Deterministic seed centroids: every `centroidMod`-th vector. */
+  private def seedCentroids(e: DataFrame, centroidMod: Int): DataFrame =
     e.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+  /** One-row broadcast codebook for IVF from a (cid, cv) centroid
+    * frame: aligned arrays of centroid ids and L2-normalized centroid
+    * vectors (sorted by id so array order is deterministic). The
+    * normalization makes per-row cell ranking a plain dot product. */
+  private def codebook(cents: DataFrame): DataFrame =
+    cents
       .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb"))
       .select(
         transform(col("cb"), x => x.getField("cid")).as("cids"),
         transform(col("cb"), { x =>
           val cv = x.getField("cv")
           val nrm = sqrt(Exprs.dot(cv, cv))
-          transform(cv, v => v / nrm)
+          transform(cv, v => v.cast("double") / nrm)
         }).as("units"))
 
   /** Cell assignment as a projection: scan → broadcast 1-row codebook
     * → per-row argmax expression. No Exchange between the scan and the
     * assignment (asserted by ScaleShapeSpec) and no n x n_centroids
     * row materialization — the shape that survives 100x scale. */
-  private[graft] def ivfAssigned(embeddings: DataFrame,
-                                 centroidMod: Int): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    e.crossJoin(broadcast(codebook(e, centroidMod)))
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(codebook(cents)))
       .select(col("vec_id"), col("v"),
         get(Exprs.nearestCells(col("v"), col("cids"), col("units"), 1), lit(0))
           .as("cell"))
+
+  private[graft] def ivfAssigned(embeddings: DataFrame,
+                                 centroidMod: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    assignCells(e, seedCentroids(e, centroidMod))
+  }
+
+  /** Lloyd's k-means refinement of the deterministic seed codebook.
+    * Each iteration is (a) the zero-shuffle argmax assignment above and
+    * (b) ONE agg shuffle on the cell id computing per-cell element
+    * means — unrolled into `dim` scalar avg aggregates (map-side
+    * combinable; no row explosion). Seeds, tie-breaks and float math
+    * are deterministic, so the trained codebook is reproducible across
+    * runs and partitionings. Empty cells keep their previous centroid
+    * (standard Lloyd's degeneracy handling, id-stable). */
+  private[graft] def trainCentroids(e: DataFrame, centroidMod: Int,
+                                    iters: Int, dim: Int): DataFrame = {
+    var cents = seedCentroids(e, centroidMod)
+      .select(col("cid"), transform(col("cv"), x => x.cast("double")).as("cv"))
+    (0 until iters).foreach { _ =>
+      val means = assignCells(e, cents)
+        .groupBy(col("cell"))
+        .agg(avg(col("v")(0)).as("m0"),
+          (1 until dim).map(i => avg(col("v")(i)).as(s"m$i")): _*)
+        .select(col("cell").as("cid"),
+          array((0 until dim).map(i => col(s"m$i")): _*).as("cv"))
+      cents = cents.as("old")
+        .join(means.as("new"), col("old.cid") === col("new.cid"), "left")
+        .select(col("old.cid").as("cid"),
+          coalesce(col("new.cv"), col("old.cv")).as("cv"))
+        .localCheckpoint(true) // flat plan per round, like Dedup.clusters
+    }
+    cents
   }
 
   /** ANN via IVF (inverted-file) coarse quantization: a deterministic
@@ -101,9 +136,27 @@ object Similarity {
   def knnIvf(embeddings: DataFrame, probeMod: Int, k: Int,
              centroidMod: Int = 37, nProbe: Int = 2): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    val assigned = ivfAssigned(embeddings, centroidMod)
+    knnIvfWith(e, seedCentroids(e, centroidMod), probeMod, k, nProbe)
+  }
+
+  /** IVF over a Lloyd's-trained codebook: same index/search shapes as
+    * [[knnIvf]], but the cells partition the space around actual
+    * density centers, so occupancy evens out (fewer over-full cells →
+    * bounded per-probe work) and recall per nProbe improves. Training
+    * cost: `iters` passes, each one argmax projection + one agg
+    * shuffle. */
+  def knnIvfTrained(embeddings: DataFrame, probeMod: Int, k: Int,
+                    centroidMod: Int = 37, nProbe: Int = 2,
+                    iters: Int = 3, dim: Int = 64): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    knnIvfWith(e, trainCentroids(e, centroidMod, iters, dim), probeMod, k, nProbe)
+  }
+
+  private def knnIvfWith(e: DataFrame, cents: DataFrame, probeMod: Int,
+                         k: Int, nProbe: Int): DataFrame = {
+    val assigned = assignCells(e, cents)
     val probeCells = e.filter(col("vec_id") % probeMod === 0)
-      .crossJoin(broadcast(codebook(e, centroidMod)))
+      .crossJoin(broadcast(codebook(cents)))
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         explode(Exprs.nearestCells(col("v"), col("cids"), col("units"), nProbe))
           .as("pcell"))

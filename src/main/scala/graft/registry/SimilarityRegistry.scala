@@ -26,6 +26,11 @@ object SimilarityRegistry {
       Similarity.knnLsh(Tables.embeddings(s, d), ProbeMod, K)),
     "knn_ivf" -> ((s, d) =>
       Similarity.knnIvf(Tables.embeddings(s, d), ProbeMod, K)),
+    // k-means-refined codebook (3 Lloyd's iterations); like knn_ivf,
+    // no SQL oracle — ApproxAndIvfSpec checks exact scores, bounds,
+    // determinism and that training actually moved the centroids.
+    "knn_ivf_trained" -> ((s, d) =>
+      Similarity.knnIvfTrained(Tables.embeddings(s, d), ProbeMod, K)),
   )
 
   def oracleSql: Map[String, String] = Map(

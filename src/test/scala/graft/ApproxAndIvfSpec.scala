@@ -39,4 +39,37 @@ class ApproxAndIvfSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Int)].collect()
     assert(again.sortBy(r => (r._1, r._4)).toSeq == ivf.sortBy(r => (r._1, r._4)).toSeq)
   }
+
+  test("trained-codebook IVF: centroids move, scores stay exact, results bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, d)
+    // Lloyd's iterations actually refine the seeds
+    val e = emb.select(col("vec_id"), col("embedding").as("v"))
+    val seeds = e.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("cid"),
+        org.apache.spark.sql.functions.transform(col("v"),
+          x => x.cast("double")).as("cv"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val trained = Similarity.trainCentroids(e, 37, iters = 3, dim = 64)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(trained.keySet == seeds.keySet) // id-stable cells
+    assert(trained.exists { case (cid, cv) => cv != seeds(cid) })
+    // the search contract is unchanged: exact scores, ≤ k, dense ranks
+    val ivfT = Similarity.knnIvfTrained(emb, probeMod = 50, k = 10)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(ivfT.nonEmpty)
+    val bf = Similarity.knnBruteForce(emb, probeMod = 50, k = 1000)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(x => (x._1, x._2) -> x._3).toMap
+    ivfT.foreach { case (p, nb, cos, _) => assert(bf((p, nb)) == cos) }
+    ivfT.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 10)
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+    }
+    // deterministic end-to-end (training included)
+    val again = Similarity.knnIvfTrained(emb, probeMod = 50, k = 10)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(again.sortBy(r => (r._1, r._4)).toSeq == ivfT.sortBy(r => (r._1, r._4)).toSeq)
+  }
 }
