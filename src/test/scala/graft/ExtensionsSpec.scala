@@ -20,6 +20,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(dot == 1.5 * 2.0 + 2.0 * 0.5)
   }
 
+  test("graft_topk / graft_nearest_cells are SQL-callable via session extensions") {
+    import spark.implicits._
+    // top-2 of 4 scored rows, ranked (score desc, id asc)
+    val top = spark.sql(
+      """SELECT graft_topk(s, i, 2) AS top FROM VALUES
+        |  (0.5D, 1L), (0.9D, 2L), (0.9D, 3L), (0.1D, 4L) AS t(s, i)""".stripMargin)
+      .selectExpr("transform(top, x -> x.id) AS ids")
+      .as[Seq[Long]].head()
+    assert(top == Seq(2L, 3L))
+    val cell = spark.sql(
+      """SELECT graft_nearest_cells(
+        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |  array(10L, 20L),
+        |  array(array(0.0D, 1.0D), array(1.0D, 0.0D)), 1) AS c""".stripMargin)
+      .as[Seq[Long]].head()
+    assert(cell == Seq(20L)) // the x-axis centroid
+  }
+
   test("text corpus source mirrors the reference's file-walk input") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_corpus").toString
