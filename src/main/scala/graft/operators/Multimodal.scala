@@ -42,22 +42,30 @@ object Multimodal {
       .otherwise("application/octet-stream")
 
   /** Typed metadata for an opaque payload: byte length, content hash,
-    * sniffed kind. Pure column ops — stays in whole-stage codegen. */
-  def metadata(docs: DataFrame): DataFrame =
-    withPayload(docs).select(col("doc_id"),
+    * sniffed kind. Pure column ops — stays in whole-stage codegen.
+    * `metadataOf` takes any (doc_id, payload binary) frame — a real
+    * media table; `metadata` is the documents-table adapter. */
+  def metadataOf(payloads: DataFrame): DataFrame =
+    payloads.select(col("doc_id"),
       octet_length(col("payload")).as("payload_len"),
       md5(col("payload")).as("payload_md5"),
       sniffKind(col("payload")).as("kind"))
 
+  def metadata(docs: DataFrame): DataFrame = metadataOf(withPayload(docs))
+
   /** Frame sampling: full `frameLen`-byte windows every `stride`
     * bytes — the shape of video frame extraction / audio windowing.
     * One explode, no shuffle; frame count bounded by payload length. */
-  def frames(docs: DataFrame, frameLen: Int = 64, stride: Int = 48): DataFrame = {
+  def frames(docs: DataFrame, frameLen: Int = 64, stride: Int = 48): DataFrame =
+    framesOf(withPayload(docs), frameLen, stride)
+
+  def framesOf(payloads: DataFrame, frameLen: Int = 64,
+               stride: Int = 48): DataFrame = {
     val len = octet_length(col("payload"))
     val n = when(len >= frameLen,
       expr(s"CAST((octet_length(payload) - $frameLen) DIV $stride AS BIGINT) + 1"))
       .otherwise(0L)
-    withPayload(docs)
+    payloads
       .select(col("doc_id"), col("payload"),
         explode(when(n > 0, sequence(lit(0L), n - 1L))
           .otherwise(array().cast("array<bigint>"))).as("frame_idx"))
@@ -91,10 +99,13 @@ object Multimodal {
     * the decoder exactly once. Results carry no partition dependence,
     * so any upstream repartitioning (e.g. by payload size, to even
     * out decode cost) is safe. */
-  def features(docs: DataFrame, batchSize: Int = 64): DataFrame = {
-    val spark = docs.sparkSession
+  def features(docs: DataFrame, batchSize: Int = 64): DataFrame =
+    featuresOf(withPayload(docs), batchSize)
+
+  def featuresOf(payloads: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = payloads.sparkSession
     import spark.implicits._
-    withPayload(docs).select(col("doc_id"), col("payload"))
+    payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(batchSize).flatMap(b => decodeBatchStub(b.toSeq)))
       .toDF("doc_id", "n_bytes", "features")
