@@ -23,27 +23,7 @@ object DedupRegistry {
 
   private val Dot =
     "list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (acc, x) -> acc + x)"
-  private def nrm(side: String) =
-    s"sqrt(list_reduce(list_transform($side.v, x -> x * x), (acc, x) -> acc + x))"
-
-  /** DuckDB spelling of [[graft.operators.Similarity.lshBucketed]]:
-    * one SELECT per hash table; the bucket is `planesPerTable` sign
-    * bits of dot(v, plane) with the plane components inlined as double
-    * literals (Double.toString round-trips exactly, and DuckDB's
-    * float→double cast matches Spark's per-element promotion, so the
-    * keys agree bit-for-bit). */
-  private def lshBucketSql(nTables: Int, planesPerTable: Int, dim: Int): String = {
-    val planes = graft.operators.Similarity.hyperplanes(nTables * planesPerTable, dim)
-    (0 until nTables).map { t =>
-      val bits = (0 until planesPerTable).map { p =>
-        val lits = planes(t * planesPerTable + p).mkString("[", ", ", "]")
-        s"""(CASE WHEN list_reduce(list_transform(list_zip(v, $lits),
-           |      q -> q[1] * q[2]), (acc, x) -> acc + x) >= 0
-           |  THEN ${1L << p} ELSE 0 END)""".stripMargin
-      }.mkString(" + ")
-      s"  SELECT vec_id, v, $t AS tbl,\n$bits AS bucket FROM e"
-    }.mkString("\n  UNION ALL\n")
-  }
+  private def nrm(side: String) = VectorSql.nrm(s"$side.v")
 
   /** Shared CTE chain producing the n-gram Jaccard candidate table
     * `cand(id_a, id_b, sz_a, sz_b, inter)` — used by the pair oracle
@@ -136,7 +116,7 @@ object DedupRegistry {
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          |), bucketed AS (
-         |${lshBucketSql(nTables = 6, planesPerTable = 4, dim = 64)}
+         |${VectorSql.lshBucketed(nTables = 6, planesPerTable = 4, dim = 64)}
          |)
          |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
          |  $Dot / (${nrm("a")} * ${nrm("b")}) AS cos_sim

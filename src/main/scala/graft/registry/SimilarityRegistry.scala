@@ -5,19 +5,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Similarity
 import graft.sources.Tables
 
-/** E-family bindings. knn_bruteforce is oracle-checked; knn_lsh has
-  * no SQL oracle (hyperplane construction) and is spec-checked for
-  * bucket soundness and exact scoring instead.
+/** E-family bindings. knn_bruteforce, knn_lsh and knn_ivf are all
+  * oracle-checked — the hyperplanes and the seed codebook are
+  * deterministic, so the oracle inlines the plane literals and
+  * replays the identical blocking/assignment (see [[VectorSql]]).
+  * knn_ivf_trained has no oracle (iterative k-means in SQL) and is
+  * spec-checked instead.
   */
 object SimilarityRegistry {
 
   val ProbeMod = 50
   val K = 10
+  val CentroidMod = 37 // knnIvf default
+  val NProbe = 2
 
-  private val Dot =
-    "list_reduce(list_transform(list_zip(p.pv, e.v), q -> q[1] * q[2]), (acc, x) -> acc + x)"
-  private def nrm(expr: String) =
-    s"sqrt(list_reduce(list_transform($expr, x -> x * x), (acc, x) -> acc + x))"
+  private val Dot = VectorSql.dot("p.pv", "e.v")
+  private def nrm(expr: String) = VectorSql.nrm(expr)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce" -> ((s, d) =>
@@ -48,6 +51,69 @@ object SimilarityRegistry {
          |    row_number() OVER (PARTITION BY probe_id
          |                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
          |  FROM scored
+         |)
+         |SELECT probe_id, neighbor_id, cos_sim, rnk
+         |FROM ranked WHERE rnk <= $K""".stripMargin,
+    // LSH: replay the deterministic hyperplane blocking (plane
+    // literals), score candidates exactly, rank per probe.
+    "knn_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), bucketed AS (
+         |${VectorSql.lshBucketed(nTables = 4, planesPerTable = 6, dim = 64)}
+         |), cand AS (
+         |  SELECT DISTINCT p.probe_id, e.vec_id AS neighbor_id,
+         |    ${VectorSql.cos("p.pv", "e.v")} AS cos_sim
+         |  FROM (SELECT vec_id AS probe_id, v AS pv, tbl, bucket
+         |        FROM bucketed WHERE vec_id % $ProbeMod = 0) p
+         |  JOIN bucketed e
+         |    ON e.tbl = p.tbl AND e.bucket = p.bucket AND e.vec_id <> p.probe_id
+         |), ranked AS (
+         |  SELECT probe_id, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM cand
+         |)
+         |SELECT probe_id, neighbor_id, cos_sim, rnk
+         |FROM ranked WHERE rnk <= $K""".stripMargin,
+    // IVF: replay the seed codebook (every CentroidMod-th vector,
+    // L2-normalized exactly like the Spark codebook), assign each
+    // vector to its argmax cell by dot(v, unit) with the kernel's
+    // (dot desc, cid asc) tie-break, search nProbe cells per probe.
+    "knn_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(v, x -> x / ${VectorSql.nrm("v")}) AS unit
+         |  FROM e WHERE vec_id % $CentroidMod = 0
+         |), scored_cells AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    ${VectorSql.dot("e.v", "c.unit")} AS d
+         |  FROM e CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY d DESC, cid ASC) AS rn
+         |    FROM scored_cells) WHERE rn = 1
+         |), probe_cells AS (
+         |  SELECT vec_id AS probe_id, v AS pv, cid AS pcell FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY d DESC, cid ASC) AS rn
+         |    FROM scored_cells WHERE vec_id % $ProbeMod = 0) WHERE rn <= $NProbe
+         |), cand AS (
+         |  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         |    ${VectorSql.cos("p.pv", "e.v")} AS cos_sim
+         |  FROM probe_cells p
+         |  JOIN (SELECT vec_id, v, cell FROM assigned) e
+         |    ON e.cell = p.pcell AND e.vec_id <> p.probe_id
+         |), ranked AS (
+         |  SELECT probe_id, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM cand
          |)
          |SELECT probe_id, neighbor_id, cos_sim, rnk
          |FROM ranked WHERE rnk <= $K""".stripMargin,
