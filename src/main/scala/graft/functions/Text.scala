@@ -55,11 +55,18 @@ object Text {
     * two orders of magnitude slower); a lambda variable is a
     * materialized value and each access is O(1). */
   def shingles(toks: Column, n: Int): Column =
-    array_distinct(flatten(transform(array(toks), ts => {
+    array_distinct(ngrams(toks, n))
+
+  /** Word n-grams WITH multiplicity (space-joined runs of `n`
+    * consecutive tokens) — the non-distinct form repetition analysis
+    * needs; [[shingles]] is its distinct set. Same lambda-variable
+    * binding discipline (see scaladoc above). */
+  def ngrams(toks: Column, n: Int): Column =
+    flatten(transform(array(toks), ts => {
       // sequence(a,b) is descending when b<a, so guard short docs.
       val idx = when(size(ts) >= n, sequence(lit(0), size(ts) - n))
         .otherwise(array().cast("array<int>"))
       transform(idx, i =>
         concat_ws(" ", (0 until n).map(k => get(ts, i + k)): _*))
-    })))
+    }))
 }

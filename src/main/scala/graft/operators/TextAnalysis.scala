@@ -133,6 +133,30 @@ object TextAnalysis {
         col("score"), col("rnk"))
   }
 
+  /** Gopher-style repetition filters: the fraction of duplicate word
+    * 3-grams in a document (high → boilerplate/spam) and the fraction
+    * of all tokens taken by the single most frequent word. The n-gram
+    * part is pure per-row column math (no shuffle); the top-word part
+    * is one (doc, word) partial-agg shuffle — both linear. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+        Text.ngrams(Text.tokens(col("text")), 3).as("g"))
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        when(size(col("g")) > 0,
+          lit(1.0) - size(array_distinct(col("g"))).cast("double") / size(col("g")))
+          .otherwise(lit(0.0)).as("dup_gram_frac"))
+    val topWord = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top_word_frac"))
+    grams.join(topWord, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("dup_gram_frac"),
+        coalesce(col("top_word_frac"), lit(0.0)).as("top_word_frac"))
+  }
+
   /** Per-language corpus statistics: type-token ratio and average
     * word length. One explode + one agg on lang (bounded key space). */
   def wordStats(docs: DataFrame): DataFrame =

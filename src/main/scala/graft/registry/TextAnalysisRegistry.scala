@@ -41,6 +41,7 @@ object TextAnalysisRegistry {
     "ta_cooccurrence" -> ((s, d) =>
       TextAnalysis.cooccurrence(Tables.documents(s, d), 50)),
     "ta_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d), 3)),
+    "ta_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -127,6 +128,32 @@ object TextAnalysisRegistry {
            |)
            |SELECT doc_id, w, tf, df, score, rnk
            |FROM ranked WHERE rnk <= 3""".stripMargin,
+      "ta_repetition" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, $ToksExpr AS toks FROM documents
+           |), g AS (
+           |  SELECT doc_id,
+           |    list_transform(range(greatest(len(toks) - 2, 0)),
+           |      i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3])) AS g
+           |  FROM base
+           |), grams AS (
+           |  SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+           |    CASE WHEN len(g) > 0
+           |         THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+           |         ELSE 0.0 END AS dup_gram_frac
+           |  FROM g
+           |), wc AS (
+           |  SELECT doc_id, w, count(*) AS c
+           |  FROM (SELECT doc_id, unnest(toks) AS w FROM base)
+           |  GROUP BY 1, 2
+           |), topw AS (
+           |  SELECT doc_id,
+           |    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_word_frac
+           |  FROM wc GROUP BY doc_id
+           |)
+           |SELECT grams.doc_id, n_grams, dup_gram_frac,
+           |  coalesce(top_word_frac, 0.0) AS top_word_frac
+           |FROM grams LEFT JOIN topw ON grams.doc_id = topw.doc_id""".stripMargin,
       "ta_word_stats" ->
         s"""WITH toks AS (
            |  SELECT lang, unnest($ToksExpr) AS word FROM documents

@@ -34,6 +34,21 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.exact(degenerate).count() == 4)
   }
 
+  test("repetition filters: exact fractions on a known doc, zeros on degenerate") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c", "s"), // 9 tokens, 7 3-grams, 3 distinct
+      (2L, "one two three four five", "s"), // all unique
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.repetition(docs)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 7L, 1.0 - 3.0 / 7, 3.0 / 9)))
+    assert(r(1) == ((2L, 3L, 0.0, 1.0 / 5)))
+    val edge = TextAnalysis.repetition(degenerate)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(edge.length == 4)
+    assert(edge.filter(_._1 != 3L).forall(e => e._2 == 0L && e._3 == 0.0))
+  }
+
   test("text analysis tolerates null/empty text") {
     val q = TextAnalysis.qualityScore(degenerate).collect()
     assert(q.length == 4)
