@@ -63,6 +63,18 @@ object TextAnalysis {
           * (least(col("n_tokens"), lit(100)).cast("double") / lit(100.0)))
   }
 
+  /** Argmax over per-language vote columns named `$prefix$lang`,
+    * first-listed tie-break — shared by both language-ID variants. */
+  private def argmaxLang(langs: Seq[String], prefix: String): Column = {
+    val pred = langs.foldRight(lit(langs.last)) { case (l, rest) =>
+      val beatsAll = langs.filter(_ > l)
+        .map(o => col(s"$prefix$l") >= col(s"$prefix$o"))
+        .foldLeft(lit(true))(_ && _)
+      when(beatsAll, lit(l)).otherwise(rest)
+    }
+    pred
+  }
+
   /** Stopword-vote language ID: count token hits per language list,
     * argmax with a lexicographic (first-listed) tie-break. Emits the
     * vote columns so the decision is auditable. */
@@ -71,14 +83,35 @@ object TextAnalysis {
     val voted = docs.select(
       col("doc_id") +: col("lang") +:
         StopwordsByLang.map { case (l, ws) => stopHits(toks, ws).as(s"s_$l") }: _*)
-    val langs = StopwordsByLang.map(_._1)
-    val pred = langs.foldRight(lit(langs.last)) { case (l, rest) =>
-      val beatsAll = langs.filter(_ > l)
-        .map(o => col(s"s_$l") >= col(s"s_$o"))
-        .foldLeft(lit(true))(_ && _)
-      when(beatsAll, lit(l)).otherwise(rest)
-    }
-    voted.withColumn("pred_lang", pred)
+    voted.withColumn("pred_lang", argmaxLang(StopwordsByLang.map(_._1), "s_"))
+      .withColumn("matched", (col("pred_lang") === col("lang")).cast("int"))
+  }
+
+  /** Characteristic character bigrams per language (all exactly two
+    * letters, so the alternation count is engine-independent: every
+    * match consumes two chars regardless of which branch won). Tiny on
+    * purpose, like the stopword lists. */
+  val BigramsByLang: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("ch", "ei", "en", "ie", "un"),
+    "en" -> Seq("th", "he", "in", "er", "an"),
+    "es" -> Seq("de", "la", "os", "ue", "ar"),
+    "fr" -> Seq("le", "es", "ou", "qu", "on"),
+    "zh" -> Seq("zh", "ng", "sh", "ia", "ao"),
+  )
+
+  /** Character-n-gram language ID: votes are non-overlapping counts of
+    * each language's characteristic bigrams over the normalized text
+    * (one alternation scan per language), argmax with the same
+    * first-listed tie-break as [[langId]]. The n-gram heuristic works
+    * on languages where tokenization is unreliable — the classic
+    * complement to stopword voting. */
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    val norm = Text.normText(col("text"))
+    val voted = docs.select(
+      col("doc_id") +: col("lang") +:
+        BigramsByLang.map { case (l, bs) =>
+          regexp_count(norm, lit(bs.mkString("|"))).as(s"g_$l") }: _*)
+    voted.withColumn("pred_lang", argmaxLang(BigramsByLang.map(_._1), "g_"))
       .withColumn("matched", (col("pred_lang") === col("lang")).cast("int"))
   }
 

@@ -22,20 +22,23 @@ object TextAnalysisRegistry {
     s"len(list_filter(toks, t -> list_contains(${sqlList(words)}, t)))"
 
   /** The argmax-with-first-tie-break CASE chain, same order as
-    * TextAnalysis.langId. */
-  private val PredLangCase: String = {
-    val langs = TextAnalysis.StopwordsByLang.map(_._1)
+    * TextAnalysis.argmaxLang. */
+  private def predLangCase(langs: Seq[String], prefix: String): String = {
     val whens = langs.dropRight(1).map { l =>
-      val conds = langs.filter(_ > l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      val conds = langs.filter(_ > l)
+        .map(o => s"$prefix$l >= $prefix$o").mkString(" AND ")
       s"WHEN $conds THEN '$l'"
     }
     s"CASE ${whens.mkString(" ")} ELSE '${langs.last}' END"
   }
+  private val PredLangCase: String =
+    predLangCase(TextAnalysis.StopwordsByLang.map(_._1), "s_")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "ta_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "ta_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "ta_langid_ngram" -> ((s, d) => TextAnalysis.langIdNgram(Tables.documents(s, d))),
     "ta_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "ta_word_stats" -> ((s, d) => TextAnalysis.wordStats(Tables.documents(s, d))),
     "ta_cooccurrence" -> ((s, d) =>
@@ -86,6 +89,23 @@ object TextAnalysisRegistry {
            |  $PredLangCase AS pred_lang,
            |  CAST(($PredLangCase) = lang AS INTEGER) AS matched
            |FROM voted""".stripMargin,
+      "ta_langid_ngram" -> {
+        val langs = TextAnalysis.BigramsByLang.map(_._1)
+        val gramCols = TextAnalysis.BigramsByLang.map { case (l, bs) =>
+          s"len(regexp_extract_all(norm, '${bs.mkString("|")}')) AS g_$l"
+        }.mkString(",\n  ")
+        val pred = predLangCase(langs, "g_")
+        s"""WITH voted AS (
+           |  SELECT doc_id, lang, $gramCols
+           |  FROM (SELECT doc_id, lang,
+           |          trim(lower(regexp_replace(text, '[^\\p{L}]+', ' ', 'g'))) AS norm
+           |        FROM documents)
+           |)
+           |SELECT doc_id, lang, ${langs.map("g_" + _).mkString(", ")},
+           |  $pred AS pred_lang,
+           |  CAST(($pred) = lang AS INTEGER) AS matched
+           |FROM voted""".stripMargin
+      },
       "ta_fingerprint" ->
         """SELECT doc_id,
           |  md5(trim(lower(regexp_replace(text, '[^\p{L}]+', ' ', 'g')))) AS fp
