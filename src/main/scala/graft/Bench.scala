@@ -59,6 +59,9 @@ object Bench {
 
   private def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
 
+  /** 4-decimal (0.1 ms) rendering keeps the driver-parsed line short. */
+  private def fmt(d: Double): String = "%.4f".format(d)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val trendDir = "/root/testdata/sf0.01"
@@ -66,11 +69,11 @@ object Bench {
     val results = headliners.map { name =>
       name -> time(spark, name, Seq(sfDir), runs)(sfDir)
     }
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + median(ts) }
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(median(ts)) }
       .mkString("{", ",", "}")
     val stats = results.map { case (k, ts) =>
-      "\"" + k + "\":{\"median\":" + median(ts) + ",\"min\":" + ts.min +
-        ",\"max\":" + ts.max + ",\"n\":" + ts.size + "}"
+      "\"" + k + "\":{\"median\":" + fmt(median(ts)) + ",\"min\":" + fmt(ts.min) +
+        ",\"max\":" + fmt(ts.max) + ",\"n\":" + ts.size + "}"
     }.mkString("{", ",", "}")
     val total = results.map { case (_, ts) => median(ts) }.sum
     // cross-SF trend: reuse the main-SF medians, time sf0.01 fresh
@@ -80,13 +83,19 @@ object Bench {
           name -> median(time(spark, name, Seq(trendDir), 3)(trendDir))
         }
         val mainMap = results.toMap
-        val smallJson = small.map { case (k, v) => "\"" + k + "\":" + v }
+        val smallJson = small.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
           .mkString("{", ",", "}")
         val mainJson = TrendQueries.flatMap(q => mainMap.get(q).map(ts =>
-          "\"" + q + "\":" + median(ts))).mkString("{", ",", "}")
+          "\"" + q + "\":" + fmt(median(ts)))).mkString("{", ",", "}")
         s""","trend":{"$trendDir":$smallJson,"$sfDir":$mainJson}"""
       } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats$trend,"sf":"$sfDir"}""")
+    // Auxiliary detail (stats + trend) goes on its OWN line, printed
+    // BEFORE the headline metric: the driver tail-captures stdout and
+    // parses the LAST line, so the compact metric line must be final
+    // and standalone (round-4 lesson: one long combined line got its
+    // head truncated and the driver recorded parsed:null).
+    println(s"""{"metric":"bench_detail","stats":$stats$trend,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

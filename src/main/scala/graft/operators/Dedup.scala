@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, Text, Vec}
@@ -17,24 +16,30 @@ import graft.functions.{Hashing, Text, Vec}
   */
 object Dedup {
 
-  /** Exact dedup map: every doc → the smallest doc_id with identical
-    * bytes. One groupBy-equivalent window on the md5 key. */
-  def exact(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("fp"))
-    docs.select(col("doc_id"), md5(col("text")).as("fp"))
-      .withColumn("keep_id", min(col("doc_id")).over(w))
+  /** keeper-per-fingerprint via groupBy + join-back, NOT a window.
+    * `Window.partitionBy(fp)` both hash-partitions AND sorts on fp, so
+    * a duplicate-heavy fingerprint (millions of copies of one
+    * boilerplate doc — the exact thing a dedup pass exists to find)
+    * lands on a single task. The aggregate is map-side combinable
+    * (partial min per input partition, so a hot fp contributes one row
+    * per map task, not all its rows, to the exchange) and the join is
+    * AQE-skew-splittable; the keeper side is at most one row per
+    * distinct fp. */
+  private def keepByMinId(keyed: DataFrame): DataFrame = {
+    val keepers = keyed.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    keyed.join(keepers, "fp")
       .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("int"))
       .select(col("doc_id"), col("keep_id"), col("is_dup"))
   }
 
+  /** Exact dedup map: every doc → the smallest doc_id with identical
+    * bytes. Map-side-combined min per md5 key, joined back. */
+  def exact(docs: DataFrame): DataFrame =
+    keepByMinId(docs.select(col("doc_id"), md5(col("text")).as("fp")))
+
   /** Exact dedup on case/punctuation-normalized text. */
-  def exactNormalized(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("fp"))
-    docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
-      .withColumn("keep_id", min(col("doc_id")).over(w))
-      .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("int"))
-      .select(col("doc_id"), col("keep_id"), col("is_dup"))
-  }
+  def exactNormalized(docs: DataFrame): DataFrame =
+    keepByMinId(docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp")))
 
   /** Word n-gram exact-Jaccard near-dup pairs.
     *

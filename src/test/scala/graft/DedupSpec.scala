@@ -49,4 +49,19 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r._1 -> (r._2, r._3)).toMap
     assert(m(10L) == (10L, 0) && m(11L) == (10L, 1) && m(12L) == (12L, 0))
   }
+
+  test("exact dedup survives a 90%-duplicate corpus (hot fingerprint)") {
+    // 9000 copies of one boilerplate doc + 1000 distinct docs — the
+    // skew shape the groupBy+join-back path exists for. Every copy
+    // must map to the smallest copy's id; distinct docs keep themselves.
+    val hot = (0L until 9000L).map(i => (i, "empty boilerplate page", "s"))
+    val cold = (9000L until 10000L).map(i => (i, s"unique content $i", "s"))
+    val corpus = (hot ++ cold).toDF("doc_id", "text", "source")
+    val out = Dedup.exact(corpus).as[(Long, Long, Int)].collect()
+    assert(out.length == 10000)
+    val (hotRows, coldRows) = out.partition(_._1 < 9000L)
+    assert(hotRows.forall(_._2 == 0L))
+    assert(hotRows.count(_._3 == 1) == 8999)
+    assert(coldRows.forall(r => r._2 == r._1 && r._3 == 0))
+  }
 }

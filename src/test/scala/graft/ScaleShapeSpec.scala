@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Analytics, Similarity}
+import graft.operators.{Analytics, Dedup, Similarity}
 import graft.sources.Tables
 
 /** Scale-shape checks: transformations that exist purely for cluster
@@ -75,6 +75,21 @@ class ScaleShapeSpec extends AnyFunSuite {
     // and every vector got a cell from the codebook
     import org.apache.spark.sql.functions.col
     assert(assigned.filter(col("cell").isNull).count() == 0)
+  }
+
+  test("exact dedup is groupBy+join-back: no window over the fingerprint key") {
+    // Window.partitionBy(fp) hash-partitions AND sorts on fp — one
+    // duplicate-heavy fingerprint becomes a single-task straggler. The
+    // groupBy path partial-aggregates map-side (a hot fp contributes
+    // one row per map task to the exchange) and the join-back is
+    // AQE-skew-splittable.
+    Seq(Dedup.exact(Tables.documents(spark, d)),
+        Dedup.exactNormalized(Tables.documents(spark, d))).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"exact dedup still windows:\n$plan")
+      assert(plan.contains("HashAggregate"),
+        s"expected partial+final min aggregate:\n$plan")
+    }
   }
 
   test("bounded top-k aggregate == row_number window top-k for brute-force kNN") {
