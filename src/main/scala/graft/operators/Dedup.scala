@@ -41,30 +41,64 @@ object Dedup {
   def exactNormalized(docs: DataFrame): DataFrame =
     keepByMinId(docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp")))
 
-  /** Word n-gram exact-Jaccard near-dup pairs.
-    *
-    * Candidates = pairs sharing ≥1 shingle (complete for J > 0: any
-    * pair with positive Jaccard shares a shingle, so generating pairs
-    * by co-grouping on the shingle key loses nothing). The size-ratio
-    * prune min/max ≥ τ is lossless for J ≥ τ since J ≤ min/max. The
-    * shuffle key is the shingle, the pair list is bounded by output
-    * size — never all-pairs. */
-  def ngramJaccard(docs: DataFrame, n: Int, tau: Double): DataFrame = {
-    val sets = docs
+  /** (doc_id, sz, s) shingle rows, persisted — candidate generation
+    * and both sides of the verification join re-read them. */
+  private def shingleRows(docs: DataFrame, n: Int): DataFrame =
+    docs
       .select(col("doc_id"), Text.shingles(Text.tokens(col("text")), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sizes = sets.select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
-    // Persisted: both sides of the self-join below re-read these rows.
-    val ex = sizes.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = ex.as("a").join(ex.as("b"),
+
+  /** Prefix-filtered candidate pairs (SSJoin/PPJoin prefix filtering):
+    * order each doc's shingles by global document frequency ascending
+    * (shingle string as deterministic tiebreak); any pair with
+    * J ≥ τ MUST share one of each doc's first ⌈(1−τ)·sz⌉+1 shingles in
+    * that common order, so blocking on prefix shingles only is
+    * LOSSLESS for J ≥ τ. The payoff at corpus scale: a ubiquitous
+    * shingle ("terms of service") has maximal df, sorts to the END of
+    * every doc's order, and never becomes a blocking key for any doc
+    * with more than prefix-length shingles — the O(occupancy²) hot
+    * bucket the raw-shingle join suffers cannot form. The per-doc
+    * ranking window partitions on doc_id (unique ⇒ perfectly
+    * distributed, work bounded by doc length — not a skew key). */
+  def ngramJaccardCandidates(docs: DataFrame, n: Int, tau: Double): DataFrame =
+    prefixCandidates(shingleRows(docs, n), tau)
+
+  private def prefixCandidates(ex: DataFrame, tau: Double): DataFrame = {
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = ex.join(dfreq, "s")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= ceil((lit(1.0) - lit(tau)) * col("sz")) + lit(1))
+      .select(col("doc_id"), col("sz"), col("s"))
+    // Size-ratio prune min/max ≥ τ is lossless for J ≥ τ since J ≤ min/max.
+    prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      .agg(count(lit(1)).as("inter"))
       .filter(least(col("sz_a"), col("sz_b")).cast("double")
         / greatest(col("sz_a"), col("sz_b")) >= tau)
+      .distinct()
+  }
+
+  /** Word n-gram exact-Jaccard near-dup pairs: prefix-filtered
+    * candidate generation ([[ngramJaccardCandidates]]) followed by
+    * exact-Jaccard verification against the FULL shingle rows (the
+    * prefix join only witnesses prefix-shingle overlap; the true
+    * intersection needs every shingle). Identical output to blocking
+    * on all shingles — prefix filtering is lossless for J ≥ τ — so the
+    * SQL oracle replays the unfiltered blocking. */
+  def ngramJaccard(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    val ex = shingleRows(docs, n)
+    val cand = prefixCandidates(ex, tau)
     cand
+      .join(ex.as("ra"), col("id_a") === col("ra.doc_id"))
+      .join(ex.as("rb"),
+        col("id_b") === col("rb.doc_id") && col("ra.s") === col("rb.s"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", col("inter").cast("double")
         / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= tau)

@@ -50,6 +50,36 @@ class DedupSpec extends AnyFunSuite {
     assert(m(10L) == (10L, 0) && m(11L) == (10L, 1) && m(12L) == (12L, 0))
   }
 
+  test("prefix filtering kills the corpus-common-shingle candidate flood, losslessly") {
+    // 120 docs that all end with the same boilerplate phrase: under
+    // raw-shingle blocking every pair shares the boilerplate 3-grams,
+    // so candidate generation forms one 120-doc bucket → 7140 pairs to
+    // verify, none of which reach tau. Under prefix filtering the
+    // boilerplate shingles have df=120, sort LAST in the global
+    // (df, shingle) order, and never enter any doc's ⌈(1−τ)sz⌉+1
+    // prefix — zero flood candidates. A genuine near-dup pair (one
+    // word changed) must still be found: lossless, not lossy.
+    def L(k: Int) = ('a' + k).toChar
+    val boiler = "please read our full terms of service agreement right now"
+    val flood = (0 until 120).map { i =>
+      val uniq = (0 until 12).map(j => s"x${L(i / 26)}${L(i % 26)}${L(j)}")
+      (i.toLong, uniq.mkString(" ") + " " + boiler, "s")
+    }
+    val base = (0 until 40).map(j => s"near${L(j / 26)}${L(j % 26)}").mkString(" ")
+    val nearDup = Seq(
+      (200L, base, "s"),
+      (201L, base.replace("nearau", "changed"), "s"))
+    val corpus = (flood ++ nearDup).toDF("doc_id", "text", "source")
+    val cand = Dedup.ngramJaccardCandidates(corpus, 3, 0.8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(cand.map(p => (p._1, p._2)).toSet == Set((200L, 201L)),
+      s"expected only the near-dup candidate, got ${cand.length} pairs")
+    val pairs = Dedup.ngramJaccard(corpus, 3, 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == 1 && pairs.head._1 == 200L &&
+      pairs.head._2 == 201L && pairs.head._3 >= 0.8)
+  }
+
   test("exact dedup survives a 90%-duplicate corpus (hot fingerprint)") {
     // 9000 copies of one boilerplate doc + 1000 distinct docs — the
     // skew shape the groupBy+join-back path exists for. Every copy
