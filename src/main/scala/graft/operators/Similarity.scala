@@ -37,14 +37,37 @@ object Similarity {
       .select(col("probe_id"), col("t.id").as("neighbor_id"),
         col("t.score").as("cos_sim"), (col("pos") + 1).cast("int").as("rnk"))
 
-  /** Exact top-k cosine neighbors for every probe vector (probe set =
-    * `probePred` rows, broadcast). Deterministic rank: cosine desc,
-    * then neighbor id. */
-  def knnBruteForce(embeddings: DataFrame, probeMod: Int, k: Int): DataFrame = {
+  /** Every `mod`-th corpus vector as a probe frame — the benchmark's
+    * deterministic probe derivation. Any frame with (vec_id, embedding)
+    * columns works as a probe set; this is just one way to make one. */
+  def probeEvery(embeddings: DataFrame, mod: Int): DataFrame =
+    embeddings.filter(col("vec_id") % mod === 0)
+
+  /** Broadcasting the probe side is an optimization that only holds
+    * while the probe set is driver-sized; a probe frame that grows with
+    * the corpus would OOM every executor. Cap: `DefaultMaxBroadcastProbes`
+    * rows (~100k 64-float vectors ≈ 30 MB). The row-count guard scans at
+    * most cap+1 rows (`limit(n+1).count()`), never the full frame. Over
+    * the cap the join runs un-hinted — a shuffle equi-join where a
+    * bucket/cell key exists, a partitioned cartesian for brute force —
+    * which is the honest distributed shape for a corpus-sized probe set. */
+  val DefaultMaxBroadcastProbes: Long = 100000
+
+  private def maybeBroadcast(df: DataFrame, maxRows: Long): DataFrame = {
+    val capped = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    if (df.limit(capped).count() <= maxRows) broadcast(df) else df
+  }
+
+  /** Exact top-k cosine neighbors for every probe vector. `probes` is
+    * any (vec_id, embedding) frame (see [[probeEvery]]); self-matches
+    * are excluded by vec_id. Deterministic rank: cosine desc, then
+    * neighbor id. */
+  def knnBruteForce(embeddings: DataFrame, probes: DataFrame, k: Int,
+                    maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    val probes = e.filter(col("vec_id") % probeMod === 0)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-    val scored = broadcast(probes).join(e, col("vec_id") =!= col("probe_id"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val scored = maybeBroadcast(p, maxBroadcastProbes)
+      .join(e, col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         Vec.cosine(col("pv"), col("v")).as("cos_sim"))
     rankTopK(scored, k)
@@ -133,10 +156,12 @@ object Similarity {
     * index is one small broadcast table + a cell id per vector;
     * per-probe work is bounded by cell occupancy. Recall trades
     * against nProbe; scores of returned pairs are exact. */
-  def knnIvf(embeddings: DataFrame, probeMod: Int, k: Int,
-             centroidMod: Int = 37, nProbe: Int = 2): DataFrame = {
+  def knnIvf(embeddings: DataFrame, probes: DataFrame, k: Int,
+             centroidMod: Int = 37, nProbe: Int = 2,
+             maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    knnIvfWith(e, seedCentroids(e, centroidMod), probeMod, k, nProbe)
+    knnIvfWith(e, seedCentroids(e, centroidMod), probes, k, nProbe,
+      maxBroadcastProbes)
   }
 
   /** IVF over a Lloyd's-trained codebook: same index/search shapes as
@@ -145,22 +170,29 @@ object Similarity {
     * bounded per-probe work) and recall per nProbe improves. Training
     * cost: `iters` passes, each one argmax projection + one agg
     * shuffle. */
-  def knnIvfTrained(embeddings: DataFrame, probeMod: Int, k: Int,
+  def knnIvfTrained(embeddings: DataFrame, probes: DataFrame, k: Int,
                     centroidMod: Int = 37, nProbe: Int = 2,
-                    iters: Int = 3, dim: Int = 64): DataFrame = {
+                    iters: Int = 3, dim: Int = 64,
+                    maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    knnIvfWith(e, trainCentroids(e, centroidMod, iters, dim), probeMod, k, nProbe)
+    knnIvfWith(e, trainCentroids(e, centroidMod, iters, dim), probes, k,
+      nProbe, maxBroadcastProbes)
   }
 
-  private def knnIvfWith(e: DataFrame, cents: DataFrame, probeMod: Int,
-                         k: Int, nProbe: Int): DataFrame = {
+  private def knnIvfWith(e: DataFrame, cents: DataFrame, probes: DataFrame,
+                         k: Int, nProbe: Int,
+                         maxBroadcastProbes: Long): DataFrame = {
     val assigned = assignCells(e, cents)
-    val probeCells = e.filter(col("vec_id") % probeMod === 0)
+    val probeCells = probes
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
       .crossJoin(broadcast(codebook(cents)))
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        explode(Exprs.nearestCells(col("v"), col("cids"), col("units"), nProbe))
+      .select(col("probe_id"), col("pv"),
+        explode(Exprs.nearestCells(col("pv"), col("cids"), col("units"), nProbe))
           .as("pcell"))
-    val scored = broadcast(probeCells).join(assigned,
+    // nProbe rows per probe reach the guard; over the cap the cell key
+    // carries an ordinary shuffle equi-join instead.
+    val scored = maybeBroadcast(probeCells, maxBroadcastProbes * nProbe)
+      .join(assigned,
         col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         Vec.cosine(col("pv"), col("v")).as("cos_sim"))
@@ -194,15 +226,23 @@ object Similarity {
     * (amplification: recall 1-(1-p^r)^T), then exact cosine + top-k on
     * candidates only. The shuffle key is (table, bucket), so work per
     * probe is bounded by bucket occupancy, not corpus size. */
-  def knnLsh(embeddings: DataFrame, probeMod: Int, k: Int,
+  def knnLsh(embeddings: DataFrame, probes: DataFrame, k: Int,
              nTables: Int = 4, planesPerTable: Int = 6,
-             dim: Int = 64): DataFrame = {
+             dim: Int = 64,
+             maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
     val bucketed = lshBucketed(e, nTables, planesPerTable, dim)
-    val probes = bucketed.filter(col("vec_id") % probeMod === 0)
+    // bucketing is per-row deterministic, so bucketing the probe frame
+    // directly equals filtering the bucketed corpus
+    val pBucketed = lshBucketed(
+        probes.select(col("vec_id"), col("embedding").as("v")),
+        nTables, planesPerTable, dim)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("table").as("ptable"), col("bucket").as("pbucket"))
-    val scored = broadcast(probes).join(bucketed,
+    // nTables rows per probe reach the guard; over the cap the
+    // (table, bucket) key carries an ordinary shuffle equi-join.
+    val scored = maybeBroadcast(pBucketed, maxBroadcastProbes * nTables)
+      .join(bucketed,
         col("table") === col("ptable") && col("bucket") === col("pbucket") &&
           col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),

@@ -22,18 +22,25 @@ object SimilarityRegistry {
   private val Dot = VectorSql.dot("p.pv", "e.v")
   private def nrm(expr: String) = VectorSql.nrm(expr)
 
+  /** The benchmark's probe set: every ProbeMod-th corpus vector. The
+    * `% probeMod` derivation lives HERE, not in the operators — the
+    * library API takes an explicit probe frame so a caller controls
+    * (and bounds) the probe set; this binding is just one choice. */
+  private def probes(s: SparkSession, d: String): DataFrame =
+    Similarity.probeEvery(Tables.embeddings(s, d), ProbeMod)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce" -> ((s, d) =>
-      Similarity.knnBruteForce(Tables.embeddings(s, d), ProbeMod, K)),
+      Similarity.knnBruteForce(Tables.embeddings(s, d), probes(s, d), K)),
     "knn_lsh" -> ((s, d) =>
-      Similarity.knnLsh(Tables.embeddings(s, d), ProbeMod, K)),
+      Similarity.knnLsh(Tables.embeddings(s, d), probes(s, d), K)),
     "knn_ivf" -> ((s, d) =>
-      Similarity.knnIvf(Tables.embeddings(s, d), ProbeMod, K)),
+      Similarity.knnIvf(Tables.embeddings(s, d), probes(s, d), K)),
     // k-means-refined codebook (3 Lloyd's iterations); like knn_ivf,
     // no SQL oracle — ApproxAndIvfSpec checks exact scores, bounds,
     // determinism and that training actually moved the centroids.
     "knn_ivf_trained" -> ((s, d) =>
-      Similarity.knnIvfTrained(Tables.embeddings(s, d), ProbeMod, K)),
+      Similarity.knnIvfTrained(Tables.embeddings(s, d), probes(s, d), K)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -23,10 +23,10 @@ class ApproxAndIvfSpec extends AnyFunSuite {
   test("IVF ANN returns exact scores for in-cell candidates, bounded per probe") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, d)
-    val ivf = Similarity.knnIvf(emb, probeMod = 50, k = 10)
+    val ivf = Similarity.knnIvf(emb, Similarity.probeEvery(emb, 50), k = 10)
       .as[(Long, Long, Double, Int)].collect()
     assert(ivf.nonEmpty)
-    val bf = Similarity.knnBruteForce(emb, probeMod = 50, k = 1000)
+    val bf = Similarity.knnBruteForce(emb, Similarity.probeEvery(emb, 50), k = 1000)
       .as[(Long, Long, Double, Int)].collect()
       .map(x => (x._1, x._2) -> x._3).toMap
     ivf.foreach { case (p, nb, cos, _) => assert(bf((p, nb)) == cos) }
@@ -35,9 +35,35 @@ class ApproxAndIvfSpec extends AnyFunSuite {
       assert(rows.map(_._4).sorted.toSeq == (1 to rows.length)) // dense ranks
     }
     // deterministic across runs
-    val again = Similarity.knnIvf(emb, probeMod = 50, k = 10)
+    val again = Similarity.knnIvf(emb, Similarity.probeEvery(emb, 50), k = 10)
       .as[(Long, Long, Double, Int)].collect()
     assert(again.sortBy(r => (r._1, r._4)).toSeq == ivf.sortBy(r => (r._1, r._4)).toSeq)
+  }
+
+  test("probe set over the broadcast cap: shuffle fallback, identical results") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val probes = Similarity.probeEvery(emb, 20) // > the tiny cap below
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    // brute force: cartesian instead of broadcast-nested-loop
+    val bfB = Similarity.knnBruteForce(emb, probes, k = 5)
+    val bfS = Similarity.knnBruteForce(emb, probes, k = 5, maxBroadcastProbes = 3)
+    assert(sorted(bfB) == sorted(bfS) && sorted(bfB).nonEmpty)
+    // lsh + ivf: plain shuffle equi-join on the bucket/cell key
+    val lshB = Similarity.knnLsh(emb, probes, k = 5)
+    val lshS = Similarity.knnLsh(emb, probes, k = 5, maxBroadcastProbes = 3)
+    assert(sorted(lshB) == sorted(lshS))
+    val ivfB = Similarity.knnIvf(emb, probes, k = 5)
+    val ivfS = Similarity.knnIvf(emb, probes, k = 5, maxBroadcastProbes = 3)
+    assert(sorted(ivfB) == sorted(ivfS))
+    // the guard really removes the forced hint (AQE may still choose a
+    // runtime broadcast at this toy scale — what must go is OUR hint
+    // pinning a corpus-scaled frame to the driver)
+    def hinted(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.toString.contains("ResolvedHint")
+    assert(hinted(bfB) && !hinted(bfS))
+    assert(hinted(lshB) && !hinted(lshS))
   }
 
   test("trained-codebook IVF: centroids move, scores stay exact, results bounded") {
@@ -56,10 +82,10 @@ class ApproxAndIvfSpec extends AnyFunSuite {
     assert(trained.keySet == seeds.keySet) // id-stable cells
     assert(trained.exists { case (cid, cv) => cv != seeds(cid) })
     // the search contract is unchanged: exact scores, ≤ k, dense ranks
-    val ivfT = Similarity.knnIvfTrained(emb, probeMod = 50, k = 10)
+    val ivfT = Similarity.knnIvfTrained(emb, Similarity.probeEvery(emb, 50), k = 10)
       .as[(Long, Long, Double, Int)].collect()
     assert(ivfT.nonEmpty)
-    val bf = Similarity.knnBruteForce(emb, probeMod = 50, k = 1000)
+    val bf = Similarity.knnBruteForce(emb, Similarity.probeEvery(emb, 50), k = 1000)
       .as[(Long, Long, Double, Int)].collect()
       .map(x => (x._1, x._2) -> x._3).toMap
     ivfT.foreach { case (p, nb, cos, _) => assert(bf((p, nb)) == cos) }
@@ -68,7 +94,7 @@ class ApproxAndIvfSpec extends AnyFunSuite {
       assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
     }
     // deterministic end-to-end (training included)
-    val again = Similarity.knnIvfTrained(emb, probeMod = 50, k = 10)
+    val again = Similarity.knnIvfTrained(emb, Similarity.probeEvery(emb, 50), k = 10)
       .as[(Long, Long, Double, Int)].collect()
     assert(again.sortBy(r => (r._1, r._4)).toSeq == ivfT.sortBy(r => (r._1, r._4)).toSeq)
   }

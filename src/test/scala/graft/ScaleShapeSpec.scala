@@ -97,7 +97,7 @@ class ScaleShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import graft.functions.Vec
     val emb = Tables.embeddings(spark, d)
-    val viaAgg = Similarity.knnBruteForce(emb, probeMod = 50, k = 10)
+    val viaAgg = Similarity.knnBruteForce(emb, Similarity.probeEvery(emb, 50), k = 10)
       .collect().map(_.toSeq).toSet
     // the pre-round-4 shape: full-shuffle row_number window
     val e = emb.select(col("vec_id"), col("embedding").as("v"))
@@ -112,7 +112,7 @@ class ScaleShapeSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(viaAgg == viaWindow && viaAgg.nonEmpty)
     // and the aggregate path must not sort/shuffle the full scored set
-    val plan = Similarity.knnBruteForce(emb, probeMod = 50, k = 10)
+    val plan = Similarity.knnBruteForce(emb, Similarity.probeEvery(emb, 50), k = 10)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"top-k still uses a window:\n$plan")
     assert(plan.contains("ObjectHashAggregate"),

@@ -20,7 +20,7 @@ class SimilaritySpec extends AnyFunSuite {
   ).toDF("vec_id", "embedding", "label")
 
   test("brute force returns exact top-k in deterministic order") {
-    val r = Similarity.knnBruteForce(vecs, probeMod = 3, k = 2)
+    val r = Similarity.knnBruteForce(vecs, Similarity.probeEvery(vecs, 3), k = 2)
       .as[(Long, Long, Double, Int)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
     assert(r(0L) == Seq(1L, 2L)) // axis-0 cluster, nearest first
@@ -31,10 +31,10 @@ class SimilaritySpec extends AnyFunSuite {
     val h1 = Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq
     val h2 = Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq
     assert(h1 == h2)
-    val lsh = Similarity.knnLsh(vecs, probeMod = 3, k = 2,
+    val lsh = Similarity.knnLsh(vecs, Similarity.probeEvery(vecs, 3), k = 2,
       nTables = 2, planesPerTable = 2, dim = 8)
       .as[(Long, Long, Double, Int)].collect()
-    val bf = Similarity.knnBruteForce(vecs, probeMod = 3, k = 5)
+    val bf = Similarity.knnBruteForce(vecs, Similarity.probeEvery(vecs, 3), k = 5)
       .as[(Long, Long, Double, Int)].collect()
       .map(x => (x._1, x._2) -> x._3).toMap
     // every LSH result's score equals the exact cosine for that pair
