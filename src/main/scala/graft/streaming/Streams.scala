@@ -63,12 +63,8 @@ object Streams {
     * the streaming twin of the reference's reducers
     * (reference main.go:185-197). */
   def wordCount(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(stageAsDir(s"$dir/documents.parquet"))
-    val counts = stream
-      .select(explode(Text.tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val counts = wordCountFromStream(
+      FileStreamSource(s"$dir/documents.parquet").stream(spark))
     val sink = s"st_wc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = counts.writeStream
       .outputMode(OutputMode.Complete())
@@ -79,15 +75,22 @@ object Streams {
     spark.table(sink)
   }
 
+  /** Source-agnostic core of the streaming word count: any
+    * [[StreamSource]] with a `text` column (file harness or
+    * Kafka-shaped feed) runs the identical explode→agg plan. */
+  def wordCountFromStream(stream: DataFrame): DataFrame =
+    stream
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
   /** Streaming tumbling-window aggregation ≡ the batch `eventsHourly`:
     * event-time `window()` in complete mode (windows may always update
     * — for watermark-bounded state swap in `withWatermark` + append;
     * complete keeps the ≡-batch contract exact for the oracle). */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Num
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(stageAsDir(s"$dir/events.parquet"))
+    val stream = FileStreamSource(s"$dir/events.parquet").stream(spark)
+    val schema = stream.schema
     val ts =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts div 1000"))
@@ -113,9 +116,7 @@ object Streams {
     * complete mode. The keeper is min(doc_id) — deterministic under
     * any arrival order, unlike first-seen dropDuplicates. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(stageAsDir(s"$dir/documents.parquet"))
+    val stream = FileStreamSource(s"$dir/documents.parquet").stream(spark)
     val agg = stream
       .select(col("doc_id"), md5(col("text")).as("fp"))
       .groupBy(col("fp"))
@@ -233,9 +234,8 @@ object Streams {
   def sessionizeClosed(spark: SparkSession, dir: String,
                        gapMinutes: Int = 30,
                        lateness: String = "10 minutes"): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(stageAsDir(s"$dir/events.parquet"))
+    val stream = FileStreamSource(s"$dir/events.parquet").stream(spark)
+    val schema = stream.schema
     val ts =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts div 1000"))
@@ -259,9 +259,8 @@ object Streams {
   def sessionize(spark: SparkSession, dir: String,
                  gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(stageAsDir(s"$dir/events.parquet"))
+    val stream = FileStreamSource(s"$dir/events.parquet").stream(spark)
+    val schema = stream.schema
     val tsUs =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         expr("ts div 1000") // epoch-nanos long → micros
