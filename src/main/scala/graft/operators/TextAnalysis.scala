@@ -123,11 +123,23 @@ object TextAnalysis {
   /** Word co-occurrence: top document-level word pairs with lift
     * (observed/expected ratio — rational arithmetic only, no log, so
     * every engine agrees bitwise). Pairs come from per-doc DISTINCT
-    * tokens, so the self-join is bounded by vocabulary-per-doc, not
-    * token count. */
-  def cooccurrence(docs: DataFrame, topN: Int): DataFrame = {
-    val dw = docs
-      .select(col("doc_id"), explode(array_distinct(Text.tokens(col("text")))).as("w"))
+    * tokens capped at the `maxVocab` MOST FREQUENT per doc (tf desc,
+    * token asc tie-break — deterministic and engine-replayable), so
+    * the per-doc self-join is bounded by maxVocab², not by whatever
+    * vocabulary a pathological doc (a dictionary dump, a log file)
+    * brings: one such doc would otherwise contribute O(V²) pair rows
+    * on its own. Document frequencies are computed over the SAME
+    * capped vocabulary so the lift margins stay consistent with the
+    * pair counts. */
+  def cooccurrence(docs: DataFrame, topN: Int, maxVocab: Int = 512): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("w").asc)
+    val dw = tf.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= maxVocab)
+      .select(col("doc_id"), col("w"))
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val df = dw.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val pairs = dw.as("a").join(dw.as("b"),

@@ -11,6 +11,12 @@ import graft.sources.Tables
   */
 object TextAnalysisRegistry {
 
+  /** Per-doc vocabulary cap for ta_cooccurrence: the pair stage sees
+    * only each doc's MaxVocab most frequent tokens (tf desc, token asc
+    * tie-break) — bounds one pathological doc's pair contribution at
+    * MaxVocab² on both engines. */
+  val MaxVocab = 512
+
   /** DuckDB spelling of Text.tokens as a per-row list column. */
   private val ToksExpr =
     "list_filter(list_transform(regexp_split_to_array(text, '[^\\p{L}]+'), w -> lower(w)), w -> w <> '')"
@@ -42,7 +48,7 @@ object TextAnalysisRegistry {
     "ta_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "ta_word_stats" -> ((s, d) => TextAnalysis.wordStats(Tables.documents(s, d))),
     "ta_cooccurrence" -> ((s, d) =>
-      TextAnalysis.cooccurrence(Tables.documents(s, d), 50)),
+      TextAnalysis.cooccurrence(Tables.documents(s, d), 50, MaxVocab)),
     "ta_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d), 3)),
     "ta_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
   )
@@ -111,8 +117,16 @@ object TextAnalysisRegistry {
           |  md5(trim(lower(regexp_replace(text, '[^\p{L}]+', ' ', 'g')))) AS fp
           |FROM documents""".stripMargin,
       "ta_cooccurrence" ->
-        s"""WITH dw AS (
-           |  SELECT DISTINCT doc_id, unnest($ToksExpr) AS w FROM documents
+        s"""WITH tf AS (
+           |  SELECT doc_id, w, count(*) AS tf
+           |  FROM (SELECT doc_id, unnest($ToksExpr) AS w FROM documents)
+           |  GROUP BY 1, 2
+           |), dw AS (
+           |  SELECT doc_id, w FROM (
+           |    SELECT doc_id, w, row_number() OVER (
+           |      PARTITION BY doc_id ORDER BY tf DESC, w ASC) AS rnk
+           |    FROM tf)
+           |  WHERE rnk <= $MaxVocab
            |), df AS (
            |  SELECT w, count(*) AS df FROM dw GROUP BY w
            |), n AS (SELECT count(*) AS n_docs FROM documents),
