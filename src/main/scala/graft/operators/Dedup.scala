@@ -27,9 +27,12 @@ object Dedup {
     * distinct fp. */
   private def keepByMinId(keyed: DataFrame): DataFrame = {
     val keepers = keyed.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
-    keyed.join(keepers, "fp")
-      .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("int"))
-      .select(col("doc_id"), col("keep_id"), col("is_dup"))
+    // null-SAFE join key: a null fingerprint (null text) forms a group
+    // in the aggregate, and the join-back must not drop it — same
+    // null-bucket semantics as a window partition over fp.
+    keyed.as("d").join(keepers.as("k"), col("d.fp") <=> col("k.fp"))
+      .withColumn("is_dup", (col("d.doc_id") =!= col("keep_id")).cast("int"))
+      .select(col("d.doc_id").as("doc_id"), col("keep_id"), col("is_dup"))
   }
 
   /** Exact dedup map: every doc → the smallest doc_id with identical
