@@ -21,6 +21,7 @@ object SparkEntry {
     (SimilarityRegistry.queries, SimilarityRegistry.oracleSql),
     (MultimodalRegistry.queries, MultimodalRegistry.oracleSql),
     (StreamsRegistry.queries, StreamsRegistry.oracleSql),
+    (CorpusRegistry.queries, CorpusRegistry.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

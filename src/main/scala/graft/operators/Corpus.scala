@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** H-family: training-corpus construction — the operations that turn
+  * a raw document pile into a training mix: reproducible sampling,
+  * benchmark decontamination, and PII scrubbing. All per-row column
+  * math or blocked joins; nothing materializes pairs or collects to
+  * the driver.
+  */
+object Corpus {
+
+  /** Deterministic pseudo-uniform bucket in [0, 2^20) from a doc id —
+    * multiplicative hashing with arithmetic every engine evaluates
+    * identically in BIGINT ((id % P) * A stays < 2^63, so no overflow
+    * semantics are involved; DuckDB errors on BIGINT overflow, Spark
+    * wraps — this expression never reaches either). Not cryptographic:
+    * it exists so a sampling decision is reproducible across engines,
+    * runs, and partitionings. */
+  val MixP = 100003L      // prime modulus on the id
+  val MixA = 2654435761L  // Knuth's multiplicative constant
+  val MixBuckets = 1048576L // 2^20
+  def mixBucket(id: Column): Column = id % MixP * MixA % MixBuckets
+
+  /** Deterministic corpus sample: keep a doc iff its mix bucket lands
+    * under `keepPct`% of the bucket space. Sampling by hashed id (not
+    * rand()) is what makes a 100 TB corpus mix REPRODUCIBLE: any
+    * engine, any partitioning, any rerun selects the identical subset,
+    * and the decision is a per-row projection — no shuffle, no state. */
+  def sample(docs: DataFrame, keepPct: Int): DataFrame =
+    docs.filter(mixBucket(col("doc_id")) < MixBuckets * keepPct / 100L)
+
+  /** Per-source sampling accounting: how many docs each source
+    * contributes before and after [[sample]] at `keepPct` — the mix
+    * report a corpus-construction run emits. One map-side-combined
+    * aggregation on the source key. */
+  def sampleStats(docs: DataFrame, keepPct: Int): DataFrame =
+    docs
+      .select(col("source"),
+        (mixBucket(col("doc_id")) < MixBuckets * keepPct / 100L)
+          .cast("long").as("kept"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+
+  /** Benchmark decontamination: training docs sharing at least one
+    * word `n`-gram with any eval-set doc. The classic pre-training
+    * hygiene pass (eval answers leaking into training data). Shape:
+    * both sides explode to (doc, shingle) rows and equi-join on the
+    * shingle — an eval set is orders of magnitude smaller than the
+    * corpus, so Spark broadcasts its shingle table and the pass is one
+    * scan of the training side with NO shuffle of the corpus (AQE
+    * decides; an oversized eval side degrades to a shuffle equi-join,
+    * never a cross product). Output per contaminated doc: how many
+    * (shingle, eval doc) witnesses, and the smallest witnessing eval
+    * doc id. */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
+    def sh(df: DataFrame, idAs: String) = df.select(
+      col("doc_id").as(idAs),
+      explode(Text.shingles(Text.tokens(col("text")), n)).as("s"))
+    sh(train, "doc_id").join(sh(evalDocs, "eval_id"), "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_witnesses"), min(col("eval_id")).as("first_eval_id"))
+  }
+
+  /** PII patterns, spelled to mean the same thing in Java regex
+    * (Spark) and RE2 (DuckDB): URLs first (so an address inside a URL
+    * isn't double-counted), then emails, then IPv4s. */
+  val UrlRe = "https?://[^\\s]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** PII scrub: redact URLs/emails/IPv4s to typed placeholder tokens,
+    * reporting per-doc counts and the fingerprint of the scrubbed
+    * text. Pure per-row regex projection — whole-stage codegen, no
+    * shuffle; the scrubbed corpus itself is `scrubbedText`. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val t1 = regexp_replace(col("text"), UrlRe, "<URL>")
+    val t2 = regexp_replace(t1, EmailRe, "<EMAIL>")
+    val t3 = regexp_replace(t2, Ipv4Re, "<IP>")
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(UrlRe)).as("n_urls"),
+      regexp_count(t1, lit(EmailRe)).as("n_emails"),
+      regexp_count(t2, lit(Ipv4Re)).as("n_ips"),
+      md5(t3).as("scrubbed_fp"))
+  }
+
+  /** The scrubbed corpus (same schema as the input). */
+  def scrubbedText(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), UrlRe, "<URL>"),
+          EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"))
+}

@@ -1,0 +1,84 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Corpus
+import graft.sources.Tables
+
+/** H-family bindings: corpus construction (sampling, decontamination,
+  * PII scrub). All three are oracle-checked — the sampling hash is
+  * plain BIGINT arithmetic, decontamination replays the 4-gram
+  * blocking, and the PII regexes mean the same thing in Java regex
+  * and RE2.
+  */
+object CorpusRegistry {
+
+  val KeepPct = 30
+  /** Mix-bucket threshold for KeepPct (integer math, same on both
+    * engines because it's precomputed here). */
+  val Threshold: Long = Corpus.MixBuckets * KeepPct / 100L
+
+  val DecontamN = 4
+  /** The benchmark's synthetic "eval set": every 97th doc. A real
+    * pipeline passes its own eval frame to [[Corpus.decontaminate]]. */
+  val EvalMod = 97
+
+  private val ToksExpr =
+    "list_filter(list_transform(regexp_split_to_array(text, '[^\\p{L}]+'), w -> lower(w)), w -> w <> '')"
+
+  /** DuckDB spelling of Text.shingles(Text.tokens(text), 4). */
+  private val Sh4 =
+    """list_distinct(list_transform(range(greatest(len(toks) - 3, 0)),
+      |    i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3], toks[i + 4])))""".stripMargin
+
+  private val MixExpr =
+    s"(doc_id % ${Corpus.MixP}) * ${Corpus.MixA} % ${Corpus.MixBuckets}"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cp_sample" -> ((s, d) =>
+      Corpus.sampleStats(Tables.documents(s, d), KeepPct)),
+    "cp_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.decontaminate(
+        docs.filter(col("doc_id") % EvalMod =!= 0),
+        docs.filter(col("doc_id") % EvalMod === 0), DecontamN)
+    }),
+    "cp_pii_scrub" -> ((s, d) =>
+      Corpus.piiScrub(Tables.documents(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "cp_sample" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN $MixExpr < $Threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents GROUP BY source""".stripMargin,
+    "cp_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(sh) AS s FROM (
+         |    SELECT doc_id, $Sh4 AS sh
+         |    FROM (SELECT doc_id, $ToksExpr AS toks FROM documents))
+         |), tr AS (SELECT doc_id, s FROM sh WHERE doc_id % $EvalMod <> 0),
+         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % $EvalMod = 0)
+         |SELECT tr.doc_id, count(*) AS n_witnesses,
+         |  min(ev.eval_id) AS first_eval_id
+         |FROM tr JOIN ev ON tr.s = ev.s
+         |GROUP BY tr.doc_id""".stripMargin,
+    "cp_pii_scrub" ->
+      s"""WITH s1 AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(text, '${Corpus.UrlRe}', '<URL>', 'g') AS t1
+         |  FROM documents
+         |), s2 AS (
+         |  SELECT *, regexp_replace(t1, '${Corpus.EmailRe}', '<EMAIL>', 'g') AS t2 FROM s1
+         |), s3 AS (
+         |  SELECT *, regexp_replace(t2, '${Corpus.Ipv4Re}', '<IP>', 'g') AS t3 FROM s2
+         |)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '${Corpus.UrlRe}')) AS n_urls,
+         |  len(regexp_extract_all(t1, '${Corpus.EmailRe}')) AS n_emails,
+         |  len(regexp_extract_all(t2, '${Corpus.Ipv4Re}')) AS n_ips,
+         |  md5(t3) AS scrubbed_fp
+         |FROM s3""".stripMargin,
+  )
+}

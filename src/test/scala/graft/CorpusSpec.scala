@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Corpus
+
+/** H-family behavior: sampling must be deterministic and
+  * partitioning-independent, decontamination must flag exactly the
+  * docs sharing an n-gram with the eval set, and the PII scrub must
+  * redact what it counts. */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  test("sampling is deterministic, partitioning-independent, near-rate") {
+    val docs = (0L until 2000L).map(i => (i, s"doc $i", s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val once = Corpus.sample(docs, 30).select("doc_id").as[Long].collect().toSet
+    val again = Corpus.sample(docs.repartition(13), 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(once == again && once.nonEmpty) // same subset, any partitioning
+    val rate = once.size.toDouble / 2000
+    assert(rate > 0.2 && rate < 0.4, s"rate $rate far from 30%")
+    // stats agree with the subset
+    val stats = Corpus.sampleStats(docs, 30)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(stats.values.map(_._1).sum == 2000)
+    assert(stats.values.map(_._2).sum == once.size)
+  }
+
+  test("decontamination flags exactly the docs sharing an n-gram with eval") {
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "eval"),
+    ).toDF("doc_id", "text", "source")
+    val train = Seq(
+      (1L, "he saw the quick brown fox jumps far away", "s"), // shares 4-grams
+      (2L, "a completely clean training document here", "s"),
+      (3L, "quick brown fox walks", "s"), // no shared 4-gram (walks ≠ jumps)
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.decontaminate(train, evalDocs, 4)
+      .as[(Long, Long, Long)].collect().toList
+    // doc 1 shares "the quick brown fox" and "quick brown fox jumps"
+    assert(out == List((1L, 2L, 100L)))
+  }
+
+  test("PII scrub redacts what it counts; scrubbed text is PII-free") {
+    val docs = Seq(
+      (1L, "mail me at alice@example.com or bob.smith@corp.co today", "s"),
+      (2L, "see https://example.com/a?q=1 and host 10.0.0.1 now", "s"),
+      (3L, "no pii here at all", "s"),
+      (4L, null.asInstanceOf[String], "s"),
+    ).toDF("doc_id", "text", "source")
+    val counts = Corpus.piiScrub(docs)
+      .select("doc_id", "n_urls", "n_emails", "n_ips")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1),
+         if (r.isNullAt(2)) -1 else r.getInt(2),
+         if (r.isNullAt(3)) -1 else r.getInt(3))).toMap
+    assert(counts(1L) == ((0, 2, 0)))
+    assert(counts(2L) == ((1, 0, 1)))
+    assert(counts(3L) == ((0, 0, 0)))
+    assert(counts(4L) == ((-1, -1, -1))) // null text stays null
+    val scrubbed = Corpus.scrubbedText(docs).as[(Long, String, String)]
+      .collect().map(r => r._1 -> r._2).toMap
+    assert(scrubbed(1L) == "mail me at <EMAIL> or <EMAIL> today")
+    assert(scrubbed(2L) == "see <URL> and host <IP> now")
+    assert(scrubbed(3L) == "no pii here at all")
+  }
+}
