@@ -53,10 +53,17 @@ object Similarity {
     * which is the honest distributed shape for a corpus-sized probe set. */
   val DefaultMaxBroadcastProbes: Long = 100000
 
-  private def maybeBroadcast(df: DataFrame, maxRows: Long): DataFrame = {
+  /** Row-count guard, bounded: scans at most maxRows+1 rows. Run it on
+    * the RAW probe frame, not a derived one — counting a frame that
+    * already applies the cell-assignment/bucketing expressions would
+    * evaluate them twice per query. */
+  private def fitsBroadcast(df: DataFrame, maxRows: Long): Boolean = {
     val capped = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
-    if (df.limit(capped).count() <= maxRows) broadcast(df) else df
+    df.limit(capped).count() <= maxRows
   }
+
+  private def maybeBroadcast(df: DataFrame, maxRows: Long): DataFrame =
+    if (fitsBroadcast(df, maxRows)) broadcast(df) else df
 
   /** Exact top-k cosine neighbors for every probe vector. `probes` is
     * any (vec_id, embedding) frame (see [[probeEvery]]); self-matches
@@ -183,15 +190,18 @@ object Similarity {
                          k: Int, nProbe: Int,
                          maxBroadcastProbes: Long): DataFrame = {
     val assigned = assignCells(e, cents)
-    val probeCells = probes
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val probeCells = p
       .crossJoin(broadcast(codebook(cents)))
       .select(col("probe_id"), col("pv"),
         explode(Exprs.nearestCells(col("pv"), col("cids"), col("units"), nProbe))
           .as("pcell"))
-    // nProbe rows per probe reach the guard; over the cap the cell key
-    // carries an ordinary shuffle equi-join instead.
-    val scored = maybeBroadcast(probeCells, maxBroadcastProbes * nProbe)
+    // guard on the raw probe frame (cheap count); broadcast the
+    // nProbe-expanded cell frame only if it fits. Over the cap the
+    // cell key carries an ordinary shuffle equi-join instead.
+    val pj = if (fitsBroadcast(p, maxBroadcastProbes)) broadcast(probeCells)
+             else probeCells
+    val scored = pj
       .join(assigned,
         col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
@@ -234,14 +244,16 @@ object Similarity {
     val bucketed = lshBucketed(e, nTables, planesPerTable, dim)
     // bucketing is per-row deterministic, so bucketing the probe frame
     // directly equals filtering the bucketed corpus
-    val pBucketed = lshBucketed(
-        probes.select(col("vec_id"), col("embedding").as("v")),
-        nTables, planesPerTable, dim)
+    val p = probes.select(col("vec_id"), col("embedding").as("v"))
+    val pBucketed = lshBucketed(p, nTables, planesPerTable, dim)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("table").as("ptable"), col("bucket").as("pbucket"))
-    // nTables rows per probe reach the guard; over the cap the
-    // (table, bucket) key carries an ordinary shuffle equi-join.
-    val scored = maybeBroadcast(pBucketed, maxBroadcastProbes * nTables)
+    // guard on the raw probe frame (cheap count; the bucketed frame is
+    // nTables rows per probe and would re-evaluate the plane dots).
+    // Over the cap the (table, bucket) key carries a shuffle equi-join.
+    val pj = if (fitsBroadcast(p, maxBroadcastProbes)) broadcast(pBucketed)
+             else pBucketed
+    val scored = pj
       .join(bucketed,
         col("table") === col("ptable") && col("bucket") === col("pbucket") &&
           col("vec_id") =!= col("probe_id"))
