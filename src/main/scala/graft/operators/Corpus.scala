@@ -25,22 +25,46 @@ object Corpus {
   val MixBuckets = 1048576L // 2^20
   def mixBucket(id: Column): Column = id % MixP * MixA % MixBuckets
 
+  /** Bucket threshold for keepPct, integer math (exactly replayable). */
+  def bucketThreshold(keepPct: Int): Long = MixBuckets * keepPct / 100L
+
+  /** Per-row keep threshold: per-source rates with a default — the
+    * corpus-mixing primitive (upsample high-quality sources, damp
+    * boilerplate-heavy ones). A when-chain, so still a pure
+    * projection: no join, no shuffle, no rate table to distribute. */
+  private def thresholdFor(ratesPct: Seq[(String, Int)], defaultPct: Int): Column =
+    ratesPct.foldLeft(lit(bucketThreshold(defaultPct))) {
+      case (acc, (src, pct)) =>
+        when(col("source") === src, lit(bucketThreshold(pct))).otherwise(acc)
+    }
+
   /** Deterministic corpus sample: keep a doc iff its mix bucket lands
     * under `keepPct`% of the bucket space. Sampling by hashed id (not
     * rand()) is what makes a 100 TB corpus mix REPRODUCIBLE: any
     * engine, any partitioning, any rerun selects the identical subset,
     * and the decision is a per-row projection — no shuffle, no state. */
   def sample(docs: DataFrame, keepPct: Int): DataFrame =
-    docs.filter(mixBucket(col("doc_id")) < MixBuckets * keepPct / 100L)
+    sampleWeighted(docs, Nil, keepPct)
+
+  /** [[sample]] with per-source rates (sources absent from `ratesPct`
+    * fall back to `defaultPct`). */
+  def sampleWeighted(docs: DataFrame, ratesPct: Seq[(String, Int)],
+                     defaultPct: Int): DataFrame =
+    docs.filter(mixBucket(col("doc_id")) < thresholdFor(ratesPct, defaultPct))
 
   /** Per-source sampling accounting: how many docs each source
-    * contributes before and after [[sample]] at `keepPct` — the mix
-    * report a corpus-construction run emits. One map-side-combined
-    * aggregation on the source key. */
+    * contributes before and after sampling — the mix report a
+    * corpus-construction run emits. One map-side-combined aggregation
+    * on the source key. */
   def sampleStats(docs: DataFrame, keepPct: Int): DataFrame =
+    sampleWeightedStats(docs, Nil, keepPct)
+
+  /** [[sampleStats]] for a weighted mix. */
+  def sampleWeightedStats(docs: DataFrame, ratesPct: Seq[(String, Int)],
+                          defaultPct: Int): DataFrame =
     docs
       .select(col("source"),
-        (mixBucket(col("doc_id")) < MixBuckets * keepPct / 100L)
+        (mixBucket(col("doc_id")) < thresholdFor(ratesPct, defaultPct))
           .cast("long").as("kept"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))

@@ -19,6 +19,9 @@ object CorpusRegistry {
     * engines because it's precomputed here). */
   val Threshold: Long = Corpus.MixBuckets * KeepPct / 100L
 
+  /** Weighted-mix binding: damp src0, upsample src1, default KeepPct. */
+  val WeightedRates: Seq[(String, Int)] = Seq("src0" -> 5, "src1" -> 80)
+
   val DecontamN = 4
   /** The benchmark's synthetic "eval set": every 97th doc. A real
     * pipeline passes its own eval frame to [[Corpus.decontaminate]]. */
@@ -38,6 +41,8 @@ object CorpusRegistry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cp_sample" -> ((s, d) =>
       Corpus.sampleStats(Tables.documents(s, d), KeepPct)),
+    "cp_sample_weighted" -> ((s, d) =>
+      Corpus.sampleWeightedStats(Tables.documents(s, d), WeightedRates, KeepPct)),
     "cp_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Corpus.decontaminate(
@@ -53,6 +58,15 @@ object CorpusRegistry {
       s"""SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN $MixExpr < $Threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM documents GROUP BY source""".stripMargin,
+    "cp_sample_weighted" -> {
+      val th = WeightedRates
+        .map { case (src, pct) =>
+          s"WHEN source = '$src' THEN ${Corpus.bucketThreshold(pct)}" }
+        .mkString("CASE ", " ", s" ELSE $Threshold END")
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN $MixExpr < $th THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents GROUP BY source""".stripMargin
+    },
     "cp_decontaminate" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest(sh) AS s FROM (

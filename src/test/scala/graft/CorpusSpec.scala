@@ -29,6 +29,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(stats.values.map(_._2).sum == once.size)
   }
 
+  test("weighted sampling applies per-source rates, default elsewhere") {
+    val docs = (0L until 3000L).map(i => (i, s"doc $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val rates = Seq("src0" -> 0, "src1" -> 100)
+    val stats = Corpus.sampleWeightedStats(docs, rates, 30)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(stats("src0") == ((1000L, 0L)))      // rate 0: nothing kept
+    assert(stats("src1") == ((1000L, 1000L)))   // rate 100: everything
+    val (n2, k2) = stats("src2")                // default 30%
+    assert(n2 == 1000L && k2 > 200L && k2 < 400L)
+    // the kept subset equals filtering the flat sample by source rate
+    val viaFilter = Corpus.sampleWeighted(docs, rates, 30)
+      .select("doc_id").as[Long].collect().toSet
+    val flat30 = Corpus.sample(docs, 30).select("doc_id").as[Long].collect().toSet
+    assert(viaFilter.filter(_ % 3 == 2) == flat30.filter(_ % 3 == 2))
+    assert(!viaFilter.exists(_ % 3 == 0) && viaFilter.count(_ % 3 == 1) == 1000)
+  }
+
   test("decontamination flags exactly the docs sharing an n-gram with eval") {
     val evalDocs = Seq(
       (100L, "the quick brown fox jumps over the lazy dog", "eval"),

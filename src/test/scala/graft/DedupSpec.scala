@@ -80,6 +80,35 @@ class DedupSpec extends AnyFunSuite {
       pairs.head._2 == 201L && pairs.head._3 >= 0.8)
   }
 
+  test("prefix-filtered jaccard == exhaustive local jaccard on fuzzed corpora") {
+    // Seeded fuzz: a small vocabulary forces heavy shingle collisions
+    // (the regime where a lossy blocking would drop pairs). The
+    // distributed prefix-filtered pipeline must equal an exhaustive
+    // all-pairs computation done locally, at several thresholds.
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    Seq(0.5, 0.7, 0.9).foreach { tau =>
+      val corpus = (0 until 40).map { i =>
+        val len = 5 + rnd.nextInt(25)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "), "s")
+      }
+      val got = Dedup.ngramJaccard(
+          corpus.toDF("doc_id", "text", "source"), 3, tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val sets = corpus.map { case (id, text, _) =>
+        id -> text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      }.toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys
+        if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+        inter = (sets(a) & sets(b)).size
+        j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+        if j >= tau
+      } yield (a, b, j)).toSet
+      assert(got == want, s"tau=$tau: got ${got.size}, want ${want.size}")
+    }
+  }
+
   test("exact dedup survives a 90%-duplicate corpus (hot fingerprint)") {
     // 9000 copies of one boilerplate doc + 1000 distinct docs — the
     // skew shape the groupBy+join-back path exists for. Every copy
