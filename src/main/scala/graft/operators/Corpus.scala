@@ -111,6 +111,36 @@ object Corpus {
       md5(t3).as("scrubbed_fp"))
   }
 
+  /** End-to-end corpus-construction funnel, per source: raw docs →
+    * exact-dedup keepers → decontaminated (no word n-gram shared with
+    * the eval frame) → deterministic sample. Composes [[Dedup.exact]],
+    * [[decontaminate]] and [[sample]] as FLAGS on one row stream —
+    * each stage's verdict is a column, the funnel is a single
+    * map-side-combined aggregation, and no stage re-reads the corpus
+    * from disk more times than its standalone form would. The report a
+    * data-mix owner actually looks at. */
+  def pipelineReport(docs: DataFrame, evalDocs: DataFrame, n: Int,
+                     keepPct: Int): DataFrame = {
+    val keeperIds = Dedup.exact(docs)
+      .filter(col("is_dup") === 0).select(col("doc_id"))
+    val contaminatedIds = decontaminate(docs, evalDocs, n)
+      .select(col("doc_id"), lit(1L).as("contam"))
+    docs.select(col("doc_id"), col("source"))
+      .join(keeperIds.withColumn("keeper", lit(1L)), Seq("doc_id"), "left")
+      .join(contaminatedIds, Seq("doc_id"), "left")
+      .select(col("source"),
+        coalesce(col("keeper"), lit(0L)).as("keeper"),
+        (coalesce(col("keeper"), lit(0L)) === 1L &&
+          coalesce(col("contam"), lit(0L)) === 0L).cast("long").as("clean"),
+        (coalesce(col("keeper"), lit(0L)) === 1L &&
+          coalesce(col("contam"), lit(0L)) === 0L &&
+          mixBucket(col("doc_id")) < bucketThreshold(keepPct))
+          .cast("long").as("sampled"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keeper")).as("n_keepers"),
+        sum(col("clean")).as("n_clean"), sum(col("sampled")).as("n_sampled"))
+  }
+
   /** The scrubbed corpus (same schema as the input). */
   def scrubbedText(docs: DataFrame): DataFrame =
     docs.withColumn("text",

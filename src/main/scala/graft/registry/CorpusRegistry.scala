@@ -51,6 +51,14 @@ object CorpusRegistry {
     }),
     "cp_pii_scrub" -> ((s, d) =>
       Corpus.piiScrub(Tables.documents(s, d))),
+    // Full docs go in as the train side: eval docs self-match and are
+    // flagged contaminated — a training mix must not contain its eval
+    // set, so the funnel drops them by construction.
+    "cp_pipeline_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.pipelineReport(docs,
+        docs.filter(col("doc_id") % EvalMod === 0), DecontamN, KeepPct)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -78,6 +86,28 @@ object CorpusRegistry {
          |  min(ev.eval_id) AS first_eval_id
          |FROM tr JOIN ev ON tr.s = ev.s
          |GROUP BY tr.doc_id""".stripMargin,
+    "cp_pipeline_report" -> {
+      val mixD = s"(d.doc_id % ${Corpus.MixP}) * ${Corpus.MixA} % ${Corpus.MixBuckets}"
+      s"""WITH m AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         |k AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM m),
+         |keepers AS (SELECT doc_id FROM k WHERE doc_id = keep_id),
+         |sh AS (
+         |  SELECT doc_id, unnest(sh) AS s FROM (
+         |    SELECT doc_id, $Sh4 AS sh
+         |    FROM (SELECT doc_id, $ToksExpr AS toks FROM documents))
+         |), ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % $EvalMod = 0),
+         |contam AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev ON sh.s = ev.s)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN kp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
+         |  CAST(sum(CASE WHEN kp.doc_id IS NOT NULL AND c.doc_id IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |  CAST(sum(CASE WHEN kp.doc_id IS NOT NULL AND c.doc_id IS NULL
+         |    AND $mixD < $Threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM documents d
+         |LEFT JOIN keepers kp ON d.doc_id = kp.doc_id
+         |LEFT JOIN contam c ON d.doc_id = c.doc_id
+         |GROUP BY d.source""".stripMargin
+    },
     "cp_pii_scrub" ->
       s"""WITH s1 AS (
          |  SELECT doc_id, text,

@@ -62,6 +62,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == List((1L, 2L, 100L)))
   }
 
+  test("pipeline report: funnel counts match hand-computed stages") {
+    val docs = Seq(
+      (0L, "evaluation question about the quick brown fox jumps", "src0"), // eval (0 % 97 == 0)
+      (1L, "the quick brown fox jumps over a lazy dog", "src0"), // contaminated
+      (2L, "dup text body here completely", "src1"),
+      (3L, "dup text body here completely", "src1"), // exact dup of 2
+      (4L, "clean unique training document number four", "src1"),
+    ).toDF("doc_id", "text", "source")
+    val report = Corpus.pipelineReport(
+        docs, docs.filter($"doc_id" % 97 === 0), n = 4, keepPct = 100)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // src0: eval doc self-contaminates, doc 1 shares a 4-gram → both
+    // keepers, neither clean; src1: dup collapsed, both keepers clean
+    // and (at keepPct=100) sampled
+    assert(report("src0") == ((2L, 2L, 0L, 0L)))
+    assert(report("src1") == ((3L, 2L, 2L, 2L)))
+  }
+
   test("PII scrub redacts what it counts; scrubbed text is PII-free") {
     val docs = Seq(
       (1L, "mail me at alice@example.com or bob.smith@corp.co today", "s"),
