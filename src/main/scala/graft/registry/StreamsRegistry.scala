@@ -20,6 +20,9 @@ object StreamsRegistry {
     "st_sessionize_closed" -> ((s, d) => Streams.sessionizeClosed(s, d)),
     "st_events_hourly" -> ((s, d) => Streams.eventsHourly(s, d)),
     "st_dedup" -> ((s, d) => Streams.dedupExact(s, d)),
+    // stream-stream inner join (watermarked both sides, banded time
+    // constraint = bounded buffered state); bounded run ≡ batch join
+    "st_event_pairs" -> ((s, d) => Streams.eventPairs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -40,6 +43,12 @@ object StreamsRegistry {
     "st_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "st_event_pairs" ->
+      """SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+        |  epoch_us(a.ts) AS ts_a_us, epoch_us(b.ts) AS ts_b_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts
+        |  AND b.ts <= a.ts + INTERVAL 5 MINUTE""".stripMargin,
     "st_sessionize" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

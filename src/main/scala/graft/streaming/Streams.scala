@@ -253,6 +253,52 @@ object Streams {
     spark.table(sink)
   }
 
+  /** The banded join core over two watermarked sides with
+    * (x_user, x_event, x_ts) columns — shared by the file binding and
+    * the MemoryStream state-eviction spec. */
+  private[graft] def bandJoin(a: DataFrame, b: DataFrame,
+                              bandMinutes: Int): DataFrame =
+    a.join(b,
+        col("a_user") === col("b_user") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $bandMinutes MINUTES"))
+      .select(col("a_user").as("user_id"),
+        col("a_event").as("event_a"), col("b_event").as("event_b"),
+        unix_micros(col("a_ts")).as("ts_a_us"),
+        unix_micros(col("b_ts")).as("ts_b_us"))
+
+  /** Stream-STREAM inner self-join: ordered pairs of events from the
+    * same user at most `bandMinutes` apart. Both sides carry a
+    * watermark and the join condition bounds the time band, so each
+    * side's buffered state is evicted once the watermark passes
+    * ts + band + lateness — per-key state is bounded by the band's
+    * event density, the requirement for an unbounded run. For a
+    * bounded AvailableNow run an inner join emits exactly every
+    * matching pair, so the batch band self-join is a valid oracle. */
+  def eventPairs(spark: SparkSession, dir: String, bandMinutes: Int = 5,
+                 lateness: String = "10 minutes"): DataFrame = {
+    def side(alias: String): DataFrame = {
+      val stream = FileStreamSource(s"$dir/events.parquet").stream(spark)
+      val ts =
+        if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts div 1000"))
+        else col("ts")
+      stream
+        .select(col("user_id").as(s"${alias}_user"),
+          col("event_id").as(s"${alias}_event"), ts.as(s"${alias}_ts"))
+        .withWatermark(s"${alias}_ts", lateness)
+    }
+    val pairs = bandJoin(side("a"), side("b"), bandMinutes)
+    val sink = s"st_pairs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = pairs.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** Streaming gap-sessionization via flatMapGroupsWithState — custom
     * per-key state (the open session) maintained by the engine's state
     * store, the Spark-native form of a stateful stream operator. */

@@ -49,6 +49,38 @@ class StateBoundsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream band join: pairs emitted, buffered state evicted by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val B = 60 * M
+    val input = MemoryStream[(Long, Long, Long)]
+    def side(alias: String) = input.toDF().toDF("user_id", "event_id", "ts_us")
+      .select(col("user_id").as(s"${alias}_user"),
+        col("event_id").as(s"${alias}_event"),
+        timestamp_micros(col("ts_us")).as(s"${alias}_ts"))
+      .withWatermark(s"${alias}_ts", "1 minute")
+    val pairs = Streams.bandJoin(side("a"), side("b"), bandMinutes = 2)
+    val q = pairs.writeStream
+      .outputMode("append").format("memory").queryName("sb_pairs").start()
+    try {
+      // two events 1 min apart → one ordered pair; both rows buffered
+      input.addData((1L, 1L, B), (1L, 2L, B + M))
+      q.processAllAvailable()
+      assert(spark.table("sb_pairs").as[(Long, Long, Long, Long, Long)]
+        .collect().toSet == Set((1L, 1L, 2L, B, B + M)))
+      val buffered = stateRows(q)
+      assert(buffered > 0) // both sides hold band-window state
+      // a far-future event advances the watermark past B + band +
+      // lateness on both sides: the old buffered rows must be evicted
+      input.addData((2L, 10L, B + 600 * M))
+      q.processAllAvailable()
+      input.addData((2L, 11L, B + 601 * M))
+      q.processAllAvailable()
+      assert(stateRows(q) < buffered + 4) // old rows gone; only recent remain
+      assert(spark.table("sb_pairs").count() == 2) // (1,2) and (10,11)
+    } finally q.stop()
+  }
+
   test("streaming dedup state is one row per distinct fingerprint") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
