@@ -121,25 +121,25 @@ object Dedup {
   def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 16,
                  rowsPerBand: Int = 8, tau: Double = 0.8): DataFrame = {
     val perms = bands * rowsPerBand
-    // (doc_id, shingle) rows: the ONLY evaluation of the tokenize→
-    // shingle pipeline, persisted because the signature aggregation
-    // and both sides of the verification join re-read it (at cluster
-    // scale this is the standard materialize-the-shingle-table step).
-    val rows = docs
-      .select(col("doc_id"),
-        explode(Text.shingles(Text.tokens(col("text")), n)).as("s"))
+    // (doc_id, sh) shingle ARRAYS: the only evaluation of the
+    // tokenize→shingle pipeline, persisted because the signature
+    // projection and both sides of the verification join re-read it
+    // (the standard materialize-the-shingle-table step, kept in array
+    // form — smaller than exploded rows).
+    val base = docs
+      .select(col("doc_id"), Text.shingles(Text.tokens(col("text")), n).as("sh"))
+      .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Set size + all `perms` signature mins in ONE codegen'd hash
-    // aggregate (map-side combined). The variable-length shingle
-    // string is hashed ONCE (h); each permutation re-hashes the fixed
-    // 8-byte h — standard one-string-hash + k integer mixes, ~16x less
-    // byte traffic than k string hashes.
-    val aggs = count(lit(1)).as("sz") +: (0 until perms).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-    val sigs = rows.withColumn("h", xxhash64(col("s")))
-      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), col("sz"),
-        array((0 until perms).map(i => col(s"m$i")): _*).as("sig"))
+    val rows = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    // All `perms` signature mins in ONE per-row codegen'd kernel
+    // (graft.plans.MinHashKernels): the shingle string is hashed once,
+    // each permutation re-mixes the fixed 8-byte hash. Signatures are
+    // a scan-side PROJECTION — the r4 shape's hash-partitioned
+    // 128-column aggregate of the exploded shingle table (one full
+    // exchange of every (doc, shingle) row) is gone; bit-identical
+    // output (PlansSpec).
+    val sigs = base.select(col("doc_id"), size(col("sh")).as("sz"),
+      graft.plans.Exprs.minhashSig(col("sh"), perms).as("sig"))
     val banded = sigs.select(col("doc_id"),
         posexplode(Hashing.bandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "bkey")))

@@ -119,6 +119,29 @@ case class NearestCellsExpr(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** `minhash_sig(shingles, perms)`: the per-row MinHash signature —
+  * see [[MinHashKernels.sig]] for the exact hash chain and why a
+  * projection beats the wide min-aggregate at scale. */
+case class MinHashSigExpr(child: Expression, perms: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig() needs array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernels.sig(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], perms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.MinHashKernels.sig($c, $perms)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
 object Exprs {
   /** Column wrapper for [[TokenizeExpr]]. */
   def tokens(c: Column): Column =
@@ -133,6 +156,10 @@ object Exprs {
   def nearestCells(v: Column, cids: Column, units: Column, nProbe: Int): Column =
     ColumnBridge.column(NearestCellsExpr(ColumnBridge.expression(v),
       ColumnBridge.expression(cids), ColumnBridge.expression(units), nProbe))
+
+  /** Column wrapper for [[MinHashSigExpr]]. */
+  def minhashSig(shingles: Column, perms: Int): Column =
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), perms))
 
   /** Column wrapper for [[TopKByScore]] (as an aggregate). */
   def topK(score: Column, id: Column, k: Int): Column =

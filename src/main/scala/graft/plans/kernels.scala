@@ -137,3 +137,48 @@ object IvfKernels {
     if (cmp != 0) cmp > 0 else i1 < i2
   }
 }
+
+/** Per-row MinHash signature: for each permutation i, the minimum of
+  * `xxhash64(i, xxhash64(s))` over the row's shingle set — the exact
+  * chain Spark's XxHash64 expression evaluates (seed 42; children
+  * folded as hash = compute(child, prevHash)), so this kernel is
+  * bit-identical to the 128-column min-aggregate it replaces while
+  * needing NO shuffle: signatures become a scan-side projection
+  * instead of a hash-partitioned aggregation of the exploded shingle
+  * table (one full exchange removed from the MinHash pipeline).
+  */
+object MinHashKernels {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  private val Seed = 42L
+
+  /** Empty input → empty signature (callers filter empty shingle sets
+    * out before signing, same as the aggregate path which never saw a
+    * row for them). */
+  def sig(shingles: ArrayData, perms: Int): ArrayData = {
+    val n = shingles.numElements()
+    val hs = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val s = shingles.getUTF8String(j)
+      hs(j) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, Seed)
+      j += 1
+    }
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](perms)
+    var i = 0
+    while (i < perms) {
+      val permSeed = XXH64.hashInt(i, Seed)
+      var m = Long.MaxValue
+      var k = 0
+      while (k < n) {
+        val v = XXH64.hashLong(hs(k), permSeed)
+        if (v < m) m = v
+        k += 1
+      }
+      out(i) = m
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

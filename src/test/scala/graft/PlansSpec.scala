@@ -17,6 +17,31 @@ class PlansSpec extends AnyFunSuite {
   private def hofTokens(c: org.apache.spark.sql.Column) =
     filter(transform(split(c, "[^\\p{L}]+"), w => lower(w)), w => w =!= lit(""))
 
+  test("MinHashSigExpr == xxhash64 min-aggregate composition, bit for bit") {
+    import graft.functions.Text
+    val rnd = new scala.util.Random(5L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "İst", "straße", "北京")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(4 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val perms = 32
+    val sh = docs
+      .select(col("doc_id"), Text.shingles(Text.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val viaExpr = sh
+      .select(col("doc_id"), Exprs.minhashSig(col("sh"), perms).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // the pre-round-5 shape: explode + wide min-aggregate
+    val aggs = (0 until perms).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    val viaAgg = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until perms).map(i => col(s"m$i")): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaExpr.nonEmpty && viaExpr == viaAgg)
+  }
+
   test("TokenizeExpr == split-then-lower HOF composition, incl. Unicode") {
     val texts = Seq(
       "Hello, hello world! 42",
