@@ -175,23 +175,16 @@ object Dedup {
     * least one whole band, so band-equality candidate generation is
     * exact, not approximate, for maxDist ≤ 3. */
   def simhash(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    // Term frequencies once, then all 64 bit votes as conditional-sum
-    // aggregates in ONE codegen'd pass (no per-bit row blowup): vote_j
-    // = Σ ±cnt by bit j of xxhash64(word); sign → bit of the sketch.
-    val tf = docs
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("word")))
-    val voteAggs = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"v$j"))
-    val sims = tf.groupBy(col("doc_id"))
-      .agg(voteAggs.head, voteAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(j =>
-          when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+    // All 64 bit votes in one per-row codegen'd kernel
+    // (graft.plans.SimHashKernels): vote_j = Σ ±1 per occurrence by
+    // bit j of xxhash64(word) — identical to the r4 shape's tf-
+    // weighted ±cnt sums (PlansSpec-proven bit-for-bit), but as a
+    // scan-side projection: both sketch-stage shuffles (the
+    // (doc, word) tf aggregate and the 64-vote aggregate) are gone.
+    val sims = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), graft.plans.Exprs.simhash(col("toks")).as("simhash"))
     val banded = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), Hashing.simhashBand(col("simhash"), b).as("bkey"))): _*))

@@ -142,6 +142,29 @@ case class MinHashSigExpr(child: Expression, perms: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** `simhash(tokens)`: the per-row 64-bit SimHash sketch — see
+  * [[SimHashKernels.simhash]] for vote semantics and the two shuffles
+  * this projection removes. */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash() needs array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashKernels.simhash(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHashKernels.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
 object Exprs {
   /** Column wrapper for [[TokenizeExpr]]. */
   def tokens(c: Column): Column =
@@ -160,6 +183,10 @@ object Exprs {
   /** Column wrapper for [[MinHashSigExpr]]. */
   def minhashSig(shingles: Column, perms: Int): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), perms))
+
+  /** Column wrapper for [[SimHashExpr]]. */
+  def simhash(tokens: Column): Column =
+    ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))
 
   /** Column wrapper for [[TopKByScore]] (as an aggregate). */
   def topK(score: Column, id: Column, k: Int): Column =

@@ -182,3 +182,41 @@ object MinHashKernels {
     new GenericArrayData(out)
   }
 }
+
+/** Per-row 64-bit SimHash: per-token xxhash64 bit votes (one vote per
+  * OCCURRENCE — identical to the tf-weighted ±cnt sums of the r4
+  * two-aggregate shape, since Σ_distinct ±cnt ≡ Σ_occurrences ±1 and
+  * long addition is order-independent), sign → bit. Replaces BOTH
+  * sketch-stage shuffles (the (doc, word) tf aggregate and the 64-vote
+  * aggregate) with a scan-side projection.
+  */
+object SimHashKernels {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  private val Seed = 42L
+
+  /** Empty token array → all votes negative → sketch 0L (same as the
+    * aggregate path never emitting a row; callers pre-filter). */
+  def simhash(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val votes = new Array[Long](64)
+    var t = 0
+    while (t < n) {
+      val s = tokens.getUTF8String(t)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, Seed)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+}

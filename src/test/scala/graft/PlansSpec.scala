@@ -42,6 +42,35 @@ class PlansSpec extends AnyFunSuite {
     assert(viaExpr.nonEmpty && viaExpr == viaAgg)
   }
 
+  test("SimHashExpr == tf-weighted vote-aggregate composition, bit for bit") {
+    import graft.functions.Text
+    val rnd = new scala.util.Random(7L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "İst", "straße", "北京")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val viaExpr = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), Exprs.simhash(col("toks")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    // the pre-round-5 shape: tf aggregate + 64 conditional-sum votes
+    val tf = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("word")))
+    val voteAggs = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"v$j"))
+    val viaAgg = tf.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr.nonEmpty && viaExpr == viaAgg)
+  }
+
   test("TokenizeExpr == split-then-lower HOF composition, incl. Unicode") {
     val texts = Seq(
       "Hello, hello world! 42",
