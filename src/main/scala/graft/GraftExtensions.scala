@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{DotExpr, NearestCellsExpr, TokenizeExpr, TopKByScore}
+import graft.plans.{DotExpr, MinHashSigExpr, NearestCellsExpr, SimHashExpr, TokenizeExpr, TopKByScore}
 
 /** SparkSessionExtensions hook: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT graft_tokens(text) …")`
@@ -38,6 +38,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_nearest_cells(v, cids, units, nProbe) takes four arguments")
         NearestCellsExpr(args.head, args(1), args(2), intLit(args(3),
           "graft_nearest_cells nProbe"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_minhash_sig(shingles, perms) takes two arguments")
+        MinHashSigExpr(args.head, intLit(args(1), "graft_minhash_sig perms"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash(tokens) takes one argument")
+        SimHashExpr(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_topk"),

@@ -38,6 +38,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(cell == Seq(20L)) // the x-axis centroid
   }
 
+  test("graft_minhash_sig / graft_simhash are SQL-callable via session extensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // SQL result == Column-API kernel result (same expression class)
+    val sig = spark.sql(
+      "SELECT graft_minhash_sig(array('a b c', 'b c d'), 4) AS sig")
+      .as[Seq[Long]].head()
+    val sigCol = Seq(Seq("a b c", "b c d")).toDF("sh")
+      .select(graft.plans.Exprs.minhashSig(col("sh"), 4).as("sig"))
+      .as[Seq[Long]].head()
+    assert(sig == sigCol && sig.length == 4)
+    val sh = spark.sql("SELECT graft_simhash(array('x', 'x', 'y')) AS s")
+      .as[Long].head()
+    val shCol = Seq(Seq("x", "x", "y")).toDF("t")
+      .select(graft.plans.Exprs.simhash(col("t")).as("s")).as[Long].head()
+    assert(sh == shCol)
+  }
+
   test("text corpus source mirrors the reference's file-walk input") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_corpus").toString
