@@ -23,6 +23,10 @@ object StreamsRegistry {
     // stream-stream inner join (watermarked both sides, banded time
     // constraint = bounded buffered state); bounded run ≡ batch join
     "st_event_pairs" -> ((s, d) => Streams.eventPairs(s, d)),
+    // incremental MinHash near-dup candidates (per-row signatures +
+    // stateful capped buckets); no SQL oracle (xxhash64) — StreamsSpec
+    // proves cross-batch pairing, unrelated isolation, and the cap
+    "st_minhash_cand" -> ((s, d) => Streams.minhashCandidates(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -253,6 +253,72 @@ object Streams {
     spark.table(sink)
   }
 
+  /** A near-dup candidate pair (id_a < id_b). */
+  case class CandPair(id_a: Long, id_b: Long)
+
+  /** Per-bucket group function for streaming MinHash: each (band,
+    * bkey) bucket keeps its `maxBucket` most recent member doc ids in
+    * state; an arriving doc pairs with every stored member, then joins
+    * the bucket (FIFO-capped — the bound that keeps per-bucket state
+    * and per-arrival work O(maxBucket) forever). Docs within a batch
+    * process in doc_id order so a bounded replay is deterministic. */
+  def minhashBucketGroup(maxBucket: Int)(
+      key: (Int, Long), rows: Iterator[(Long, Int, Long)],
+      state: GroupState[Seq[Long]]): Iterator[CandPair] = {
+    var members = state.getOption.getOrElse(Seq.empty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+    rows.map(_._1).toSeq.sorted.foreach { id =>
+      members.foreach { m =>
+        if (m != id) out += (if (m < id) CandPair(m, id) else CandPair(id, m))
+      }
+      members = (members :+ id).takeRight(maxBucket)
+    }
+    state.update(members)
+    out.iterator
+  }
+
+  /** Streaming MinHash near-dup candidate detection — the incremental
+    * form of [[graft.operators.Dedup.minhashLsh]]'s candidate stage,
+    * possible as a stream because the banded signature is now a
+    * PER-ROW projection ([[graft.plans.MinHashSigExpr]]), not an
+    * aggregate: sign → band → stateful bucket membership, one shuffle
+    * on the (band, bkey) key per micro-batch. Candidates feed a batch
+    * exact-Jaccard verify (same contract as the batch pipeline).
+    * With `maxBucket` ≥ the largest bucket occupancy a bounded run
+    * emits exactly the batch pipeline's banded candidate set. */
+  def minhashCandidatesFromStream(docs: DataFrame, n: Int = 3,
+                                  bands: Int = 16, rowsPerBand: Int = 8,
+                                  maxBucket: Int = 1024): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), Text.shingles(Text.tokens(col("text")), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), posexplode(graft.functions.Hashing.bandKeys(
+          graft.plans.Exprs.minhashSig(col("sh"), bands * rowsPerBand),
+          bands, rowsPerBand)).as(Seq("band", "bkey")))
+      .as[(Long, Int, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        minhashBucketGroup(maxBucket))
+  }
+
+  /** File-source binding of [[minhashCandidatesFromStream]]: bounded
+    * AvailableNow run, distinct pair set (a pair can surface from
+    * several bands and batches). */
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val stream = FileStreamSource(s"$dir/documents.parquet").stream(spark)
+    val cands = minhashCandidatesFromStream(stream)
+    val sink = s"st_mh_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = cands.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).distinct()
+  }
+
   /** The banded join core over two watermarked sides with
     * (x_user, x_event, x_ts) columns — shared by the file binding and
     * the MemoryStream state-eviction spec. */

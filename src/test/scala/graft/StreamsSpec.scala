@@ -14,6 +14,56 @@ import graft.streaming.Streams.SessionEvent
 class StreamsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.get
 
+  test("streaming minhash: near-dup candidates across batches, bucket state capped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val input = MemoryStream[(Long, String, String)]
+    val cands = Streams.minhashCandidatesFromStream(
+      input.toDF().toDF("doc_id", "text", "source"))
+    val q = cands.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("spec_mh").start()
+    try {
+      // batch 1: doc 1; batch 2: a case-changed duplicate (identical
+      // token stream → identical signature → every band matches)
+      // arrives LATER and must pair against the state from batch 1,
+      // plus an unrelated doc
+      input.addData((1L, base, "s"))
+      q.processAllAvailable()
+      input.addData((2L, base.replace("theta", "THETA"), "s"),
+        (4L, "completely different words entirely unrelated here", "s"))
+      q.processAllAvailable()
+      val pairs = spark.table("spec_mh").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L))) // cross-batch candidate via stored state
+      assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    } finally q.stop()
+  }
+
+  test("streaming minhash bucket cap bounds state and pair fan-out") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val text = "one two three four five six seven eight nine ten"
+    val input = MemoryStream[(Long, String, String)]
+    // five identical docs, cap 2: FIFO bucket keeps 2 members, so doc k
+    // pairs only with the two docs before it — 7 distinct pairs, not 10
+    val cands = Streams.minhashCandidatesFromStream(
+      input.toDF().toDF("doc_id", "text", "source"), maxBucket = 2)
+    val q = cands.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("spec_mh_cap").start()
+    try {
+      input.addData((1L to 5L).map(i => (i, text, "s")): _*)
+      q.processAllAvailable()
+      val pairs = spark.table("spec_mh_cap").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (3L, 5L), (4L, 5L)))
+    } finally q.stop()
+  }
+
   test("sessionizer state carries open sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
