@@ -57,6 +57,43 @@ object Analytics {
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
 
+  /** TPC-H Q6-style forecast revenue: the pure scan-aggregate — every
+    * predicate pushes to the parquet scan (shipdate range, discount
+    * band, quantity cap all appear in PushedFilters), one decimal
+    * scalar aggregate, no join, no wide shuffle. The canonical "is
+    * pushdown working" probe. */
+  def forecastRevenue(lineitem: DataFrame, yearStart: String,
+                      yearEnd: String, discLo: Double, discHi: Double,
+                      qtyMax: Double): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(yearStart).cast("timestamp") &&
+        col("l_shipdate") < lit(yearEnd).cast("timestamp") &&
+        col("l_discount").between(discLo, discHi) &&
+        col("l_quantity") < qtyMax)
+      .agg(Num.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** TPC-H Q10-style returned-item report: customers ranked by revenue
+    * lost to returns in a quarter. The return-flag filter prunes
+    * lineitem at the scan; nation broadcasts; the fact joins shuffle
+    * on their keys; TakeOrdered caps the result. */
+  def returnedItems(customer: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame, nation: DataFrame,
+                    qStart: String, qEnd: String): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit(qStart).cast("timestamp") &&
+        col("o_orderdate") < lit(qEnd).cast("timestamp"))
+      .join(lineitem.filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
   /** TPC-H Q5-style local-supplier volume: the 6-way join. region and
     * nation are broadcast (tiny at any SF); customer⋈orders⋈lineitem⋈
     * supplier shuffle on their keys. */

@@ -25,6 +25,13 @@ object AnalyticsRegistry {
       Analytics.localSupplierVolume(Tables.region(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.supplier(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), "ASIA", "1996-01-01", "1997-01-01")),
+    "q6_forecast_revenue" -> ((s, d) =>
+      Analytics.forecastRevenue(Tables.lineitem(s, d),
+        "1996-01-01", "1997-01-01", 0.05, 0.07, 24.0)),
+    "q10_returned_items" -> ((s, d) =>
+      Analytics.returnedItems(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.nation(s, d),
+        "1996-01-01", "1996-04-01")),
     "q_top_customers_window" -> ((s, d) =>
       Analytics.topCustomersPerNation(Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), 5)),
@@ -83,6 +90,27 @@ object AnalyticsRegistry {
          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, l_orderkey ASC
          |LIMIT 10""".stripMargin,
+    "q6_forecast_revenue" ->
+      s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  c_acctbal, n_name
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey ASC
+         |LIMIT 20""".stripMargin,
     "q5_local_supplier" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
