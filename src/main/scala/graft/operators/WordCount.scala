@@ -58,6 +58,19 @@ object WordCount {
   def topK(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
     wordCount(docs, textCol).orderBy(col("cnt").desc, col("word").asc).limit(k)
 
+  /** Top-k corpus word n-grams WITH multiplicity — the language-model
+    * statistic (n-gram frequency table) word count generalizes to.
+    * Same plan shape as [[wordCount]]: explode → map-side-combined
+    * count → one shuffle on the n-gram key. */
+  def ngramCounts(docs: DataFrame, n: Int, k: Int,
+                  textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(Text.ngrams(Text.tokens(col(textCol)), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+
   /** Word counts per corpus grouping column (the reference's
     * multi-file corpus, reference main.go:102-105). */
   def perGroup(docs: DataFrame, groupCol: String,

@@ -41,6 +41,8 @@ object WcRegistry {
       WordCount.topK(Tables.documents(s, d), 20)),
     "wc_per_source" -> ((s, d) =>
       WordCount.perGroup(Tables.documents(s, d), "source")),
+    "wc_trigrams" -> ((s, d) =>
+      WordCount.ngramCounts(Tables.documents(s, d), 3, 50)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -66,5 +68,19 @@ object WcRegistry {
       s"""$TokCte
          |SELECT source, word, count(*) AS cnt FROM toks
          |GROUP BY source, word""".stripMargin,
+    // n-grams WITH multiplicity (not the dedup families' distinct sets)
+    "wc_trigrams" ->
+      """WITH base AS (
+        |  SELECT list_filter(list_transform(
+        |    regexp_split_to_array(text, '[^\p{L}]+'), w -> lower(w)),
+        |    w -> w <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT unnest(list_transform(range(greatest(len(toks) - 2, 0)),
+        |    i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3]))) AS ngram
+        |  FROM base
+        |)
+        |SELECT ngram, count(*) AS cnt FROM g
+        |GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 50""".stripMargin,
   )
 }
