@@ -165,6 +165,30 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `zorder(a, b)`: bit-interleaved Z-curve value of two long keys —
+  * see [[ZOrderKernels.interleave]]. */
+case class ZOrderExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"zorder() needs two bigint inputs, got ${a.catalogString} / ${b.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrderKernels.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.ZOrderKernels.interleave($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrderExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object Exprs {
   /** Column wrapper for [[TokenizeExpr]]. */
   def tokens(c: Column): Column =
@@ -187,6 +211,11 @@ object Exprs {
   /** Column wrapper for [[SimHashExpr]]. */
   def simhash(tokens: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))
+
+  /** Column wrapper for [[ZOrderExpr]]. */
+  def zorder(a: Column, b: Column): Column =
+    ColumnBridge.column(ZOrderExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column wrapper for [[TopKByScore]] (as an aggregate). */
   def topK(score: Column, id: Column, k: Int): Column =

@@ -220,3 +220,24 @@ object SimHashKernels {
     out
   }
 }
+
+/** Bit-interleaved Z-order value for two keys: bit i of `a` lands at
+  * position 2i, bit i of `b` at 2i+1, so sorting by the result walks
+  * the Z space-filling curve — rows close in BOTH keys land in the
+  * same files, and a range predicate on EITHER key prunes files
+  * (unlike a single-column sort, which clusters one key and scatters
+  * the other). Designed for non-negative keys that fit 32 bits
+  * (surrogate keys); higher bits are ignored.
+  */
+object ZOrderKernels {
+  def interleave(a: Long, b: Long): Long = {
+    var out = 0L
+    var i = 0
+    while (i < 32) {
+      out |= ((a >>> i) & 1L) << (2 * i)
+      out |= ((b >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    out
+  }
+}

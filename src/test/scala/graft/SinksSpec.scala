@@ -29,4 +29,40 @@ class SinksSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters: [isnotnull(lang"),
       s"expected partition pruning in:\n$scan")
   }
+
+  test("z-ordered layout prunes range queries on BOTH keys; sorted layout only one") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val li = Tables.lineitem(spark, d).select("l_orderkey", "l_partkey")
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val sDir = java.nio.file.Files.createTempDirectory("graft_s").toString
+    Sinks.writeZOrdered(li, zDir, "l_orderkey", "l_partkey", files = 8)
+    // the comparison layout: single-column sort (clusters orderkey only)
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(sDir)
+    // per-file (min, max) of l_partkey: how many files would a
+    // partkey-range predicate have to read under each layout?
+    def spans(dir: String): Seq[(Long, Long)] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+          spark.read.parquet(f.toString)
+            .agg(min("l_partkey"), max("l_partkey"))
+            .as[(Long, Long)].head()
+        }
+    val (pkLo, pkHi) = li.agg(min("l_partkey"), max("l_partkey"))
+      .as[(Long, Long)].head()
+    val boxLo = pkLo + (pkHi - pkLo) / 2
+    val boxHi = boxLo + (pkHi - pkLo) / 8
+    def hits(ss: Seq[(Long, Long)]): Int =
+      ss.count { case (lo, hi) => hi >= boxLo && lo <= boxHi }
+    val (zHits, sHits) = (hits(spans(zDir)), hits(spans(sDir)))
+    // orderkey-sorted files each span nearly the full partkey range →
+    // a partkey predicate reads ~every file; the Z layout keeps file
+    // rectangles tight in both dimensions
+    assert(sHits >= 7, s"expected the sorted layout to read ~all files, got $sHits/8")
+    assert(zHits < sHits, s"z-order should prune: z=$zHits sorted=$sHits")
+    // and the layout is lossless
+    assert(spark.read.parquet(zDir).count() == li.count())
+  }
 }
