@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -226,6 +228,73 @@ object Analytics {
         .as("ps"))
       .select(col("event_type"), col("ps")(0).as("p50"),
         col("ps")(1).as("p90"), col("ps")(2).as("p99"))
+
+  private val viewSeq = new AtomicLong(0)
+
+  /** Register `df` under a fresh temp-view name and return the name.
+    * The correlated-subquery operators go through `spark.sql` ON
+    * PURPOSE: a correlated subquery only exists at the SQL layer, and
+    * the point is to hand Catalyst the correlated form and let its
+    * decorrelation rules (RewriteCorrelatedScalarSubquery,
+    * RewritePredicateSubquery) produce the agg+join plan — not to
+    * hand-decorrelate in the DataFrame API, which would bypass the
+    * machinery entirely. Names are counter-unique so concurrent
+    * Verify threads and repeated Bench passes never collide. */
+  private def tempView(spark: SparkSession, df: DataFrame,
+                       prefix: String): String = {
+    val name = s"graft_${prefix}_${viewSeq.incrementAndGet()}"
+    df.createOrReplaceTempView(name)
+    name
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: yearly revenue lost if
+    * small orders (below `qtyFactor` x the part's average quantity)
+    * were not filled. The scalar CORRELATED subquery
+    * `(SELECT 0.2*avg(l_quantity) ... WHERE l2.l_partkey = p_partkey)`
+    * decorrelates to a per-partkey aggregate joined back on the key —
+    * never a per-row re-execution and never a BroadcastNestedLoopJoin
+    * (plan-asserted in AnalyticsSpec and recorded in PLANS.md). The
+    * quantity average runs decimal-exact on both engines so boundary
+    * rows can't flip on float association. */
+  def smallQtyRevenue(spark: SparkSession, lineitem: DataFrame,
+                      part: DataFrame, brand: String,
+                      qtyFactor: Double): DataFrame = {
+    val li = tempView(spark, lineitem, "q17_li")
+    val pt = tempView(spark, part, "q17_pt")
+    spark.sql(
+      s"""SELECT ${Num.dsumSql("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM $li JOIN $pt ON p_partkey = l_partkey
+         |WHERE p_brand = '$brand'
+         |  AND l_quantity < (SELECT $qtyFactor * ${Num.davgSql("l_quantity")}
+         |                    FROM $li l2 WHERE l2.l_partkey = p_partkey)
+         |""".stripMargin)
+  }
+
+  /** TPC-H Q18-style large-order customers: orders whose total line
+    * quantity exceeds `minQty`, with their customers. The IN-subquery
+    * over a HAVING aggregate decorrelates to a left-semi join against
+    * the aggregated orderkey set (one hash aggregate + one equi-join,
+    * plan-asserted). Quantity sums are decimal-exact on both engines so
+    * the HAVING boundary is reproducible at any parallelism. */
+  def largeOrders(spark: SparkSession, customer: DataFrame,
+                  orders: DataFrame, lineitem: DataFrame,
+                  minQty: Double, n: Int): DataFrame = {
+    val cu = tempView(spark, customer, "q18_cu")
+    val or = tempView(spark, orders, "q18_or")
+    val li = tempView(spark, lineitem, "q18_li")
+    spark.sql(
+      s"""SELECT c_name, c_custkey, o_orderkey,
+         |  date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+         |  o_totalprice, ${Num.dsumSql("l_quantity")} AS total_qty
+         |FROM $cu JOIN $or ON c_custkey = o_custkey
+         |JOIN $li ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM $li GROUP BY l_orderkey
+         |  HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > $minQty)
+         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderkey ASC
+         |LIMIT $n""".stripMargin)
+  }
 
   /** Semi/anti-join census: per market segment, how many customers
     * have at least one order vs none. Two hash semi-joins (no payload

@@ -32,6 +32,12 @@ object AnalyticsRegistry {
       Analytics.returnedItems(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), Tables.nation(s, d),
         "1996-01-01", "1996-04-01")),
+    "q17_small_qty_revenue" -> ((s, d) =>
+      Analytics.smallQtyRevenue(s, Tables.lineitem(s, d), Tables.part(s, d),
+        "Brand#13", 0.2)),
+    "q18_large_orders" -> ((s, d) =>
+      Analytics.largeOrders(s, Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), 250.0, 100)),
     "q_top_customers_window" -> ((s, d) =>
       Analytics.topCustomersPerNation(Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), 5)),
@@ -124,6 +130,24 @@ object AnalyticsRegistry {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY n_name""".stripMargin,
+    "q17_small_qty_revenue" ->
+      s"""SELECT ${dsumSql("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#13'
+         |  AND l_quantity < (SELECT 0.2 * ${davgSql("l_quantity")}
+         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q18_large_orders" ->
+      s"""SELECT c_name, c_custkey, o_orderkey,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         |  o_totalprice, ${dsumSql("l_quantity")} AS total_qty
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+         |  HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 250.0)
+         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderkey ASC
+         |LIMIT 100""".stripMargin,
     "q_top_customers_window" ->
       s"""WITH spend AS (
          |  SELECT c_custkey, c_name, c_nationkey,

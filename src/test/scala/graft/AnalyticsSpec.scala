@@ -65,4 +65,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.map(x => (x._1, x._3)).toSeq == Seq(
       ("1970-01-01 00:00:00", 2L), ("1970-01-01 01:00:00", 1L)))
   }
+
+  test("correlated subqueries decorrelate to hash joins, never nested loops") {
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    val q17 = Analytics.smallQtyRevenue(spark, Tables.lineitem(spark, d),
+      Tables.part(spark, d), "Brand#13", 0.2)
+    val q18 = Analytics.largeOrders(spark, Tables.customer(spark, d),
+      Tables.orders(spark, d), Tables.lineitem(spark, d), 250.0, 100)
+    val p17 = q17.queryExecution.executedPlan.toString
+    val p18 = q18.queryExecution.executedPlan.toString
+    // decorrelation produced real join operators...
+    assert(!p17.contains("BroadcastNestedLoopJoin"), p17)
+    assert(!p18.contains("BroadcastNestedLoopJoin"), p18)
+    // ...the scalar subquery became an aggregate joined on the
+    // correlation key, and the IN-subquery a left-semi hash join.
+    assert(p17.contains("HashJoin"), p17)
+    assert(p18.contains("LeftSemi"), p18)
+    // and the results are right (oracle re-checks at sf0.01):
+    assert(q17.collect().length == 1)
+    val rows = q18.collect()
+    assert(rows.length == 25 && rows.forall(_.getDouble(5) > 250.0))
+  }
 }
