@@ -25,7 +25,13 @@ object Dedup {
     * per map task, not all its rows, to the exchange) and the join is
     * AQE-skew-splittable; the keeper side is at most one row per
     * distinct fp. */
-  private def keepByMinId(keyed: DataFrame): DataFrame = {
+  private def keepByMinId(keyed0: DataFrame): DataFrame = {
+    // Persist the slim (doc_id, fp) projection: both the keeper
+    // aggregate and the join-back read it, and without the persist each
+    // read re-scans and re-hashes the full text column — a 2x IO tax on
+    // the corpus. ~40 bytes/doc cached vs the document bytes scanned;
+    // the same shingleRows trick below.
+    val keyed = keyed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = keyed.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
     // null-SAFE join key: a null fingerprint (null text) forms a group
     // in the aggregate, and the join-back must not drop it — same
