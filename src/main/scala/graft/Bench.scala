@@ -59,8 +59,11 @@ object Bench {
 
   private def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
 
-  /** 4-decimal (0.1 ms) rendering keeps the driver-parsed line short. */
-  private def fmt(d: Double): String = "%.4f".format(d)
+  /** 4-decimal (0.1 ms) rendering keeps the driver-parsed line short.
+    * Locale-pinned: a comma-decimal default locale would print 0,4725
+    * and break the driver's JSON parse. */
+  private def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -58,7 +58,9 @@ object Similarity {
     * already applies the cell-assignment/bucketing expressions would
     * evaluate them twice per query. */
   private def fitsBroadcast(df: DataFrame, maxRows: Long): Boolean = {
-    val capped = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    // clamp BEFORE the +1: maxRows = Long.MaxValue ("always broadcast")
+    // must not overflow into a negative limit.
+    val capped = (math.min(maxRows, Int.MaxValue - 1L) + 1L).toInt
     df.limit(capped).count() <= maxRows
   }
 

@@ -153,15 +153,22 @@ object MinHashKernels {
 
   /** Empty input → empty signature (callers filter empty shingle sets
     * out before signing, same as the aggregate path which never saw a
-    * row for them). */
+    * row for them). Null elements are skipped — `graft_minhash_sig` is
+    * a registered SQL function, so the input array may carry nulls a
+    * set semantics treats as absent (the operators themselves never
+    * produce them). */
   def sig(shingles: ArrayData, perms: Int): ArrayData = {
-    val n = shingles.numElements()
-    val hs = new Array[Long](n)
+    val nIn = shingles.numElements()
+    val hs = new Array[Long](nIn)
+    var n = 0
     var j = 0
-    while (j < n) {
-      val s = shingles.getUTF8String(j)
-      hs(j) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-        s.numBytes, Seed)
+    while (j < nIn) {
+      if (!shingles.isNullAt(j)) {
+        val s = shingles.getUTF8String(j)
+        hs(n) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, Seed)
+        n += 1
+      }
       j += 1
     }
     if (n == 0) return new GenericArrayData(Array.emptyLongArray)
@@ -195,19 +202,23 @@ object SimHashKernels {
   private val Seed = 42L
 
   /** Empty token array → all votes negative → sketch 0L (same as the
-    * aggregate path never emitting a row; callers pre-filter). */
+    * aggregate path never emitting a row; callers pre-filter). Null
+    * tokens are skipped — `graft_simhash` is SQL-callable, so the array
+    * may carry nulls even though the operators never produce them. */
   def simhash(tokens: ArrayData): Long = {
     val n = tokens.numElements()
     val votes = new Array[Long](64)
     var t = 0
     while (t < n) {
-      val s = tokens.getUTF8String(t)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-        s.numBytes, Seed)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
+      if (!tokens.isNullAt(t)) {
+        val s = tokens.getUTF8String(t)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, Seed)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
       }
       t += 1
     }

@@ -271,7 +271,10 @@ object Streams {
       members.foreach { m =>
         if (m != id) out += (if (m < id) CandPair(m, id) else CandPair(id, m))
       }
-      members = (members :+ id).takeRight(maxBucket)
+      // membership check: a replayed/duplicate doc must not occupy a
+      // second FIFO slot and prematurely evict a distinct member
+      // (members is ≤ maxBucket, so the linear scan is bounded).
+      if (!members.contains(id)) members = (members :+ id).takeRight(maxBucket)
     }
     state.update(members)
     out.iterator

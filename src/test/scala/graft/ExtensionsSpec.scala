@@ -56,6 +56,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sh == shCol)
   }
 
+  test("sketch SQL functions treat NULL array elements as absent") {
+    import spark.implicits._
+    // SQL-callable surface: the array type is containsNull=true there,
+    // so a null element must not crash codegen — set semantics says
+    // a null shingle/token simply isn't in the set.
+    val withNull = spark.sql(
+      "SELECT graft_minhash_sig(array('a', CAST(NULL AS STRING), 'b'), 4) AS sig")
+      .as[Seq[Long]].head()
+    val without = spark.sql(
+      "SELECT graft_minhash_sig(array('a', 'b'), 4) AS sig")
+      .as[Seq[Long]].head()
+    assert(withNull == without)
+    val shNull = spark.sql(
+      "SELECT graft_simhash(array('x', CAST(NULL AS STRING), 'y')) AS s")
+      .as[Long].head()
+    val shPlain = spark.sql("SELECT graft_simhash(array('x', 'y')) AS s")
+      .as[Long].head()
+    assert(shNull == shPlain)
+  }
+
   test("text corpus source mirrors the reference's file-walk input") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_corpus").toString
