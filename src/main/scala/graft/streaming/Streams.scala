@@ -256,28 +256,69 @@ object Streams {
   /** A near-dup candidate pair (id_a < id_b). */
   case class CandPair(id_a: Long, id_b: Long)
 
+  /** Default idle-bucket TTL: long enough that any bounded
+    * (AvailableNow / spec) run completes inside it — so the ≡-batch
+    * candidate contract holds — while still bounding an unbounded run's
+    * state to the buckets touched in the last hour of event time. */
+  val DefaultBucketIdleTtlMs: Long = 60L * 60L * 1000L
+
+  /** One banded doc arrival: the event-time `ts` must reach the
+    * stateful operator for EventTimeTimeout (an Instant keeps micros). */
+  case class BandedDoc(doc_id: Long, ts: java.time.Instant,
+                       band: Int, bkey: Long)
+
   /** Per-bucket group function for streaming MinHash: each (band,
     * bkey) bucket keeps its `maxBucket` most recent member doc ids in
     * state; an arriving doc pairs with every stored member, then joins
     * the bucket (FIFO-capped — the bound that keeps per-bucket state
     * and per-arrival work O(maxBucket) forever). Docs within a batch
-    * process in doc_id order so a bounded replay is deterministic. */
-  def minhashBucketGroup(maxBucket: Int)(
-      key: (Int, Long), rows: Iterator[(Long, Int, Long)],
+    * process in doc_id order so a bounded replay is deterministic.
+    *
+    * State KEY-COUNT bound: the FIFO caps rows per bucket, but the
+    * number of (band, bkey) buckets grows with the corpus — unbounded
+    * without eviction. Each update arms a WATERMARK-driven timeout at
+    * last-touch + `idleTtlMs`; a bucket untouched while the event-time
+    * watermark crosses that point is REMOVED (EventTimeTimeout, the
+    * same machinery as the closed-session operator — chosen over
+    * ProcessingTimeTimeout, whose shouldRunAnotherBatch=true busy-loops
+    * AvailableNow/processAllAvailable drains). The recall trade is
+    * explicit: a new doc cannot pair with members last seen more than
+    * idleTtlMs of event time ago — near-dup detection over a sliding
+    * recency window, the standard contract for an unbounded streaming
+    * dedup. Runs whose event-time span stays inside the TTL (all
+    * specs, any bounded drain with batch-time stamps) see the exact
+    * batch candidate set. */
+  def minhashBucketGroup(maxBucket: Int,
+                         idleTtlMs: Long = DefaultBucketIdleTtlMs)(
+      key: (Int, Long), rows: Iterator[BandedDoc],
       state: GroupState[Seq[Long]]): Iterator[CandPair] = {
-    var members = state.getOption.getOrElse(Seq.empty)
-    val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
-    rows.map(_._1).toSeq.sorted.foreach { id =>
-      members.foreach { m =>
-        if (m != id) out += (if (m < id) CandPair(m, id) else CandPair(id, m))
+    if (state.hasTimedOut) {
+      state.remove() // idle bucket: free the key, not just the members
+      Iterator.empty
+    } else {
+      var members = state.getOption.getOrElse(Seq.empty)
+      val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+      var lastTouchMs = Long.MinValue
+      rows.toSeq.sortBy(r => (r.doc_id, r.ts)).foreach { r =>
+        lastTouchMs = math.max(lastTouchMs, r.ts.toEpochMilli)
+        members.foreach { m =>
+          if (m != r.doc_id)
+            out += (if (m < r.doc_id) CandPair(m, r.doc_id)
+                    else CandPair(r.doc_id, m))
+        }
+        // membership check: a replayed/duplicate doc must not occupy a
+        // second FIFO slot and prematurely evict a distinct member
+        // (members is ≤ maxBucket, so the linear scan is bounded).
+        if (!members.contains(r.doc_id))
+          members = (members :+ r.doc_id).takeRight(maxBucket)
       }
-      // membership check: a replayed/duplicate doc must not occupy a
-      // second FIFO slot and prematurely evict a distinct member
-      // (members is ≤ maxBucket, so the linear scan is bounded).
-      if (!members.contains(id)) members = (members :+ id).takeRight(maxBucket)
+      state.update(members)
+      // arm strictly above the current watermark (late data could put
+      // last-touch + TTL behind it, which setTimeoutTimestamp rejects)
+      state.setTimeoutTimestamp(
+        math.max(state.getCurrentWatermarkMs() + 1, lastTouchMs + idleTtlMs))
+      out.iterator
     }
-    state.update(members)
-    out.iterator
   }
 
   /** Streaming MinHash near-dup candidate detection — the incremental
@@ -291,19 +332,32 @@ object Streams {
     * emits exactly the batch pipeline's banded candidate set. */
   def minhashCandidatesFromStream(docs: DataFrame, n: Int = 3,
                                   bands: Int = 16, rowsPerBand: Int = 8,
-                                  maxBucket: Int = 1024): Dataset[CandPair] = {
+                                  maxBucket: Int = 1024,
+                                  idleTtlMs: Long = DefaultBucketIdleTtlMs,
+                                  lateness: String = "0 seconds"): Dataset[CandPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col("doc_id"), Text.shingles(Text.tokens(col("text")), n).as("sh"))
+    // Event time for the idle clock: a `ts` column if the feed has one
+    // (the Kafka shape, or a test's synthetic stamps), else the batch
+    // timestamp — current_timestamp() in a streaming query is the
+    // trigger time, constant per batch, so the watermark tracks
+    // arrival time for sources with no native event time.
+    val stamped =
+      if (docs.columns.contains("ts")) docs
+      else docs.withColumn("ts", current_timestamp())
+    stamped
+      .withWatermark("ts", lateness)
+      .select(col("doc_id"), col("ts"),
+        Text.shingles(Text.tokens(col("text")), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), posexplode(graft.functions.Hashing.bandKeys(
+      .select(col("doc_id"), col("ts"), posexplode(graft.functions.Hashing.bandKeys(
           graft.plans.Exprs.minhashSig(col("sh"), bands * rowsPerBand),
           bands, rowsPerBand)).as(Seq("band", "bkey")))
-      .as[(Long, Int, Long)]
-      .groupByKey(r => (r._2, r._3))
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
-        minhashBucketGroup(maxBucket))
+      .as[BandedDoc]
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout)(
+        minhashBucketGroup(maxBucket, idleTtlMs))
   }
 
   /** File-source binding of [[minhashCandidatesFromStream]]: bounded

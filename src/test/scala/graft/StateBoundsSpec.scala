@@ -81,6 +81,55 @@ class StateBoundsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash: idle buckets are evicted once the watermark passes the TTL") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600L * 1000000L // one hour in micros
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textC = "completely different unrelated words over here instead now yes"
+    val textD = "another disjoint vocabulary set nothing shared with prior docs"
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts_us")
+      .select(col("doc_id"), col("text"),
+        timestamp_micros(col("ts_us")).as("ts"))
+    // event-time TTL of 1h: eviction is driven by the docs' own
+    // timestamps, fully deterministic — no wall clock in the test
+    val cands = Streams.minhashCandidatesFromStream(docs,
+      idleTtlMs = 3600L * 1000L)
+    val q = cands.toDF().writeStream
+      .outputMode("update").format("memory").queryName("sb_mh_ttl").start()
+    try {
+      // batch 1: two identical docs at T0 populate 16 band buckets
+      input.addData((1L, textA, H), (2L, textA, H))
+      q.processAllAvailable()
+      assert(stateRows(q) == 16) // one state row per (band, bkey) bucket
+      assert(spark.table("sb_mh_ttl").distinct().count() == 1) // (1,2)
+      // batch 2: unrelated doc at T0+3h → watermark advances past
+      // T0+TTL AFTER this batch (eviction sweeps on the next one)
+      input.addData((3L, textC, 4 * H))
+      q.processAllAvailable()
+      // batch 3: another unrelated doc — processed with watermark
+      // T0+3h > T0+1h, so textA's 16 idle buckets are REMOVED while
+      // textC/textD's stay: 32 rows, not 48.
+      input.addData((5L, textD, 4 * H + 1000L))
+      q.processAllAvailable()
+      assert(stateRows(q) == 32)
+      // recall-window trade, explicit: a post-TTL duplicate of doc 1
+      // starts an empty bucket — no pair with the evicted members...
+      input.addData((4L, textA, 4 * H + 2000L))
+      q.processAllAvailable()
+      val pairs = spark.table("sb_mh_ttl").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+      // ...and within-TTL arrivals still pair (doc 6 against doc 4).
+      input.addData((6L, textA, 4 * H + 3000L))
+      q.processAllAvailable()
+      val pairs2 = spark.table("sb_mh_ttl").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs2.contains((4L, 6L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup state is one row per distinct fingerprint") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
