@@ -64,22 +64,56 @@ object Similarity {
     df.limit(capped).count() <= maxRows
   }
 
-  private def maybeBroadcast(df: DataFrame, maxRows: Long): DataFrame =
-    if (fitsBroadcast(df, maxRows)) broadcast(df) else df
+  /** Max shard fan-out for an over-cap probe frame: each shard costs
+    * one full corpus pass, so sharding only beats the single shuffled
+    * pass while the shard count stays small. Past this, the probe set
+    * is corpus-scaled and the honest shape is the un-hinted join. */
+  val DefaultMaxProbeShards: Int = 32
+
+  private def scoreAgainst(p: DataFrame, e: DataFrame): DataFrame =
+    p.join(e, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        Vec.cosine(col("pv"), col("v")).as("cos_sim"))
 
   /** Exact top-k cosine neighbors for every probe vector. `probes` is
     * any (vec_id, embedding) frame (see [[probeEvery]]); self-matches
     * are excluded by vec_id. Deterministic rank: cosine desc, then
-    * neighbor id. */
+    * neighbor id.
+    *
+    * Probe-size ladder: under `maxBroadcastProbes` the probe frame is
+    * broadcast (one shuffle-free corpus pass, k x partitions rows per
+    * probe to the exchange). Over the cap it is SPLIT into
+    * deterministic hash shards of ≤ ~cap rows (the [[Corpus.mixBucket]]
+    * mix on probe_id — reproducible across runs and partitionings),
+    * each broadcast and scored in its own corpus pass: every probe is
+    * in exactly one shard and rankTopK is per-probe, so the unioned
+    * result is IDENTICAL to the single-pass answer (spec-proven) while
+    * no broadcast ever exceeds the executor-memory cap. Only past
+    * `maxProbeShards` shards (a probe set ~32x the broadcast cap —
+    * corpus-scaled) does it fall back to the one shuffled/cartesian
+    * pass, which trades per-pass scan cost for shuffling the full
+    * score set. */
   def knnBruteForce(embeddings: DataFrame, probes: DataFrame, k: Int,
-                    maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame = {
+                    maxBroadcastProbes: Long = DefaultMaxBroadcastProbes,
+                    maxProbeShards: Int = DefaultMaxProbeShards): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val scored = maybeBroadcast(p, maxBroadcastProbes)
-      .join(e, col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        Vec.cosine(col("pv"), col("v")).as("cos_sim"))
-    rankTopK(scored, k)
+    if (fitsBroadcast(p, maxBroadcastProbes))
+      rankTopK(scoreAgainst(broadcast(p), e), k)
+    else {
+      // over the cap: exact count (one bounded pass over the probe
+      // frame, tiny next to the scoring work) to size the fan-out;
+      // shards target ~90% of the cap so hash variance stays under it
+      val total = p.count()
+      val target = math.max(1L, maxBroadcastProbes * 9L / 10L)
+      val shards = ((total + target - 1L) / target).toInt
+      if (shards <= maxProbeShards) {
+        val shardOf = Corpus.mixBucket(col("probe_id")) % shards
+        (0 until shards)
+          .map(s => rankTopK(scoreAgainst(broadcast(p.filter(shardOf === s)), e), k))
+          .reduce(_ union _)
+      } else rankTopK(scoreAgainst(p, e), k)
+    }
   }
 
   /** Deterministic pseudo-random hyperplanes: a tiny splitmix-style

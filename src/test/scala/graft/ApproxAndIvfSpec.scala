@@ -47,8 +47,11 @@ class ApproxAndIvfSpec extends AnyFunSuite {
     def sorted(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
     // brute force: cartesian instead of broadcast-nested-loop
+    // (maxProbeShards = 1 disables the shard ladder so this exercises
+    // the final fallback rung; the ladder itself is spec'd below)
     val bfB = Similarity.knnBruteForce(emb, probes, k = 5)
-    val bfS = Similarity.knnBruteForce(emb, probes, k = 5, maxBroadcastProbes = 3)
+    val bfS = Similarity.knnBruteForce(emb, probes, k = 5,
+      maxBroadcastProbes = 3, maxProbeShards = 1)
     assert(sorted(bfB) == sorted(bfS) && sorted(bfB).nonEmpty)
     // lsh + ivf: plain shuffle equi-join on the bucket/cell key
     val lshB = Similarity.knnLsh(emb, probes, k = 5)
@@ -64,6 +67,30 @@ class ApproxAndIvfSpec extends AnyFunSuite {
       df.queryExecution.analyzed.toString.contains("ResolvedHint")
     assert(hinted(bfB) && !hinted(bfS))
     assert(hinted(lshB) && !hinted(lshS))
+  }
+
+  test("over-cap probe set shards into bounded broadcasts with identical results") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val probes = Similarity.probeEvery(emb, 20) // 25 probes at sf0.001
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    // ground truth: everything broadcast in one pass
+    val one = Similarity.knnBruteForce(emb, probes, k = 5)
+    // cap 4 → ~9 shards of ≤ ~4 probes, still within maxProbeShards
+    val sharded = Similarity.knnBruteForce(emb, probes, k = 5,
+      maxBroadcastProbes = 4)
+    assert(sorted(sharded) == sorted(one) && sorted(one).nonEmpty)
+    // the shard path really is per-shard broadcasts: several bounded
+    // hints, not one probe-scaled hint and not zero
+    val hints = "ResolvedHint".r
+      .findAllIn(sharded.queryExecution.analyzed.toString).size
+    assert(hints > 1, s"expected shard-count hints, got $hints")
+    // over maxProbeShards the ladder falls through to the un-hinted pass
+    val fell = Similarity.knnBruteForce(emb, probes, k = 5,
+      maxBroadcastProbes = 3, maxProbeShards = 2)
+    assert(!fell.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(sorted(fell) == sorted(one))
   }
 
   test("trained-codebook IVF: centroids move, scores stay exact, results bounded") {
