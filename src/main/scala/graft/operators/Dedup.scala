@@ -51,8 +51,11 @@ object Dedup {
     keepByMinId(docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp")))
 
   /** (doc_id, sz, s) shingle rows, persisted — candidate generation
-    * and both sides of the verification join re-read them. */
-  private def shingleRows(docs: DataFrame, n: Int): DataFrame =
+    * and both sides of the verification join re-read them. Also the
+    * SHINGLE STORE the streaming verify joins candidates against
+    * ([[graft.streaming.Streams.minhashVerified]]): at corpus scale
+    * this is a maintained table, not a per-run projection. */
+  private[graft] def shingleRows(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), Text.shingles(Text.tokens(col("text")), n).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -108,6 +111,32 @@ object Dedup {
         col("id_b") === col("rb.doc_id") && col("ra.s") === col("rb.s"))
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact-Jaccard verification of (id_a, id_b) candidate pairs
+    * against a shingle store ((doc_id, sz, s) rows, one row per
+    * DISTINCT shingle — [[shingleRows]]): |A∩B| by joining both pair
+    * sides to the store on shingle equality, J = inter/(szA+szB−inter),
+    * keep J ≥ tau. Pairs sharing no shingle drop out of the inner
+    * join — lossless for any tau > 0. Work is bounded by the candidate
+    * list and the pair docs' shingle counts, never all-pairs — the
+    * verify half of every near-dup pipeline, batch or per-micro-batch
+    * streaming. */
+  private[graft] def verifyCandidates(cand: DataFrame, rows: DataFrame,
+                                      tau: Double): DataFrame = {
+    val sizes = rows.select(col("doc_id"), col("sz")).distinct()
+    cand
+      .join(rows.as("ra"), col("id_a") === col("ra.doc_id"))
+      .join(rows.as("rb"),
+        col("id_b") === col("rb.doc_id") && col("ra.s") === col("rb.s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard", col("inter").cast("double")
         / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= tau)

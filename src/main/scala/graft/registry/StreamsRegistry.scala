@@ -27,6 +27,11 @@ object StreamsRegistry {
     // stateful capped buckets); no SQL oracle (xxhash64) — StreamsSpec
     // proves cross-batch pairing, unrelated isolation, and the cap
     "st_minhash_cand" -> ((s, d) => Streams.minhashCandidates(s, d)),
+    // candidates → exact-Jaccard verify against the persisted shingle
+    // store (per-micro-batch foreachBatch join): the complete streaming
+    // near-dup pipeline. No SQL oracle (candidate set is xxhash64-
+    // derived); StreamsSpec proves ≡ batch dd_minhash output.
+    "st_minhash_verified" -> ((s, d) => Streams.minhashVerified(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -376,6 +376,48 @@ object Streams {
     spark.table(sink).distinct()
   }
 
+  /** Streaming MinHash near-dup pipeline completed to the batch
+    * contract: candidates → VERIFIED pairs. The stateful candidate
+    * stream ([[minhashCandidatesFromStream]]) finds who to compare;
+    * each micro-batch's candidates are then exact-Jaccard-confirmed
+    * against a persisted shingle store with a bounded batch join
+    * inside foreachBatch (the production shape — a streaming
+    * aggregation can't follow update-mode flatMapGroupsWithState, and
+    * the store is a maintained table at corpus scale, not stream
+    * state). Output is appended to a parquet sink table; a bounded
+    * run over the same corpus emits exactly the batch
+    * [[graft.operators.Dedup.minhashLsh]] pair set (spec-proven). */
+  def minhashVerifiedFromStream(docs: DataFrame, store: DataFrame,
+                                outDir: String, n: Int = 3,
+                                tau: Double = 0.8): Unit = {
+    val cands = minhashCandidatesFromStream(docs, n)
+    val q = cands.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // a pair can surface from several bands within the batch;
+        // cross-batch repeats are deduped at read (the sink is a pair
+        // SET, and jaccard is deterministic per pair)
+        graft.operators.Dedup.verifyCandidates(batch.distinct(), store, tau)
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** File-source binding of [[minhashVerifiedFromStream]]: shingle
+    * store from the batch table, bounded drain, distinct pair set. */
+  def minhashVerified(spark: SparkSession, dir: String, n: Int = 3,
+                      tau: Double = 0.8): DataFrame = {
+    val store = graft.operators.Dedup.shingleRows(
+      spark.read.parquet(s"$dir/documents.parquet"), n)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_mh_ver").toString
+    minhashVerifiedFromStream(
+      FileStreamSource(s"$dir/documents.parquet").stream(spark),
+      store, outDir, n, tau)
+    spark.read.parquet(outDir).distinct()
+  }
+
   /** The banded join core over two watermarked sides with
     * (x_user, x_event, x_ts) columns — shared by the file binding and
     * the MemoryStream state-eviction spec. */

@@ -64,6 +64,19 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash verify == batch minhashLsh pairs on a bounded run") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val batch = graft.operators.Dedup.minhashLsh(docs)
+      .as[(Long, Long, Double)].collect().toSet
+    val streamed = Streams.minhashVerified(spark, d)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("sessionizer state carries open sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
