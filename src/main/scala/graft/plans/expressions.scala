@@ -165,28 +165,27 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `zorder(a, b)`: bit-interleaved Z-curve value of two long keys —
-  * see [[ZOrderKernels.interleave]]. */
-case class ZOrderExpr(left: Expression, right: Expression)
-  extends BinaryExpression {
+/** `zorder(array(k0..kN-1), bits)`: bit-interleaved Z-curve value of N
+  * long keys, each normalized by the caller into `bits` bits — see
+  * [[ZOrderKernels.interleaveN]]. */
+case class ZOrderNExpr(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
-      case (a, b) => TypeCheckResult.TypeCheckFailure(
-        s"zorder() needs two bigint inputs, got ${a.catalogString} / ${b.catalogString}")
-    }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"zorder() needs array<bigint>, got ${t.catalogString}")
+  }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    ZOrderKernels.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override def nullSafeEval(keys: Any): Any =
+    ZOrderKernels.interleaveN(
+      keys.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bits)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.ZOrderKernels.interleave($a, $b)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.ZOrderKernels.interleaveN($c, $bits)")
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): ZOrderExpr =
-    copy(left = newLeft, right = newRight)
+  override protected def withNewChildInternal(newChild: Expression): ZOrderNExpr =
+    copy(child = newChild)
 }
 
 object Exprs {
@@ -212,10 +211,11 @@ object Exprs {
   def simhash(tokens: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))
 
-  /** Column wrapper for [[ZOrderExpr]]. */
-  def zorder(a: Column, b: Column): Column =
-    ColumnBridge.column(ZOrderExpr(
-      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  /** Column wrapper for [[ZOrderNExpr]]: N normalized bigint keys,
+    * `bits` bits each (bits·N ≤ 64). */
+  def zorder(keys: Seq[Column], bits: Int): Column =
+    ColumnBridge.column(ZOrderNExpr(ColumnBridge.expression(
+      org.apache.spark.sql.functions.array(keys: _*)), bits))
 
   /** Column wrapper for [[TopKByScore]] (as an aggregate). */
   def topK(score: Column, id: Column, k: Int): Column =

@@ -232,21 +232,28 @@ object SimHashKernels {
   }
 }
 
-/** Bit-interleaved Z-order value for two keys: bit i of `a` lands at
-  * position 2i, bit i of `b` at 2i+1, so sorting by the result walks
-  * the Z space-filling curve — rows close in BOTH keys land in the
-  * same files, and a range predicate on EITHER key prunes files
-  * (unlike a single-column sort, which clusters one key and scatters
-  * the other). Designed for non-negative keys that fit 32 bits
-  * (surrogate keys); higher bits are ignored.
+/** Bit-interleaved Z-order value for N keys: bit i of key j lands at
+  * position i·N + j, so sorting by the result walks the N-dimensional
+  * Z space-filling curve — rows close in ALL keys land in the same
+  * files, and a range predicate on ANY key prunes files (unlike a
+  * single-column sort, which clusters one key and scatters the rest).
+  * Callers normalize every key into `bits` bits (bits·N ≤ 64) —
+  * interleaving raw widths would let the widest key dominate the
+  * curve. A null key element contributes zero bits (sorts first on
+  * that dimension).
   */
 object ZOrderKernels {
-  def interleave(a: Long, b: Long): Long = {
+  def interleaveN(keys: ArrayData, bits: Int): Long = {
+    val n = keys.numElements()
     var out = 0L
     var i = 0
-    while (i < 32) {
-      out |= ((a >>> i) & 1L) << (2 * i)
-      out |= ((b >>> i) & 1L) << (2 * i + 1)
+    while (i < bits) {
+      var j = 0
+      while (j < n) {
+        if (!keys.isNullAt(j))
+          out |= ((keys.getLong(j) >>> i) & 1L) << (i * n + j)
+        j += 1
+      }
       i += 1
     }
     out

@@ -28,34 +28,53 @@ object Sinks {
       .parquet(path)
   }
 
-  /** Write parquet Z-ORDERED on two key columns: rows are range-
-    * partitioned and sorted by the bit-interleaved Z-curve value, so
-    * each output file covers a tight rectangle in (colA, colB) space —
-    * min/max file statistics then prune file reads for range
-    * predicates on EITHER column, where a single-column sort clusters
-    * one key and scatters the other (the layout trick behind Delta's
-    * OPTIMIZE ZORDER, here as a plain parquet write).
+  /** Write parquet Z-ORDERED on N key columns (2 ≤ N ≤ 8): rows are
+    * range-partitioned and sorted by the bit-interleaved Z-curve
+    * value, so each output file covers a tight hyper-rectangle in key
+    * space — min/max file statistics then prune file reads for range
+    * predicates on ANY of the keys, where a single-column sort
+    * clusters one key and scatters the rest (the layout trick behind
+    * Delta's OPTIMIZE ZORDER, here as a plain parquet write).
     *
-    * Both keys are first NORMALIZED to a common 16-bit range (one
-    * cheap min/max pass): interleaving raw values lets whichever key
-    * has more significant bits dominate the curve and the layout
-    * degenerates to a single-column sort — the classic z-order
-    * mistake. Requires (max-min) < 2^47 per key (any surrogate key). */
-  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+    * Every key is first NORMALIZED to a common `64/N`-bit range
+    * (capped at 16 bits; one cheap min/max pass): interleaving raw
+    * values lets whichever key has more significant bits dominate the
+    * curve and the layout degenerates to a single-column sort — the
+    * classic z-order mistake. Requires (max-min) < 2^47 per key (any
+    * surrogate key). An empty input (all-null aggregates) is written
+    * as-is — there is nothing to lay out. */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
                     files: Int = 8): Unit = {
-    val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
-      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
-    def norm(c: String, lo: Long, hi: Long) =
-      if (hi > lo) (col(c).cast("long") - lit(lo)) * lit(65535L) / lit(hi - lo)
+    require(cols.size >= 2 && cols.size <= 8,
+      s"z-order needs 2..8 key columns, got ${cols.size}")
+    val bits = math.min(16, 64 / cols.size)
+    val range = (1L << bits) - 1L
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    if (r.isNullAt(0)) { // empty input (or an all-null first key)
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    def norm(i: Int) = {
+      val (lo, hi) = (r.getLong(2 * i), r.getLong(2 * i + 1))
+      if (hi > lo)
+        ((col(cols(i)).cast("long") - lit(lo)) * lit(range) / lit(hi - lo))
+          .cast("long")
       else lit(0L)
-    df.withColumn("__z", graft.plans.Exprs.zorder(
-        norm(colA, r.getLong(0), r.getLong(1)).cast("long"),
-        norm(colB, r.getLong(2), r.getLong(3)).cast("long")))
+    }
+    df.withColumn("__z",
+        graft.plans.Exprs.zorder(cols.indices.map(norm), bits))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Two-key form of [[writeZOrdered]]. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    files: Int): Unit =
+    writeZOrdered(df, path, Seq(colA, colB), files)
 
   /** Write bucketed+sorted tables for shuffle-free co-located joins
     * (see ScaleShapeSpec): the managed-table form of pre-partitioning

@@ -65,4 +65,50 @@ class SinksSpec extends AnyFunSuite {
     // and the layout is lossless
     assert(spark.read.parquet(zDir).count() == li.count())
   }
+
+  test("3-column z-order prunes range queries on every key; a sort only its own") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val keys = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    val li = Tables.lineitem(spark, d).select(keys.map(col): _*)
+    // 16 files: 3 interleaved dimensions need ≥ 2^3 curve cells before
+    // per-file key spans tighten enough to measure pruning
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z3").toString
+    Sinks.writeZOrdered(li, zDir, keys, files = 16)
+    assert(spark.read.parquet(zDir).count() == li.count()) // lossless
+    // comparison layouts: one single-column sort per key
+    val sortDirs = keys.map { k =>
+      val sd = java.nio.file.Files.createTempDirectory(s"graft_s3_$k").toString
+      li.repartitionByRange(16, col(k)).sortWithinPartitions(k)
+        .write.mode("overwrite").parquet(sd)
+      k -> sd
+    }.toMap
+    // per-NON-EMPTY-file (min,max) spans: range partitioning can leave
+    // empty part files whose null stats would distort the comparison
+    def spans(dir: String, key: String): Seq[(Long, Long)] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq.flatMap { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(min(col(key)), max(col(key))).head()
+          if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+        }
+    def boxFor(key: String): (Long, Long) = {
+      val (lo, hi) = li.agg(min(col(key)), max(col(key))).as[(Long, Long)].head()
+      val b = lo + (hi - lo) / 2
+      (b, b + (hi - lo) / 16)
+    }
+    // fraction of data files a box-range predicate must read
+    def frac(ss: Seq[(Long, Long)], box: (Long, Long)): Double =
+      ss.count { case (lo, hi) => hi >= box._1 && lo <= box._2 }.toDouble / ss.size
+    keys.foreach { qKey =>
+      val box = boxFor(qKey)
+      val z = frac(spans(zDir, qKey), box)
+      // every layout sorted on a DIFFERENT key scatters qKey across
+      // ~all its files; the 3-d Z layout must beat each of them
+      keys.filter(_ != qKey).foreach { sKey =>
+        val s = frac(spans(sortDirs(sKey), qKey), box)
+        assert(z < s, s"query on $qKey: z=$z !< $sKey-sorted=$s")
+      }
+    }
+  }
 }
