@@ -65,6 +65,51 @@ object Bench {
   private def fmt(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
 
+  /** Prior round's per-query medians, for the regression tripwire:
+    * SPARK_GRAFT_BENCH_PREV names the graded JSON explicitly, else the
+    * highest-numbered BENCH_r*.json in the working directory. Accepts
+    * either the driver's grading envelope ({"parsed":{"queries":…}})
+    * or a bare compact metric line. Absent/unreadable → no block. */
+  private def prevMedians(): Option[(String, Map[String, Double])] = {
+    val path = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse(
+      Option(new java.io.File(".").listFiles()).flatMap(
+        _.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(_.getName).lastOption.map(_.getPath)))
+    path.flatMap { p =>
+      try {
+        import org.json4s._
+        val j = jackson.JsonMethods.parse(new java.io.File(p))
+        def qs(v: JValue): Option[Map[String, Double]] = v \ "queries" match {
+          case JObject(fields) =>
+            Some(fields.collect {
+              case (k, JDouble(d)) => k -> d
+              case (k, JInt(i)) => k -> i.toDouble
+              case (k, JDecimal(d)) => k -> d.toDouble
+            }.toMap)
+          case _ => None
+        }
+        qs(j \ "parsed").orElse(qs(j)).map(m => (new java.io.File(p).getName, m))
+      } catch { case _: Throwable => None }
+    }
+  }
+
+  /** Per-query delta vs the prior round as a JSON fragment: pct change
+    * per shared query plus a `flagged` list of >25% movers — turns the
+    * "noise or regression?" judgment into data in every BENCH_r{N}. */
+  private def vsPrevJson(medians: Seq[(String, Double)]): String =
+    prevMedians() match {
+      case Some((src, prev)) =>
+        val deltas = medians.flatMap { case (k, v) =>
+          prev.get(k).filter(_ > 0).map(p => (k, (v - p) / p * 100.0))
+        }
+        val pcts = deltas.map { case (k, pct) => "\"" + k + "\":" + fmt(pct) }
+          .mkString("{", ",", "}")
+        val flagged = deltas.filter { case (_, pct) => math.abs(pct) > 25.0 }
+          .map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+        s""","vs_prev":{"src":"$src","pct":$pcts,"flagged":$flagged}"""
+      case None => ""
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val trendDir = "/root/testdata/sf0.01"
@@ -97,7 +142,8 @@ object Bench {
     // parses the LAST line, so the compact metric line must be final
     // and standalone (round-4 lesson: one long combined line got its
     // head truncated and the driver recorded parsed:null).
-    println(s"""{"metric":"bench_detail","stats":$stats$trend,"sf":"$sfDir"}""")
+    val vsPrev = vsPrevJson(results.map { case (k, ts) => k -> median(ts) })
+    println(s"""{"metric":"bench_detail","stats":$stats$trend$vsPrev,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
