@@ -15,6 +15,21 @@ trait StreamSource {
   def stream(spark: SparkSession): DataFrame
 }
 
+object StreamSource {
+  /** Configuration-gated source selection: a real Kafka feed when
+    * `SPARK_GRAFT_KAFKA_BROKERS` is set (topic `topic`, JSON values in
+    * `valueSchema` — the same consumer contract the Kafka-shaped
+    * MemoryStream feed proves in CI), else the bounded parquet-file
+    * harness. The downstream operators are source-agnostic, so the
+    * switch is this one construction site. */
+  def forParquet(file: String, topic: String, valueSchema: => StructType,
+                 env: Map[String, String] = sys.env): StreamSource =
+    env.get("SPARK_GRAFT_KAFKA_BROKERS") match {
+      case Some(brokers) => KafkaStreamSource(brokers, topic, valueSchema)
+      case None => FileStreamSource(file)
+    }
+}
+
 /** Parquet-file implementation — the driver's bounded harness: the
   * single read-only parquet file is staged as a symlink directory
   * (the file source requires a directory) and an AvailableNow trigger
@@ -24,6 +39,33 @@ final case class FileStreamSource(file: String) extends StreamSource {
     val schema = spark.read.parquet(file).schema
     spark.readStream.schema(schema).parquet(Streams.stageAsDir(file))
   }
+}
+
+/** Real Kafka binding: subscribe to `topic` at `bootstrapServers` and
+  * decode each record's JSON value into `valueSchema` columns —
+  * byte-for-byte the contract [[KafkaShapedSource]] replays in CI
+  * (keyed records, per-partition order, JSON values), so every spec
+  * over the shaped feed is evidence for this binding. Requires the
+  * spark-sql-kafka connector on the classpath and a reachable broker —
+  * neither exists in the build sandbox, so this class is exercised
+  * there only up to construction/selection (KafkaShapedSourceSpec);
+  * `stream()` fails fast with Spark's missing-data-source error
+  * otherwise. Offsets default to `earliest` for a replayable drain;
+  * pass `maxOffsetsPerTrigger` etc. through `extraOptions`. */
+final case class KafkaStreamSource(bootstrapServers: String, topic: String,
+                                   valueSchema: StructType,
+                                   startingOffsets: String = "earliest",
+                                   extraOptions: Map[String, String] = Map.empty)
+    extends StreamSource {
+  def stream(spark: SparkSession): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .options(extraOptions)
+      .load()
+      .select(from_json(col("value").cast("string"), valueSchema).as("v"))
+      .select(col("v.*"))
 }
 
 /** One record in Kafka's envelope shape: topic / partition / offset /

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{KafkaShapedSource, Streams}
+import graft.streaming.{FileStreamSource, KafkaShapedSource, KafkaStreamSource, StreamSource, Streams}
 
 /** The G-family over the Kafka-shaped source: keyed JSON records,
   * hash-partitioned with per-partition monotonic offsets, replayable
@@ -85,5 +85,19 @@ class KafkaShapedSourceSpec extends AnyFunSuite {
       assert(offs.map(_._2) == offs.indices.map(_.toLong))
     }
     assert(src.endOffsets.sum == 20)
+  }
+
+  test("source factory selects the real Kafka binding only when configured") {
+    val schema = new StructType().add("doc_id", "long").add("text", "string")
+    val file = StreamSource.forParquet(s"$d/documents.parquet", "docs", schema,
+      env = Map.empty)
+    assert(file == FileStreamSource(s"$d/documents.parquet"))
+    val kafka = StreamSource.forParquet(s"$d/documents.parquet", "docs", schema,
+      env = Map("SPARK_GRAFT_KAFKA_BROKERS" -> "broker-1:9092,broker-2:9092"))
+    assert(kafka ==
+      KafkaStreamSource("broker-1:9092,broker-2:9092", "docs", schema))
+    // stream() needs the kafka connector + a live broker — absent in
+    // this sandbox, so the shaped-feed specs above are the CI proof of
+    // the consumer contract; here we only prove selection + wiring.
   }
 }
