@@ -296,6 +296,60 @@ object Analytics {
          |LIMIT $n""".stripMargin)
   }
 
+  /** TPC-H Q21-style sole-blame suppliers: for multi-supplier orders
+    * where exactly one supplier's line was returned, count orders per
+    * blamed supplier. The classic EXISTS + NOT EXISTS correlated pair
+    * over self-joined lineitem: Catalyst decorrelates the EXISTS to a
+    * left-semi and the NOT EXISTS to a left-anti join on the order key
+    * (both with the `other supplier` non-equi condition attached) —
+    * three scans of the same fact table, each pruned, never a per-row
+    * subquery loop. */
+  def blameSupplier(spark: SparkSession, supplier: DataFrame,
+                    lineitem: DataFrame, n: Int): DataFrame = {
+    val su = tempView(spark, supplier, "q21_su")
+    val li = tempView(spark, lineitem, "q21_li")
+    spark.sql(
+      s"""SELECT s_name, count(*) AS numwait
+         |FROM $su JOIN $li l1 ON s_suppkey = l1.l_suppkey
+         |WHERE l1.l_returnflag = 'R'
+         |  AND EXISTS (SELECT 1 FROM $li l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM $li l3
+         |                  WHERE l3.l_orderkey = l1.l_orderkey
+         |                    AND l3.l_suppkey <> l1.l_suppkey
+         |                    AND l3.l_returnflag = 'R')
+         |GROUP BY s_name
+         |ORDER BY numwait DESC, s_name ASC
+         |LIMIT $n""".stripMargin)
+  }
+
+  /** TPC-H Q22-style high-balance active customers: per segment, the
+    * customers above the (positive-balance) global average who have at
+    * least one order exceeding their own balance. Two more
+    * decorrelation shapes in one query: an UNCORRELATED scalar
+    * subquery (computed once, broadcast as a literal-like input) and a
+    * correlated EXISTS whose join carries a NON-EQUI condition
+    * (o_totalprice > c_acctbal) on top of the key equality — a
+    * left-semi hash join with a residual predicate, not a nested loop.
+    * The average is decimal-exact on both engines so the boundary is
+    * reproducible. */
+  def richActiveCustomers(spark: SparkSession, customer: DataFrame,
+                          orders: DataFrame): DataFrame = {
+    val cu = tempView(spark, customer, "q22_cu")
+    val or = tempView(spark, orders, "q22_or")
+    spark.sql(
+      s"""SELECT c_mktsegment, count(*) AS numcust,
+         |  ${Num.dsumSql("c_acctbal")} AS totacctbal
+         |FROM $cu c
+         |WHERE c_acctbal > (SELECT ${Num.davgSql("c_acctbal")}
+         |                   FROM $cu WHERE c_acctbal > 0.0)
+         |  AND EXISTS (SELECT 1 FROM $or o
+         |              WHERE o.o_custkey = c.c_custkey
+         |                AND o.o_totalprice > c.c_acctbal)
+         |GROUP BY c_mktsegment""".stripMargin)
+  }
+
   /** Semi/anti-join census: per market segment, how many customers
     * have at least one order vs none. Two hash semi-joins (no payload
     * duplication, no row explosion) + one agg. */

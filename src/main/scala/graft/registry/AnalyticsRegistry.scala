@@ -38,6 +38,12 @@ object AnalyticsRegistry {
     "q18_large_orders" -> ((s, d) =>
       Analytics.largeOrders(s, Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), 250.0, 100)),
+    "q21_blame_supplier" -> ((s, d) =>
+      Analytics.blameSupplier(s, Tables.supplier(s, d),
+        Tables.lineitem(s, d), 20)),
+    "q22_rich_active" -> ((s, d) =>
+      Analytics.richActiveCustomers(s, Tables.customer(s, d),
+        Tables.orders(s, d))),
     "q_top_customers_window" -> ((s, d) =>
       Analytics.topCustomersPerNation(Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), 5)),
@@ -148,6 +154,30 @@ object AnalyticsRegistry {
          |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
          |ORDER BY o_totalprice DESC, o_orderkey ASC
          |LIMIT 100""".stripMargin,
+    "q21_blame_supplier" ->
+      s"""SELECT s_name, count(*) AS numwait
+         |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         |WHERE l1.l_returnflag = 'R'
+         |  AND EXISTS (SELECT 1 FROM lineitem l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+         |                  WHERE l3.l_orderkey = l1.l_orderkey
+         |                    AND l3.l_suppkey <> l1.l_suppkey
+         |                    AND l3.l_returnflag = 'R')
+         |GROUP BY s_name
+         |ORDER BY numwait DESC, s_name ASC
+         |LIMIT 20""".stripMargin,
+    "q22_rich_active" ->
+      s"""SELECT c_mktsegment, count(*) AS numcust,
+         |  ${dsumSql("c_acctbal")} AS totacctbal
+         |FROM customer c
+         |WHERE c_acctbal > (SELECT ${davgSql("c_acctbal")}
+         |                   FROM customer WHERE c_acctbal > 0.0)
+         |  AND EXISTS (SELECT 1 FROM orders o
+         |              WHERE o.o_custkey = c.c_custkey
+         |                AND o.o_totalprice > c.c_acctbal)
+         |GROUP BY c_mktsegment""".stripMargin,
     "q_top_customers_window" ->
       s"""WITH spend AS (
          |  SELECT c_custkey, c_name, c_nationkey,

@@ -86,5 +86,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(q17.collect().length == 1)
     val rows = q18.collect()
     assert(rows.length == 25 && rows.forall(_.getDouble(5) > 250.0))
+    // EXISTS + NOT EXISTS pair (Q21 shape) → left-semi + left-anti
+    val q21 = Analytics.blameSupplier(spark, Tables.supplier(spark, d),
+      Tables.lineitem(spark, d), 20)
+    val p21 = q21.queryExecution.executedPlan.toString
+    assert(!p21.contains("BroadcastNestedLoopJoin"), p21)
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"), p21)
+    assert(q21.collect().nonEmpty)
+    // uncorrelated scalar subquery + non-equi correlated EXISTS (Q22
+    // shape) → semi join with a residual o_totalprice > c_acctbal
+    val q22 = Analytics.richActiveCustomers(spark,
+      Tables.customer(spark, d), Tables.orders(spark, d))
+    val p22 = q22.queryExecution.executedPlan.toString
+    assert(!p22.contains("BroadcastNestedLoopJoin"), p22)
+    assert(p22.contains("LeftSemi"), p22)
+    assert(p22.contains("Subquery") || p22.contains("subquery"), p22)
+    assert(q22.collect().length == 5) // one row per segment
   }
 }
