@@ -141,6 +141,46 @@ object Corpus {
         sum(col("clean")).as("n_clean"), sum(col("sampled")).as("n_sampled"))
   }
 
+  /** Quality-gating stage of the corpus funnel — the Gopher-style
+    * filter pass a training mix applies before sampling: per source,
+    * how many docs clear each gate and all of them. Gates: a token-
+    * count floor, a stopword-ratio floor (natural prose has function
+    * words), repetition caps (duplicate 3-gram fraction + top-word
+    * fraction — boilerplate/spam markers), and language-ID agreement
+    * with the declared lang. Composes the C-family per-doc statistics
+    * ([[TextAnalysis.qualityScore]] / [[TextAnalysis.repetition]] /
+    * [[TextAnalysis.langId]]) via doc_id equi-joins (each stat keeps
+    * its standalone plan shape; AQE handles the join sides) + one
+    * map-side-combined aggregation. All gate ratios are single IEEE
+    * divisions of integer counts, so the boundaries replay exactly on
+    * any engine. */
+  def qualityGate(docs: DataFrame, minTokens: Int, minStopRatio: Double,
+                  maxDupGram: Double, maxTopWord: Double): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"))
+    val r = TextAnalysis.repetition(docs)
+      .select(col("doc_id"), col("dup_gram_frac"), col("top_word_frac"))
+    val l = TextAnalysis.langId(docs).select(col("doc_id"), col("matched"))
+    docs.select(col("doc_id"), col("source"))
+      .join(q, Seq("doc_id")).join(r, Seq("doc_id")).join(l, Seq("doc_id"))
+      .select(col("source"),
+        (col("n_tokens") >= minTokens).cast("long").as("len_ok"),
+        (col("stop_ratio") >= minStopRatio).cast("long").as("stop_ok"),
+        (col("dup_gram_frac") <= maxDupGram &&
+          col("top_word_frac") <= maxTopWord).cast("long").as("rep_ok"),
+        col("matched").cast("long").as("lang_ok"))
+      .withColumn("kept",
+        (col("len_ok") === 1 && col("stop_ok") === 1 &&
+          col("rep_ok") === 1 && col("lang_ok") === 1).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len_ok")).as("n_len_ok"),
+        sum(col("stop_ok")).as("n_stop_ok"),
+        sum(col("rep_ok")).as("n_rep_ok"),
+        sum(col("lang_ok")).as("n_lang_ok"),
+        sum(col("kept")).as("n_kept"))
+  }
+
   /** The scrubbed corpus (same schema as the input). */
   def scrubbedText(docs: DataFrame): DataFrame =
     docs.withColumn("text",

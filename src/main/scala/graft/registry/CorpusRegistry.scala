@@ -3,7 +3,7 @@ package graft.registry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.operators.Corpus
+import graft.operators.{Corpus, TextAnalysis}
 import graft.sources.Tables
 
 /** H-family bindings: corpus construction (sampling, decontamination,
@@ -38,6 +38,31 @@ object CorpusRegistry {
   private val MixExpr =
     s"(doc_id % ${Corpus.MixP}) * ${Corpus.MixA} % ${Corpus.MixBuckets}"
 
+  /** Quality-gate thresholds (chosen to actually gate on the synthetic
+    * corpus: token floor, stopword floor, repetition caps). */
+  val MinTokens = 20
+  val MinStopRatio = 0.01
+  val MaxDupGram = 0.05
+  val MaxTopWord = 0.15
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def hits(words: Seq[String]): String =
+    s"len(list_filter(toks, t -> list_contains(${sqlList(words)}, t)))"
+
+  /** Same argmax-with-first-tie-break CASE chain as the ta_langid
+    * oracle (TextAnalysisRegistry) — the gate replays the identical
+    * language vote. */
+  private def predLangCase(langs: Seq[String], prefix: String): String = {
+    val whens = langs.dropRight(1).map { l =>
+      val conds = langs.filter(_ > l)
+        .map(o => s"$prefix$l >= $prefix$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cp_sample" -> ((s, d) =>
       Corpus.sampleStats(Tables.documents(s, d), KeepPct)),
@@ -51,6 +76,9 @@ object CorpusRegistry {
     }),
     "cp_pii_scrub" -> ((s, d) =>
       Corpus.piiScrub(Tables.documents(s, d))),
+    "cp_quality_gate" -> ((s, d) =>
+      Corpus.qualityGate(Tables.documents(s, d), MinTokens, MinStopRatio,
+        MaxDupGram, MaxTopWord)),
     // Full docs go in as the train side: eval docs self-match and are
     // flagged contaminated — a training mix must not contain its eval
     // set, so the funnel drops them by construction.
@@ -107,6 +135,61 @@ object CorpusRegistry {
          |LEFT JOIN keepers kp ON d.doc_id = kp.doc_id
          |LEFT JOIN contam c ON d.doc_id = c.doc_id
          |GROUP BY d.source""".stripMargin
+    },
+    "cp_quality_gate" -> {
+      val allStops = TextAnalysis.StopwordsByLang.flatMap(_._2).distinct.sorted
+      val voteCols = TextAnalysis.StopwordsByLang
+        .map { case (l, ws) => s"${hits(ws)} AS s_$l" }.mkString(",\n    ")
+      val pred = predLangCase(TextAnalysis.StopwordsByLang.map(_._1), "s_")
+      s"""WITH base AS (
+         |  SELECT doc_id, source, lang, $ToksExpr AS toks FROM documents
+         |), q AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    CAST(${hits(allStops)} AS DOUBLE)
+         |      / greatest(len(toks), 1) AS stop_ratio
+         |  FROM base
+         |), g AS (
+         |  SELECT doc_id,
+         |    list_transform(range(greatest(len(toks) - 2, 0)),
+         |      i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3])) AS g
+         |  FROM base
+         |), grams AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(g) > 0
+         |         THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+         |         ELSE 0.0 END AS dup_gram_frac
+         |  FROM g
+         |), wc AS (
+         |  SELECT doc_id, w, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS w FROM base)
+         |  GROUP BY 1, 2
+         |), topw AS (
+         |  SELECT doc_id,
+         |    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_word_frac
+         |  FROM wc GROUP BY doc_id
+         |), voted AS (
+         |  SELECT doc_id, lang, $voteCols
+         |  FROM base
+         |), flags AS (
+         |  SELECT b.source,
+         |    CAST(q.n_tokens >= $MinTokens AS BIGINT) AS len_ok,
+         |    CAST(q.stop_ratio >= $MinStopRatio AS BIGINT) AS stop_ok,
+         |    CAST(grams.dup_gram_frac <= $MaxDupGram
+         |      AND coalesce(topw.top_word_frac, 0.0) <= $MaxTopWord AS BIGINT) AS rep_ok,
+         |    CAST(($pred) = v.lang AS BIGINT) AS lang_ok
+         |  FROM base b
+         |  JOIN q USING (doc_id)
+         |  JOIN grams USING (doc_id)
+         |  LEFT JOIN topw USING (doc_id)
+         |  JOIN voted v USING (doc_id)
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len_ok) AS BIGINT) AS n_len_ok,
+         |  CAST(sum(stop_ok) AS BIGINT) AS n_stop_ok,
+         |  CAST(sum(rep_ok) AS BIGINT) AS n_rep_ok,
+         |  CAST(sum(lang_ok) AS BIGINT) AS n_lang_ok,
+         |  CAST(sum(len_ok * stop_ok * rep_ok * lang_ok) AS BIGINT) AS n_kept
+         |FROM flags GROUP BY source""".stripMargin
     },
     "cp_pii_scrub" ->
       s"""WITH s1 AS (

@@ -81,6 +81,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(report("src1") == ((3L, 2L, 2L, 2L)))
   }
 
+  test("quality gate: each gate trips on exactly its own failure mode") {
+    // English filler that passes every gate (30 distinct-ish tokens,
+    // stopwords present, no repetition)
+    val good = "the quick brown fox jumps over a lazy dog while the old " +
+      "miller walks his long road past green fields and quiet rivers " +
+      "toward that small town where friends wait"
+    val docs = Seq(
+      (1L, good, "en", "s"),                          // passes all gates
+      (2L, "the tiny text is here", "en", "s"),       // fails ONLY the token floor
+      (3L, ("lorem ipsum dolor sit amet " * 6).trim, "en", "s"), // no stopwords + repeated 3-grams (+ lang vote collapses)
+      (4L, good, "de", "s"),                          // langid mismatch (English text, de label)
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = Corpus.qualityGate(docs, minTokens = 20, minStopRatio = 0.01,
+        maxDupGram = 0.05, maxTopWord = 0.15)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.length == 1)
+    val (_, nDocs, lenOk, stopOk, repOk, langOk, kept) = r.head
+    assert(nDocs == 4)
+    assert(lenOk == 3)  // doc 2 too short
+    assert(stopOk == 3) // doc 3 has no function words
+    assert(repOk == 2)  // doc 3's repeated phrase trips the 3-gram cap;
+                        // doc 2 is so short its top word is 1/5 = 0.2
+                        // of it (the token floor drops such docs anyway)
+    assert(langOk == 2) // doc 4 votes en but is labeled de; doc 3's
+                        // zero-vote tie falls to the first-listed lang
+    assert(kept == 1)   // only doc 1 survives every gate
+  }
+
   test("PII scrub redacts what it counts; scrubbed text is PII-free") {
     val docs = Seq(
       (1L, "mail me at alice@example.com or bob.smith@corp.co today", "s"),
