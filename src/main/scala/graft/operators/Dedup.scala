@@ -290,6 +290,30 @@ object Dedup {
       .filter(col("cos_sim") >= tau)
   }
 
+  /** End-to-end SEMANTIC dedup over the embedding table — the
+    * composition a training pipeline actually runs: LSH-blocked
+    * cosine pairs ([[embeddingNearDupLsh]]) → connected components
+    * ([[clusters]]) → a keeper map for EVERY vector (cluster_id = the
+    * component's min vec_id; a vector in no near-dup pair is its own
+    * keeper). The semantic analog of [[exact]]'s (doc_id, keep_id,
+    * is_dup) contract, so downstream corpus filtering treats byte
+    * dupes and embedding dupes identically. Work = the pair stage
+    * (bounded by bucket occupancy) + O(diameter) label-propagation
+    * rounds + one left join back to the id column. */
+  def semanticKeepers(embeddings: DataFrame, tau: Double,
+                      nTables: Int = 6, planesPerTable: Int = 4,
+                      dim: Int = 64): DataFrame = {
+    val pairs = embeddingNearDupLsh(embeddings, tau, nTables, planesPerTable,
+      dim).select(col("id_a"), col("id_b"))
+    val comp = clusters(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    embeddings.select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("is_dup", (col("vec_id") =!= col("cluster_id")).cast("int"))
+  }
+
   /** Embedding-cosine near-dup pairs blocked by random-hyperplane LSH
     * buckets — the label-free scale path: the shuffle key is the
     * (table, bucket) sign-hash, so only intra-bucket pairs are ever

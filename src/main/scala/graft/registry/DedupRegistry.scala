@@ -60,6 +60,11 @@ object DedupRegistry {
     // by ClustersSpec + DedupSpec).
     "dd_clusters" -> ((s, d) =>
       Dedup.clusters(Dedup.ngramJaccard(Tables.documents(s, d), 3, JaccardTau))),
+    // End-to-end semantic dedup: LSH cosine pairs → components →
+    // keeper map for every vector. Both stages' oracles compose (plane
+    // literals + recursive closure + left join).
+    "dd_semantic" -> ((s, d) =>
+      Dedup.semanticKeepers(Tables.embeddings(s, d), CosineTau)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -123,5 +128,33 @@ object DedupRegistry {
          |FROM bucketed a JOIN bucketed b
          |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE $Dot / (${nrm("a")} * ${nrm("b")}) >= $CosineTau""".stripMargin,
+    // LSH pair oracle + the dd_clusters recursive closure + a left
+    // join back to every vector: unpaired vectors keep themselves.
+    "dd_semantic" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), bucketed AS (
+         |${VectorSql.lshBucketed(nTables = 6, planesPerTable = 4, dim = 64)}
+         |), pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE $Dot / (${nrm("a")} * ${nrm("b")}) >= $CosineTau
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT re.id, e2.dst FROM reach re JOIN edges e2 ON e2.src = re.r
+         |), comp AS (
+         |  SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
+         |)
+         |SELECT emb.vec_id,
+         |  coalesce(comp.cluster_id, emb.vec_id) AS cluster_id,
+         |  CAST(emb.vec_id <> coalesce(comp.cluster_id, emb.vec_id) AS INTEGER)
+         |    AS is_dup
+         |FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.vec_id""".stripMargin,
   )
 }
