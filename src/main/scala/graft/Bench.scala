@@ -71,10 +71,12 @@ object Bench {
     * either the driver's grading envelope ({"parsed":{"queries":…}})
     * or a bare compact metric line. Absent/unreadable → no block. */
   private def prevMedians(): Option[(String, Map[String, Double])] = {
+    // numeric round sort: lexicographic would pick r9 over r10
     val path = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse(
       Option(new java.io.File(".").listFiles()).flatMap(
         _.filter(_.getName.matches("BENCH_r\\d+\\.json"))
-          .sortBy(_.getName).lastOption.map(_.getPath)))
+          .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+          .lastOption.map(_.getPath)))
     path.flatMap { p =>
       try {
         import org.json4s._

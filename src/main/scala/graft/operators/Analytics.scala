@@ -247,6 +247,20 @@ object Analytics {
     name
   }
 
+  /** Run `sql` over views registered by [[tempView]], then DROP them:
+    * Dataset construction analyzes the plan eagerly, so the returned
+    * DataFrame no longer needs the catalog entries — without the drop
+    * every Bench pass / Verify thread leaks views for the session
+    * lifetime. */
+  private def sqlOverViews(spark: SparkSession, views: Seq[String],
+                           sql: String): DataFrame =
+    try spark.sql(sql)
+    finally views.foreach(spark.catalog.dropTempView)
+
+  /** SQL single-quoted string literal ('' escaping — a quote in the
+    * value must not terminate the literal). */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** TPC-H Q17-style small-quantity revenue: yearly revenue lost if
     * small orders (below `qtyFactor` x the part's average quantity)
     * were not filled. The scalar CORRELATED subquery
@@ -261,10 +275,10 @@ object Analytics {
                       qtyFactor: Double): DataFrame = {
     val li = tempView(spark, lineitem, "q17_li")
     val pt = tempView(spark, part, "q17_pt")
-    spark.sql(
+    sqlOverViews(spark, Seq(li, pt),
       s"""SELECT ${Num.dsumSql("l_extendedprice")} / 7.0 AS avg_yearly
          |FROM $li JOIN $pt ON p_partkey = l_partkey
-         |WHERE p_brand = '$brand'
+         |WHERE p_brand = ${sqlLit(brand)}
          |  AND l_quantity < (SELECT $qtyFactor * ${Num.davgSql("l_quantity")}
          |                    FROM $li l2 WHERE l2.l_partkey = p_partkey)
          |""".stripMargin)
@@ -282,7 +296,7 @@ object Analytics {
     val cu = tempView(spark, customer, "q18_cu")
     val or = tempView(spark, orders, "q18_or")
     val li = tempView(spark, lineitem, "q18_li")
-    spark.sql(
+    sqlOverViews(spark, Seq(cu, or, li),
       s"""SELECT c_name, c_custkey, o_orderkey,
          |  date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
          |  o_totalprice, ${Num.dsumSql("l_quantity")} AS total_qty
@@ -308,7 +322,7 @@ object Analytics {
                     lineitem: DataFrame, n: Int): DataFrame = {
     val su = tempView(spark, supplier, "q21_su")
     val li = tempView(spark, lineitem, "q21_li")
-    spark.sql(
+    sqlOverViews(spark, Seq(su, li),
       s"""SELECT s_name, count(*) AS numwait
          |FROM $su JOIN $li l1 ON s_suppkey = l1.l_suppkey
          |WHERE l1.l_returnflag = 'R'
@@ -338,7 +352,7 @@ object Analytics {
                           orders: DataFrame): DataFrame = {
     val cu = tempView(spark, customer, "q22_cu")
     val or = tempView(spark, orders, "q22_or")
-    spark.sql(
+    sqlOverViews(spark, Seq(cu, or),
       s"""SELECT c_mktsegment, count(*) AS numcust,
          |  ${Num.dsumSql("c_acctbal")} AS totacctbal
          |FROM $cu c

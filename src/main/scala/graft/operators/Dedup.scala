@@ -127,8 +127,16 @@ object Dedup {
     * verify half of every near-dup pipeline, batch or per-micro-batch
     * streaming. */
   private[graft] def verifyCandidates(cand: DataFrame, rows: DataFrame,
-                                      tau: Double): DataFrame = {
-    val sizes = rows.select(col("doc_id"), col("sz")).distinct()
+                                      tau: Double): DataFrame =
+    verifyCandidatesWith(cand, rows,
+      rows.select(col("doc_id"), col("sz")).distinct(), tau)
+
+  /** [[verifyCandidates]] with an explicit (doc_id, sz) size frame —
+    * the batch MinHash pipeline already has sizes as a signature-stage
+    * projection, so it must not pay a second aggregation for them. */
+  private[graft] def verifyCandidatesWith(cand: DataFrame, rows: DataFrame,
+                                          sizes: DataFrame,
+                                          tau: Double): DataFrame =
     cand
       .join(rows.as("ra"), col("id_a") === col("ra.doc_id"))
       .join(rows.as("rb"),
@@ -141,7 +149,6 @@ object Dedup {
         / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** MinHash + LSH near-dup detection (candidate pairs → exact-Jaccard
     * verification).
@@ -183,23 +190,11 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // Verify on the shingle rows: |A∩B| by joining both sides of each
-    // candidate pair back to the persisted rows (pairs with no shared
-    // shingle can't reach any tau > 0, so the inner join is lossless).
-    val inter = cand
-      .join(rows.as("ra"), col("id_a") === col("ra.doc_id"))
-      .join(rows.as("rb"),
-        col("id_b") === col("rb.doc_id") && col("ra.s") === col("rb.s"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = sigs.select(col("doc_id"), col("sz"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard", col("inter").cast("double")
-        / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Verify on the shingle rows ([[verifyCandidatesWith]]): pairs
+    // with no shared shingle can't reach any tau > 0, so the inner
+    // join is lossless; sizes come from the signature projection (no
+    // extra aggregation).
+    verifyCandidatesWith(cand, rows, sigs.select(col("doc_id"), col("sz")), tau)
   }
 
   /** 64-bit SimHash near-dup pairs at Hamming distance ≤ `maxDist`.

@@ -83,9 +83,9 @@ object Similarity {
     * Probe-size ladder: under `maxBroadcastProbes` the probe frame is
     * broadcast (one shuffle-free corpus pass, k x partitions rows per
     * probe to the exchange). Over the cap it is SPLIT into
-    * deterministic hash shards of ≤ ~cap rows (the [[Corpus.mixBucket]]
-    * mix on probe_id — reproducible across runs and partitionings),
-    * each broadcast and scored in its own corpus pass: every probe is
+    * deterministic hash shards of ≤ ~cap rows (pmod(xxhash64(id)) —
+    * reproducible across runs and partitionings, total over any id
+    * range), each broadcast and scored in its own corpus pass: every probe is
     * in exactly one shard and rankTopK is per-probe, so the unioned
     * result is IDENTICAL to the single-pass answer (spec-proven) while
     * no broadcast ever exceeds the executor-memory cap. Only past
@@ -101,18 +101,27 @@ object Similarity {
     if (fitsBroadcast(p, maxBroadcastProbes))
       rankTopK(scoreAgainst(broadcast(p), e), k)
     else {
-      // over the cap: exact count (one bounded pass over the probe
-      // frame, tiny next to the scoring work) to size the fan-out;
+      // over the cap: persist the probe frame once — the exact count
+      // below and every shard's broadcast build re-read it (without
+      // this, an N-shard fan-out recomputes the probe lineage N+1
+      // times). CacheManager dedupes by plan, so repeat queries over
+      // the same probe frame share the one entry.
+      val pc = p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = pc.count()
       // shards target ~90% of the cap so hash variance stays under it
-      val total = p.count()
       val target = math.max(1L, maxBroadcastProbes * 9L / 10L)
       val shards = ((total + target - 1L) / target).toInt
       if (shards <= maxProbeShards) {
-        val shardOf = Corpus.mixBucket(col("probe_id")) % shards
+        // pmod(xxhash64): total over [0, shards) for ANY id value —
+        // a plain `id % p * a % m % shards` is negative for negative
+        // ids (those probes would match no shard and vanish from the
+        // output) and collapses ids sharing a residue mod p into one
+        // over-sized shard.
+        val shardOf = pmod(xxhash64(col("probe_id")), lit(shards.toLong))
         (0 until shards)
-          .map(s => rankTopK(scoreAgainst(broadcast(p.filter(shardOf === s)), e), k))
+          .map(s => rankTopK(scoreAgainst(broadcast(pc.filter(shardOf === s)), e), k))
           .reduce(_ union _)
-      } else rankTopK(scoreAgainst(p, e), k)
+      } else rankTopK(scoreAgainst(pc, e), k)
     }
   }
 

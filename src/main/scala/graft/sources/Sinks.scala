@@ -56,13 +56,17 @@ object Sinks {
       df.write.mode("overwrite").parquet(path)
       return
     }
-    def norm(i: Int) = {
-      val (lo, hi) = (r.getLong(2 * i), r.getLong(2 * i + 1))
-      if (hi > lo)
-        ((col(cols(i)).cast("long") - lit(lo)) * lit(range) / lit(hi - lo))
-          .cast("long")
-      else lit(0L)
-    }
+    // a single all-null key degenerates to the hi == lo case (that
+    // dimension contributes nothing to the curve) instead of an NPE
+    def norm(i: Int) =
+      if (r.isNullAt(2 * i)) lit(0L)
+      else {
+        val (lo, hi) = (r.getLong(2 * i), r.getLong(2 * i + 1))
+        if (hi > lo)
+          ((col(cols(i)).cast("long") - lit(lo)) * lit(range) / lit(hi - lo))
+            .cast("long")
+        else lit(0L)
+      }
     df.withColumn("__z",
         graft.plans.Exprs.zorder(cols.indices.map(norm), bits))
       .repartitionByRange(files, col("__z"))

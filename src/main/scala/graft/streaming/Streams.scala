@@ -314,9 +314,14 @@ object Streams {
       }
       state.update(members)
       // arm strictly above the current watermark (late data could put
-      // last-touch + TTL behind it, which setTimeoutTimestamp rejects)
+      // last-touch + TTL behind it, which setTimeoutTimestamp rejects);
+      // saturate the sum so idleTtlMs = Long.MaxValue means "never",
+      // not an overflow-negative "immediately"
+      val armAt =
+        if (idleTtlMs > Long.MaxValue - math.max(lastTouchMs, 0L)) Long.MaxValue
+        else lastTouchMs + idleTtlMs
       state.setTimeoutTimestamp(
-        math.max(state.getCurrentWatermarkMs() + 1, lastTouchMs + idleTtlMs))
+        math.max(state.getCurrentWatermarkMs() + 1, armAt))
       out.iterator
     }
   }
@@ -334,14 +339,19 @@ object Streams {
                                   bands: Int = 16, rowsPerBand: Int = 8,
                                   maxBucket: Int = 1024,
                                   idleTtlMs: Long = DefaultBucketIdleTtlMs,
-                                  lateness: String = "0 seconds"): Dataset[CandPair] = {
+                                  lateness: String = "10 minutes"): Dataset[CandPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     // Event time for the idle clock: a `ts` column if the feed has one
     // (the Kafka shape, or a test's synthetic stamps), else the batch
     // timestamp — current_timestamp() in a streaming query is the
     // trigger time, constant per batch, so the watermark tracks
-    // arrival time for sources with no native event time.
+    // arrival time for sources with no native event time. The
+    // `lateness` default keeps cross-partition event-time disorder
+    // from dropping docs at the stateful operator (a 0-second
+    // watermark discards anything behind the max seen ts); docs later
+    // than `lateness` behind the front ARE dropped — the documented
+    // trade of any watermarked stream.
     val stamped =
       if (docs.columns.contains("ts")) docs
       else docs.withColumn("ts", current_timestamp())
@@ -412,9 +422,11 @@ object Streams {
     val store = graft.operators.Dedup.shingleRows(
       spark.read.parquet(s"$dir/documents.parquet"), n)
     val outDir = java.nio.file.Files.createTempDirectory("graft_mh_ver").toString
-    minhashVerifiedFromStream(
-      FileStreamSource(s"$dir/documents.parquet").stream(spark),
-      store, outDir, n, tau)
+    try
+      minhashVerifiedFromStream(
+        FileStreamSource(s"$dir/documents.parquet").stream(spark),
+        store, outDir, n, tau)
+    finally store.unpersist() // run-scoped: the drain is complete
     spark.read.parquet(outDir).distinct()
   }
 
