@@ -65,6 +65,20 @@ object DedupRegistry {
     // literals + recursive closure + left join).
     "dd_semantic" -> ((s, d) =>
       Dedup.semanticKeepers(Tables.embeddings(s, d), CosineTau)),
+    // The composed production order: EXACT dedup first, MinHash over
+    // the keepers only. Near-dup pair output is quadratic in exact-copy
+    // multiplicity by definition (100 copies of one doc = 4,950 true
+    // pairs), so a duplication-heavy corpus must shed exact copies
+    // before the pair stage — this row is the shape that survives it
+    // (scale-proven on the 100x-duplicated corpus, SURVEY §6). No SQL
+    // oracle (xxhash64); both stages are oracle/spec-checked alone.
+    "dd_minhash_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keepers = Dedup.exact(docs)
+        .filter(org.apache.spark.sql.functions.col("is_dup") === 0)
+        .select("doc_id")
+      Dedup.minhashLsh(docs.join(keepers, "doc_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
