@@ -147,28 +147,46 @@ object Corpus {
     * count floor, a stopword-ratio floor (natural prose has function
     * words), repetition caps (duplicate 3-gram fraction + top-word
     * fraction — boilerplate/spam markers), and language-ID agreement
-    * with the declared lang. Composes the C-family per-doc statistics
-    * ([[TextAnalysis.qualityScore]] / [[TextAnalysis.repetition]] /
-    * [[TextAnalysis.langId]]) via doc_id equi-joins (each stat keeps
-    * its standalone plan shape; AQE handles the join sides) + one
-    * map-side-combined aggregation. All gate ratios are single IEEE
-    * divisions of integer counts, so the boundaries replay exactly on
-    * any engine. */
+    * with the declared lang.
+    *
+    * Every gate statistic is a pure per-row function of `text`, so the
+    * whole gate is ONE scan of the corpus: the token array is
+    * materialized once per row and every gate column (including the
+    * top-word fraction, via the codegen'd top-token-count kernel)
+    * projects from it, followed by the single map-side-combined
+    * aggregation on source. The per-row expressions are the SAME ones
+    * the C-family wrappers emit ([[TextAnalysis.stopRatioCol]] /
+    * [[TextAnalysis.dupGramFracCol]] / [[TextAnalysis.topWordFracCol]]
+    * / [[TextAnalysis.argmaxLang]]), so the oracle is unchanged — but
+    * the former compose-by-join shape (three doc_id equi-joins of
+    * three stat frames) re-scanned and re-tokenized the text column
+    * four times and shuffled the doc_id key three times; at corpus
+    * scale that is ~4x the IO of this plan for the identical result.
+    * All gate ratios are single IEEE divisions of integer counts, so
+    * the boundaries replay exactly on any engine. */
   def qualityGate(docs: DataFrame, minTokens: Int, minStopRatio: Double,
                   maxDupGram: Double, maxTopWord: Double): DataFrame = {
-    val q = TextAnalysis.qualityScore(docs)
-      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"))
-    val r = TextAnalysis.repetition(docs)
-      .select(col("doc_id"), col("dup_gram_frac"), col("top_word_frac"))
-    val l = TextAnalysis.langId(docs).select(col("doc_id"), col("matched"))
-    docs.select(col("doc_id"), col("source"))
-      .join(q, Seq("doc_id")).join(r, Seq("doc_id")).join(l, Seq("doc_id"))
-      .select(col("source"),
+    val langs = TextAnalysis.StopwordsByLang
+    // stage the token array and the 3-gram array as attributes: every
+    // downstream reference is then an O(1) column read (CollapseProject
+    // keeps multiply-referenced non-cheap aliases staged).
+    val base = docs.select(col("source"), col("lang"),
+      Text.tokens(col("text")).as("toks"))
+    val derived = base.select(
+      col("source") +: col("lang") +:
+        size(col("toks")).as("n_tokens") +:
+        TextAnalysis.stopRatioCol(col("toks")).as("stop_ratio") +:
+        Text.ngrams(col("toks"), 3).as("g") +:
+        TextAnalysis.topWordFracCol(col("toks")).as("top_word_frac") +:
+        langs.map { case (l, ws) =>
+          TextAnalysis.stopHits(col("toks"), ws).as(s"s_$l") }: _*)
+    derived.select(col("source"),
         (col("n_tokens") >= minTokens).cast("long").as("len_ok"),
         (col("stop_ratio") >= minStopRatio).cast("long").as("stop_ok"),
-        (col("dup_gram_frac") <= maxDupGram &&
+        (TextAnalysis.dupGramFracCol(col("g")) <= maxDupGram &&
           col("top_word_frac") <= maxTopWord).cast("long").as("rep_ok"),
-        col("matched").cast("long").as("lang_ok"))
+        (TextAnalysis.argmaxLang(langs.map(_._1), "s_") === col("lang"))
+          .cast("long").as("lang_ok"))
       .withColumn("kept",
         (col("len_ok") === 1 && col("stop_ok") === 1 &&
           col("rep_ok") === 1 && col("lang_ok") === 1).cast("long"))

@@ -27,8 +27,51 @@ object TextAnalysis {
     "zh" -> Seq("de", "shi", "le", "wo", "ni", "ta", "men", "zai"),
   )
 
-  private def stopHits(toks: Column, words: Seq[String]): Column =
+  // argmaxLang's `filter(_ > l)` chain (and the registry SQL replaying
+  // it) is a FIRST-LISTED tie-break only while the language keys are
+  // listed in sorted order — assert the invariant where the lists
+  // live, so an out-of-order addition fails at load instead of
+  // silently skewing every language vote and its oracle.
+  require(StopwordsByLang.map(_._1) == StopwordsByLang.map(_._1).sorted,
+    "StopwordsByLang language keys must be sorted (argmax tie-break)")
+
+  /** All languages' stopwords, deduped and sorted — the vote list the
+    * composite quality score and the quality gate share. */
+  private[operators] val AllStopwords: Seq[String] =
+    StopwordsByLang.flatMap(_._2).distinct.sorted
+
+  private[operators] def stopHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
+
+  /** Per-row gate columns, exposed so composites (the H-family quality
+    * gate) can compute every per-doc statistic in ONE projection of the
+    * token array instead of equi-joining the DataFrame wrappers —
+    * three corpus re-scans and three doc_id shuffles fewer at any
+    * scale. Each is the identical expression its wrapper emits, so the
+    * oracles don't change. */
+  private[operators] def stopRatioCol(toks: Column): Column =
+    stopHits(toks, AllStopwords).cast("double") / greatest(size(toks), lit(1))
+
+  /** Duplicate-3-gram fraction over a materialized n-gram column
+    * (callers select `Text.ngrams(toks, 3)` as its own column first —
+    * the three references below must hit an attribute, not re-expand
+    * the n-gram expression). */
+  private[operators] def dupGramFracCol(grams: Column): Column =
+    when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+      .otherwise(lit(0.0))
+
+  /** Top-word fraction as a per-row projection: the codegen'd
+    * top-token-count kernel over the token array, divided by the token
+    * count — bit-identical to max(c)/sum(c) of the (doc, word)
+    * count-aggregate it replaces (integer counts, one IEEE division);
+    * 0.0 for token-less docs, matching the aggregate path's missing
+    * row under coalesce. */
+  private[operators] def topWordFracCol(toks: Column): Column =
+    when(size(toks) > 0,
+      graft.plans.Exprs.topTokenCount(toks).cast("double")
+        / size(toks).cast("double"))
+      .otherwise(lit(0.0))
 
   /** Token accounting: whitespace tokens, BPE-ish sub-tokens, and
     * letter-run words per document. */
@@ -48,7 +91,7 @@ object TextAnalysis {
     val nToks = size(toks)
     val punct = regexp_count(col("text"), lit("[^\\p{L}\\p{N}\\s]"))
     val letters = length(regexp_replace(col("text"), "[^\\p{L}]", ""))
-    val stops = stopHits(toks, StopwordsByLang.flatMap(_._2).distinct.sorted)
+    val stops = stopHits(toks, AllStopwords)
     docs.select(col("doc_id"), nChars.as("n_chars_c"), nToks.as("n_tokens"),
         punct.as("n_punct"), letters.as("n_letters"), stops.as("n_stop"))
       .select(col("doc_id"), col("n_chars_c"), col("n_tokens"),
@@ -64,8 +107,9 @@ object TextAnalysis {
   }
 
   /** Argmax over per-language vote columns named `$prefix$lang`,
-    * first-listed tie-break — shared by both language-ID variants. */
-  private def argmaxLang(langs: Seq[String], prefix: String): Column = {
+    * first-listed tie-break — shared by both language-ID variants and
+    * the quality gate. */
+  private[operators] def argmaxLang(langs: Seq[String], prefix: String): Column = {
     val pred = langs.foldRight(lit(langs.last)) { case (l, rest) =>
       val beatsAll = langs.filter(_ > l)
         .map(o => col(s"$prefix$l") >= col(s"$prefix$o"))
@@ -98,6 +142,11 @@ object TextAnalysis {
     "fr" -> Seq("le", "es", "ou", "qu", "on"),
     "zh" -> Seq("zh", "ng", "sh", "ia", "ao"),
   )
+
+  // same sorted invariant as StopwordsByLang: the bigram argmax (and
+  // its oracle) replays the identical first-listed tie-break chain.
+  require(BigramsByLang.map(_._1) == BigramsByLang.map(_._1).sorted,
+    "BigramsByLang language keys must be sorted (argmax tie-break)")
 
   /** Character-n-gram language ID: votes are non-overlapping counts of
     * each language's characteristic bigrams over the normalized text
@@ -180,27 +229,18 @@ object TextAnalysis {
 
   /** Gopher-style repetition filters: the fraction of duplicate word
     * 3-grams in a document (high → boilerplate/spam) and the fraction
-    * of all tokens taken by the single most frequent word. The n-gram
-    * part is pure per-row column math (no shuffle); the top-word part
-    * is one (doc, word) partial-agg shuffle — both linear. */
-  def repetition(docs: DataFrame): DataFrame = {
-    val grams = docs.select(col("doc_id"),
-        Text.ngrams(Text.tokens(col("text")), 3).as("g"))
+    * of all tokens taken by the single most frequent word. ONE scan,
+    * zero shuffles: both fractions are per-row projections of the
+    * token array (the top-word part via the codegen'd top-token-count
+    * kernel — the former (doc, word) count-aggregate pipeline
+    * exchanged every token row twice for a per-doc scalar). */
+  def repetition(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), Text.ngrams(col("toks"), 3).as("g"))
       .select(col("doc_id"),
         size(col("g")).cast("long").as("n_grams"),
-        when(size(col("g")) > 0,
-          lit(1.0) - size(array_distinct(col("g"))).cast("double") / size(col("g")))
-          .otherwise(lit(0.0)).as("dup_gram_frac"))
-    val topWord = docs
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
-        .as("top_word_frac"))
-    grams.join(topWord, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"), col("dup_gram_frac"),
-        coalesce(col("top_word_frac"), lit(0.0)).as("top_word_frac"))
-  }
+        dupGramFracCol(col("g")).as("dup_gram_frac"),
+        topWordFracCol(col("toks")).as("top_word_frac"))
 
   /** Per-language corpus statistics: type-token ratio and average
     * word length. One explode + one agg on lang (bounded key space). */

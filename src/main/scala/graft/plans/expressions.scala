@@ -165,6 +165,29 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `top_token_count(tokens)`: occurrence count of the row's most
+  * frequent token — see [[TopTokenKernels.topTokenCount]] for the two
+  * shuffles this projection replaces. */
+case class TopTokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"top_token_count() needs array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TopTokenKernels.topTokenCount(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TopTokenKernels.topTokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopTokenCountExpr =
+    copy(child = newChild)
+}
+
 /** `zorder(array(k0..kN-1), bits)`: bit-interleaved Z-curve value of N
   * long keys, each normalized by the caller into `bits` bits — see
   * [[ZOrderKernels.interleaveN]]. */
@@ -210,6 +233,10 @@ object Exprs {
   /** Column wrapper for [[SimHashExpr]]. */
   def simhash(tokens: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))
+
+  /** Column wrapper for [[TopTokenCountExpr]]. */
+  def topTokenCount(tokens: Column): Column =
+    ColumnBridge.column(TopTokenCountExpr(ColumnBridge.expression(tokens)))
 
   /** Column wrapper for [[ZOrderNExpr]]: N normalized bigint keys,
     * `bits` bits each (bits·N ≤ 64). */

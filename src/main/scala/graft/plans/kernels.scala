@@ -232,6 +232,38 @@ object SimHashKernels {
   }
 }
 
+/** Per-row top-token count: the occurrence count of a document's most
+  * frequent token — the numerator of the Gopher top-word-fraction
+  * repetition filter. Identical to `max(c)` over a (doc, word)
+  * count-aggregate (occurrence counting is order-independent), but as
+  * a scan-side projection: the two shuffles that aggregate pipeline
+  * costs (every (doc, token) row exchanged, then a per-doc max/sum)
+  * are gone. Null elements are skipped; empty/all-null input → 0
+  * (callers guard the 0-token ratio the same way the aggregate path's
+  * missing row did).
+  */
+object TopTokenKernels {
+  def topTokenCount(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    var best = 0
+    if (n > 0) {
+      val m = new java.util.HashMap[UTF8String, Array[Int]](n * 2)
+      var i = 0
+      while (i < n) {
+        if (!tokens.isNullAt(i)) {
+          val t = tokens.getUTF8String(i)
+          var c = m.get(t)
+          if (c == null) { c = new Array[Int](1); m.put(t, c) }
+          c(0) += 1
+          if (c(0) > best) best = c(0)
+        }
+        i += 1
+      }
+    }
+    best.toLong
+  }
+}
+
 /** Bit-interleaved Z-order value for N keys: bit i of key j lands at
   * position i·N + j, so sorting by the result walks the N-dimensional
   * Z space-filling curve — rows close in ALL keys land in the same

@@ -27,8 +27,9 @@ object CorpusRegistry {
     * pipeline passes its own eval frame to [[Corpus.decontaminate]]. */
   val EvalMod = 97
 
-  private val ToksExpr =
-    "list_filter(list_transform(regexp_split_to_array(text, '[^\\p{L}]+'), w -> lower(w)), w -> w <> '')"
+  // tokenization / vote / argmax spellings shared with the C-family
+  // oracles (TextSql) — the gate must replay the identical vote.
+  import TextSql.{ToksExpr, hits, predLangCase}
 
   /** DuckDB spelling of Text.shingles(Text.tokens(text), 4). */
   private val Sh4 =
@@ -45,23 +46,6 @@ object CorpusRegistry {
   val MaxDupGram = 0.05
   val MaxTopWord = 0.15
 
-  private def sqlList(ws: Seq[String]): String =
-    ws.map(w => s"'$w'").mkString("[", ", ", "]")
-
-  private def hits(words: Seq[String]): String =
-    s"len(list_filter(toks, t -> list_contains(${sqlList(words)}, t)))"
-
-  /** Same argmax-with-first-tie-break CASE chain as the ta_langid
-    * oracle (TextAnalysisRegistry) — the gate replays the identical
-    * language vote. */
-  private def predLangCase(langs: Seq[String], prefix: String): String = {
-    val whens = langs.dropRight(1).map { l =>
-      val conds = langs.filter(_ > l)
-        .map(o => s"$prefix$l >= $prefix$o").mkString(" AND ")
-      s"WHEN $conds THEN '$l'"
-    }
-    s"CASE ${whens.mkString(" ")} ELSE '${langs.last}' END"
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cp_sample" -> ((s, d) =>

@@ -18,8 +18,7 @@ object DedupRegistry {
   private val Sh3 =
     """list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
       |    i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3])))""".stripMargin
-  private val ToksExpr =
-    "list_filter(list_transform(regexp_split_to_array(text, '[^\\p{L}]+'), w -> lower(w)), w -> w <> '')"
+  import TextSql.ToksExpr
 
   private val Dot =
     "list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (acc, x) -> acc + x)"

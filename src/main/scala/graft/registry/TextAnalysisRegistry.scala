@@ -17,26 +17,10 @@ object TextAnalysisRegistry {
     * MaxVocab² on both engines. */
   val MaxVocab = 512
 
-  /** DuckDB spelling of Text.tokens as a per-row list column. */
-  private val ToksExpr =
-    "list_filter(list_transform(regexp_split_to_array(text, '[^\\p{L}]+'), w -> lower(w)), w -> w <> '')"
+  // DuckDB spellings shared with the H-family gate oracle — one source
+  // of truth for tokenization, stopword votes, and the language argmax.
+  import TextSql.{ToksExpr, hits, predLangCase}
 
-  private def sqlList(ws: Seq[String]): String =
-    ws.map(w => s"'$w'").mkString("[", ", ", "]")
-
-  private def hits(words: Seq[String]): String =
-    s"len(list_filter(toks, t -> list_contains(${sqlList(words)}, t)))"
-
-  /** The argmax-with-first-tie-break CASE chain, same order as
-    * TextAnalysis.argmaxLang. */
-  private def predLangCase(langs: Seq[String], prefix: String): String = {
-    val whens = langs.dropRight(1).map { l =>
-      val conds = langs.filter(_ > l)
-        .map(o => s"$prefix$l >= $prefix$o").mkString(" AND ")
-      s"WHEN $conds THEN '$l'"
-    }
-    s"CASE ${whens.mkString(" ")} ELSE '${langs.last}' END"
-  }
   private val PredLangCase: String =
     predLangCase(TextAnalysis.StopwordsByLang.map(_._1), "s_")
 
