@@ -50,6 +50,61 @@ object Dedup {
   def exactNormalized(docs: DataFrame): DataFrame =
     keepByMinId(docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp")))
 
+  /** The keeper STORE for incremental exact dedup: one (fp, keep_id)
+    * row per distinct fingerprint — the slim table a growing corpus
+    * persists between ingests so each new batch dedups against
+    * fingerprints, never against the old corpus bytes. Map-side-
+    * combined min per fp (a null fingerprint forms its own group, same
+    * as [[exact]]). Written bucketed on fp
+    * ([[graft.sources.Sinks.writeBucketed]]) the store side of every
+    * future delta join is pre-partitioned — no store shuffle per
+    * ingest. */
+  def keeperStore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+
+  /** Result of a delta dedup pass: the delta's (doc_id, keep_id,
+    * is_dup) assignment, and the keeper store with the delta's new
+    * fingerprints merged in (input to the NEXT ingest). */
+  final case class DeltaDedup(assignment: DataFrame, updatedStore: DataFrame)
+
+  /** Incremental (delta) exact dedup — the batch operator a growing
+    * 100 TB corpus actually runs: dedup a new-docs frame against the
+    * persisted keeper store WITHOUT rescanning the old corpus.
+    * Keepers are sticky: a fingerprint already in the store keeps its
+    * existing keep_id (first writer wins — re-electing a smaller
+    * keeper would retroactively flip already-published rows); a new
+    * fingerprint's keeper is the delta's min doc_id, exactly
+    * [[exact]]'s rule. When every delta id exceeds every stored id
+    * (the normal append-only ingest), the result is IDENTICAL to a
+    * full rescan (spec-proven).
+    *
+    * Cost per ingest: one scan+hash of the DELTA (persisted slim, the
+    * [[exact]] trick — the min aggregate and the join-back both read
+    * it; the cache entry lives for the session, same contract as
+    * exact/exactNormalized), one fp-key shuffle of delta-sized frames,
+    * and a store equi-join — never a scan of the old corpus. The
+    * store union is column-aligned, so the updated store appends only
+    * the genuinely new fingerprints. */
+  def exactDelta(store: DataFrame, delta: DataFrame): DeltaDedup = {
+    val keyed = delta.select(col("doc_id"), md5(col("text")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dmin = keyed.groupBy(col("fp")).agg(min(col("doc_id")).as("dmin_id"))
+    // per-fp keeper after this ingest: the store's (sticky) else the
+    // delta's min. Null-SAFE fp matching throughout, as in keepByMinId.
+    val merged = dmin.as("m")
+      .join(store.as("s"), col("m.fp") <=> col("s.fp"), "left")
+      .select(col("m.fp").as("fp"),
+        coalesce(col("s.keep_id"), col("m.dmin_id")).as("keep_id"))
+    val assignment = keyed.as("d")
+      .join(merged.as("k"), col("d.fp") <=> col("k.fp"))
+      .select(col("d.doc_id").as("doc_id"), col("keep_id"),
+        (col("d.doc_id") =!= col("keep_id")).cast("int").as("is_dup"))
+    val newFps = merged.as("m2")
+      .join(store.as("s2"), col("m2.fp") <=> col("s2.fp"), "left_anti")
+    DeltaDedup(assignment, store.union(newFps))
+  }
+
   /** (doc_id, sz, s) shingle rows, persisted — candidate generation
     * and both sides of the verification join re-read them. Also the
     * SHINGLE STORE the streaming verify joins candidates against
@@ -162,29 +217,15 @@ object Dedup {
     * shingle sets. */
   def minhashLsh(docs: DataFrame, n: Int = 3, bands: Int = 16,
                  rowsPerBand: Int = 8, tau: Double = 0.8): DataFrame = {
-    val perms = bands * rowsPerBand
     // (doc_id, sh) shingle ARRAYS: the only evaluation of the
     // tokenize→shingle pipeline, persisted because the signature
     // projection and both sides of the verification join re-read it
     // (the standard materialize-the-shingle-table step, kept in array
     // form — smaller than exploded rows).
-    val base = docs
-      .select(col("doc_id"), Text.shingles(Text.tokens(col("text")), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val base = shingleArrays(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rows = base.select(col("doc_id"), explode(col("sh")).as("s"))
-    // All `perms` signature mins in ONE per-row codegen'd kernel
-    // (graft.plans.MinHashKernels): the shingle string is hashed once,
-    // each permutation re-mixes the fixed 8-byte hash. Signatures are
-    // a scan-side PROJECTION — the r4 shape's hash-partitioned
-    // 128-column aggregate of the exploded shingle table (one full
-    // exchange of every (doc, shingle) row) is gone; bit-identical
-    // output (PlansSpec).
-    val sigs = base.select(col("doc_id"), size(col("sh")).as("sz"),
-      graft.plans.Exprs.minhashSig(col("sh"), perms).as("sig"))
-    val banded = sigs.select(col("doc_id"),
-        posexplode(Hashing.bandKeys(col("sig"), bands, rowsPerBand))
-          .as(Seq("band", "bkey")))
+    val banded = bandedKeys(base, bands, rowsPerBand)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -192,9 +233,95 @@ object Dedup {
       .distinct()
     // Verify on the shingle rows ([[verifyCandidatesWith]]): pairs
     // with no shared shingle can't reach any tau > 0, so the inner
-    // join is lossless; sizes come from the signature projection (no
-    // extra aggregation).
-    verifyCandidatesWith(cand, rows, sigs.select(col("doc_id"), col("sz")), tau)
+    // join is lossless; sizes come from the persisted shingle arrays
+    // (no extra aggregation).
+    verifyCandidatesWith(cand, rows,
+      base.select(col("doc_id"), size(col("sh")).as("sz")), tau)
+  }
+
+  /** (doc_id, sh) shingle-array rows, empty sets dropped — the shared
+    * head of every MinHash pipeline. */
+  private def shingleArrays(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), Text.shingles(Text.tokens(col("text")), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** (doc_id, band, bkey) LSH banding keys. All `bands*rowsPerBand`
+    * signature mins in ONE per-row codegen'd kernel
+    * (graft.plans.MinHashKernels): the shingle string is hashed once,
+    * each permutation re-mixes the fixed 8-byte hash. Signatures are a
+    * scan-side PROJECTION — no signature-stage exchange; bit-identical
+    * to the r4 wide-aggregate shape (PlansSpec). */
+  private def bandedKeys(shArrays: DataFrame, bands: Int,
+                         rowsPerBand: Int): DataFrame =
+    shArrays
+      .select(col("doc_id"),
+        graft.plans.Exprs.minhashSig(col("sh"), bands * rowsPerBand).as("sig"))
+      .select(col("doc_id"),
+        posexplode(Hashing.bandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bkey")))
+
+  /** The persisted index state for INCREMENTAL MinHash dedup:
+    * `banded` = (doc_id, band, bkey) LSH keys, `shingles` =
+    * (doc_id, sz, s) shingle rows (the verify store, [[shingleRows]]
+    * schema). At corpus scale both are maintained tables, not per-run
+    * projections — write `banded` bucketed on bkey and `shingles`
+    * bucketed on doc_id ([[graft.sources.Sinks.writeBucketed]]) so the
+    * per-ingest candidate join and verify join read them
+    * pre-partitioned. */
+  final case class MinHashStore(banded: DataFrame, shingles: DataFrame)
+
+  /** Build [[MinHashStore]] state for an initial corpus. */
+  def minhashStore(docs: DataFrame, n: Int = 3, bands: Int = 16,
+                   rowsPerBand: Int = 8): MinHashStore = {
+    val base = shingleArrays(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    MinHashStore(bandedKeys(base, bands, rowsPerBand),
+      base.select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("s")))
+  }
+
+  /** Result of an incremental MinHash pass: every verified near-dup
+    * pair TOUCHING the delta, and the store with the delta's keys and
+    * shingles appended (input to the next ingest). */
+  final case class MinHashDelta(pairs: DataFrame, updatedStore: MinHashStore)
+
+  /** Incremental (delta) MinHash near-dup detection — [[exactDelta]]'s
+    * analog for the near-dup path: band-join the delta's signatures
+    * against the persisted banded-signature store instead of re-running
+    * [[minhashLsh]] over the full corpus. Only the DELTA is tokenized,
+    * shingled, and signed; candidate generation joins the delta's
+    * (band, bkey) keys against store ∪ delta keys (old-old pairs were
+    * already emitted by earlier runs and cannot re-form — at least one
+    * side of every new candidate is a delta doc); verification runs
+    * against the combined shingle store. The emitted pair set is
+    * EXACTLY the full-corpus run's pairs restricted to pairs touching
+    * the delta (banding and exact-Jaccard verify are per-pair
+    * deterministic — spec-proven), so ingest-by-ingest union over time
+    * reproduces the full pair table. Per-ingest cost: delta-sized
+    * projections + one candidate equi-join bounded by bucket occupancy
+    * + the bounded verify — never a corpus rescan. */
+  def minhashLshDelta(store: MinHashStore, delta: DataFrame, n: Int = 3,
+                      bands: Int = 16, rowsPerBand: Int = 8,
+                      tau: Double = 0.8): MinHashDelta = {
+    val base = shingleArrays(delta, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dShingles = base.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val dBanded = bandedKeys(base, bands, rowsPerBand)
+    val allBanded = store.banded.union(dBanded)
+    // delta side × all sides: a delta-delta pair matches twice (once
+    // per orientation), so normalize to id_a < id_b and dedup — the
+    // full run's pair convention.
+    val cand = dBanded.as("a").join(allBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+    val allShingles = store.shingles.union(dShingles)
+    MinHashDelta(verifyCandidates(cand, allShingles, tau),
+      MinHashStore(allBanded, allShingles))
   }
 
   /** 64-bit SimHash near-dup pairs at Hamming distance ≤ `maxDist`.

@@ -14,6 +14,13 @@ object DedupRegistry {
   val JaccardTau = 0.8
   val CosineTau = 0.35 // synthetic embeddings top out near 0.47 within-label
 
+  /** dd_exact_delta's corpus split: every DeltaMod-th doc plays the
+    * incoming delta, the rest the already-ingested corpus whose keeper
+    * store is persisted. A mod split (not an id range) so the delta
+    * holds ids BELOW stored keepers — exercising the sticky-keeper
+    * rule, not just the append-only case the spec proves. */
+  val DeltaMod = 3
+
   /** DuckDB spelling of Text.shingles(Text.tokens(text), 3). */
   private val Sh3 =
     """list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
@@ -71,6 +78,27 @@ object DedupRegistry {
     // before the pair stage — this row is the shape that survives it
     // (scale-proven on the 100x-duplicated corpus, SURVEY §6). No SQL
     // oracle (xxhash64); both stages are oracle/spec-checked alone.
+    // Incremental exact dedup: the delta's assignment against a keeper
+    // store built from the rest of the corpus — no old-corpus rescan in
+    // the plan (the store is the only old-side input).
+    "dd_exact_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val c = org.apache.spark.sql.functions.col("doc_id")
+      Dedup.exactDelta(
+        Dedup.keeperStore(docs.filter(c % DeltaMod =!= 0)),
+        docs.filter(c % DeltaMod === 0)).assignment
+    }),
+    // Incremental MinHash: every verified pair touching the delta,
+    // band-joined against the persisted banded-signature + shingle
+    // store — no full-corpus re-run. No SQL oracle (xxhash64);
+    // DeltaDedupSpec proves delta-mode ≡ the restricted full run.
+    "dd_minhash_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val c = org.apache.spark.sql.functions.col("doc_id")
+      Dedup.minhashLshDelta(
+        Dedup.minhashStore(docs.filter(c % DeltaMod =!= 0)),
+        docs.filter(c % DeltaMod === 0)).pairs
+    }),
     "dd_minhash_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val keepers = Dedup.exact(docs)
@@ -93,6 +121,27 @@ object DedupRegistry {
         |k AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM m)
         |SELECT doc_id, keep_id,
         |  CAST(doc_id <> keep_id AS INTEGER) AS is_dup FROM k""".stripMargin,
+    // Replays store ∪ delta: stored keepers are sticky (coalesce
+    // prefers the store's keep_id), new fingerprints elect the delta's
+    // min id. IS NOT DISTINCT FROM = Spark's null-safe <=>.
+    "dd_exact_delta" ->
+      s"""WITH old AS (
+         |  SELECT doc_id, md5(text) AS fp FROM documents
+         |  WHERE doc_id % $DeltaMod <> 0
+         |), store AS (
+         |  SELECT fp, min(doc_id) AS keep_id FROM old GROUP BY fp
+         |), delta AS (
+         |  SELECT doc_id, md5(text) AS fp FROM documents
+         |  WHERE doc_id % $DeltaMod = 0
+         |), dmin AS (
+         |  SELECT fp, min(doc_id) AS dmin_id FROM delta GROUP BY fp
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(s.keep_id, m.dmin_id) AS keep_id,
+         |  CAST(d.doc_id <> coalesce(s.keep_id, m.dmin_id) AS INTEGER) AS is_dup
+         |FROM delta d
+         |JOIN dmin m ON d.fp IS NOT DISTINCT FROM m.fp
+         |LEFT JOIN store s ON d.fp IS NOT DISTINCT FROM s.fp""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH $JaccardCtes
          |SELECT id_a, id_b,

@@ -82,7 +82,12 @@ object Sinks {
 
   /** Write bucketed+sorted tables for shuffle-free co-located joins
     * (see ScaleShapeSpec): the managed-table form of pre-partitioning
-    * a fact table on its join key. */
+    * a fact table on its join key. Also the persistence layout for the
+    * incremental-dedup stores: the exact-dedup keeper store
+    * ([[graft.operators.Dedup.keeperStore]]) bucketed on fp, and
+    * [[graft.operators.Dedup.MinHashStore]]'s banded keys on bkey /
+    * shingle rows on doc_id — each ingest's delta joins then read the
+    * store pre-partitioned on its join key. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int): Unit =
     df.write

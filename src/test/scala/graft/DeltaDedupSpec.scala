@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Incremental (delta) dedup contracts: a delta pass against the
+  * persisted store must equal the full rescan restricted to the delta
+  * — the invariant that lets a growing corpus dedup ingest-by-ingest
+  * without ever rescanning old bytes. The MinHash corpus uses
+  * identical token streams (J = 1) for guaranteed pairs: banding is
+  * probabilistic below that, and a spec must not depend on a lucky
+  * band collision. */
+class DeltaDedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private def docsDF(rows: Seq[(Long, String)]): DataFrame =
+    rows.map { case (i, t) => (i, t, "s") }.toDF("doc_id", "text", "source")
+
+  // old side: an internal dup pair (1,3) + a unique doc; delta side:
+  // dups of both old texts, a delta-internal dup pair, and a fresh doc.
+  private val corpus = Seq(
+    1L -> "aaa bbb ccc",
+    2L -> "unique text two",
+    3L -> "aaa bbb ccc",
+    101L -> "aaa bbb ccc",
+    102L -> "unique text two",
+    103L -> "fresh delta text",
+    104L -> "fresh delta text",
+    105L -> "another fresh one",
+  )
+
+  private def asn(df: DataFrame): Set[(Long, Long, Int)] =
+    df.as[(Long, Long, Int)].collect().toSet
+  private def stor(df: DataFrame): Set[(String, Long)] =
+    df.as[(String, Long)].collect().toSet
+
+  test("exactDelta over an append-only split equals the full rescan") {
+    val full = docsDF(corpus)
+    val old = full.filter($"doc_id" < 100)
+    val delta = full.filter($"doc_id" >= 100)
+    val r = Dedup.exactDelta(Dedup.keeperStore(old), delta)
+    assert(asn(r.assignment) == asn(Dedup.exact(full).filter($"doc_id" >= 100)))
+    assert(stor(r.updatedStore) == stor(Dedup.keeperStore(full)))
+  }
+
+  test("two sequential ingests compose to the full rescan") {
+    val full = docsDF(corpus)
+    val old = full.filter($"doc_id" < 100)
+    val r1 = Dedup.exactDelta(Dedup.keeperStore(old),
+      full.filter($"doc_id" >= 100 && $"doc_id" <= 103))
+    val r2 = Dedup.exactDelta(r1.updatedStore, full.filter($"doc_id" >= 104))
+    assert(asn(r1.assignment) ++ asn(r2.assignment) ==
+      asn(Dedup.exact(full).filter($"doc_id" >= 100)))
+    assert(stor(r2.updatedStore) == stor(Dedup.keeperStore(full)))
+  }
+
+  test("sticky keepers: a smaller delta id does not re-elect a stored keeper") {
+    val r = Dedup.exactDelta(
+      Dedup.keeperStore(docsDF(Seq(10L -> "shared text"))),
+      docsDF(Seq(5L -> "shared text", 7L -> "brand new")))
+    assert(asn(r.assignment) == Set((5L, 10L, 1), (7L, 7L, 0)))
+    assert(stor(r.updatedStore).map(_._2) == Set(10L, 7L))
+  }
+
+  test("null text dedups against the stored null fingerprint") {
+    val r = Dedup.exactDelta(
+      Dedup.keeperStore(docsDF(Seq(1L -> (null: String), 2L -> "x"))),
+      docsDF(Seq(101L -> (null: String))))
+    assert(asn(r.assignment) == Set((101L, 1L, 1)))
+  }
+
+  test("minhashLshDelta emits exactly the full run's pairs touching the delta") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight"
+    val t3 = "nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    val full = docsDF(Seq(
+      1L -> t1, 2L -> t1, // old-old pair: must NOT re-emit in the delta pass
+      3L -> t2,
+      101L -> t1, // delta↔old both ways: (1,101) and (2,101)
+      102L -> t2,
+      103L -> t3, 104L -> t3, // delta-internal pair
+      105L -> "totally unrelated content words entirely distinct here"))
+    val old = full.filter($"doc_id" < 100)
+    val delta = full.filter($"doc_id" >= 100)
+    val r = Dedup.minhashLshDelta(Dedup.minhashStore(old), delta)
+    val got = r.pairs.as[(Long, Long, Double)].collect().toSet
+    val fullPairs = Dedup.minhashLsh(full).as[(Long, Long, Double)].collect().toSet
+    assert(got == fullPairs.filter(p => p._1 >= 100 || p._2 >= 100))
+    assert(got.map(p => (p._1, p._2)) ==
+      Set((1L, 101L), (2L, 101L), (3L, 102L), (103L, 104L)))
+    assert(got.forall(_._3 == 1.0)) // identical shingle sets verify at J=1
+
+    // the returned store replays the NEXT ingest: a later dup of a
+    // delta text pairs with both of its copies, and nothing else.
+    val r2 = Dedup.minhashLshDelta(r.updatedStore, docsDF(Seq(201L -> t3)))
+    assert(r2.pairs.as[(Long, Long, Double)].collect().toSet
+      .map((p: (Long, Long, Double)) => (p._1, p._2)) ==
+      Set((103L, 201L), (104L, 201L)))
+  }
+}
