@@ -181,6 +181,47 @@ object Analytics {
       .agg(count(lit(1)).as("n_orders"),
         Num.dsum(col("o_totalprice")).as("total_price"))
 
+  /** PIVOT with explicit values, compiled to its optimal single-
+    * aggregate form: one conditional count per pivot value, all in ONE
+    * scan + ONE map-side-combined aggregate + one exchange on the
+    * group key. Spark's `.pivot(values)` API plans this as TWO
+    * aggregate stages (a (key, value) pre-aggregate and exchange, then
+    * a pivot_first aggregate on the key) — an extra exchange that buys
+    * nothing for an enum-sized value set, so the operator spells the
+    * conditional aggregate directly. An unvalued pivot would first run
+    * a distinct-values job; at scale the values are a known enum and
+    * must be passed. Empty cells count 0, never null. */
+  def pivotCounts(df: DataFrame, groupCol: String, pivotCol: String,
+                  values: Seq[(String, String)]): DataFrame = {
+    val aggs = values.map { case (v, name) =>
+      count(when(col(pivotCol) === v, 1)).as(name) }
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-priority order counts pivoted across order status. */
+  def ordersPivotByStatus(orders: DataFrame): DataFrame =
+    pivotCounts(orders, "o_orderpriority", "o_orderstatus",
+      Seq("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+
+  /** Set-operation census: customer cohorts by purchase year —
+    * INTERSECT (bought in both years) and EXCEPT both ways (churned /
+    * acquired). Spark plans INTERSECT/EXCEPT as distinct + left-semi /
+    * left-anti hash joins on the full row — the same shuffle shape as
+    * the semi/anti census, no row-pair blowup; the three cohort counts
+    * union into one labeled report. */
+  def customerYearSetOps(orders: DataFrame, yearA: Int, yearB: Int): DataFrame = {
+    def buyers(y: Int): DataFrame =
+      orders.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    val a = buyers(yearA)
+    val b = buyers(yearB)
+    def labeled(df: DataFrame, label: String): DataFrame =
+      df.agg(count(lit(1)).as("n_customers"))
+        .select(lit(label).as("cohort"), col("n_customers"))
+    labeled(a.intersect(b), "both")
+      .union(labeled(a.except(b), s"only_$yearA"))
+      .union(labeled(b.except(a), s"only_$yearB"))
+  }
+
   /** Top-N parts per brand by retail price (row_number window),
     * deterministic via partkey tie-break. */
   def topPartsPerBrand(part: DataFrame, n: Int): DataFrame = {

@@ -51,6 +51,10 @@ object AnalyticsRegistry {
       Analytics.ordersRollup(Tables.orders(s, d))),
     "q_orders_cube" -> ((s, d) =>
       Analytics.ordersCube(Tables.orders(s, d))),
+    "q_pivot_status" -> ((s, d) =>
+      Analytics.ordersPivotByStatus(Tables.orders(s, d))),
+    "q_setops_census" -> ((s, d) =>
+      Analytics.customerYearSetOps(Tables.orders(s, d), 1995, 1996)),
     "q_asof_last_order" -> ((s, d) =>
       graft.operators.AsOf.eventsLastOrder(Tables.events(s, d), Tables.orders(s, d))),
     "q_part_topn_per_brand" -> ((s, d) =>
@@ -204,6 +208,25 @@ object AnalyticsRegistry {
          |  ${dsumSql("o_totalprice")} AS total_price
          |FROM orders
          |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    // the conditional-aggregation spelling of the same single pass the
+    // valued pivot compiles to
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_setops_census" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT 'both' AS cohort, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'only_1995' AS cohort, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'only_1996' AS cohort, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM (SELECT * FROM b EXCEPT SELECT * FROM a)""".stripMargin,
     "q_asof_last_order" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,

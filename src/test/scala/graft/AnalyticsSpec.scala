@@ -34,6 +34,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(grand.getLong(2) == 3L && grand.getDouble(3) == 35.0)
   }
 
+  test("pivotCounts spreads counts across value columns, 0 for empty cells") {
+    val orders = Seq(("O", "1-URGENT"), ("O", "1-URGENT"), ("F", "1-URGENT"),
+      ("O", "2-HIGH")).toDF("o_orderstatus", "o_orderpriority")
+    val r = Analytics.ordersPivotByStatus(orders)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (k, a, b, c) => k -> (a, b, c) }.toMap
+    // no P orders anywhere: the cell is 0, not null or a dropped column
+    assert(r == Map("1-URGENT" -> (1L, 2L, 0L), "2-HIGH" -> (0L, 1L, 0L)))
+  }
+
+  test("set-op census: intersect and both excepts over purchase years") {
+    val orders = Seq(
+      (1L, "1995-03-01"), (1L, "1996-04-01"), // both years
+      (2L, "1995-05-01"), (2L, "1995-06-01"), // only 1995 (distinct-ness)
+      (3L, "1996-07-01"),                     // only 1996
+      (4L, "1997-01-01"),                     // neither cohort
+    ).toDF("o_custkey", "d")
+      .selectExpr("o_custkey", "CAST(d AS TIMESTAMP) AS o_orderdate")
+    val r = Analytics.customerYearSetOps(orders, 1995, 1996)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("both" -> 1L, "only_1995" -> 1L, "only_1996" -> 1L))
+  }
+
   test("approx percentiles stay within rank tolerance of exact on real data") {
     import graft.sources.Tables
     val events = Tables.events(spark, "/root/testdata/sf0.001")
