@@ -95,33 +95,61 @@ object Similarity {
     * score set. */
   def knnBruteForce(embeddings: DataFrame, probes: DataFrame, k: Int,
                     maxBroadcastProbes: Long = DefaultMaxBroadcastProbes,
-                    maxProbeShards: Int = DefaultMaxProbeShards): DataFrame = {
+                    maxProbeShards: Int = DefaultMaxProbeShards): DataFrame =
+    knnBruteForceImpl(embeddings, probes, k, maxBroadcastProbes,
+      maxProbeShards)._1
+
+  /** [[knnBruteForce]] with a BOUNDED cache contract: runs `consume`
+    * on the result frame and unpersists the probe cache the over-cap
+    * sharded path pinned before returning. Long-lived sessions issuing
+    * many DISTINCT over-cap probe frames should use this bracket —
+    * plain [[knnBruteForce]] leaves the (plan-deduped) probe cache
+    * entry alive for the session, which is right for repeated queries
+    * over the same probe frame and an accumulating leak across many
+    * different ones. The result must be fully consumed inside
+    * `consume`: after the bracket returns, the frame's probe lineage
+    * recomputes from source. */
+  def knnBruteForceCached[T](embeddings: DataFrame, probes: DataFrame, k: Int,
+                             maxBroadcastProbes: Long = DefaultMaxBroadcastProbes,
+                             maxProbeShards: Int = DefaultMaxProbeShards)
+                            (consume: DataFrame => T): T = {
+    val (res, cached) = knnBruteForceImpl(embeddings, probes, k,
+      maxBroadcastProbes, maxProbeShards)
+    try consume(res) finally cached.foreach(_.unpersist())
+  }
+
+  private def knnBruteForceImpl(embeddings: DataFrame, probes: DataFrame,
+                                k: Int, maxBroadcastProbes: Long,
+                                maxProbeShards: Int): (DataFrame, Option[DataFrame]) = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     if (fitsBroadcast(p, maxBroadcastProbes))
-      rankTopK(scoreAgainst(broadcast(p), e), k)
+      (rankTopK(scoreAgainst(broadcast(p), e), k), None)
     else {
       // over the cap: persist the probe frame once — the exact count
       // below and every shard's broadcast build re-read it (without
       // this, an N-shard fan-out recomputes the probe lineage N+1
       // times). CacheManager dedupes by plan, so repeat queries over
-      // the same probe frame share the one entry.
+      // the same probe frame share the one entry; the Cached bracket
+      // above releases it for one-shot probe frames.
       val pc = p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val total = pc.count()
       // shards target ~90% of the cap so hash variance stays under it
       val target = math.max(1L, maxBroadcastProbes * 9L / 10L)
       val shards = ((total + target - 1L) / target).toInt
-      if (shards <= maxProbeShards) {
-        // pmod(xxhash64): total over [0, shards) for ANY id value —
-        // a plain `id % p * a % m % shards` is negative for negative
-        // ids (those probes would match no shard and vanish from the
-        // output) and collapses ids sharing a residue mod p into one
-        // over-sized shard.
-        val shardOf = pmod(xxhash64(col("probe_id")), lit(shards.toLong))
-        (0 until shards)
-          .map(s => rankTopK(scoreAgainst(broadcast(pc.filter(shardOf === s)), e), k))
-          .reduce(_ union _)
-      } else rankTopK(scoreAgainst(pc, e), k)
+      val res =
+        if (shards <= maxProbeShards) {
+          // pmod(xxhash64): total over [0, shards) for ANY id value —
+          // a plain `id % p * a % m % shards` is negative for negative
+          // ids (those probes would match no shard and vanish from the
+          // output) and collapses ids sharing a residue mod p into one
+          // over-sized shard.
+          val shardOf = pmod(xxhash64(col("probe_id")), lit(shards.toLong))
+          (0 until shards)
+            .map(s => rankTopK(scoreAgainst(broadcast(pc.filter(shardOf === s)), e), k))
+            .reduce(_ union _)
+        } else rankTopK(scoreAgainst(pc, e), k)
+      (res, Some(pc))
     }
   }
 
