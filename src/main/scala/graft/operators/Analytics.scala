@@ -2,7 +2,7 @@ package graft.operators
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -193,6 +193,7 @@ object Analytics {
     * must be passed. Empty cells count 0, never null. */
   def pivotCounts(df: DataFrame, groupCol: String, pivotCol: String,
                   values: Seq[(String, String)]): DataFrame = {
+    require(values.nonEmpty, "pivotCounts needs at least one pivot value")
     val aggs = values.map { case (v, name) =>
       count(when(col(pivotCol) === v, 1)).as(name) }
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
@@ -220,6 +221,36 @@ object Analytics {
     labeled(a.intersect(b), "both")
       .union(labeled(a.except(b), s"only_$yearA"))
       .union(labeled(b.except(a), s"only_$yearB"))
+  }
+
+  /** [[customerYearSetOps]] compiled to its one-scan form — the census
+    * a 100 TB fact table can afford. The set-op spelling evaluates both
+    * year-filtered sides once per set operation (six scans of orders);
+    * this form reads orders ONCE: filter to the two years, one
+    * map-side-combined per-customer aggregate producing boolean year
+    * flags, one global conditional count, and a 3-row unpivot of the
+    * count columns into the labeled report. Result is identical to the
+    * INTERSECT/EXCEPT composition (AnalyticsSpec proves equality; the
+    * DuckDB oracle keeps the set-op spelling). */
+  def customerYearCensus(orders: DataFrame, yearA: Int, yearB: Int): DataFrame = {
+    def inYear(y: Int) =
+      max(when(year(col("o_orderdate")) === y, 1).otherwise(0))
+    val flags = orders
+      .filter(year(col("o_orderdate")).isin(yearA, yearB))
+      .groupBy(col("o_custkey"))
+      .agg(inYear(yearA).as("in_a"), inYear(yearB).as("in_b"))
+    def cohort(cond: Column) =
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L))
+    val counts = flags.agg(
+      cohort(col("in_a") === 1 && col("in_b") === 1).as("n_both"),
+      cohort(col("in_a") === 1 && col("in_b") === 0).as("n_a"),
+      cohort(col("in_a") === 0 && col("in_b") === 1).as("n_b"))
+    counts.select(explode(array(
+        struct(lit("both").as("cohort"), col("n_both").as("n_customers")),
+        struct(lit(s"only_$yearA").as("cohort"), col("n_a").as("n_customers")),
+        struct(lit(s"only_$yearB").as("cohort"), col("n_b").as("n_customers"))))
+        .as("r"))
+      .select(col("r.cohort").as("cohort"), col("r.n_customers").as("n_customers"))
   }
 
   /** Top-N parts per brand by retail price (row_number window),

@@ -16,6 +16,18 @@ import graft.functions.{Hashing, Text, Vec}
   */
 object Dedup {
 
+  /** Bounded cache bracket for one-shot dedup runs: every slim frame
+    * the operators persist inside `body` (keyed fingerprints, shingle
+    * arrays/rows, delta stores) is released when the bracket exits —
+    * the dedup analog of [[Similarity.knnBruteForceCached]]. Plain
+    * calls keep the session-lifetime contract (right for repeated
+    * queries over one corpus); a batch job sweeping many corpora or
+    * ingests wraps each unit of work in `cached` so cache entries
+    * don't accumulate. Results must be fully consumed inside `body`
+    * (collect / write); afterwards their lineage recomputes from
+    * source. */
+  def cached[T](body: => T): T = CacheTracker.scoped(body)
+
   /** keeper-per-fingerprint via groupBy + join-back, NOT a window.
     * `Window.partitionBy(fp)` both hash-partitions AND sorts on fp, so
     * a duplicate-heavy fingerprint (millions of copies of one
@@ -31,7 +43,7 @@ object Dedup {
     // read re-scans and re-hashes the full text column — a 2x IO tax on
     // the corpus. ~40 bytes/doc cached vs the document bytes scanned;
     // the same shingleRows trick below.
-    val keyed = keyed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = CacheTracker.persistTracked(keyed0)
     val keepers = keyed.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
     // null-SAFE join key: a null fingerprint (null text) forms a group
     // in the aggregate, and the join-back must not drop it — same
@@ -87,8 +99,8 @@ object Dedup {
     * store union is column-aligned, so the updated store appends only
     * the genuinely new fingerprints. */
   def exactDelta(store: DataFrame, delta: DataFrame): DeltaDedup = {
-    val keyed = delta.select(col("doc_id"), md5(col("text")).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = CacheTracker.persistTracked(
+      delta.select(col("doc_id"), md5(col("text")).as("fp")))
     val dmin = keyed.groupBy(col("fp")).agg(min(col("doc_id")).as("dmin_id"))
     // per-fp keeper after this ingest: the store's (sticky) else the
     // delta's min. Null-SAFE fp matching throughout, as in keepByMinId.
@@ -111,11 +123,10 @@ object Dedup {
     * ([[graft.streaming.Streams.minhashVerified]]): at corpus scale
     * this is a maintained table, not a per-run projection. */
   private[graft] def shingleRows(docs: DataFrame, n: Int): DataFrame =
-    docs
+    CacheTracker.persistTracked(docs
       .select(col("doc_id"), Text.shingles(Text.tokens(col("text")), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s")))
 
   /** Prefix-filtered candidate pairs (SSJoin/PPJoin prefix filtering):
     * order each doc's shingles by global document frequency ascending
@@ -222,8 +233,7 @@ object Dedup {
     // projection and both sides of the verification join re-read it
     // (the standard materialize-the-shingle-table step, kept in array
     // form — smaller than exploded rows).
-    val base = shingleArrays(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = CacheTracker.persistTracked(shingleArrays(docs, n))
     val rows = base.select(col("doc_id"), explode(col("sh")).as("s"))
     val banded = bandedKeys(base, bands, rowsPerBand)
     val cand = banded.as("a").join(banded.as("b"),
@@ -274,8 +284,7 @@ object Dedup {
   /** Build [[MinHashStore]] state for an initial corpus. */
   def minhashStore(docs: DataFrame, n: Int = 3, bands: Int = 16,
                    rowsPerBand: Int = 8): MinHashStore = {
-    val base = shingleArrays(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = CacheTracker.persistTracked(shingleArrays(docs, n))
     MinHashStore(bandedKeys(base, bands, rowsPerBand),
       base.select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("s")))
@@ -300,16 +309,27 @@ object Dedup {
     * deterministic — spec-proven), so ingest-by-ingest union over time
     * reproduces the full pair table. Per-ingest cost: delta-sized
     * projections + one candidate equi-join bounded by bucket occupancy
-    * + the bounded verify — never a corpus rescan. */
+    * + the bounded verify — never a corpus rescan.
+    *
+    * Idempotent under RE-ingest (a retried batch, a doc_id already in
+    * the store): the delta's doc_ids are anti-joined out of the stored
+    * keys and shingle rows first, so a re-ingested doc REPLACES its
+    * stored copy instead of duplicating its shingle rows (which would
+    * double intersection counts in the verify and push jaccard past
+    * 1.0 on later ingests). The anti-join is keyed on the delta's ids
+    * — delta-sized, broadcastable, not a store rescan. */
   def minhashLshDelta(store: MinHashStore, delta: DataFrame, n: Int = 3,
                       bands: Int = 16, rowsPerBand: Int = 8,
                       tau: Double = 0.8): MinHashDelta = {
-    val base = shingleArrays(delta, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = CacheTracker.persistTracked(shingleArrays(delta, n))
     val dShingles = base.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
     val dBanded = bandedKeys(base, bands, rowsPerBand)
-    val allBanded = store.banded.union(dBanded)
+    // evict any re-ingested ids from the stored state: delta wins.
+    val dIds = delta.select(col("doc_id")).distinct()
+    def dropDelta(df: DataFrame): DataFrame =
+      df.join(dIds, Seq("doc_id"), "left_anti")
+    val allBanded = dropDelta(store.banded).union(dBanded)
     // delta side × all sides: a delta-delta pair matches twice (once
     // per orientation), so normalize to id_a < id_b and dedup — the
     // full run's pair convention.
@@ -319,7 +339,7 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
       .distinct()
-    val allShingles = store.shingles.union(dShingles)
+    val allShingles = dropDelta(store.shingles).union(dShingles)
     MinHashDelta(verifyCandidates(cand, allShingles, tau),
       MinHashStore(allBanded, allShingles))
   }

@@ -53,8 +53,10 @@ object AnalyticsRegistry {
       Analytics.ordersCube(Tables.orders(s, d))),
     "q_pivot_status" -> ((s, d) =>
       Analytics.ordersPivotByStatus(Tables.orders(s, d))),
+    // the one-scan census form; the oracle keeps the INTERSECT/EXCEPT
+    // spelling (equality spec-proven vs customerYearSetOps)
     "q_setops_census" -> ((s, d) =>
-      Analytics.customerYearSetOps(Tables.orders(s, d), 1995, 1996)),
+      Analytics.customerYearCensus(Tables.orders(s, d), 1995, 1996)),
     "q_asof_last_order" -> ((s, d) =>
       graft.operators.AsOf.eventsLastOrder(Tables.events(s, d), Tables.orders(s, d))),
     "q_part_topn_per_brand" -> ((s, d) =>

@@ -55,6 +55,32 @@ class AnalyticsSpec extends AnyFunSuite {
     val r = Analytics.customerYearSetOps(orders, 1995, 1996)
       .as[(String, Long)].collect().toMap
     assert(r == Map("both" -> 1L, "only_1995" -> 1L, "only_1996" -> 1L))
+    // the one-scan census form (the registered query) is identical
+    val census = Analytics.customerYearCensus(orders, 1995, 1996)
+      .as[(String, Long)].collect().toMap
+    assert(census == r)
+  }
+
+  test("customerYearCensus reads orders once on real data, setops six times") {
+    import graft.sources.Tables
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val census = Analytics.customerYearCensus(orders, 1995, 1996)
+    val setops = Analytics.customerYearSetOps(orders, 1995, 1996)
+    assert(census.as[(String, Long)].collect().toMap ==
+      setops.as[(String, Long)].collect().toMap)
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString
+        .sliding("FileScan".length).count(_ == "FileScan")
+    assert(scans(census) == 1, "census must read orders exactly once")
+    assert(scans(setops) == 6) // two year-filtered sides per set op
+  }
+
+  test("pivotCounts rejects an empty value list with a contract error") {
+    val orders = Seq(("O", "1-URGENT")).toDF("o_orderstatus", "o_orderpriority")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.pivotCounts(orders, "o_orderpriority", "o_orderstatus", Nil)
+    }
+    assert(e.getMessage.contains("at least one pivot value"))
   }
 
   test("approx percentiles stay within rank tolerance of exact on real data") {

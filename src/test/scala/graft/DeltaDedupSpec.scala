@@ -100,4 +100,57 @@ class DeltaDedupSpec extends AnyFunSuite {
       .map((p: (Long, Long, Double)) => (p._1, p._2)) ==
       Set((103L, 201L), (104L, 201L)))
   }
+
+  test("minhashLshDelta re-ingest is idempotent: store replaced, never duplicated") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val old = docsDF(Seq(1L -> t1, 2L -> "one two three four five six"))
+    val delta = docsDF(Seq(101L -> t1))
+    val r1 = Dedup.minhashLshDelta(Dedup.minhashStore(old), delta)
+    def pairSet(r: Dedup.MinHashDelta) =
+      r.pairs.as[(Long, Long, Double)].collect().toSet
+    def bandedSet(r: Dedup.MinHashDelta) =
+      r.updatedStore.banded.as[(Long, Int, Long)].collect().toSet
+    def shingleSet(r: Dedup.MinHashDelta) =
+      r.updatedStore.shingles.as[(Long, Int, String)].collect().toSet
+    assert(pairSet(r1).map(p => (p._1, p._2)) == Set((1L, 101L)))
+    // a RETRIED ingest of the same delta against the updated store: the
+    // stored copy of doc 101 is replaced, not unioned — without the
+    // anti-join its shingle rows double and verify counts each shared
+    // shingle twice (jaccard > 1 on later ingests).
+    val r2 = Dedup.minhashLshDelta(r1.updatedStore, delta)
+    assert(pairSet(r2) == pairSet(r1))
+    assert(bandedSet(r2) == bandedSet(r1))
+    assert(shingleSet(r2) == shingleSet(r1))
+    // and a later ingest over the re-ingested store still verifies at
+    // exact jaccard (1.0 here — duplicated store rows would blow it up)
+    val r3 = Dedup.minhashLshDelta(r2.updatedStore, docsDF(Seq(201L -> t1)))
+    assert(pairSet(r3).map(p => (p._1, p._2)) == Set((1L, 201L), (101L, 201L)))
+    assert(pairSet(r3).forall(_._3 == 1.0))
+  }
+
+  test("Dedup.cached releases every persist the bracket's operators took") {
+    // a corpus no other test uses: CacheManager dedupes cache entries
+    // by canonical plan, so reusing another test's data would make the
+    // bracket share (and then release) that test's entry and the
+    // count bookkeeping below would double-count.
+    val mine = Seq(
+      11L -> "cached bracket corpus first text",
+      12L -> "cached bracket corpus first text",
+      13L -> "cached bracket corpus second text entirely",
+      111L -> "cached bracket corpus delta text one",
+      112L -> "cached bracket corpus delta text one",
+    )
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    Dedup.cached {
+      assert(Dedup.exact(docsDF(mine)).count() == mine.size)
+      assert(Dedup.minhashLsh(docsDF(mine)).count() >= 1)
+      val r = Dedup.exactDelta(
+        Dedup.keeperStore(docsDF(mine.filter(_._1 < 100))),
+        docsDF(mine.filter(_._1 >= 100)))
+      assert(r.assignment.count() == 2)
+      assert(sc.getPersistentRDDs.size > before) // persists were live inside
+    }
+    assert(sc.getPersistentRDDs.size == before) // and all released on exit
+  }
 }
