@@ -62,17 +62,28 @@ object Dedup {
   def exactNormalized(docs: DataFrame): DataFrame =
     keepByMinId(docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp")))
 
+  /** TOTAL store fingerprint: md5(text), with null text mapped to a
+    * sentinel that no md5 hex string can collide with. A never-null
+    * key lets every store join be a plain equi-join on the bucket
+    * column — a null-safe `<=>` key is rewritten by the planner into
+    * compound join keys that a table bucketed on raw fp cannot
+    * satisfy, forcing the store-side Exchange the bucketed layout
+    * exists to remove (StoreRoundTripSpec asserts the shuffle-free
+    * plan). Same grouping semantics as [[exact]]'s null bucket: all
+    * null-text docs share the sentinel group. */
+  private def storeFp = coalesce(md5(col("text")), lit("<null-text>"))
+
   /** The keeper STORE for incremental exact dedup: one (fp, keep_id)
     * row per distinct fingerprint — the slim table a growing corpus
     * persists between ingests so each new batch dedups against
     * fingerprints, never against the old corpus bytes. Map-side-
-    * combined min per fp (a null fingerprint forms its own group, same
-    * as [[exact]]). Written bucketed on fp
+    * combined min per fp (a null text forms its own sentinel group,
+    * same null-bucket semantics as [[exact]]). Written bucketed on fp
     * ([[graft.sources.Sinks.writeBucketed]]) the store side of every
     * future delta join is pre-partitioned — no store shuffle per
-    * ingest. */
+    * ingest (spec-asserted in StoreRoundTripSpec). */
   def keeperStore(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    docs.select(col("doc_id"), storeFp.as("fp"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
 
   /** Result of a delta dedup pass: the delta's (doc_id, keep_id,
@@ -100,20 +111,23 @@ object Dedup {
     * the genuinely new fingerprints. */
   def exactDelta(store: DataFrame, delta: DataFrame): DeltaDedup = {
     val keyed = CacheTracker.persistTracked(
-      delta.select(col("doc_id"), md5(col("text")).as("fp")))
+      delta.select(col("doc_id"), storeFp.as("fp")))
     val dmin = keyed.groupBy(col("fp")).agg(min(col("doc_id")).as("dmin_id"))
     // per-fp keeper after this ingest: the store's (sticky) else the
-    // delta's min. Null-SAFE fp matching throughout, as in keepByMinId.
+    // delta's min. The store fingerprint is TOTAL ([[storeFp]]), so
+    // every store join is a plain equi-join on the bucket column —
+    // shuffle-free against a [[graft.sources.Sinks.writeBucketed]]
+    // store table, null-text groups intact via the sentinel.
     val merged = dmin.as("m")
-      .join(store.as("s"), col("m.fp") <=> col("s.fp"), "left")
+      .join(store.as("s"), col("m.fp") === col("s.fp"), "left")
       .select(col("m.fp").as("fp"),
         coalesce(col("s.keep_id"), col("m.dmin_id")).as("keep_id"))
     val assignment = keyed.as("d")
-      .join(merged.as("k"), col("d.fp") <=> col("k.fp"))
+      .join(merged.as("k"), col("d.fp") === col("k.fp"))
       .select(col("d.doc_id").as("doc_id"), col("keep_id"),
         (col("d.doc_id") =!= col("keep_id")).cast("int").as("is_dup"))
     val newFps = merged.as("m2")
-      .join(store.as("s2"), col("m2.fp") <=> col("s2.fp"), "left_anti")
+      .join(store.as("s2"), col("m2.fp") === col("s2.fp"), "left_anti")
     DeltaDedup(assignment, store.union(newFps))
   }
 

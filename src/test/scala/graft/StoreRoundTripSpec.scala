@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.sources.{Sinks, Tables}
+
+/** The incremental-dedup stores are maintained TABLES at corpus scale,
+  * not in-session DataFrames. This spec proves the storage seam: each
+  * store written via Sinks.writeBucketed, read back, and fed to the
+  * NEXT ingest must (a) produce results identical to the in-memory
+  * chain and (b) enter the per-ingest join WITHOUT a store-side
+  * Exchange — the payoff the bucketed layout exists for (the store is
+  * corpus-sized; re-shuffling it every ingest is the cost the
+  * incremental path must never pay). */
+class StoreRoundTripSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+  val d = "/root/testdata/sf0.001"
+
+  private def dropTable(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(s"spark-warehouse/$t")
+    if (loc.exists()) scala.reflect.io.Directory(loc).deleteRecursively()
+  }
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("exact keeper store round-trips through a bucketed table; the ingest join reads it shuffle-free") {
+    val docs = Tables.documents(spark, d)
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val inMem = Dedup.exactDelta(Dedup.keeperStore(old), delta)
+    dropTable("keeper_store_rt")
+    Sinks.writeBucketed(Dedup.keeperStore(old), "keeper_store_rt", "fp", 8)
+
+    // (a) next ingest over the read-back table == the in-memory chain
+    val fromTable = Dedup.exactDelta(spark.table("keeper_store_rt"), delta)
+    def asn(df: DataFrame) = df.as[(Long, Long, Int)].collect().toSet
+    assert(asn(fromTable.assignment) == asn(inMem.assignment))
+    assert(fromTable.assignment.count() > 0)
+    assert(fromTable.updatedStore.as[(String, Long)].collect().toSet ==
+      inMem.updatedStore.as[(String, Long)].collect().toSet)
+
+    // (b) the store side of the delta join has NO Exchange: the
+    // bucketed layout pre-partitions it on fp. Broadcast disabled so
+    // the sort-merge path (what a corpus-sized store runs) is planned;
+    // AQE off so the plan tree is directly walkable.
+    withConf("spark.sql.adaptive.enabled" -> "false",
+             "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = Dedup.exactDelta(spark.table("keeper_store_rt"), delta)
+        .assignment.queryExecution.executedPlan
+      // innermost join sides that read the store table directly (the
+      // outer assignment join's "merged" side nests this one and
+      // legitimately carries the delta's own aggregate exchange)
+      val storeSides = plan.collect { case j: SortMergeJoinExec => j }
+        .flatMap(j => Seq(j.left, j.right))
+        .filter(side =>
+          side.collect { case jj: SortMergeJoinExec => jj }.isEmpty &&
+          side.collect {
+            case s: FileSourceScanExec if s.output.map(_.name).contains("keep_id") => s
+          }.nonEmpty)
+      assert(storeSides.nonEmpty,
+        s"no sort-merge join reads the bucketed store:\n$plan")
+      storeSides.foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"store side still shuffles despite the bucketed layout:\n$side")
+      }
+    }
+    dropTable("keeper_store_rt")
+  }
+
+  test("minhash banded + shingle stores round-trip through bucketed tables") {
+    val docs = Tables.documents(spark, d)
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val st = Dedup.minhashStore(old)
+    val inMem = Dedup.minhashLshDelta(st, delta)
+    dropTable("mh_banded_rt")
+    dropTable("mh_shingles_rt")
+    // banded keys bucketed on the candidate join's bucket key, shingle
+    // rows on the verify join's doc_id (the layout Sinks documents)
+    Sinks.writeBucketed(st.banded, "mh_banded_rt", "bkey", 8)
+    Sinks.writeBucketed(st.shingles, "mh_shingles_rt", "doc_id", 8)
+    val fromTable = Dedup.minhashLshDelta(
+      Dedup.MinHashStore(spark.table("mh_banded_rt"),
+        spark.table("mh_shingles_rt")), delta)
+    def pairs(r: Dedup.MinHashDelta) =
+      r.pairs.as[(Long, Long, Double)].collect().toSet
+    assert(pairs(fromTable) == pairs(inMem))
+    assert(fromTable.updatedStore.banded.as[(Long, Int, Long)].collect().toSet ==
+      inMem.updatedStore.banded.as[(Long, Int, Long)].collect().toSet)
+    assert(fromTable.updatedStore.shingles.as[(Long, Int, String)].collect().toSet ==
+      inMem.updatedStore.shingles.as[(Long, Int, String)].collect().toSet)
+    dropTable("mh_banded_rt")
+    dropTable("mh_shingles_rt")
+  }
+}
