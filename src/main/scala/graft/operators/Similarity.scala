@@ -153,6 +153,23 @@ object Similarity {
     }
   }
 
+  /** recall@k of an approximate ANN result against the exact
+    * brute-force answer over the same probes: |approx ∩ exact| /
+    * |exact|, computed distributed (a semi join on (probe_id,
+    * neighbor_id) + two counts — never a collect, so the report runs
+    * at any probe-set size). Both inputs are rankTopK-shaped frames
+    * (knnBruteForce / knnLsh / knnIvf / knnIvfTrained output). Ties at
+    * the k-th exact score can make an approximate result return a
+    * different-but-equally-close neighbor; recall floors should leave
+    * slack for that. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): Double = {
+    val ex = exact.select(col("probe_id"), col("neighbor_id"))
+    val hits = ex.join(approx.select(col("probe_id"), col("neighbor_id")),
+      Seq("probe_id", "neighbor_id"), "left_semi").count()
+    val total = ex.count()
+    if (total == 0L) 1.0 else hits.toDouble / total
+  }
+
   /** Deterministic pseudo-random hyperplanes: a tiny splitmix-style
     * integer mix over (plane, dim) — no RNG state, same planes on
     * every executor, run, and engine. Components in [-1, 1). */
