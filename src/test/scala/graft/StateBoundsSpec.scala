@@ -130,6 +130,44 @@ class StateBoundsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("long-horizon streaming minhash: state PLATEAUS across many TTL windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600L * 1000000L
+    // 10 ingests, each a fresh-vocabulary doc 2h of event time apart
+    // (TTL 1h, lateness 10min): every batch adds 16 new (band, bkey)
+    // buckets, and the watermark crossing lastTouch+TTL removes the
+    // batch-before-last's 16 — so an UNBOUNDED run holds at most two
+    // batches' buckets. This is the closest CI gets to the
+    // unbounded-run contract: state is a plateau, not a line.
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts_us")
+      .select(col("doc_id"), col("text"),
+        timestamp_micros(col("ts_us")).as("ts"))
+    val cands = Streams.minhashCandidatesFromStream(docs,
+      idleTtlMs = 3600L * 1000L)
+    val q = cands.toDF().writeStream
+      .outputMode("update").format("memory").queryName("sb_plateau").start()
+    try {
+      val sizes = (0 until 10).map { k =>
+        // disjoint vocabulary per batch: distinct shingle sets hash to
+        // distinct buckets, the worst case for key growth
+        val text = (0 until 6).map(i => s"w${k}x$i").mkString(" ")
+        input.addData((k.toLong, text, (2 * k + 1) * H))
+        q.processAllAvailable()
+        stateRows(q)
+      }
+      info(s"state rows per batch: ${sizes.mkString(", ")}")
+      // warm-up (16, then 32), then a hard plateau: the max over the
+      // run is the steady-state two-batch residency, and the last 5
+      // micro-batches sit exactly on it — zero net growth per ingest.
+      assert(sizes.max <= 32, s"state exceeded two batches' buckets: $sizes")
+      assert(sizes.takeRight(5).toSet.size == 1,
+        s"state still moving over the last 5 batches: $sizes")
+      assert(sizes.last < 10 * 16 / 2, s"state grew with corpus size: $sizes")
+    } finally q.stop()
+  }
+
   test("streaming dedup state is one row per distinct fingerprint") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
