@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Analytics, Dedup, Similarity}
+import graft.operators.{Analytics, Corpus, Dedup, Similarity}
 import graft.sources.Tables
 
 /** Scale-shape checks: transformations that exist purely for cluster
@@ -90,6 +90,47 @@ class ScaleShapeSpec extends AnyFunSuite {
       assert(plan.contains("HashAggregate"),
         s"expected partial+final min aggregate:\n$plan")
     }
+  }
+
+  test("fused quality gate is one scan: a single FileScan of documents, no join") {
+    import graft.registry.CorpusRegistry._
+    val df = Corpus.qualityGate(Tables.documents(spark, d), MinTokens,
+      MinStopRatio, MaxDupGram, MaxTopWord)
+    val plan = df.queryExecution.executedPlan.toString
+    def count(needle: String): Int =
+      plan.sliding(needle.length).count(_ == needle)
+    // the pre-r7 compose-by-join shape scanned documents four times and
+    // shuffled doc_id three times; the fused gate is structurally
+    // incapable of either: one scan, no join, only the final
+    // per-source aggregate exchange.
+    assert(count("FileScan") == 1, s"expected exactly one scan:\n$plan")
+    assert(!plan.contains("Join"), s"quality gate re-grew a join:\n$plan")
+    assert(count("Exchange") == 1,
+      s"expected only the per-source aggregate exchange:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("valued pivot is ONE aggregate pair: single exchange, no pre-aggregate stage") {
+    val df = Analytics.ordersPivotByStatus(Tables.orders(spark, d))
+    val plan = df.queryExecution.executedPlan.toString
+    def count(needle: String): Int =
+      plan.sliding(needle.length).count(_ == needle)
+    // Spark's .pivot(values) plans TWO aggregate stages (a (key, value)
+    // pre-aggregate + exchange, then pivot_first); the conditional-
+    // aggregate spelling is one partial+final pair and one exchange.
+    assert(count("Exchange") == 1, s"pivot pays an extra exchange:\n$plan")
+    assert(count("HashAggregate") == 2,
+      s"expected exactly a partial+final aggregate pair:\n$plan")
+    assert(!plan.contains("pivotfirst") && !plan.contains("Expand"), plan)
+  }
+
+  test("one-scan set-op census: single FileScan of orders, no set-op joins") {
+    val df = Analytics.customerYearCensus(Tables.orders(spark, d), 1995, 1996)
+    val plan = df.queryExecution.executedPlan.toString
+    def count(needle: String): Int =
+      plan.sliding(needle.length).count(_ == needle)
+    assert(count("FileScan") == 1, s"census re-scans orders:\n$plan")
+    assert(!plan.contains("Join"), s"census re-grew the set-op joins:\n$plan")
   }
 
   test("bounded top-k aggregate == row_number window top-k for brute-force kNN") {
