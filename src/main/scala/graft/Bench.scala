@@ -18,13 +18,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Headliners — the queries whose latency the round is graded on.
     * Kept to the representative per-family workloads so quadratic
-    * verification queries (oracle-only shapes) don't dominate. */
+    * verification queries (oracle-only shapes) don't dominate. The
+    * round-8 additions cover what rounds 5-7 shipped: decorrelated
+    * subqueries (q18), the fused quality gate, semantic dedup,
+    * incremental exact dedup, and the one-scan set-op census. */
   def headliners: Seq[String] = {
     val defaults = Seq(
       "wc_wordcount", "wc_topk", "wc_per_doc",
       "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+      "q18_large_orders", "q_setops_census",
       "q_events_sessionize", "q_asof_last_order", "q_range_join",
-      "ta_quality", "dd_exact", "dd_minhash", "dd_simhash",
+      "ta_quality", "cp_quality_gate",
+      "dd_exact", "dd_exact_delta", "dd_minhash", "dd_simhash", "dd_semantic",
       "knn_bruteforce", "knn_ivf",
     ).filter(SparkEntry.queries.contains)
     sys.env.get("SPARK_GRAFT_BENCH_QUERIES")

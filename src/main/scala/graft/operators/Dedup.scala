@@ -392,11 +392,22 @@ object Dedup {
   }
 
   /** Near-dup pairs → canonical keeper: connected components by
-    * iterative min-label propagation (the last step of a dedup
-    * pipeline — transitive closure of pairwise matches). Converges in
-    * O(component diameter) rounds; each round is one shuffle;
-    * `localCheckpoint` truncates lineage so plans stay flat. Output:
-    * (doc_id, cluster_id = min doc_id in the component). */
+    * iterative min-label propagation WITH pointer doubling (the last
+    * step of a dedup pipeline — transitive closure of pairwise
+    * matches). Each round does (a) the neighbor-min hook — label ←
+    * min(label, neighbors' labels) — and (b) a shortcut — label ←
+    * label's label — which halves every label chain, so convergence is
+    * O(log diameter) rounds, not O(diameter): a 10M-doc boilerplate
+    * chain converges in ~24 rounds instead of ~10M (and the round-8
+    * bench's diameter-15 pair graph in 5 rounds instead of 16). Both
+    * steps preserve "my label is a smaller-or-equal id in my
+    * component"; at the joint fixed point labels are constant along
+    * every edge and every label points at itself, which forces label =
+    * component min (the oracle's recursive-closure answer). Each round
+    * is two bounded shuffles over the label frame (one row per node
+    * that appears in any pair, NOT the corpus); `localCheckpoint`
+    * truncates lineage so plans stay flat. Output: (doc_id,
+    * cluster_id = min doc_id in the component). */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"),
@@ -412,10 +423,17 @@ object Dedup {
       val neighborMin = edges
         .join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      labels = labels
+      val hooked = labels
         .join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer doubling: follow my label's label. The left join keeps
+      // self-labeled roots (their label row IS their id row).
+      labels = hooked.as("l")
+        .join(hooked.select(col("id").as("pid"), col("label").as("plabel")).as("p"),
+          col("l.label") === col("p.pid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("plabel"), col("l.label"))).as("label"))
         .localCheckpoint(true)
       // min-labels only decrease; a stable sum means a fixed point.
       // The sum runs in DECIMAL(38,0) so billions of 64-bit ids can't
