@@ -455,12 +455,17 @@ object Dedup {
     * oracle-friendly). For a corpus with no class column, the blocked
     * scale path is [[embeddingNearDupLsh]]. */
   def embeddingNearDup(embeddings: DataFrame, tau: Double): DataFrame = {
+    // float arrays: DotExpr promotes per element. Norms hoisted to the
+    // per-row projection so the intra-label pair loop pays one dot per
+    // pair, not three (bit-identical to Vec.cosine — same expressions,
+    // evaluated per row).
     val e = embeddings.select(col("vec_id"), col("label"),
-      col("embedding").as("v")) // float arrays: DotExpr promotes per element
+      col("embedding").as("v"), Vec.norm(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        Vec.cosine(col("a.v"), col("b.v")).as("cos_sim"))
+        (Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_sim"))
       .filter(col("cos_sim") >= tau)
   }
 
@@ -500,12 +505,15 @@ object Dedup {
                           nTables: Int = 6, planesPerTable: Int = 4,
                           dim: Int = 64): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    // bucketed rows carry the hoisted per-vector norm: intra-bucket
+    // scoring pays one dot per pair (bit-identical to Vec.cosine)
     val bucketed = Similarity.lshBucketed(e, nTables, planesPerTable, dim)
     bucketed.as("a").join(bucketed.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        Vec.cosine(col("a.v"), col("b.v")).as("cos_sim"))
+        (Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_sim"))
       .distinct() // same pair from several tables: cosine is deterministic
       .filter(col("cos_sim") >= tau)
   }

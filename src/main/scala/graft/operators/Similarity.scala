@@ -70,10 +70,18 @@ object Similarity {
     * is corpus-scaled and the honest shape is the un-hinted join. */
   val DefaultMaxProbeShards: Int = 32
 
+  /** Score every (probe, vector) pair. Norms are HOISTED: both sides
+    * carry a per-row `pnrm`/`vnrm` column computed once at projection
+    * time, so the pair loop — THE hot loop of exact kNN, |probes| x
+    * |corpus| evaluations — pays one dot product instead of three
+    * (cosine recomputes both operand norms per pair). Bit-identical to
+    * [[Vec.cosine]]: the same expressions, evaluated once per row
+    * instead of once per pair (oracle parity untouched). */
   private def scoreAgainst(p: DataFrame, e: DataFrame): DataFrame =
     p.join(e, col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        Vec.cosine(col("pv"), col("v")).as("cos_sim"))
+        (Vec.dot(col("pv"), col("v")) / (col("pnrm") * col("vnrm")))
+          .as("cos_sim"))
 
   /** Exact top-k cosine neighbors for every probe vector. `probes` is
     * any (vec_id, embedding) frame (see [[probeEvery]]); self-matches
@@ -121,8 +129,10 @@ object Similarity {
   private def knnBruteForceImpl(embeddings: DataFrame, probes: DataFrame,
                                 k: Int, maxBroadcastProbes: Long,
                                 maxProbeShards: Int): (DataFrame, Option[DataFrame]) = {
-    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"),
+      Vec.norm(col("embedding")).as("vnrm"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+      Vec.norm(col("embedding")).as("pnrm"))
     if (fitsBroadcast(p, maxBroadcastProbes))
       (rankTopK(scoreAgainst(broadcast(p), e), k), None)
     else {
@@ -279,11 +289,14 @@ object Similarity {
   private def knnIvfWith(e: DataFrame, cents: DataFrame, probes: DataFrame,
                          k: Int, nProbe: Int,
                          maxBroadcastProbes: Long): DataFrame = {
+    // hoisted norms (see scoreAgainst): one dot per scored pair
     val assigned = assignCells(e, cents)
-    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      .withColumn("vnrm", Vec.norm(col("v")))
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+      Vec.norm(col("embedding")).as("pnrm"))
     val probeCells = p
       .crossJoin(broadcast(codebook(cents)))
-      .select(col("probe_id"), col("pv"),
+      .select(col("probe_id"), col("pv"), col("pnrm"),
         explode(Exprs.nearestCells(col("pv"), col("cids"), col("units"), nProbe))
           .as("pcell"))
     // guard on the raw probe frame (cheap count); broadcast the
@@ -295,16 +308,19 @@ object Similarity {
       .join(assigned,
         col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        Vec.cosine(col("pv"), col("v")).as("cos_sim"))
+        (Vec.dot(col("pv"), col("v")) / (col("pnrm") * col("vnrm")))
+          .as("cos_sim"))
     rankTopK(scored, k)
   }
 
-  /** (vec_id, v, table, bucket) rows: `nTables` deterministic
+  /** (vec_id, v, nrm, table, bucket) rows: `nTables` deterministic
     * hyperplane sign-buckets per vector — the shared LSH blocking
     * primitive used by ANN search ([[knnLsh]]) and embedding near-dup
     * blocking ([[Dedup.embeddingNearDupLsh]]). The bucket of a vector
     * is `planesPerTable` sign bits of dot(v, plane); planes come from
-    * [[hyperplanes]], so any engine can recompute them. */
+    * [[hyperplanes]], so any engine can recompute them. The row also
+    * carries the hoisted per-vector norm so intra-bucket scoring pays
+    * one dot per pair (see [[scoreAgainst]]). */
   private[operators] def lshBucketed(e: DataFrame, nTables: Int,
                                      planesPerTable: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(nTables * planesPerTable, dim)
@@ -315,8 +331,9 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(t).as("table"), bits.as("bucket"))
     }
-    e.select(col("vec_id"), col("v"), explode(array(buckets: _*)).as("tb"))
-      .select(col("vec_id"), col("v"),
+    e.select(col("vec_id"), col("v"), Vec.norm(col("v")).as("nrm"),
+        explode(array(buckets: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
@@ -337,6 +354,7 @@ object Similarity {
     val p = probes.select(col("vec_id"), col("embedding").as("v"))
     val pBucketed = lshBucketed(p, nTables, planesPerTable, dim)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"),
         col("table").as("ptable"), col("bucket").as("pbucket"))
     // guard on the raw probe frame (cheap count; the bucketed frame is
     // nTables rows per probe and would re-evaluate the plane dots).
@@ -348,7 +366,8 @@ object Similarity {
         col("table") === col("ptable") && col("bucket") === col("pbucket") &&
           col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        Vec.cosine(col("pv"), col("v")).as("cos_sim"))
+        (Vec.dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")))
+          .as("cos_sim"))
       .distinct() // union of candidate sets across tables (cosine is deterministic)
     rankTopK(scored, k)
   }
