@@ -180,6 +180,39 @@ object Similarity {
     if (total == 0L) 1.0 else hits.toDouble / total
   }
 
+  /** One (algo, recall) row — the LAZY DataFrame form of [[recallAtK]]
+    * (a semi join and two count aggregates; no driver action). */
+  private def recallRow(algo: String, exact: DataFrame,
+                        approx: DataFrame): DataFrame = {
+    val ex = exact.select(col("probe_id"), col("neighbor_id"))
+    val hits = ex.join(approx.select(col("probe_id"), col("neighbor_id")),
+        Seq("probe_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val total = ex.agg(count(lit(1)).as("n_exact"))
+    hits.crossJoin(total) // two 1-row frames
+      .select(lit(algo).as("algo"),
+        (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+  }
+
+  /** The ANN quality report as a first-class query: recall@k of the
+    * LSH and IVF paths against the exact brute-force answer on the
+    * same probes, one labeled row per algorithm. Everything inside is
+    * deterministic (planes, seed codebook), so an oracle replays the
+    * identical report; counts divide exactly, so the recall doubles
+    * are bit-stable. The operational use at corpus scale: run the
+    * report on a sampled probe set after (re)building an index, and
+    * alert when recall drifts below the floor your workload needs
+    * (AnnRecallSpec pins the CI floors). */
+  def recallReport(embeddings: DataFrame, probes: DataFrame, k: Int,
+                   nTables: Int = 4, planesPerTable: Int = 6, dim: Int = 64,
+                   centroidMod: Int = 37, nProbe: Int = 2): DataFrame = {
+    val exact = knnBruteForce(embeddings, probes, k)
+    recallRow("lsh", exact,
+        knnLsh(embeddings, probes, k, nTables, planesPerTable, dim))
+      .union(recallRow("ivf", exact,
+        knnIvf(embeddings, probes, k, centroidMod, nProbe)))
+  }
+
   /** Deterministic pseudo-random hyperplanes: a tiny splitmix-style
     * integer mix over (plane, dim) — no RNG state, same planes on
     * every executor, run, and engine. Components in [-1, 1). */

@@ -41,6 +41,11 @@ object SimilarityRegistry {
     // determinism and that training actually moved the centroids.
     "knn_ivf_trained" -> ((s, d) =>
       Similarity.knnIvfTrained(Tables.embeddings(s, d), probes(s, d), K)),
+    // The ANN quality report: recall@k of lsh/ivf vs brute force on
+    // the same probes — all three paths are deterministic, so the
+    // oracle replays the whole report (counts divide exactly).
+    "knn_recall" -> ((s, d) =>
+      Similarity.recallReport(Tables.embeddings(s, d), probes(s, d), K)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -124,5 +129,78 @@ object SimilarityRegistry {
          |)
          |SELECT probe_id, neighbor_id, cos_sim, rnk
          |FROM ranked WHERE rnk <= $K""".stripMargin,
+    // Replays all three ANN paths (brute force + LSH blocking + IVF
+    // assignment — the same CTE chains as their own oracles) and
+    // reduces each to the (algo, recall) report row.
+    "knn_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), p AS (
+         |  SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % $ProbeMod = 0
+         |), bf_scored AS (
+         |  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         |    $Dot / (${nrm("p.pv")} * ${nrm("e.v")}) AS cos_sim
+         |  FROM p JOIN e ON e.vec_id <> p.probe_id
+         |), bf AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+         |    FROM bf_scored) WHERE rnk <= $K
+         |), bucketed AS (
+         |${VectorSql.lshBucketed(nTables = 4, planesPerTable = 6, dim = 64)}
+         |), lsh_cand AS (
+         |  SELECT DISTINCT p.probe_id, e.vec_id AS neighbor_id,
+         |    ${VectorSql.cos("p.pv", "e.v")} AS cos_sim
+         |  FROM (SELECT vec_id AS probe_id, v AS pv, tbl, bucket
+         |        FROM bucketed WHERE vec_id % $ProbeMod = 0) p
+         |  JOIN bucketed e
+         |    ON e.tbl = p.tbl AND e.bucket = p.bucket AND e.vec_id <> p.probe_id
+         |), lsh AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+         |    FROM lsh_cand) WHERE rnk <= $K
+         |), cents AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(v, x -> x / ${VectorSql.nrm("v")}) AS unit
+         |  FROM e WHERE vec_id % $CentroidMod = 0
+         |), scored_cells AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    ${VectorSql.dot("e.v", "c.unit")} AS d
+         |  FROM e CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY d DESC, cid ASC) AS rn
+         |    FROM scored_cells) WHERE rn = 1
+         |), probe_cells AS (
+         |  SELECT vec_id AS probe_id, v AS pv, cid AS pcell FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY d DESC, cid ASC) AS rn
+         |    FROM scored_cells WHERE vec_id % $ProbeMod = 0) WHERE rn <= $NProbe
+         |), ivf_cand AS (
+         |  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         |    ${VectorSql.cos("p.pv", "e.v")} AS cos_sim
+         |  FROM probe_cells p
+         |  JOIN (SELECT vec_id, v, cell FROM assigned) e
+         |    ON e.cell = p.pcell AND e.vec_id <> p.probe_id
+         |), ivf AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+         |    FROM ivf_cand) WHERE rnk <= $K
+         |)
+         |SELECT 'lsh' AS algo,
+         |  CAST((SELECT count(*) FROM bf JOIN lsh USING (probe_id, neighbor_id))
+         |    AS DOUBLE) / (SELECT count(*) FROM bf) AS recall
+         |UNION ALL
+         |SELECT 'ivf' AS algo,
+         |  CAST((SELECT count(*) FROM bf JOIN ivf USING (probe_id, neighbor_id))
+         |    AS DOUBLE) / (SELECT count(*) FROM bf) AS recall""".stripMargin,
   )
 }
