@@ -493,6 +493,68 @@ object Dedup {
       .withColumn("is_dup", (col("vec_id") =!= col("cluster_id")).cast("int"))
   }
 
+  /** The persisted index state for INCREMENTAL embedding near-dup
+    * detection: the LSH-bucketed vector rows (vec_id, v, nrm, table,
+    * bucket) — [[MinHashStore]]'s analog for the semantic path. At
+    * corpus scale a maintained table, written bucketed on `bucket`
+    * ([[graft.sources.Sinks.writeBucketed]]) so the per-ingest
+    * candidate join reads it pre-partitioned on its join key. */
+  final case class EmbeddingLshStore(bucketed: DataFrame)
+
+  /** Build [[EmbeddingLshStore]] state for an initial corpus. */
+  def embeddingLshStore(embeddings: DataFrame, nTables: Int = 6,
+                        planesPerTable: Int = 4,
+                        dim: Int = 64): EmbeddingLshStore =
+    EmbeddingLshStore(Similarity.lshBucketed(
+      embeddings.select(col("vec_id"), col("embedding").as("v")),
+      nTables, planesPerTable, dim))
+
+  /** Result of an incremental embedding near-dup pass: every verified
+    * cosine pair TOUCHING the delta, and the bucketed store with the
+    * delta's rows merged (input to the next ingest). */
+  final case class EmbeddingLshDelta(pairs: DataFrame,
+                                     updatedStore: EmbeddingLshStore)
+
+  /** Incremental (delta) embedding near-dup detection — completes the
+    * incremental trio (exact [[exactDelta]], MinHash
+    * [[minhashLshDelta]], semantic here): only the DELTA is
+    * plane-hashed; its bucket keys join store ∪ delta, so old-old
+    * pairs (already emitted by earlier runs) cannot re-form, and the
+    * emitted set is EXACTLY the full run's pairs restricted to pairs
+    * touching the delta (blocking and cosine are per-row/per-pair
+    * deterministic — the oracle replays precisely this restriction).
+    * Idempotent under re-ingest like [[minhashLshDelta]]: the delta's
+    * vec_ids are anti-joined out of the store first, so a retried
+    * batch replaces its stored rows. Downstream clustering stays a
+    * closure over the maintained PAIR table ([[clusters]] /
+    * [[semanticKeepers]]'s tail) — pair-graph-sized, never a corpus
+    * rescan; a new pair may legally merge two existing components,
+    * which is why keepers recompute from pairs, not incrementally. */
+  def embeddingNearDupLshDelta(store: EmbeddingLshStore, delta: DataFrame,
+                               tau: Double, nTables: Int = 6,
+                               planesPerTable: Int = 4,
+                               dim: Int = 64): EmbeddingLshDelta = {
+    val dBucketed = Similarity.lshBucketed(
+      delta.select(col("vec_id"), col("embedding").as("v")),
+      nTables, planesPerTable, dim)
+    val dIds = delta.select(col("vec_id")).distinct()
+    val cleanStore = store.bucketed.join(dIds, Seq("vec_id"), "left_anti")
+    val all = cleanStore.union(dBucketed)
+    // delta side x all sides; cosine is symmetric, so normalizing the
+    // orientation to id_a < id_b keeps the full run's pair convention
+    // (a delta-delta pair matching twice dedups in the distinct).
+    val pairs = dBucketed.as("a").join(all.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"),
+        (Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_sim"))
+      .distinct()
+      .filter(col("cos_sim") >= tau)
+    EmbeddingLshDelta(pairs, EmbeddingLshStore(all))
+  }
+
   /** Embedding-cosine near-dup pairs blocked by random-hyperplane LSH
     * buckets — the label-free scale path: the shuffle key is the
     * (table, bucket) sign-hash, so only intra-bucket pairs are ever

@@ -99,6 +99,18 @@ object DedupRegistry {
         Dedup.minhashStore(docs.filter(c % DeltaMod =!= 0)),
         docs.filter(c % DeltaMod === 0)).pairs
     }),
+    // Incremental embedding near-dup: the delta's vectors plane-hashed
+    // and bucket-joined against the persisted LSH store — completes
+    // the incremental trio. Oracle-checked: the deterministic planes
+    // let the oracle replay the FULL pair run restricted to pairs
+    // touching the delta, which is exactly what the delta pass emits.
+    "dd_embedding_delta" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val c = org.apache.spark.sql.functions.col("vec_id")
+      Dedup.embeddingNearDupLshDelta(
+        Dedup.embeddingLshStore(emb.filter(c % DeltaMod =!= 0)),
+        emb.filter(c % DeltaMod === 0), CosineTau).pairs
+    }),
     "dd_minhash_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val keepers = Dedup.exact(docs)
@@ -190,6 +202,22 @@ object DedupRegistry {
          |FROM bucketed a JOIN bucketed b
          |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE $Dot / (${nrm("a")} * ${nrm("b")}) >= $CosineTau""".stripMargin,
+    // The full bucketed pair run (dd_embedding_lsh's oracle) with the
+    // delta-touching restriction — the delta pass's exact contract.
+    "dd_embedding_delta" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), bucketed AS (
+         |${VectorSql.lshBucketed(nTables = 6, planesPerTable = 4, dim = 64)}
+         |), pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    $Dot / (${nrm("a")} * ${nrm("b")}) AS cos_sim
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE $Dot / (${nrm("a")} * ${nrm("b")}) >= $CosineTau
+         |)
+         |SELECT id_a, id_b, cos_sim FROM pairs
+         |WHERE id_a % $DeltaMod = 0 OR id_b % $DeltaMod = 0""".stripMargin,
     // LSH pair oracle + the dd_clusters recursive closure + a left
     // join back to every vector: unpaired vectors keep themselves.
     "dd_semantic" ->

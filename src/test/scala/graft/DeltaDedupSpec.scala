@@ -128,6 +128,31 @@ class DeltaDedupSpec extends AnyFunSuite {
     assert(pairSet(r3).forall(_._3 == 1.0))
   }
 
+  test("embeddingNearDupLshDelta emits exactly the full run's pairs touching the delta") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tau = 0.35
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    val r = Dedup.embeddingNearDupLshDelta(Dedup.embeddingLshStore(old), delta, tau)
+    def pairs(df: DataFrame) = df.as[(Long, Long, Double)].collect().toSet
+    val full = pairs(Dedup.embeddingNearDupLsh(emb, tau))
+    assert(pairs(r.pairs) == full.filter(p => p._1 % 3 == 0 || p._2 % 3 == 0))
+    assert(pairs(r.pairs).nonEmpty)
+
+    // two sequential ingests compose to the same union
+    val d1 = delta.filter(col("vec_id") % 2 === 0)
+    val d2 = delta.filter(col("vec_id") % 2 =!= 0)
+    val r1 = Dedup.embeddingNearDupLshDelta(Dedup.embeddingLshStore(old), d1, tau)
+    val r2 = Dedup.embeddingNearDupLshDelta(r1.updatedStore, d2, tau)
+    assert(pairs(r1.pairs) ++ pairs(r2.pairs) == pairs(r.pairs))
+
+    // re-ingest idempotency: the stored rows are replaced, not doubled
+    val r3 = Dedup.embeddingNearDupLshDelta(r.updatedStore, delta, tau)
+    assert(pairs(r3.pairs) == pairs(r.pairs))
+    assert(r3.updatedStore.bucketed.count() == r.updatedStore.bucketed.count())
+  }
+
   test("Dedup.cached releases every persist the bracket's operators took") {
     // a corpus no other test uses: CacheManager dedupes cache entries
     // by canonical plan, so reusing another test's data would make the
