@@ -57,4 +57,26 @@ class EdgeCaseSpec extends AnyFunSuite {
       .count()
     assert(lid == 4)
   }
+
+  test("one-scan census on empty orders: three zero rows, not nulls") {
+    import graft.operators.Analytics
+    val emptyOrders = Seq.empty[(Long, java.sql.Timestamp)]
+      .toDF("o_custkey", "o_orderdate")
+    val r = Analytics.customerYearCensus(emptyOrders, 1995, 1996)
+      .as[(String, Long)].collect().toMap
+    // the global aggregate's sums are NULL on zero rows; the coalesce
+    // must turn them into honest zero counts
+    assert(r == Map("both" -> 0L, "only_1995" -> 0L, "only_1996" -> 0L))
+  }
+
+  test("delta dedup over an empty delta: no assignments, stores unchanged") {
+    val someDocs = Seq((1L, "delta edge text one", "s"),
+      (2L, "delta edge text one", "s")).toDF("doc_id", "text", "source")
+    val r = Dedup.exactDelta(Dedup.keeperStore(someDocs), empty)
+    assert(r.assignment.count() == 0)
+    assert(r.updatedStore.count() == Dedup.keeperStore(someDocs).count())
+    val mh = Dedup.minhashLshDelta(Dedup.minhashStore(someDocs), empty)
+    assert(mh.pairs.count() == 0)
+    assert(mh.updatedStore.banded.count() == 32) // both docs' 16 band keys survive
+  }
 }
