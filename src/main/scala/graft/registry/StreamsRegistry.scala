@@ -32,6 +32,10 @@ object StreamsRegistry {
     // near-dup pipeline. No SQL oracle (candidate set is xxhash64-
     // derived); StreamsSpec proves ≡ batch dd_minhash output.
     "st_minhash_verified" -> ((s, d) => Streams.minhashVerified(s, d)),
+    // streaming ANN serving: probe stream answered per micro-batch
+    // against the static corpus; bounded drain ≡ batch knn_bruteforce,
+    // so the batch kNN SQL is the oracle verbatim.
+    "st_knn" -> ((s, d) => Streams.knnServe(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -81,5 +85,7 @@ object StreamsRegistry {
         |  count(*) AS n_events
         |FROM numbered
         |GROUP BY user_id, session_id""".stripMargin,
+    // bounded drain ≡ the batch answer: reuse the batch kNN oracle
+    "st_knn" -> SimilarityRegistry.oracleSql("knn_bruteforce"),
   )
 }

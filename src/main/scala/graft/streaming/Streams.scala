@@ -430,6 +430,42 @@ object Streams {
     spark.read.parquet(outDir).distinct()
   }
 
+  /** Streaming ANN serving — the online half of a similarity service:
+    * PROBE vectors arrive as a stream and each micro-batch is answered
+    * against the static indexed corpus with the bounded brute-force
+    * scorer ([[graft.operators.Similarity.knnBruteForce]], broadcast-
+    * guarded: a micro-batch is naturally probe-sized, the regime the
+    * broadcast ladder is built for — an oversized batch shards instead
+    * of over-broadcasting). Results append to a parquet sink. The
+    * corpus is static within a run and scoring/ranking is per-probe
+    * deterministic, so a bounded drain over a finite probe stream
+    * emits exactly the batch answer — the batch kNN SQL is the
+    * oracle. */
+  def knnFromStream(probes: DataFrame, embeddings: DataFrame, outDir: String,
+                    k: Int): Unit = {
+    val q = probes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.knnBruteForce(embeddings, batch, k)
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** File-source binding of [[knnFromStream]]: every `mod`-th corpus
+    * vector plays the probe stream, answered against the full corpus
+    * — mirrors the batch knn_bruteforce binding exactly. */
+  def knnServe(spark: SparkSession, dir: String, k: Int = 10,
+               mod: Int = 50): DataFrame = {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_st_knn").toString
+    val probeStream = FileStreamSource(s"$dir/embeddings.parquet").stream(spark)
+      .filter(col("vec_id") % mod === 0)
+    knnFromStream(probeStream,
+      spark.read.parquet(s"$dir/embeddings.parquet"), outDir, k)
+    spark.read.parquet(outDir)
+  }
+
   /** The banded join core over two watermarked sides with
     * (x_user, x_event, x_ts) columns — shared by the file binding and
     * the MemoryStream state-eviction spec. */

@@ -14,6 +14,39 @@ import graft.streaming.Streams.SessionEvent
 class StreamsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.get
 
+  test("streaming knn: probes answered per micro-batch, union equals batch knn") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val allProbes = graft.operators.Similarity.probeEvery(emb, 100)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+    assert(allProbes.length >= 4)
+    val (p1, p2) = allProbes.splitAt(allProbes.length / 2)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_st_knn_spec").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val probeStream = input.toDF().toDF("vec_id", "embedding")
+    val q = probeStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.knnBruteForce(emb, batch, 10)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try {
+      input.addData(p1.toSeq)
+      q.processAllAvailable()
+      input.addData(p2.toSeq) // a later batch must not disturb earlier answers
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val batch = graft.operators.Similarity
+      .knnBruteForce(emb, graft.operators.Similarity.probeEvery(emb, 100), 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming minhash: near-dup candidates across batches, bucket state capped") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
