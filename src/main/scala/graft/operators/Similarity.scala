@@ -381,7 +381,24 @@ object Similarity {
              dim: Int = 64,
              maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    val bucketed = lshBucketed(e, nTables, planesPerTable, dim)
+    knnLshIndexed(lshBucketed(e, nTables, planesPerTable, dim), probes, k,
+      nTables, planesPerTable, dim, maxBroadcastProbes)
+  }
+
+  /** [[knnLsh]] over a PREBUILT index — the serving shape. [[knnLsh]]
+    * re-buckets the whole corpus on every call (nTables×planesPerTable
+    * plane dots per corpus row), which at low probe counts costs as
+    * much as the brute-force scan it is meant to avoid; a deployment
+    * builds the bucketed index once ([[Dedup.embeddingLshStore]],
+    * persisted bucketed on `bucket` via Sinks.writeBucketed) and
+    * serves every query batch from it — per-batch work is then probe
+    * bucketing + the bucket-key join only. `nTables`/`planesPerTable`/
+    * `dim` MUST match the index build (the probe side recomputes the
+    * same planes). */
+  def knnLshIndexed(bucketed: DataFrame, probes: DataFrame, k: Int,
+                    nTables: Int = 4, planesPerTable: Int = 6,
+                    dim: Int = 64,
+                    maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame = {
     // bucketing is per-row deterministic, so bucketing the probe frame
     // directly equals filtering the bucketed corpus
     val p = probes.select(col("vec_id"), col("embedding").as("v"))

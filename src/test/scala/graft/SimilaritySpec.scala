@@ -27,6 +27,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(3L) == Seq(4L, 5L) || r(3L).head == 4L)
   }
 
+  test("knnLshIndexed over a persisted index == knnLsh rebuilt per call") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = Similarity.probeEvery(emb, 50)
+    val fresh = Similarity.knnLsh(emb, probes, 10)
+      .collect().map(_.toSeq).toSet
+    // index built once (matching params), persisted as a bucketed
+    // table — the serving layout — and queried via knnLshIndexed
+    val store = graft.operators.Dedup.embeddingLshStore(emb,
+      nTables = 4, planesPerTable = 6)
+    spark.sql("DROP TABLE IF EXISTS lsh_index_rt")
+    val loc = new java.io.File("spark-warehouse/lsh_index_rt")
+    if (loc.exists()) scala.reflect.io.Directory(loc).deleteRecursively()
+    graft.sources.Sinks.writeBucketed(store.bucketed, "lsh_index_rt", "bucket", 8)
+    val served = Similarity.knnLshIndexed(spark.table("lsh_index_rt"),
+      probes, 10).collect().map(_.toSeq).toSet
+    assert(served == fresh && fresh.nonEmpty)
+    assert(Similarity.knnLshIndexed(store.bucketed, probes, 10)
+      .filter(col("rnk") === 1).count() > 0)
+    spark.sql("DROP TABLE IF EXISTS lsh_index_rt")
+  }
+
   test("LSH hyperplanes are deterministic and scores are exact cosines") {
     val h1 = Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq
     val h2 = Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq
