@@ -319,12 +319,44 @@ object Similarity {
       nProbe, maxBroadcastProbes)
   }
 
+  /** The persisted IVF index: `assigned` = (vec_id, v, vnrm, cell)
+    * rows (write bucketed on `cell` via Sinks.writeBucketed so probe
+    * searches read cells pre-partitioned), `centroids` = the (cid, cv)
+    * codebook frame. Build once, serve every query batch from it —
+    * [[knnIvf]] re-assigns the whole corpus per call. */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** Build [[IvfIndex]] state (seed or Lloyd's-trained codebook). */
+  def ivfIndex(embeddings: DataFrame, centroidMod: Int = 37,
+               trained: Boolean = false, iters: Int = 3,
+               dim: Int = 64): IvfIndex = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val cents = if (trained) trainCentroids(e, centroidMod, iters, dim)
+                else seedCentroids(e, centroidMod)
+    IvfIndex(assignCells(e, cents).withColumn("vnrm", Vec.norm(col("v"))),
+      cents)
+  }
+
+  /** [[knnIvf]] over a PREBUILT [[IvfIndex]] — the serving shape
+    * (mirror of [[knnLshIndexed]]): per query batch only the probes
+    * are ranked against the broadcast codebook; the corpus-side
+    * assignment is the persisted index table. */
+  def knnIvfIndexed(index: IvfIndex, probes: DataFrame, k: Int,
+                    nProbe: Int = 2,
+                    maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame =
+    knnIvfAssigned(index.assigned, index.centroids, probes, k, nProbe,
+      maxBroadcastProbes)
+
   private def knnIvfWith(e: DataFrame, cents: DataFrame, probes: DataFrame,
                          k: Int, nProbe: Int,
-                         maxBroadcastProbes: Long): DataFrame = {
-    // hoisted norms (see scoreAgainst): one dot per scored pair
-    val assigned = assignCells(e, cents)
-      .withColumn("vnrm", Vec.norm(col("v")))
+                         maxBroadcastProbes: Long): DataFrame =
+    knnIvfAssigned(
+      assignCells(e, cents).withColumn("vnrm", Vec.norm(col("v"))),
+      cents, probes, k, nProbe, maxBroadcastProbes)
+
+  private def knnIvfAssigned(assigned: DataFrame, cents: DataFrame,
+                             probes: DataFrame, k: Int, nProbe: Int,
+                             maxBroadcastProbes: Long): DataFrame = {
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
       Vec.norm(col("embedding")).as("pnrm"))
     val probeCells = p

@@ -49,6 +49,29 @@ class SimilaritySpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS lsh_index_rt")
   }
 
+  test("knnIvfIndexed over a persisted index == knnIvf rebuilt per call") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = Similarity.probeEvery(emb, 50)
+    val fresh = Similarity.knnIvf(emb, probes, 10).collect().map(_.toSeq).toSet
+    val idx = Similarity.ivfIndex(emb)
+    spark.sql("DROP TABLE IF EXISTS ivf_index_rt")
+    val loc = new java.io.File("spark-warehouse/ivf_index_rt")
+    if (loc.exists()) scala.reflect.io.Directory(loc).deleteRecursively()
+    graft.sources.Sinks.writeBucketed(idx.assigned, "ivf_index_rt", "cell", 8)
+    val served = Similarity.knnIvfIndexed(
+      Similarity.IvfIndex(spark.table("ivf_index_rt"), idx.centroids),
+      probes, 10).collect().map(_.toSeq).toSet
+    assert(served == fresh && fresh.nonEmpty)
+    // trained index serves identically to knnIvfTrained
+    val trained = Similarity.knnIvfTrained(emb, probes, 10)
+      .collect().map(_.toSeq).toSet
+    val servedTrained = Similarity.knnIvfIndexed(
+      Similarity.ivfIndex(emb, trained = true), probes, 10)
+      .collect().map(_.toSeq).toSet
+    assert(servedTrained == trained)
+    spark.sql("DROP TABLE IF EXISTS ivf_index_rt")
+  }
+
   test("LSH hyperplanes are deterministic and scores are exact cosines") {
     val h1 = Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq
     val h2 = Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq
