@@ -27,6 +27,7 @@ object Bench {
       "wc_wordcount", "wc_topk", "wc_per_doc",
       "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
       "q18_large_orders", "q_setops_census",
+      "q13_cust_distribution", "q19_disjunctive_revenue",
       "q_events_sessionize", "q_asof_last_order", "q_range_join",
       "ta_quality", "cp_quality_gate",
       "dd_exact", "dd_exact_delta", "dd_minhash", "dd_simhash", "dd_semantic",

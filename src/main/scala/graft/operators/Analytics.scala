@@ -436,6 +436,245 @@ object Analytics {
          |GROUP BY c_mktsegment""".stripMargin)
   }
 
+  /** TPC-H Q4-style order-priority check: orders placed in a quarter
+    * with at least one line shipped more than `lateDays` after the
+    * order date, counted per priority. The correlated EXISTS carries a
+    * NON-EQUI residual (l_shipdate > o_orderdate + interval) on top of
+    * the orderkey equality — Catalyst decorrelates it to a left-semi
+    * hash join with the date condition as a residual predicate, so the
+    * fact table is probed once, never per-order. */
+  def orderPriorityCheck(spark: SparkSession, orders: DataFrame,
+                         lineitem: DataFrame, qStart: String, qEnd: String,
+                         lateDays: Int): DataFrame = {
+    val or = tempView(spark, orders, "q4_or")
+    val li = tempView(spark, lineitem, "q4_li")
+    sqlOverViews(spark, Seq(or, li),
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM $or
+         |WHERE o_orderdate >= TIMESTAMP '$qStart 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '$qEnd 00:00:00'
+         |  AND EXISTS (SELECT 1 FROM $li
+         |              WHERE l_orderkey = o_orderkey
+         |                AND l_shipdate > o_orderdate + INTERVAL $lateDays DAY)
+         |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H Q7-style two-nation trade volume: revenue shipped between a
+    * nation pair, by supplier nation x customer nation x ship year.
+    * Both nation lookups are pre-filtered to the two names BEFORE the
+    * broadcast joins, so they act as semi-filters that prune the fact
+    * rows early; the residual pair predicate then removes the A-A/B-B
+    * combinations. One shuffle per fact join, one for the final agg. */
+  def nationTradeVolume(nation: DataFrame, supplier: DataFrame,
+                        customer: DataFrame, orders: DataFrame,
+                        lineitem: DataFrame, nationA: String, nationB: String,
+                        dateLo: String, dateHi: String): DataFrame = {
+    val pair = Seq(nationA, nationB)
+    val n1 = broadcast(nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation")))
+    supplier.join(n1, col("s_nationkey") === col("s_nkey"))
+      .join(lineitem.filter(
+          col("l_shipdate") >= lit(dateLo).cast("timestamp") &&
+          col("l_shipdate") < lit(dateHi).cast("timestamp")),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(n2, col("c_nationkey") === col("c_nkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  /** TPC-H Q8-style market share: the target nation's share of a
+    * region's revenue for one part type, per order year. The share is
+    * a conditional decimal sum over the total decimal sum — one
+    * aggregate pass, one final double division per year. The part-type
+    * filter prunes the smallest join input first; region and both
+    * nation lookups broadcast. */
+  def marketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                  supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                  part: DataFrame, targetNation: String, regionName: String,
+                  pType: String, yearLo: Int, yearHi: Int): DataFrame = {
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val custNation = broadcast(nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nkey")))
+    val suppNation = broadcast(nation
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+    part.filter(col("p_type") === pType)
+      .join(lineitem, col("p_partkey") === col("l_partkey"))
+      .join(orders.filter(year(col("o_orderdate")).between(yearLo, yearHi)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(custNation, col("c_nationkey") === col("c_nkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("s_nationkey") === col("s_nkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((Num.dsum(when(col("supp_nation") === targetNation, vol)
+          .otherwise(lit(0.0))) / Num.dsum(vol)).as("mkt_share"))
+  }
+
+  /** TPC-H Q12-style priority-class line counts (adapted: the schema
+    * has no l_shipmode, so lines group by return flag): per flag, how
+    * many lines of critical (1-URGENT/2-HIGH) vs lower priority
+    * shipped in the window. Join + one conditional aggregate — counts
+    * computed in the same pass, no second scan. */
+  def linePriorityCounts(orders: DataFrame, lineitem: DataFrame,
+                         dateLo: String, dateHi: String): DataFrame = {
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    orders.join(lineitem.filter(
+        col("l_shipdate") >= lit(dateLo).cast("timestamp") &&
+        col("l_shipdate") < lit(dateHi).cast("timestamp")),
+      col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(when(critical, 1)).as("high_line_count"),
+        count(when(!critical, 1)).as("low_line_count"))
+  }
+
+  /** TPC-H Q13-style customer order distribution: orders per customer
+    * (excluding one priority class), then how many customers share
+    * each order count. LEFT OUTER join keeps order-less customers in
+    * the c_count=0 bucket — the outer-join aggregation plan class.
+    * The priority filter sits on the orders side BEFORE the join
+    * (equivalent for a left join, and it pushes to the scan). */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame,
+                                excludePriority: String): DataFrame =
+    customer.join(orders.filter(col("o_orderpriority") =!= excludePriority),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q14-style promo revenue share: percentage of one month's
+    * revenue from promo-type parts. Conditional decimal sum over total
+    * decimal sum, single aggregate, single join — the shipdate window
+    * prunes lineitem at the scan. */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame,
+                        monthLo: String, monthHi: String): DataFrame = {
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem.filter(
+        col("l_shipdate") >= lit(monthLo).cast("timestamp") &&
+        col("l_shipdate") < lit(monthHi).cast("timestamp"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) * Num.dsum(when(col("p_type") === "PROMO", vol)
+          .otherwise(lit(0.0))) / Num.dsum(vol)).as("promo_revenue"))
+  }
+
+  /** TPC-H Q15-style top supplier: suppliers whose windowed revenue
+    * equals the maximum. The revenue CTE aggregates once; the scalar
+    * max subquery re-reads that aggregate, and the decimal-exact sums
+    * make the double equality reproducible at any parallelism (the
+    * reason Q15's `= max` is safe here at all). */
+  def topRevenueSupplier(spark: SparkSession, supplier: DataFrame,
+                         lineitem: DataFrame, dateLo: String,
+                         dateHi: String): DataFrame = {
+    val su = tempView(spark, supplier, "q15_su")
+    val li = tempView(spark, lineitem, "q15_li")
+    sqlOverViews(spark, Seq(su, li),
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    ${Num.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+         |  FROM $li
+         |  WHERE l_shipdate >= TIMESTAMP '$dateLo 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '$dateHi 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM $su JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin)
+  }
+
+  /** TPC-H Q16-style supplier variety (adapted: lineitem is the
+    * part-supplier relation): distinct suppliers per (brand, type,
+    * size) for a filtered part class, excluding a supplier blacklist.
+    * The NOT IN plans as a null-aware anti join against the (tiny,
+    * broadcast) blacklist; count(DISTINCT) adds its usual expand —
+    * both scans pruned by pushed filters. */
+  def supplierVariety(spark: SparkSession, part: DataFrame,
+                      lineitem: DataFrame, supplier: DataFrame,
+                      excludeBrand: String, excludeType: String,
+                      sizes: Seq[Int]): DataFrame = {
+    val pt = tempView(spark, part, "q16_pt")
+    val li = tempView(spark, lineitem, "q16_li")
+    val su = tempView(spark, supplier, "q16_su")
+    sqlOverViews(spark, Seq(pt, li, su),
+      s"""SELECT p_brand, p_type, p_size,
+         |  count(DISTINCT l_suppkey) AS supplier_cnt
+         |FROM $pt JOIN $li ON p_partkey = l_partkey
+         |WHERE p_brand <> ${sqlLit(excludeBrand)}
+         |  AND p_type <> ${sqlLit(excludeType)}
+         |  AND p_size IN (${sizes.mkString(", ")})
+         |  AND l_suppkey NOT IN (
+         |    SELECT s_suppkey FROM $su WHERE s_acctbal < 0.0)
+         |GROUP BY p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** One (brand, max size, quantity band) arm of [[disjunctiveRevenue]]. */
+  final case class QtyBand(brand: String, sizeMax: Int, qtyLo: Double,
+                           qtyHi: Double)
+
+  /** TPC-H Q19-style disjunctive revenue: an OR of per-brand
+    * (size, quantity-band) conjunctions — the disjunctive-predicate
+    * plan class. Catalyst cannot push the whole OR below the join, but
+    * it derives and pushes the COMMON bounds (min size lower bound,
+    * overall quantity envelope) to both scans, and the join stays a
+    * plain partkey equi-join with the disjunction as a residual
+    * filter — never a nested loop. */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame,
+                         bands: Seq[QtyBand]): DataFrame = {
+    require(bands.nonEmpty, "disjunctiveRevenue needs at least one band")
+    val arm = bands.map { b =>
+      col("p_brand") === b.brand &&
+        col("p_size").between(1, b.sizeMax) &&
+        col("l_quantity").between(b.qtyLo, b.qtyHi)
+    }.reduce(_ || _)
+    lineitem.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(arm)
+      .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  /** TPC-H Q20-style excess shippers: suppliers who shipped more than
+    * `factor` x the total shipped quantity of some matching part in
+    * the window — Q20's NESTED correlation, adapted to the partsupp-
+    * free schema: an IN-subquery whose HAVING threshold is itself a
+    * correlated scalar subquery on the group key. Catalyst
+    * decorrelates the inner scalar to a per-partkey aggregate joined
+    * on the key and the outer IN to a left-semi join — two aggregates
+    * and two hash joins, no per-group re-execution. */
+  def excessShippers(spark: SparkSession, supplier: DataFrame,
+                     lineitem: DataFrame, part: DataFrame,
+                     namePrefix: String, dateLo: String, dateHi: String,
+                     factor: Double): DataFrame = {
+    val su = tempView(spark, supplier, "q20_su")
+    val li = tempView(spark, lineitem, "q20_li")
+    val pt = tempView(spark, part, "q20_pt")
+    val window =
+      s"""l_shipdate >= TIMESTAMP '$dateLo 00:00:00'
+         |      AND l_shipdate < TIMESTAMP '$dateHi 00:00:00'""".stripMargin
+    sqlOverViews(spark, Seq(su, li, pt),
+      s"""SELECT s_name, s_acctbal
+         |FROM $su
+         |WHERE s_suppkey IN (
+         |  SELECT l_suppkey
+         |  FROM $li JOIN $pt ON p_partkey = l_partkey
+         |  WHERE p_name LIKE ${sqlLit(namePrefix + "%")}
+         |    AND $window
+         |  GROUP BY l_suppkey, p_partkey
+         |  HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > (
+         |    SELECT $factor * sum(CAST(l2.l_quantity AS DECIMAL(38,6)))
+         |    FROM $li l2
+         |    WHERE l2.l_partkey = p_partkey
+         |      AND l2.l_shipdate >= TIMESTAMP '$dateLo 00:00:00'
+         |      AND l2.l_shipdate < TIMESTAMP '$dateHi 00:00:00'))""".stripMargin)
+  }
+
   /** Semi/anti-join census: per market segment, how many customers
     * have at least one order vs none. Two hash semi-joins (no payload
     * duplication, no row explosion) + one agg. */

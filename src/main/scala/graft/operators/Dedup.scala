@@ -358,6 +358,65 @@ object Dedup {
       MinHashStore(allBanded, allShingles))
   }
 
+  /** The persisted sketch store for INCREMENTAL SimHash dedup: one
+    * (doc_id, simhash) row per non-empty doc. Unlike MinHash, the
+    * banding keys are a cheap scan-side PROJECTION of the 64-bit
+    * sketch (4 disjoint 16-bit bands), so the store persists only the
+    * sketch — 8 bytes a doc — and every ingest re-derives band keys
+    * with no shuffle and no stored index. At corpus scale this is a
+    * maintained table like [[keeperStore]]. */
+  def simhashStore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        graft.plans.Exprs.simhash(col("toks")).as("simhash"))
+
+  /** Result of an incremental SimHash pass: every Hamming ≤ maxDist
+    * pair touching the delta, and the sketch store with the delta
+    * merged in (input to the next ingest). */
+  final case class SimHashDelta(pairs: DataFrame, updatedStore: DataFrame)
+
+  /** Incremental (delta) SimHash near-dup detection — completes the
+    * incremental quartet (exact / MinHash / embedding / SimHash): only
+    * the DELTA is tokenized and sketched; candidates join the delta's
+    * band keys against store ∪ delta keys (old-old pairs cannot
+    * re-form — at least one side of every new candidate is a delta
+    * doc); the Hamming check is exact on the two stored sketches.
+    * Pigeonhole exactness carries over unchanged: any pair within
+    * Hamming ≤ 3 agrees on a whole 16-bit band, so the emitted set is
+    * EXACTLY [[simhash]]'s full-run pairs restricted to pairs touching
+    * the delta (spec-proven, DeltaDedupSpec). Idempotent under
+    * re-ingest: the delta's doc_ids are anti-joined out of the store
+    * first, so a retried batch replaces its rows instead of pairing a
+    * doc with its own stored copy. Per-ingest cost: one delta
+    * scan+sketch, one band equi-join bounded by bucket occupancy —
+    * never an old-corpus rescan. */
+  def simhashDelta(store: DataFrame, delta: DataFrame,
+                   maxDist: Int = 3): SimHashDelta = {
+    val dSketch = CacheTracker.persistTracked(simhashStore(delta))
+    val dIds = delta.select(col("doc_id")).distinct()
+    val allSketch = store.join(dIds, Seq("doc_id"), "left_anti").union(dSketch)
+    def banded(sk: DataFrame): DataFrame = sk
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          Hashing.simhashBand(col("simhash"), b).as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // delta side x all sides; a delta-delta pair matches in both
+    // orientations, so normalize to id_a < id_b and dedup (the full
+    // run's convention). Hamming is symmetric — safe to compute before
+    // the least/greatest swap.
+    val pairs = banded(dSketch).as("a").join(banded(allSketch).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
+        Hashing.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+    SimHashDelta(pairs, allSketch)
+  }
+
   /** 64-bit SimHash near-dup pairs at Hamming distance ≤ `maxDist`.
     *
     * SimHash: per-word xxhash64 bit votes weighted by term frequency,

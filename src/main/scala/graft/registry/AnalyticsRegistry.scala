@@ -44,6 +44,41 @@ object AnalyticsRegistry {
     "q22_rich_active" -> ((s, d) =>
       Analytics.richActiveCustomers(s, Tables.customer(s, d),
         Tables.orders(s, d))),
+    "q4_priority_check" -> ((s, d) =>
+      Analytics.orderPriorityCheck(s, Tables.orders(s, d),
+        Tables.lineitem(s, d), "1996-01-01", "1996-04-01", 60)),
+    "q7_nation_volume" -> ((s, d) =>
+      Analytics.nationTradeVolume(Tables.nation(s, d), Tables.supplier(s, d),
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        "NATION_3", "NATION_7", "1995-01-01", "1997-01-01")),
+    "q8_market_share" -> ((s, d) =>
+      Analytics.marketShare(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.part(s, d),
+        "NATION_3", "ASIA", "PROMO", 1995, 1996)),
+    "q12_priority_class" -> ((s, d) =>
+      Analytics.linePriorityCounts(Tables.orders(s, d), Tables.lineitem(s, d),
+        "1996-01-01", "1997-01-01")),
+    "q13_cust_distribution" -> ((s, d) =>
+      Analytics.customerOrderDistribution(Tables.customer(s, d),
+        Tables.orders(s, d), "1-URGENT")),
+    "q14_promo_revenue" -> ((s, d) =>
+      Analytics.promoRevenueShare(Tables.lineitem(s, d), Tables.part(s, d),
+        "1996-03-01", "1996-04-01")),
+    "q15_top_supplier" -> ((s, d) =>
+      Analytics.topRevenueSupplier(s, Tables.supplier(s, d),
+        Tables.lineitem(s, d), "1996-01-01", "1996-04-01")),
+    "q16_supplier_variety" -> ((s, d) =>
+      Analytics.supplierVariety(s, Tables.part(s, d), Tables.lineitem(s, d),
+        Tables.supplier(s, d), "Brand#5", "MEDIUM", Seq(1, 5, 9, 14, 19, 23, 36, 45))),
+    "q19_disjunctive_revenue" -> ((s, d) =>
+      Analytics.disjunctiveRevenue(Tables.lineitem(s, d), Tables.part(s, d),
+        Seq(Analytics.QtyBand("Brand#12", 5, 1, 11),
+          Analytics.QtyBand("Brand#23", 10, 10, 20),
+          Analytics.QtyBand("Brand#34", 15, 20, 30)))),
+    "q20_excess_shippers" -> ((s, d) =>
+      Analytics.excessShippers(s, Tables.supplier(s, d), Tables.lineitem(s, d),
+        Tables.part(s, d), "red", "1996-01-01", "1997-01-01", 0.5)),
     "q_top_customers_window" -> ((s, d) =>
       Analytics.topCustomersPerNation(Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), 5)),
@@ -184,6 +219,119 @@ object AnalyticsRegistry {
          |              WHERE o.o_custkey = c.c_custkey
          |                AND o.o_totalprice > c.c_acctbal)
          |GROUP BY c_mktsegment""".stripMargin,
+    "q4_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q7_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM supplier
+         |JOIN lineitem ON s_suppkey = l_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  ${dsumSql("CASE WHEN n2.n_name = 'NATION_3' " +
+            "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+         |    / ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS mkt_share
+         |FROM part
+         |JOIN lineitem ON p_partkey = l_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+         |  AND year(o_orderdate) BETWEEN 1995 AND 1996
+         |GROUP BY 1""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        |    AS BIGINT) AS high_line_count,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+        |    AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin,
+    "q13_cust_distribution" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey
+        |)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c_orders
+        |GROUP BY c_count""".stripMargin,
+    "q14_promo_revenue" ->
+      s"""SELECT 100.0 * ${dsumSql("CASE WHEN p_type = 'PROMO' " +
+            "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+         |    / ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_type <> 'MEDIUM'
+        |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      s"""SELECT ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q20_excess_shippers" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey, p_partkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > (
+        |    SELECT 0.5 * sum(CAST(l2.l_quantity AS DECIMAL(38,6)))
+        |    FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey
+        |      AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))""".stripMargin,
     "q_top_customers_window" ->
       s"""WITH spend AS (
          |  SELECT c_custkey, c_name, c_nationkey,

@@ -99,6 +99,17 @@ object DedupRegistry {
         Dedup.minhashStore(docs.filter(c % DeltaMod =!= 0)),
         docs.filter(c % DeltaMod === 0)).pairs
     }),
+    // Incremental SimHash: every Hamming ≤ 3 pair touching the delta,
+    // band-joined against the persisted (doc_id, simhash) sketch
+    // store. No SQL oracle (xxhash64); DeltaDedupSpec proves
+    // delta-mode ≡ the restricted full run.
+    "dd_simhash_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val c = org.apache.spark.sql.functions.col("doc_id")
+      Dedup.simhashDelta(
+        Dedup.simhashStore(docs.filter(c % DeltaMod =!= 0)),
+        docs.filter(c % DeltaMod === 0)).pairs
+    }),
     // Incremental embedding near-dup: the delta's vectors plane-hashed
     // and bucket-joined against the persisted LSH store — completes
     // the incremental trio. Oracle-checked: the deterministic planes

@@ -152,4 +152,93 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(p22.contains("Subquery") || p22.contains("subquery"), p22)
     assert(q22.collect().length == 5) // one row per segment
   }
+
+  test("q4/q20 subquery shapes decorrelate to semi joins, never nested loops") {
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    // Q4: EXISTS with a non-equi date residual → left-semi hash join
+    val q4 = Analytics.orderPriorityCheck(spark, Tables.orders(spark, d),
+      Tables.lineitem(spark, d), "1996-01-01", "1996-04-01", 60)
+    val p4 = q4.queryExecution.executedPlan.toString
+    assert(!p4.contains("BroadcastNestedLoopJoin"), p4)
+    assert(p4.contains("LeftSemi"), p4)
+    assert(q4.collect().map(_.getLong(1)).sum > 0)
+    // Q20: IN over a grouped HAVING whose threshold is itself a
+    // correlated scalar — both levels decorrelate to hash joins
+    val q20 = Analytics.excessShippers(spark, Tables.supplier(spark, d),
+      Tables.lineitem(spark, d), Tables.part(spark, d),
+      "red", "1996-01-01", "1997-01-01", 0.5)
+    val p20 = q20.queryExecution.executedPlan.toString
+    assert(!p20.contains("BroadcastNestedLoopJoin"), p20)
+    assert(p20.contains("LeftSemi"), p20)
+    val rows20 = q20.collect()
+    assert(rows20.nonEmpty)
+    // the threshold actually excludes someone: tightening it to ~every
+    // group (factor 0) must yield strictly more suppliers
+    val all = Analytics.excessShippers(spark, Tables.supplier(spark, d),
+      Tables.lineitem(spark, d), Tables.part(spark, d),
+      "red", "1996-01-01", "1997-01-01", 0.0).collect()
+    assert(all.length > rows20.length)
+  }
+
+  test("q13 outer-join distribution keeps order-less customers at count 0") {
+    val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val orders = Seq((10L, 1L, "5-LOW"), (11L, 1L, "5-LOW"),
+      (12L, 2L, "1-URGENT")).toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val r = Analytics.customerOrderDistribution(customer, orders, "1-URGENT")
+      .as[(Long, Long)].collect().toMap
+    // cust 1 has 2 counted orders; cust 2's only order is excluded by
+    // priority and cust 3 has none — both land in the 0 bucket
+    assert(r == Map(2L -> 1L, 0L -> 2L))
+  }
+
+  test("q19 disjunctive filter stays an equi-join with a residual, not a BNLJ") {
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    val q19 = Analytics.disjunctiveRevenue(Tables.lineitem(spark, d),
+      Tables.part(spark, d), Seq(Analytics.QtyBand("Brand#12", 5, 1, 11),
+        Analytics.QtyBand("Brand#23", 10, 10, 20)))
+    val p19 = q19.queryExecution.executedPlan.toString
+    assert(!p19.contains("BroadcastNestedLoopJoin"), p19)
+    assert(!p19.contains("CartesianProduct"), p19)
+    assert(p19.contains("HashJoin"), p19)
+    // empty band list is a contract error, not a NoSuchElementException
+    val e = intercept[IllegalArgumentException] {
+      Analytics.disjunctiveRevenue(Tables.lineitem(spark, d),
+        Tables.part(spark, d), Nil)
+    }
+    assert(e.getMessage.contains("at least one band"))
+  }
+
+  test("q15 returns every supplier tied at the max revenue") {
+    val supplier = Seq((1L, "sup1"), (2L, "sup2"), (3L, "sup3"))
+      .toDF("s_suppkey", "s_name")
+    val lineitem = Seq(
+      (1L, 100.0, 0.0), (2L, 50.0, 0.0), (2L, 50.0, 0.0), (3L, 10.0, 0.0))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount")
+      .selectExpr("l_suppkey", "l_extendedprice", "l_discount",
+        "CAST('1996-02-01' AS TIMESTAMP) AS l_shipdate")
+    val r = Analytics.topRevenueSupplier(spark, supplier, lineitem,
+      "1996-01-01", "1996-04-01")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    // suppliers 1 and 2 both total 100.0 — exact decimal sums make the
+    // double equality safe, so BOTH come back
+    assert(r.toSeq == Seq((1L, "sup1", 100.0), (2L, "sup2", 100.0)))
+  }
+
+  test("q16 NOT IN blacklist excludes flagged suppliers from the counts") {
+    val part = Seq((1L, "Brand#1", "SMALL", 5), (2L, "Brand#2", "LARGE", 5))
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val lineitem = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+      .toDF("l_partkey", "l_suppkey")
+    val supplier = Seq((10L, 100.0), (11L, -5.0), (12L, 3.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val r = Analytics.supplierVariety(spark, part, lineitem, supplier,
+      "Brand#9", "MEDIUM", Seq(5))
+      .as[(String, String, Int, Long)].collect()
+      .map(x => x._1 -> x._4).toMap
+    // supplier 11 is blacklisted (negative balance): Brand#1 counts
+    // only 10 and 12; Brand#2 still counts supplier 10
+    assert(r == Map("Brand#1" -> 2L, "Brand#2" -> 1L))
+  }
 }

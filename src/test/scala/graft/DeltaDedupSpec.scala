@@ -128,6 +128,42 @@ class DeltaDedupSpec extends AnyFunSuite {
     assert(pairSet(r3).forall(_._3 == 1.0))
   }
 
+  test("simhashDelta emits exactly the full run's pairs touching the delta") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight"
+    val t3 = "nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    val full = docsDF(Seq(
+      1L -> t1, 2L -> t1, // old-old pair: must NOT re-emit in the delta pass
+      3L -> t2,
+      101L -> t1, // delta↔old both ways
+      102L -> t2,
+      103L -> t3, 104L -> t3, // delta-internal pair
+      105L -> "totally unrelated content words entirely distinct here"))
+    val old = full.filter($"doc_id" < 100)
+    val delta = full.filter($"doc_id" >= 100)
+    val r = Dedup.simhashDelta(Dedup.simhashStore(old), delta)
+    def pairs(df: DataFrame) = df.as[(Long, Long, Int)].collect().toSet
+    val fullPairs = pairs(Dedup.simhash(full))
+    assert(pairs(r.pairs) == fullPairs.filter(p => p._1 >= 100 || p._2 >= 100))
+    // identical token streams sketch identically: hamming 0
+    assert(pairs(r.pairs).map(p => (p._1, p._2)) ==
+      Set((1L, 101L), (2L, 101L), (3L, 102L), (103L, 104L)))
+    assert(pairs(r.pairs).forall(_._3 == 0))
+
+    // two sequential ingests compose to the same union
+    val r1 = Dedup.simhashDelta(Dedup.simhashStore(old),
+      full.filter($"doc_id" >= 100 && $"doc_id" <= 102))
+    val r2 = Dedup.simhashDelta(r1.updatedStore, full.filter($"doc_id" >= 103))
+    assert(pairs(r1.pairs) ++ pairs(r2.pairs) == pairs(r.pairs))
+
+    // re-ingest idempotency: a retried delta replaces its stored rows
+    // (no self-pair, no doubled sketches) and changes nothing
+    val r3 = Dedup.simhashDelta(r.updatedStore, delta)
+    assert(pairs(r3.pairs) == pairs(r.pairs))
+    assert(r3.updatedStore.as[(Long, Long)].collect().toSet ==
+      r.updatedStore.as[(Long, Long)].collect().toSet)
+  }
+
   test("embeddingNearDupLshDelta emits exactly the full run's pairs touching the delta") {
     import org.apache.spark.sql.functions.col
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
