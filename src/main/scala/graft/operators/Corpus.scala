@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -198,6 +199,95 @@ object Corpus {
         sum(col("lang_ok")).as("n_lang_ok"),
         sum(col("kept")).as("n_kept"))
   }
+
+  /** (doc_id, source, n_tokens, mb) — the sized projection both
+    * budget forms start from. */
+  private def sizedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+      mixBucket(col("doc_id")).as("mb"))
+
+  /** Token-budget selection, reference form: per source, keep docs in
+    * deterministic pseudorandom priority order (mix bucket, id) while
+    * the running token total stays within `budget` — how a training
+    * mix caps each source's contribution in TOKENS, not documents,
+    * reproducibly. This form is the oracle-matching SEMANTICS: one
+    * window partitioned by source. A giant source makes that window a
+    * single sequential task — [[tokenBudgetStaged]] is the identical-
+    * output scale shape (spec-proven equal; the registered query). */
+  def tokenBudget(docs: DataFrame, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("mb").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sizedDocs(docs)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** [[tokenBudget]] in its scale shape: a per-source prefix sum is
+    * inherently sequential, but the budget CUTOFF isn't — stage it.
+    * Phase 1 aggregates token totals per (source, coarse bucket) — at
+    * most `coarseBuckets` rows per source — and runs the tiny running
+    * sum over THAT. Phase 2 re-joins the (broadcastable) bucket
+    * offsets and finishes with a prefix window partitioned by
+    * (source, coarse bucket): every partition is bounded by bucket
+    * occupancy (~1/coarseBuckets of the source), so a 100 TB source
+    * costs max-bucket-occupancy sequential work instead of one task
+    * sorting the whole source. cum_tokens = the bucket's preceding
+    * total + the in-bucket prefix — IDENTICAL to [[tokenBudget]]
+    * (CorpusSpec proves equality, zero-token edge docs included). */
+  def tokenBudgetStaged(docs: DataFrame, budget: Long,
+                        coarseBuckets: Int = 1024): DataFrame = {
+    require(coarseBuckets > 0, "tokenBudgetStaged needs coarseBuckets > 0")
+    // coarse bucket by the mix bucket's HIGH bits (integer math, no
+    // overflow: mb < 2^20, coarseBuckets fits in an int)
+    val cbOf = (col("mb") * coarseBuckets / MixBuckets).cast("int")
+    val sized = sizedDocs(docs).withColumn("cb", cbOf)
+    val wCum = Window.partitionBy(col("source")).orderBy(col("cb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sized.groupBy(col("source"), col("cb"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("bucket_tokens")).over(wCum), lit(0L)))
+      // buckets whose preceding total already exceeds the budget can't
+      // keep anything (prefix sums only grow) — prune them BEFORE the
+      // join so phase 2 never windows dropped data
+      .filter(col("cum_before") <= budget)
+      .select(col("source"), col("cb"), col("cum_before"))
+    val wIn = Window.partitionBy(col("source"), col("cb"))
+      .orderBy(col("mb").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized.join(broadcast(offsets), Seq("source", "cb"))
+      .withColumn("cum_tokens",
+        col("cum_before") + sum(col("n_tokens")).over(wIn))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Deterministic shard assignment — the global-shuffle-then-shard
+    * step that precedes training-data serialization: shard = the mix
+    * bucket's high bits (pseudorandom, reproducible on any engine /
+    * partitioning / rerun), within-shard order = (mix bucket, id).
+    * Pure projection: the physical write is
+    * `repartition(shard).sortWithinPartitions(mb, doc_id)` over this
+    * frame. */
+  def shardAssignment(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, "shardAssignment needs nShards > 0")
+    sizedDocs(docs)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("mb") * nShards / MixBuckets).cast("int").as("shard"))
+  }
+
+  /** Per-shard accounting for [[shardAssignment]]: docs, tokens and
+    * distinct sources per shard — the balance report that catches a
+    * skewed shard before a training run does. One map-side-combined
+    * aggregation. */
+  def shardReport(docs: DataFrame, nShards: Int): DataFrame =
+    shardAssignment(docs, nShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"))
 
   /** The scrubbed corpus (same schema as the input). */
   def scrubbedText(docs: DataFrame): DataFrame =

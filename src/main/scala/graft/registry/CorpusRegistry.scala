@@ -46,6 +46,11 @@ object CorpusRegistry {
   val MaxDupGram = 0.05
   val MaxTopWord = 0.15
 
+  /** Per-source token budget (~half of each synthetic source's ~1.4k
+    * tokens at sf0.01, so the cutoff actually cuts). */
+  val TokenBudget = 800L
+  val NShards = 16
+
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cp_sample" -> ((s, d) =>
@@ -63,6 +68,13 @@ object CorpusRegistry {
     "cp_quality_gate" -> ((s, d) =>
       Corpus.qualityGate(Tables.documents(s, d), MinTokens, MinStopRatio,
         MaxDupGram, MaxTopWord)),
+    // The STAGED form is registered (bounded window partitions); the
+    // oracle replays the one-window reference semantics — CorpusSpec
+    // proves the two forms identical.
+    "cp_token_budget" -> ((s, d) =>
+      Corpus.tokenBudgetStaged(Tables.documents(s, d), TokenBudget)),
+    "cp_shards" -> ((s, d) =>
+      Corpus.shardReport(Tables.documents(s, d), NShards)),
     // Full docs go in as the train side: eval docs self-match and are
     // flagged contaminated — a training mix must not contain its eval
     // set, so the funnel drops them by construction.
@@ -175,6 +187,32 @@ object CorpusRegistry {
          |  CAST(sum(len_ok * stop_ok * rep_ok * lang_ok) AS BIGINT) AS n_kept
          |FROM flags GROUP BY source""".stripMargin
     },
+    "cp_token_budget" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($ToksExpr) AS BIGINT) AS n_tokens,
+         |    $MixExpr AS mb
+         |  FROM documents
+         |), cum AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY mb, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM sized
+         |)
+         |SELECT doc_id, source, n_tokens, cum_tokens
+         |FROM cum WHERE cum_tokens <= $TokenBudget""".stripMargin,
+    "cp_shards" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($ToksExpr) AS BIGINT) AS n_tokens,
+         |    CAST((($MixExpr) * $NShards) // ${Corpus.MixBuckets} AS INTEGER) AS shard
+         |  FROM documents
+         |)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT source) AS n_sources
+         |FROM sized GROUP BY shard""".stripMargin,
     "cp_pii_scrub" ->
       s"""WITH s1 AS (
          |  SELECT doc_id, text,

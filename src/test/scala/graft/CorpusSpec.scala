@@ -132,4 +132,65 @@ class CorpusSpec extends AnyFunSuite {
     assert(scrubbed(2L) == "see <URL> and host <IP> now")
     assert(scrubbed(3L) == "no pii here at all")
   }
+
+  test("tokenBudgetStaged equals the one-window reference on real data") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Long, Long)].collect().toSet
+    // several budgets, including one that cuts mid-source and one
+    // below every doc (empty result) — staged must match exactly
+    for (budget <- Seq(0L, 60L, 300L, 1000000L)) {
+      val ref = rows(Corpus.tokenBudget(docs, budget))
+      for (coarse <- Seq(1, 4, 1024))
+        assert(rows(Corpus.tokenBudgetStaged(docs, budget, coarse)) == ref,
+          s"budget=$budget coarse=$coarse")
+    }
+  }
+
+  test("tokenBudget keeps the deterministic prefix, zero-token docs included") {
+    // one source; priority order is (mixBucket, doc_id). Chosen ids'
+    // buckets: establish order by computing mixBucket directly.
+    val texts = Map(
+      1L -> "one two three",        // 3 tokens
+      2L -> "four five",            // 2 tokens
+      3L -> "...",                  // 0 tokens (punctuation only)
+      4L -> "six seven eight nine") // 4 tokens
+    val docs = texts.toSeq.map { case (i, t) => (i, t, "s") }
+      .toDF("doc_id", "text", "source")
+    val order = docs
+      .select($"doc_id", Corpus.mixBucket($"doc_id").as("mb"))
+      .as[(Long, Long)].collect().sortBy(x => (x._2, x._1)).map(_._1)
+    val sizes = Map(1L -> 3L, 2L -> 2L, 3L -> 0L, 4L -> 4L)
+    val cums = order.scanLeft(0L)((acc, id) => acc + sizes(id)).tail
+    // pick a budget that lands exactly ON a prefix boundary: the
+    // boundary doc stays (<=), the next is cut
+    val budget = cums(1)
+    val expect = order.zip(cums).takeWhile(_._2 <= budget).map(_._1).toSet
+    val kept = Corpus.tokenBudget(docs, budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == expect)
+    assert(Corpus.tokenBudgetStaged(docs, budget)
+      .select("doc_id").as[Long].collect().toSet == expect)
+  }
+
+  test("shard assignment is deterministic, total, and roughly balanced") {
+    val docs = (0L until 4096L).map(i => (i, s"w$i x y", s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val n = 16
+    val a = Corpus.shardAssignment(docs, n)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    val b = Corpus.shardAssignment(docs.repartition(13), n)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    assert(a == b)                       // partitioning-independent
+    assert(a.size == 4096)               // total: every doc sharded
+    assert(a.values.forall(s => s >= 0 && s < n))
+    val counts = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(counts.size == n)             // every shard populated
+    assert(counts.values.max < 2 * counts.values.min,
+      s"shard skew: $counts")            // multiplicative hash spreads
+    val report = Corpus.shardReport(docs, n)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(report.map(_._2).sum == 4096L)
+    assert(report.forall(_._4 == 4L))    // every source in every shard
+  }
 }
