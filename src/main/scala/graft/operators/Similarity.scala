@@ -402,6 +402,32 @@ object Similarity {
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
+  /** The kNN GRAPH over the whole embedding table: for EVERY vector,
+    * its top-k cosine neighbors among its LSH bucket mates — the
+    * graph-construction pass behind SemDeDup-style semantic pruning,
+    * diversity sampling and graph clustering. Semantically identical
+    * to [[knnLsh]] with the full corpus as the probe frame
+    * (spec-proven), but built as a SELF-join of one bucketed
+    * projection, so the corpus pays the nTables x planesPerTable plane
+    * dots ONCE instead of once per side. Work is bounded by bucket
+    * occupancy (the LSH invariant), the candidate union is deduped
+    * before scoring-rank, and the top-k aggregate keeps k rows per
+    * vector per partition map-side — never an all-pairs
+    * materialization. Output: (vec_id, neighbor_id, cos_sim, rnk). */
+  def knnGraph(embeddings: DataFrame, k: Int, nTables: Int = 4,
+               planesPerTable: Int = 6, dim: Int = 64): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val b = lshBucketed(e, nTables, planesPerTable, dim)
+    val scored = b.as("a").join(b.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("neighbor_id"),
+        (Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_sim"))
+      .distinct() // a pair sharing several tables scores once
+    rankTopK(scored, k).withColumnRenamed("probe_id", "vec_id")
+  }
+
   /** ANN via multi-table random-hyperplane LSH: `nTables` independent
     * hash tables of `planesPerTable` sign bits each; a probe's
     * candidate set is the union of its buckets across tables

@@ -41,6 +41,10 @@ object SimilarityRegistry {
     // determinism and that training actually moved the centroids.
     "knn_ivf_trained" -> ((s, d) =>
       Similarity.knnIvfTrained(Tables.embeddings(s, d), probes(s, d), K)),
+    // The LSH-blocked kNN graph over every corpus vector (SemDeDup-
+    // style graph construction); deterministic planes → full oracle.
+    "knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(Tables.embeddings(s, d), K)),
     // The ANN quality report: recall@k of lsh/ivf vs brute force on
     // the same probes — all three paths are deterministic, so the
     // oracle replays the whole report (counts divide exactly).
@@ -128,6 +132,27 @@ object SimilarityRegistry {
          |  FROM cand
          |)
          |SELECT probe_id, neighbor_id, cos_sim, rnk
+         |FROM ranked WHERE rnk <= $K""".stripMargin,
+    // The graph oracle is the LSH oracle without the probe filter:
+    // bucketed self-join, exact cosine, per-vector rank.
+    "knn_graph" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), bucketed AS (
+         |${VectorSql.lshBucketed(nTables = 4, planesPerTable = 6, dim = 64)}
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+         |    ${VectorSql.cos("a.v", "b.v")} AS cos_sim
+         |  FROM bucketed a
+         |  JOIN bucketed b
+         |    ON b.tbl = a.tbl AND b.bucket = a.bucket AND b.vec_id <> a.vec_id
+         |), ranked AS (
+         |  SELECT vec_id, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM cand
+         |)
+         |SELECT vec_id, neighbor_id, cos_sim, rnk
          |FROM ranked WHERE rnk <= $K""".stripMargin,
     // Replays all three ANN paths (brute force + LSH blocking + IVF
     // assignment — the same CTE chains as their own oracles) and

@@ -32,6 +32,13 @@ object StreamsRegistry {
     // near-dup pipeline. No SQL oracle (candidate set is xxhash64-
     // derived); StreamsSpec proves ≡ batch dd_minhash output.
     "st_minhash_verified" -> ((s, d) => Streams.minhashVerified(s, d)),
+    // streaming quality gate: the H-family gate's projection+agg chain
+    // unchanged over a document stream (complete mode); drained ≡ the
+    // batch gate, so its SQL is the oracle verbatim.
+    "st_quality_gate" -> ((s, d) =>
+      Streams.qualityGate(s, d, CorpusRegistry.MinTokens,
+        CorpusRegistry.MinStopRatio, CorpusRegistry.MaxDupGram,
+        CorpusRegistry.MaxTopWord)),
     // streaming ANN serving: probe stream answered per micro-batch
     // against the static corpus; bounded drain ≡ batch knn_bruteforce,
     // so the batch kNN SQL is the oracle verbatim.
@@ -87,5 +94,7 @@ object StreamsRegistry {
         |GROUP BY user_id, session_id""".stripMargin,
     // bounded drain ≡ the batch answer: reuse the batch kNN oracle
     "st_knn" -> SimilarityRegistry.oracleSql("knn_bruteforce"),
+    // drained complete-mode gate ≡ the batch gate: same oracle
+    "st_quality_gate" -> CorpusRegistry.oracleSql("cp_quality_gate"),
   )
 }

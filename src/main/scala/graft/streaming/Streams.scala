@@ -111,6 +111,31 @@ object Streams {
     spark.table(sink)
   }
 
+  /** Streaming corpus quality gate ≡ batch
+    * [[graft.operators.Corpus.qualityGate]]: the gate is pure per-row
+    * column math over `text` plus ONE aggregation on source, so the
+    * identical operator chain runs unchanged over a stream in complete
+    * mode — per-source pass counts update as document batches arrive
+    * (the live ingest monitor a corpus pipeline runs). State is one
+    * row per (source, gate) — bounded by the source enum, not the
+    * corpus. Drained with AvailableNow the result equals the batch
+    * gate, so cp_quality_gate's SQL is the oracle verbatim. */
+  def qualityGate(spark: SparkSession, dir: String, minTokens: Int,
+                  minStopRatio: Double, maxDupGram: Double,
+                  maxTopWord: Double): DataFrame = {
+    val stream = FileStreamSource(s"$dir/documents.parquet").stream(spark)
+    val gated = graft.operators.Corpus.qualityGate(stream, minTokens,
+      minStopRatio, maxDupGram, maxTopWord)
+    val sink = s"st_qg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = gated.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** Streaming exact dedup ≡ batch [[graft.operators.Dedup.exact]]
     * keyed output: running (fingerprint → keeper, count) state in
     * complete mode. The keeper is min(doc_id) — deterministic under

@@ -87,4 +87,23 @@ class SimilaritySpec extends AnyFunSuite {
     // per-probe result count bounded by k
     lsh.groupBy(_._1).foreach { case (_, rows) => assert(rows.length <= 2) }
   }
+
+  test("knnGraph == knnLsh with the whole corpus as probes") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    val graph = rows(Similarity.knnGraph(emb, k = 5))
+    // the single-bucketing self-join must equal probing every vector
+    // through the two-sided LSH path
+    val viaLsh = rows(Similarity.knnLsh(emb, emb, k = 5)
+      .withColumnRenamed("probe_id", "vec_id"))
+    assert(graph == viaLsh && graph.nonEmpty)
+    // ranks are dense from 1, at most k per vector, no self-edges
+    val byVec = graph.groupBy(_._1)
+    byVec.foreach { case (v, es) =>
+      assert(es.size <= 5)
+      assert(es.map(_._4).toSeq.sorted == (1 to es.size))
+      assert(es.forall(_._2 != v))
+    }
+  }
 }
