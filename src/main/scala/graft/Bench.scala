@@ -31,7 +31,7 @@ object Bench {
       "q_events_sessionize", "q_asof_last_order", "q_range_join",
       "ta_quality", "cp_quality_gate",
       "dd_exact", "dd_exact_delta", "dd_minhash", "dd_simhash", "dd_semantic",
-      "knn_bruteforce", "knn_ivf",
+      "knn_bruteforce", "knn_ivf", "knn_graph",
     ).filter(SparkEntry.queries.contains)
     sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))

@@ -201,10 +201,13 @@ object Corpus {
   }
 
   /** (doc_id, source, n_tokens, mb) — the sized projection both
-    * budget forms start from. */
+    * budget forms start from. Null text counts as ZERO tokens (not
+    * null): a null n_tokens would vanish from the running sum and make
+    * keep/drop order-dependent for the null doc itself. */
   private def sizedDocs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
-      size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+      coalesce(size(Text.tokens(col("text"))).cast("long"), lit(0L))
+        .as("n_tokens"),
       mixBucket(col("doc_id")).as("mb"))
 
   /** Token-budget selection, reference form: per source, keep docs in

@@ -190,7 +190,7 @@ object CorpusRegistry {
     "cp_token_budget" ->
       s"""WITH sized AS (
          |  SELECT doc_id, source,
-         |    CAST(len($ToksExpr) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(len($ToksExpr), 0) AS BIGINT) AS n_tokens,
          |    $MixExpr AS mb
          |  FROM documents
          |), cum AS (
@@ -205,7 +205,7 @@ object CorpusRegistry {
     "cp_shards" ->
       s"""WITH sized AS (
          |  SELECT doc_id, source,
-         |    CAST(len($ToksExpr) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(len($ToksExpr), 0) AS BIGINT) AS n_tokens,
          |    CAST((($MixExpr) * $NShards) // ${Corpus.MixBuckets} AS INTEGER) AS shard
          |  FROM documents
          |)

@@ -66,4 +66,47 @@ object TextCorpus {
         lit("").as("lang"),
         input_file_name().as("source"),
         length(col("value")).cast("long").as("n_chars"))
+
+  /** The fields [[jsonl]] parses. The schema is EXPLICIT on purpose:
+    * schema inference reads the whole input once before the real scan
+    * — a full extra pass at 100 TB — and lets one malformed shard
+    * silently change column types between runs. */
+  private val JsonlSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType)))
+
+  /** JSONL corpus ingest — the interchange format training corpora
+    * actually ship in: one JSON object per line with (doc_id, text,
+    * lang, source) fields. Explicit schema (no inference pass),
+    * PERMISSIVE parsing: a malformed line yields a null-field row
+    * flagged in the corrupt-record column and is dropped with the
+    * rest of the pipeline untouched — the per-record analog of the
+    * per-file warn-and-skip above, so one bad line in shard 40231 of a
+    * 100 TB drop cannot kill the job. A record missing `doc_id` falls
+    * back to the stable (file, line) hash [[perLine]] uses; `n_chars`
+    * is derived like every other reader. */
+  def jsonl(spark: SparkSession, dir: String): DataFrame = {
+    val corrupt = "_graft_corrupt"
+    val schema = JsonlSchema.add(corrupt,
+      org.apache.spark.sql.types.StringType)
+    reader(spark)
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(dir)
+      .withColumn("_file", input_file_name())
+      .filter(col(corrupt).isNull && col("text").isNotNull)
+      .select(
+        coalesce(col("doc_id"), xxhash64(col("_file"), col("text"))).as("doc_id"),
+        col("text"),
+        coalesce(col("lang"), lit("")).as("lang"),
+        coalesce(col("source"), col("_file")).as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
 }

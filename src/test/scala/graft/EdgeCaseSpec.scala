@@ -78,5 +78,31 @@ class EdgeCaseSpec extends AnyFunSuite {
     val mh = Dedup.minhashLshDelta(Dedup.minhashStore(someDocs), empty)
     assert(mh.pairs.count() == 0)
     assert(mh.updatedStore.banded.count() == 32) // both docs' 16 band keys survive
+    val sh = Dedup.simhashDelta(Dedup.simhashStore(someDocs), empty)
+    assert(sh.pairs.count() == 0)
+    assert(sh.updatedStore.count() == 2)
+  }
+
+  test("round-8 corpus/graph ops on empty and degenerate inputs") {
+    import graft.operators.{Corpus, Similarity}
+    // token budget: empty corpus → empty; degenerate rows (null/empty
+    // text = 0 tokens) are all kept under any positive budget, with
+    // cumulative totals staying 0
+    assert(Corpus.tokenBudget(empty, 100L).count() == 0)
+    assert(Corpus.tokenBudgetStaged(empty, 100L).count() == 0)
+    val deg = Corpus.tokenBudget(degenerate, 1L)
+      .as[(Long, String, Long, Long)].collect()
+    val degStaged = Corpus.tokenBudgetStaged(degenerate, 1L)
+      .as[(Long, String, Long, Long)].collect()
+    assert(deg.toSet == degStaged.toSet)
+    // docs 1/2/4 tokenize to zero tokens and always fit; doc 3 ("ab")
+    // has one token and also fits a budget of 1
+    assert(deg.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    // shards: empty in, empty report; degenerate rows all assigned
+    assert(Corpus.shardReport(empty, 8).count() == 0)
+    assert(Corpus.shardAssignment(degenerate, 8).count() == 4)
+    // kNN graph on an empty embedding table: no edges, no throw
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.knnGraph(noVecs, 5).count() == 0)
   }
 }

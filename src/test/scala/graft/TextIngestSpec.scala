@@ -66,4 +66,35 @@ class TextIngestSpec extends AnyFunSuite {
       assert(df.select("doc_id").distinct().count() == 1)
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
+
+  test("jsonl ingest: parses records, drops bad lines, fills gaps deterministically") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_jsonl")
+    Files.write(dir.resolve("c.jsonl"), Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}""",
+      """{"doc_id": 2, "text": "words words"}""",        // lang/source missing
+      """{"text": "no id here"}""",                      // doc_id missing
+      """{"doc_id": 4}""",                               // no text: dropped
+      """not json at all {{{""",                          // corrupt: dropped
+      """{"doc_id": 5, "text": "five", "lang": "de", "source": "books"}""",
+    ).mkString("\n").getBytes("UTF-8"))
+    val rows = TextCorpus.jsonl(spark, dir.toString)
+      .as[(Long, String, String, String, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(rows.size == 4) // corrupt + text-less lines dropped
+    assert(rows("hello world") == ((1L, "hello world", "en", "web", 11L)))
+    // missing lang/source fall back like the text readers
+    assert(rows("words words")._3 == "" &&
+      rows("words words")._4.endsWith("c.jsonl"))
+    assert(rows("five")._1 == 5L && rows("five")._3 == "de")
+    // a missing doc_id gets the stable (file, text) hash — reading the
+    // corpus twice yields the same id
+    val again = TextCorpus.jsonl(spark, dir.toString)
+      .as[(Long, String, String, String, Long)].collect()
+      .map(r => r._2 -> r._1).toMap
+    assert(again("no id here") == rows("no id here")._1)
+    // and the standard operators run unchanged on the jsonl shape
+    val wc = counts(TextCorpus.jsonl(spark, dir.toString))
+    assert(wc("words") == 2L && wc("hello") == 1L)
+  }
 }
