@@ -242,6 +242,71 @@ object TextAnalysis {
         dupGramFracCol(col("g")).as("dup_gram_frac"),
         topWordFracCol(col("toks")).as("top_word_frac"))
 
+  /** Lexical diversity per document — log-free quality signals: the
+    * type-token ratio and the Gini–Simpson index 1 − Σ c_w²/n² (the
+    * probability that two tokens drawn at random are different words:
+    * ~0 for a one-word spam doc, →1 for diverse prose — the
+    * transcendental-free stand-in for token entropy, so every engine
+    * agrees bitwise). ONE scan, zero shuffles: both statistics are
+    * per-row projections of the token array — Σ c_w² via the
+    * codegen'd sum-of-squared-counts kernel
+    * ([[graft.plans.TokenStatsKernels.sumSqTokenCounts]]), which
+    * replaces the (doc, word) count-aggregate spelling that exchanged
+    * every token row twice for a per-doc scalar. Integer sums + one
+    * IEEE division per output column keep the oracle bit-exact. */
+  def diversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"),
+        graft.plans.Exprs.sumSqTokenCounts(col("toks")).as("ss"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        when(col("n_tokens") > 0,
+          col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("ttr"),
+        when(col("n_tokens") > 0,
+          lit(1.0) - col("ss").cast("double")
+            / (col("n_tokens") * col("n_tokens")).cast("double"))
+          .otherwise(lit(0.0)).as("simpson"))
+
+  /** Scale factor for [[search]]'s quantized idf weights. */
+  val IdfScale = 1000000L
+
+  /** Keyword search: top-`k` documents for a bag of query terms,
+    * ranked by Σ_terms tf · w_term with QUANTIZED idf weights
+    * w = ⌊N·10⁶ / df⌋ — the monotone tf·N/df core of tf-idf (the same
+    * log-free salience [[tfidf]] uses) kept in BIGINT so the per-doc
+    * sum is order-independent and every engine ranks identically (a
+    * double Σ tf·(N/df) would make the score depend on term addition
+    * order). Shape: the corpus explodes to (doc, term) rows FILTERED
+    * to the query terms before any shuffle — only matching rows reach
+    * the tf aggregate — then the per-term df/weight table (≤ |terms|
+    * rows) broadcasts back onto it, per-doc sum, deterministic top-k
+    * (score desc, doc_id asc → TakeOrdered, no global sort). At 100 TB
+    * the scan dominates and everything downstream of the filter is
+    * |hits|-sized; an inverted-index table (tf frame written bucketed
+    * by term) serves repeated queries without the scan. */
+  def search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one query term")
+    val tf = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .filter(col("w").isInCollection(terms))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    // integer idf weight per matched term: N * scale div df — BIGINT
+    // `div`, not a double `/` (exact past 2^53; N·scale ≤ 2^63 holds
+    // to ~9e12 docs); df ≥ 1 by construction.
+    val weights = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("w"), col("df"),
+        expr(s"n_docs * $IdfScale div df").as("wt"))
+    tf.join(broadcast(weights), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf") * col("wt")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Per-language corpus statistics: type-token ratio and average
     * word length. One explode + one agg on lang (bounded key space). */
   def wordStats(docs: DataFrame): DataFrame =

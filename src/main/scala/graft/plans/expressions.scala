@@ -188,6 +188,30 @@ case class TopTokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `sum_sq_token_counts(tokens)`: Σ c_w² over the row's token
+  * multiset — see [[TokenStatsKernels.sumSqTokenCounts]] for the two
+  * shuffles this projection replaces. */
+case class SumSqTokenCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sum_sq_token_counts() needs array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenStatsKernels.sumSqTokenCounts(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TokenStatsKernels.sumSqTokenCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SumSqTokenCountsExpr =
+    copy(child = newChild)
+}
+
 /** `zorder(array(k0..kN-1), bits)`: bit-interleaved Z-curve value of N
   * long keys, each normalized by the caller into `bits` bits — see
   * [[ZOrderKernels.interleaveN]]. */
@@ -237,6 +261,10 @@ object Exprs {
   /** Column wrapper for [[TopTokenCountExpr]]. */
   def topTokenCount(tokens: Column): Column =
     ColumnBridge.column(TopTokenCountExpr(ColumnBridge.expression(tokens)))
+
+  /** Column wrapper for [[SumSqTokenCountsExpr]]. */
+  def sumSqTokenCounts(tokens: Column): Column =
+    ColumnBridge.column(SumSqTokenCountsExpr(ColumnBridge.expression(tokens)))
 
   /** Column wrapper for [[ZOrderNExpr]]: N normalized bigint keys,
     * `bits` bits each (bits·N ≤ 64). */

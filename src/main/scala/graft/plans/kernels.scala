@@ -264,6 +264,39 @@ object TopTokenKernels {
   }
 }
 
+/** Per-row sum of squared token-occurrence counts — Σ c_w² over the
+  * row's token multiset, the numerator of the Gini–Simpson lexical
+  * diversity index 1 − Σ c_w²/n². Identical to `sum(c*c)` over a
+  * (doc, word) count-aggregate (occurrence counting and long addition
+  * are order-independent), but as a scan-side projection: the exchange
+  * of every (doc, token) row plus the per-doc aggregate are gone. Null
+  * elements are skipped; empty/all-null input → 0 (callers guard the
+  * 0-token ratio the same way the aggregate path's missing row did).
+  */
+object TokenStatsKernels {
+  def sumSqTokenCounts(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    var ss = 0L
+    if (n > 0) {
+      val m = new java.util.HashMap[UTF8String, Array[Int]](n * 2)
+      var i = 0
+      while (i < n) {
+        if (!tokens.isNullAt(i)) {
+          val t = tokens.getUTF8String(i)
+          var c = m.get(t)
+          if (c == null) { c = new Array[Int](1); m.put(t, c) }
+          // incremental square update: (c+1)² − c² = 2c + 1, so the
+          // running Σc² needs no second pass over the map
+          ss += 2L * c(0) + 1L
+          c(0) += 1
+        }
+        i += 1
+      }
+    }
+    ss
+  }
+}
+
 /** Bit-interleaved Z-order value for N keys: bit i of key j lands at
   * position i·N + j, so sorting by the result walks the N-dimensional
   * Z space-filling curve — rows close in ALL keys land in the same

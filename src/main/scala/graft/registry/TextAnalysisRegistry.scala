@@ -21,6 +21,12 @@ object TextAnalysisRegistry {
   // of truth for tokenization, stopword votes, and the language argmax.
   import TextSql.{ToksExpr, hits, predLangCase}
 
+  /** ta_search binding: a query over the synthetic corpus vocabulary
+    * (each term hits most docs, so idf weighting — not mere presence —
+    * decides the ranking) and the result page size. */
+  val SearchTerms = Seq("spark", "stream", "vector")
+  val SearchK = 25
+
   private val PredLangCase: String =
     predLangCase(TextAnalysis.StopwordsByLang.map(_._1), "s_")
 
@@ -35,6 +41,9 @@ object TextAnalysisRegistry {
       TextAnalysis.cooccurrence(Tables.documents(s, d), 50, MaxVocab)),
     "ta_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d), 3)),
     "ta_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    "ta_diversity" -> ((s, d) => TextAnalysis.diversity(Tables.documents(s, d))),
+    "ta_search" -> ((s, d) =>
+      TextAnalysis.search(Tables.documents(s, d), SearchTerms, SearchK)),
   )
 
   def oracleSql: Map[String, String] = {
@@ -172,6 +181,47 @@ object TextAnalysisRegistry {
            |SELECT grams.doc_id, n_grams, dup_gram_frac,
            |  coalesce(top_word_frac, 0.0) AS top_word_frac
            |FROM grams LEFT JOIN topw ON grams.doc_id = topw.doc_id""".stripMargin,
+      "ta_diversity" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, $ToksExpr AS toks FROM documents
+           |), wc AS (
+           |  SELECT doc_id, w, count(*) AS c
+           |  FROM (SELECT doc_id, unnest(toks) AS w FROM base)
+           |  GROUP BY 1, 2
+           |), agg AS (
+           |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |    CAST(count(*) AS BIGINT) AS n_types,
+           |    CAST(sum(c * c) AS BIGINT) AS ss
+           |  FROM wc GROUP BY doc_id
+           |)
+           |SELECT b.doc_id,
+           |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(n_types, 0) AS BIGINT) AS n_types,
+           |  CASE WHEN coalesce(n_tokens, 0) > 0
+           |       THEN CAST(n_types AS DOUBLE) / n_tokens ELSE 0.0 END AS ttr,
+           |  CASE WHEN coalesce(n_tokens, 0) > 0
+           |       THEN 1.0 - CAST(ss AS DOUBLE) / (n_tokens * n_tokens)
+           |       ELSE 0.0 END AS simpson
+           |FROM base b LEFT JOIN agg USING (doc_id)""".stripMargin,
+      "ta_search" -> {
+        val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
+        s"""WITH tf AS (
+           |  SELECT doc_id, w, count(*) AS tf
+           |  FROM (SELECT doc_id, unnest($ToksExpr) AS w FROM documents)
+           |  WHERE w IN ($termList)
+           |  GROUP BY 1, 2
+           |), n AS (SELECT count(*) AS n_docs FROM documents),
+           |wts AS (
+           |  SELECT w, df, n_docs * ${TextAnalysis.IdfScale} // df AS wt
+           |  FROM (SELECT w, count(*) AS df FROM tf GROUP BY w) d CROSS JOIN n
+           |)
+           |SELECT doc_id, count(*) AS n_terms,
+           |  CAST(sum(tf * wt) AS BIGINT) AS score
+           |FROM tf JOIN wts USING (w)
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id ASC
+           |LIMIT $SearchK""".stripMargin
+      },
       "ta_word_stats" ->
         s"""WITH toks AS (
            |  SELECT lang, unnest($ToksExpr) AS word FROM documents

@@ -104,4 +104,28 @@ class PlansSpec extends AnyFunSuite {
     val r = df.select(Exprs.tokens(col("text"))).collect()
     assert(r(0).getSeq[String](0) == Seq("x", "y") && r(1).isNullAt(0))
   }
+
+  test("SumSqTokenCountsExpr == (doc, word) count-aggregate sum(c*c) on fuzzed docs") {
+    import graft.functions.Text
+    val rnd = new scala.util.Random(11L)
+    val vocab = Vector("a", "bb", "ccc", "İst", "straße", "北京", "word")
+    val docs = (0 until 80).map { i =>
+      (i.toLong,
+        Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val viaExpr = docs
+      .select(col("doc_id"),
+        Exprs.sumSqTokenCounts(Text.tokens(col("text"))).as("ss"))
+      .as[(Long, Long)].collect().toMap
+    val viaAgg = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("ss"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr.size == 80)
+    docs.as[(Long, String)].collect().foreach { case (id, _) =>
+      // empty docs: expr gives 0, the aggregate path has no row
+      assert(viaExpr(id) == viaAgg.getOrElse(id, 0L), s"doc $id")
+    }
+  }
 }

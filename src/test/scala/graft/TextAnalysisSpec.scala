@@ -38,4 +38,42 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(String, String, Long, Double)].collect()
     assert(uncapped.exists(r => r._1.startsWith("rare")))
   }
+
+  test("diversity: hand-computed Simpson index, degenerate docs included") {
+    val docs = Seq(
+      (1L, "a a a a"),             // one word: simpson = 1 - 16/16 = 0
+      (2L, "a b c d"),             // all distinct: 1 - 4/16 = 0.75
+      (3L, "a a b b"),             // 1 - (4+4)/16 = 0.5
+      (4L, ""),                    // no tokens: 0.0 by contract
+      (5L, "42 ... !!"),           // tokenizes to nothing: 0.0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.diversity(docs)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 1L, 0.25, 0.0)))
+    assert(out(2L) == ((2L, 4L, 4L, 1.0, 0.75)))
+    assert(out(3L) == ((3L, 4L, 2L, 0.5, 0.5)))
+    assert(out(4L) == ((4L, 0L, 0L, 0.0, 0.0)))
+    assert(out(5L) == ((5L, 0L, 0L, 0.0, 0.0)))
+  }
+
+  test("search ranks by quantized tf-idf: rare terms outweigh common ones") {
+    // "rare" appears in 1 of 4 docs (weight N*S/1), "common" in all 4
+    // (weight N*S/4): one rare hit must outrank three common hits.
+    val docs = Seq(
+      (1L, "rare common filler words"),
+      (2L, "common common common filler"),
+      (3L, "common filler"),
+      (4L, "common other text"),
+      (5L, "nothing relevant"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.search(docs, Seq("rare", "common"), k = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L)) // doc 5: no hit
+    val scores = out.map(r => r._1 -> r._3).toMap
+    val s = TextAnalysis.IdfScale
+    assert(scores(1L) == 5L * s / 1 + 5L * s / 4) // rare(tf1) + common(tf1)
+    assert(scores(2L) == 3L * (5L * s / 4))       // common tf=3
+    assert(out.head._2 == 2L)                     // doc 1 matched both terms
+  }
 }
