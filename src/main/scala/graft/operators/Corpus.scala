@@ -268,6 +268,86 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Stride clock for [[interleave]] — one "virtual second" per unit
+    * weight. 2^20 ticks keep every vt = src_rank · (Stride div w)
+    * product exact in BIGINT to ~8.8e12 docs per source. */
+  val InterleaveStride = 1048576L
+
+  /** Per-source stride = Stride div weight, PRECOMPUTED in the plan
+    * (weights are literals), so the runtime cost is one multiply per
+    * row — no division, no join, no rate table to distribute. */
+  private def strideFor(weights: Seq[(String, Int)], defaultWeight: Int): Column = {
+    require(defaultWeight > 0, "interleave needs defaultWeight > 0")
+    require(weights.forall(_._2 > 0), "interleave weights must be > 0")
+    weights.foldLeft(lit(InterleaveStride / defaultWeight)) {
+      case (acc, (src, w)) =>
+        when(col("source") === src, lit(InterleaveStride / w)).otherwise(acc)
+    }
+  }
+
+  /** (doc_id, source, mb) — the projection both interleave forms
+    * rank. */
+  private def mixedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      mixBucket(col("doc_id")).as("mb"))
+
+  /** Deterministic source interleaving — classic stride scheduling,
+    * the step that turns a weighted corpus mix into a TRAINING ORDER:
+    * doc r of a weight-w source gets virtual time
+    * vt = r · (Stride div w), so sorting the corpus by
+    * (vt, source, doc_id) interleaves sources proportionally to their
+    * weights (a weight-3 source appears 3× as often as a weight-1
+    * source in every prefix, ±1) instead of concatenating them.
+    * Within a source the order is the (mix bucket, id) pseudorandom
+    * permutation — the same engine-replayable clock the sampler uses —
+    * so the full order is reproducible on any engine, partitioning, or
+    * rerun. Emits the SORT KEY, not a global position: the physical
+    * write is `repartitionByRange(vt)` + sortWithinPartitions, and a
+    * global row_number would serialize in one task what range
+    * partitioning does in parallel. This form is the oracle-matching
+    * reference semantics (one window per source);
+    * [[interleaveStaged]] is the identical-output scale shape. */
+  def interleave(docs: DataFrame, weights: Seq[(String, Int)],
+                 defaultWeight: Int): DataFrame = {
+    val stride = strideFor(weights, defaultWeight)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("mb").asc, col("doc_id").asc)
+    mixedDocs(docs)
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        (col("src_rank") * stride).as("vt"))
+  }
+
+  /** [[interleave]] in its scale shape — same staging trick as
+    * [[tokenBudgetStaged]]: per-source ranking is inherently
+    * sequential, so stage it. Phase 1 counts docs per (source, coarse
+    * bucket) and prefix-sums THOSE (≤ coarseBuckets rows per source);
+    * phase 2 finishes with row_number windows partitioned by
+    * (source, coarse bucket), each bounded by bucket occupancy
+    * (~1/coarseBuckets of the source). src_rank = the bucket's
+    * preceding count + the in-bucket row number — IDENTICAL to
+    * [[interleave]] (CorpusSpec proves equality). */
+  def interleaveStaged(docs: DataFrame, weights: Seq[(String, Int)],
+                       defaultWeight: Int, coarseBuckets: Int = 1024): DataFrame = {
+    require(coarseBuckets > 0, "interleaveStaged needs coarseBuckets > 0")
+    val stride = strideFor(weights, defaultWeight)
+    val cbOf = (col("mb") * coarseBuckets / MixBuckets).cast("int")
+    val base = mixedDocs(docs).withColumn("cb", cbOf)
+    val wCum = Window.partitionBy(col("source")).orderBy(col("cb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("source"), col("cb"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .withColumn("rank_before",
+        coalesce(sum(col("bucket_n")).over(wCum), lit(0L)))
+      .select(col("source"), col("cb"), col("rank_before"))
+    val wIn = Window.partitionBy(col("source"), col("cb"))
+      .orderBy(col("mb").asc, col("doc_id").asc)
+    base.join(broadcast(offsets), Seq("source", "cb"))
+      .withColumn("src_rank", col("rank_before") + row_number().over(wIn))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        (col("src_rank") * stride).as("vt"))
+  }
+
   /** Deterministic shard assignment — the global-shuffle-then-shard
     * step that precedes training-data serialization: shard = the mix
     * bucket's high bits (pseudorandom, reproducible on any engine /

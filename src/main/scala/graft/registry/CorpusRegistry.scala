@@ -51,6 +51,11 @@ object CorpusRegistry {
   val TokenBudget = 800L
   val NShards = 16
 
+  /** Interleave binding: upsample src1, damp src0, default in between —
+    * exercises all three stride branches. */
+  val InterleaveWeights: Seq[(String, Int)] = Seq("src0" -> 1, "src1" -> 3)
+  val InterleaveDefault = 2
+
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cp_sample" -> ((s, d) =>
@@ -75,6 +80,12 @@ object CorpusRegistry {
       Corpus.tokenBudgetStaged(Tables.documents(s, d), TokenBudget)),
     "cp_shards" -> ((s, d) =>
       Corpus.shardReport(Tables.documents(s, d), NShards)),
+    // The STAGED form is registered (bounded window partitions); the
+    // oracle replays the one-window reference semantics — CorpusSpec
+    // proves the two forms identical.
+    "cp_interleave" -> ((s, d) =>
+      Corpus.interleaveStaged(Tables.documents(s, d), InterleaveWeights,
+        InterleaveDefault)),
     // Full docs go in as the train side: eval docs self-match and are
     // flagged contaminated — a training mix must not contain its eval
     // set, so the funnel drops them by construction.
@@ -213,6 +224,22 @@ object CorpusRegistry {
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  count(DISTINCT source) AS n_sources
          |FROM sized GROUP BY shard""".stripMargin,
+    "cp_interleave" -> {
+      val strideCase = InterleaveWeights
+        .map { case (src, w) =>
+          s"WHEN source = '$src' THEN ${Corpus.InterleaveStride / w}" }
+        .mkString("CASE ", " ",
+          s" ELSE ${Corpus.InterleaveStride / InterleaveDefault} END")
+      s"""WITH ranked AS (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY $MixExpr, doc_id) AS BIGINT) AS src_rank
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, src_rank,
+         |  src_rank * ($strideCase) AS vt
+         |FROM ranked""".stripMargin
+    },
     "cp_pii_scrub" ->
       s"""WITH s1 AS (
          |  SELECT doc_id, text,

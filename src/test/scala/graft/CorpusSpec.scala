@@ -173,6 +173,40 @@ class CorpusSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet == expect)
   }
 
+  test("interleaveStaged equals the one-window reference on real data") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Long, Long)].collect().toSet
+    val weights = Seq("src0" -> 1, "src1" -> 3)
+    val ref = rows(Corpus.interleave(docs, weights, defaultWeight = 2))
+    for (coarse <- Seq(1, 4, 1024))
+      assert(rows(Corpus.interleaveStaged(docs, weights, 2, coarse)) == ref,
+        s"coarse=$coarse")
+  }
+
+  test("interleave order serves sources proportionally to their weights") {
+    // 30 docs each from a weight-3 and a weight-1 source: sorting by
+    // (vt, source, doc_id) must serve A thrice per B in every prefix —
+    // stride scheduling's invariant, here as the exact merged pattern.
+    val docs = (0 until 30).flatMap(i =>
+      Seq((i * 2L, "w3w3w3", "A"), (i * 2L + 1L, "w1w1", "B")))
+      .toDF("doc_id", "text", "source")
+    val order = Corpus.interleave(docs, Seq("A" -> 3, "B" -> 1), 1)
+      .orderBy($"vt", $"source", $"doc_id")
+      .select($"source").as[String].collect()
+    val firstTwelve = order.take(12)
+    assert(firstTwelve.count(_ == "A") == 9, firstTwelve.mkString(","))
+    assert(firstTwelve.count(_ == "B") == 3, firstTwelve.mkString(","))
+    // every prefix stays within one stride of the 3:1 ratio
+    val counts = order.scanLeft((0, 0)) {
+      case ((a, b), "A") => (a + 1, b)
+      case ((a, b), _) => (a, b + 1)
+    }.tail
+    counts.filter { case (a, b) => a + b <= 40 }.foreach { case (a, b) =>
+      assert(math.abs(a - 3 * b) <= 3, s"prefix drifted: a=$a b=$b")
+    }
+  }
+
   test("shard assignment is deterministic, total, and roughly balanced") {
     val docs = (0L until 4096L).map(i => (i, s"w$i x y", s"src${i % 4}"))
       .toDF("doc_id", "text", "source")
