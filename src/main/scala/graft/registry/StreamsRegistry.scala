@@ -43,6 +43,10 @@ object StreamsRegistry {
     // against the static corpus; bounded drain ≡ batch knn_bruteforce,
     // so the batch kNN SQL is the oracle verbatim.
     "st_knn" -> ((s, d) => Streams.knnServe(s, d)),
+    // streaming PII scrub: stateless append-mode projection — no state
+    // store; drained ≡ the batch scrub, so its SQL is the oracle
+    // verbatim.
+    "st_pii_scrub" -> ((s, d) => Streams.piiScrub(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -96,5 +100,7 @@ object StreamsRegistry {
     "st_knn" -> SimilarityRegistry.oracleSql("knn_bruteforce"),
     // drained complete-mode gate ≡ the batch gate: same oracle
     "st_quality_gate" -> CorpusRegistry.oracleSql("cp_quality_gate"),
+    // drained stateless append scrub ≡ the batch scrub: same oracle
+    "st_pii_scrub" -> CorpusRegistry.oracleSql("cp_pii_scrub"),
   )
 }

@@ -136,6 +136,28 @@ object Streams {
     spark.table(sink)
   }
 
+  /** Streaming PII scrub ≡ batch [[graft.operators.Corpus.piiScrub]]:
+    * the scrub is a pure per-row regex projection, so it runs
+    * STATELESS in append mode — each document batch emits its scrubbed
+    * rows exactly once and there is NO state store at all (the shape a
+    * live ingest pipeline runs ahead of landing bytes: nothing to
+    * watermark, nothing to bound, restart-safe by idempotence of the
+    * projection). Drained with AvailableNow the appended batches union
+    * to the batch result, so cp_pii_scrub's SQL is the oracle
+    * verbatim. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val stream = FileStreamSource(s"$dir/documents.parquet").stream(spark)
+    val scrubbed = graft.operators.Corpus.piiScrub(stream)
+    val sink = s"st_pii_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = scrubbed.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** Streaming exact dedup ≡ batch [[graft.operators.Dedup.exact]]
     * keyed output: running (fingerprint → keeper, count) state in
     * complete mode. The keeper is min(doc_id) — deterministic under

@@ -47,6 +47,46 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming PII scrub: stateless append batches union to the batch scrub") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two micro-batches through the SAME stateless projection: append
+    // mode emits each doc's scrub exactly once, no state store rows
+    val b1 = Seq((1L, "mail me at a@b.co or visit https://x.io/p now"),
+      (2L, "clean text, nothing to redact"))
+    val b2 = Seq((3L, "server at 10.0.0.1 and 10.0.0.2; ping a@b.co"))
+    val input = MemoryStream[(Long, String)]
+    val scrubbed = graft.operators.Corpus.piiScrub(
+      input.toDF().toDF("doc_id", "text"))
+    val sink = "st_pii_spec"
+    val q = scrubbed.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(sink)
+      .start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      // stateless: the progress metrics report no stateful operator
+      val ops = q.lastProgress.stateOperators
+      assert(ops == null || ops.isEmpty, s"unexpected state: $ops")
+    } finally q.stop()
+    val streamed = spark.table(sink)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val batch = graft.operators.Corpus.piiScrub(
+      (b1 ++ b2).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(streamed == batch && batch.size == 3)
+    // and the scrub actually redacted: fingerprints differ from raw md5
+    val raw = (b1 ++ b2).toDF("doc_id", "text")
+      .select($"doc_id", org.apache.spark.sql.functions.md5($"text"))
+      .as[(Long, String)].collect().toMap
+    val scrubFp = streamed.map(r => r._1 -> r._5).toMap
+    assert(scrubFp(1L) != raw(1L) && scrubFp(3L) != raw(3L)
+      && scrubFp(2L) == raw(2L))
+  }
+
   test("streaming minhash: near-dup candidates across batches, bucket state capped") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
