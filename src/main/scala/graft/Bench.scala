@@ -19,9 +19,11 @@ object Bench {
   /** Headliners — the queries whose latency the round is graded on.
     * Kept to the representative per-family workloads so quadratic
     * verification queries (oracle-only shapes) don't dominate. The
-    * round-8 additions cover what rounds 5-7 shipped: decorrelated
+    * round-8 additions cover what rounds 5-8 shipped: decorrelated
     * subqueries (q18), the fused quality gate, semantic dedup,
-    * incremental exact dedup, and the one-scan set-op census. */
+    * incremental exact dedup, the one-scan set-op census, the
+    * diversity-kernel scan, quantized-idf search, and the staged
+    * interleave. */
   def headliners: Seq[String] = {
     val defaults = Seq(
       "wc_wordcount", "wc_topk", "wc_per_doc",
@@ -29,7 +31,8 @@ object Bench {
       "q18_large_orders", "q_setops_census",
       "q13_cust_distribution", "q19_disjunctive_revenue",
       "q_events_sessionize", "q_asof_last_order", "q_range_join",
-      "ta_quality", "cp_quality_gate",
+      "ta_quality", "ta_diversity", "ta_search", "cp_quality_gate",
+      "cp_interleave",
       "dd_exact", "dd_exact_delta", "dd_minhash", "dd_simhash", "dd_semantic",
       "knn_bruteforce", "knn_ivf", "knn_graph",
     ).filter(SparkEntry.queries.contains)

@@ -17,6 +17,11 @@ import graft.functions.Text
   */
 object TextAnalysis {
 
+  /** Release-on-exit bracket for the operators' internal persists
+    * ([[search]]'s hit frame) — the text-analysis analog of
+    * [[Dedup.cached]]. Results must be consumed inside the bracket. */
+  def cached[T](body: => T): T = CacheTracker.scoped(body)
+
   /** Stopword vote lists for language ID. Tiny on purpose: the vote
     * count, not the list size, is the operator. */
   val StopwordsByLang: Seq[(String, Seq[String])] = Seq(
@@ -280,18 +285,22 @@ object TextAnalysis {
     * double Σ tf·(N/df) would make the score depend on term addition
     * order). Shape: the corpus explodes to (doc, term) rows FILTERED
     * to the query terms before any shuffle — only matching rows reach
-    * the tf aggregate — then the per-term df/weight table (≤ |terms|
-    * rows) broadcasts back onto it, per-doc sum, deterministic top-k
-    * (score desc, doc_id asc → TakeOrdered, no global sort). At 100 TB
-    * the scan dominates and everything downstream of the filter is
-    * |hits|-sized; an inverted-index table (tf frame written bucketed
-    * by term) serves repeated queries without the scan. */
+    * the tf aggregate — and the slim hit frame is PERSISTED because
+    * both the df aggregate and the scoring join consume it (without
+    * the persist, each branch re-scans and re-tokenizes the corpus —
+    * the dominant cost at 100 TB, paid twice). Then the per-term
+    * df/weight table (≤ |terms| rows) broadcasts back onto the hits,
+    * per-doc sum, deterministic top-k (score desc, doc_id asc →
+    * TakeOrdered, no global sort). The persist is session-lifetime by
+    * [[CacheTracker]] contract — wrap one-shot calls in
+    * [[cached]]. An inverted-index table (the tf frame written
+    * bucketed by term) serves repeated queries without any scan. */
   def search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "search needs at least one query term")
-    val tf = docs
+    val tf = CacheTracker.persistTracked(docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
       .filter(col("w").isInCollection(terms))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     // integer idf weight per matched term: N * scale div df — BIGINT
     // `div`, not a double `/` (exact past 2^53; N·scale ≤ 2^63 holds

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Analytics, Corpus, Dedup, Similarity}
+import graft.operators.{Analytics, Corpus, Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Scale-shape checks: transformations that exist purely for cluster
@@ -131,6 +131,53 @@ class ScaleShapeSpec extends AnyFunSuite {
       plan.sliding(needle.length).count(_ == needle)
     assert(count("FileScan") == 1, s"census re-scans orders:\n$plan")
     assert(!plan.contains("Join"), s"census re-grew the set-op joins:\n$plan")
+  }
+
+  test("lexical diversity is a pure projection: one scan, zero exchanges") {
+    val df = TextAnalysis.diversity(Tables.documents(spark, d))
+    val plan = df.queryExecution.executedPlan.toString
+    def count(needle: String): Int =
+      plan.sliding(needle.length).count(_ == needle)
+    // the (doc, word) count-aggregate spelling exchanged every token
+    // row twice; the kernel form is structurally shuffle-free
+    assert(count("FileScan") == 1, s"expected exactly one scan:\n$plan")
+    assert(!plan.contains("Exchange"), s"diversity re-grew a shuffle:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("search tokenizes the corpus once: both branches read the cached hit frame") {
+    TextAnalysis.cached {
+      val df = TextAnalysis.search(Tables.documents(spark, d),
+        Seq("spark", "stream"), 10)
+      val plan = df.queryExecution.executedPlan.toString
+      def count(needle: String): Int =
+        plan.sliding(needle.length).count(_ == needle)
+      // the df aggregate and the scoring join must BOTH consume the
+      // persisted (doc, term, tf) frame; tokenizeexpr may appear only
+      // inside InMemoryRelation reprints of the cached build plan —
+      // one occurrence anywhere else means a consumer re-scans and
+      // re-tokenizes the corpus (the 100 TB cost, paid twice)
+      assert(count("InMemoryTableScan") == 2, s"a branch skipped the cache:\n$plan")
+      assert(count("tokenizeexpr") == count("InMemoryRelation"),
+        s"a consumer re-tokenizes the corpus outside the cached hit frame:\n$plan")
+      assert(df.count() > 0)
+    }
+  }
+
+  test("staged interleave rank windows stay bucket-bounded; offsets broadcast") {
+    val df = Corpus.interleaveStaged(Tables.documents(spark, d),
+      Seq("src0" -> 1, "src1" -> 3), 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-row rank window must partition on (source, cb) — bounded
+    // by bucket occupancy — never on source alone (one task per source)
+    val rankWindows = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("row_number"))
+      .toSeq
+    assert(rankWindows.nonEmpty, s"no rank window in plan:\n$plan")
+    assert(rankWindows.forall(_.contains("cb#")),
+      s"rank window lost its bucket key (whole-source partition):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket-offset join not broadcast:\n$plan")
   }
 
   test("bounded top-k aggregate == row_number window top-k for brute-force kNN") {
