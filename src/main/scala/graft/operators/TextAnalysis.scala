@@ -309,11 +309,49 @@ object TextAnalysis {
       .crossJoin(broadcast(nDocs))
       .select(col("w"), col("df"),
         expr(s"n_docs * $IdfScale div df").as("wt"))
+    topKByScore(tf, weights, k)
+  }
+
+  /** Shared ranking tail of both search paths: weights (≤ |terms|
+    * rows) broadcast onto the hits, per-doc BIGINT sum, deterministic
+    * top-k via TakeOrdered. */
+  private def topKByScore(tf: DataFrame, weights: DataFrame, k: Int): DataFrame =
     tf.join(broadcast(weights), "w")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("tf") * col("wt")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+
+  /** The (doc_id, w, tf) postings projection [[searchIndexed]] serves
+    * from — the corpus pays tokenization ONCE at index-build time.
+    * Persist via `Sinks.writeBucketed(postings, table, "w", buckets)`
+    * (term-bucketed layout) or plain parquet: the query-term filter
+    * reaches the scan's PushedFilters either way, so a query reads
+    * only its terms' row groups, never the corpus. */
+  def searchIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+
+  /** [[search]] served from a prebuilt postings index — the repeated-
+    * query scale path (mirror of [[Similarity.knnLshIndexed]]): no
+    * scan or tokenization of the corpus at query time. `nDocs` is the
+    * corpus document count, captured at index-build time (it cannot be
+    * derived from postings: token-less docs have no rows). Both the
+    * df aggregate and the scoring join read the index FILTERED to the
+    * query terms — with the filter pushed down, each branch touches
+    * |hits| rows, so no persist is needed (unlike [[search]], where
+    * each branch would re-tokenize the whole corpus).
+    * TextAnalysisSpec proves ≡ [[search]] over a bucketed round-trip. */
+  def searchIndexed(postings: DataFrame, nDocs: Long, terms: Seq[String],
+                    k: Int): DataFrame = {
+    require(terms.nonEmpty, "searchIndexed needs at least one query term")
+    require(nDocs >= 0 && nDocs <= Long.MaxValue / IdfScale,
+      "searchIndexed nDocs out of range")
+    val numerator = nDocs * IdfScale
+    val tf = postings.filter(col("w").isInCollection(terms))
+    val weights = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .select(col("w"), col("df"), expr(s"$numerator div df").as("wt"))
+    topKByScore(tf, weights, k)
   }
 
   /** Per-language corpus statistics: type-token ratio and average

@@ -76,4 +76,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scores(2L) == 3L * (5L * s / 4))       // common tf=3
     assert(out.head._2 == 2L)                     // doc 1 matched both terms
   }
+
+  test("searchIndexed over a persisted postings index == search on the corpus") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val terms = Seq("spark", "stream", "vector")
+    val fresh = TextAnalysis.cached {
+      TextAnalysis.search(docs, terms, 25).collect().map(_.toSeq).toSet
+    }
+    val nDocs = docs.count()
+    spark.sql("DROP TABLE IF EXISTS search_index_rt")
+    val loc = new java.io.File("spark-warehouse/search_index_rt")
+    if (loc.exists()) scala.reflect.io.Directory(loc).deleteRecursively()
+    graft.sources.Sinks.writeBucketed(
+      TextAnalysis.searchIndex(docs), "search_index_rt", "w", 8)
+    val served = TextAnalysis.searchIndexed(
+      spark.table("search_index_rt"), nDocs, terms, 25)
+    // query time touches the index, not the corpus: the term filter
+    // reaches the index scan's pushed filters, and nothing tokenizes
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(w"), plan)
+    assert(!plan.contains("tokenizeexpr"), plan)
+    assert(served.collect().map(_.toSeq).toSet == fresh && fresh.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS search_index_rt")
+  }
 }
