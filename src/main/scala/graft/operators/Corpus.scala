@@ -14,6 +14,12 @@ import graft.functions.Text
   */
 object Corpus {
 
+  /** Release-on-exit bracket for the operators' internal persists
+    * ([[trainingMix]]'s budget-survivor frame) — the corpus-family
+    * analog of [[Dedup.cached]]. Results must be consumed inside the
+    * bracket. */
+  def cached[T](body: => T): T = CacheTracker.scoped(body)
+
   /** Deterministic pseudo-uniform bucket in [0, 2^20) from a doc id —
     * multiplicative hashing with arithmetic every engine evaluates
     * identically in BIGINT ((id % P) * A stays < 2^63, so no overflow
@@ -371,6 +377,76 @@ object Corpus {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         countDistinct(col("source")).as("n_sources"))
+
+  /** Multi-epoch upsampling — the complement of [[sampleWeighted]]'s
+    * downsampling: a training mix REPEATS high-quality sources.
+    * `epochsPct` gives each source its epoch count ×100 (250 = 2.5
+    * epochs: every doc appears ⌊2.5⌋ = 2 times, and the deterministic
+    * half of the source — mix bucket under the fractional part —
+    * appears once more). One row per (doc, epoch): a pure projection
+    * plus a bounded explode (≤ ⌈epochs⌉ rows per doc, no shuffle, no
+    * state), reproducible on any engine/partitioning because the
+    * fractional-epoch membership rides the same mix-bucket clock as
+    * sampling. Epoch indices are 0-based so downstream interleaving
+    * can offset repeats into later virtual time. */
+  def epochs(docs: DataFrame, epochsPct: Seq[(String, Int)],
+             defaultPct: Int): DataFrame = {
+    require(defaultPct >= 0, "epochs needs defaultPct >= 0")
+    require(epochsPct.forall(_._2 >= 0), "epochs percentages must be >= 0")
+    val pctCol = epochsPct.foldLeft(lit(defaultPct)) {
+      case (acc, (src, pct)) =>
+        when(col("source") === src, lit(pct)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("source"),
+        pctCol.as("pct"), mixBucket(col("doc_id")).as("mb"))
+      // whole epochs + one more iff the doc's bucket lands under the
+      // fractional share of the bucket space (exact integer threshold)
+      .withColumn("n_rep",
+        (col("pct") / 100).cast("long") +
+          (col("mb") * lit(100L) < (col("pct") % 100) * lit(MixBuckets))
+            .cast("long"))
+      .filter(col("n_rep") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("n_rep") - 1L)).as("epoch"))
+  }
+
+  /** Per-source accounting for [[epochs]]: input docs, emitted rows,
+    * and the effective upsampling ratio — one aggregation. */
+  def epochsReport(docs: DataFrame, epochsPct: Seq[(String, Int)],
+                   defaultPct: Int): DataFrame =
+    epochs(docs, epochsPct, defaultPct)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_rows"))
+
+  /** The end-to-end TRAINING-MIX MANIFEST — the composed pipeline a
+    * data-mix owner actually ships: deterministic weighted sampling
+    * ([[sampleWeighted]]) → per-source token budget
+    * ([[tokenBudgetStaged]]) → stride-scheduled interleave
+    * ([[interleaveStaged]]), emitting one row per surviving doc with
+    * its token accounting and training-order sort key
+    * (doc_id, source, n_tokens, cum_tokens, src_rank, vt). Sorting by
+    * (vt, source, doc_id) IS the training order; the physical write is
+    * repartitionByRange(vt) + local sort.
+    *
+    * Every stage is the registered scale shape (staged windows, no
+    * whole-source partitions). The budget-survivor frame is persisted
+    * ([[CacheTracker]]-tracked — wrap one-shot calls in [[cached]])
+    * because both the interleave ranking and the manifest's token
+    * columns consume it; without the persist the corpus would be
+    * scanned and tokenized twice. CorpusSpec proves the composition ≡
+    * the one-window reference chain. */
+  def trainingMix(docs: DataFrame, ratesPct: Seq[(String, Int)],
+                  defaultPct: Int, budget: Long,
+                  weights: Seq[(String, Int)], defaultWeight: Int): DataFrame = {
+    val sampled = sampleWeighted(docs, ratesPct, defaultPct)
+    val kept = CacheTracker.persistTracked(tokenBudgetStaged(sampled, budget))
+    interleaveStaged(kept, weights, defaultWeight)
+      .join(kept.select(col("doc_id"), col("n_tokens"), col("cum_tokens")),
+        "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("src_rank"), col("vt"))
+  }
 
   /** The scrubbed corpus (same schema as the input). */
   def scrubbedText(docs: DataFrame): DataFrame =

@@ -77,6 +77,24 @@ object Multimodal {
         md5(col("frame")).as("frame_md5"))
   }
 
+  /** Per-kind payload census with dedup accounting: payload count,
+    * DISTINCT-content count (payload md5 — the media-corpus dedup
+    * key), and byte volume per sniffed kind. The planning report a
+    * media dedup pass starts from: how much of each modality is
+    * duplicated bytes. One map-side-combined aggregation on a
+    * kind-bounded key; the distinct count is per-kind-partitioned, so
+    * no single task sees the whole corpus. */
+  def kindCensus(docs: DataFrame): DataFrame = kindCensusOf(withPayload(docs))
+
+  def kindCensusOf(payloads: DataFrame): DataFrame =
+    payloads.select(sniffKind(col("payload")).as("kind"),
+        md5(col("payload")).as("pm"),
+        octet_length(col("payload")).cast("long").as("len"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_payloads"),
+        countDistinct(col("pm")).as("n_unique"),
+        sum(col("len")).as("total_bytes"))
+
   /** STUB decoder: a real implementation hands each batch of payloads
     * to a native decoder (libjpeg/ffmpeg/…) and returns one feature
     * row per input. This fake — a 16-bin byte histogram, L1-normalized

@@ -262,9 +262,13 @@ object TextAnalysis {
   def diversity(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).cast("long").as("n_types"),
-        graft.plans.Exprs.sumSqTokenCounts(col("toks")).as("ss"))
+        // null text → null toks → null sizes/kernel: count as zero
+        // tokens (the oracle's left-join-coalesce does the same)
+        coalesce(size(col("toks")).cast("long"), lit(0L)).as("n_tokens"),
+        coalesce(size(array_distinct(col("toks"))).cast("long"), lit(0L))
+          .as("n_types"),
+        coalesce(graft.plans.Exprs.sumSqTokenCounts(col("toks")), lit(0L))
+          .as("ss"))
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
         when(col("n_tokens") > 0,
           col("n_types").cast("double") / col("n_tokens").cast("double"))

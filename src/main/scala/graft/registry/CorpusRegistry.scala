@@ -56,6 +56,11 @@ object CorpusRegistry {
   val InterleaveWeights: Seq[(String, Int)] = Seq("src0" -> 1, "src1" -> 3)
   val InterleaveDefault = 2
 
+  /** Epoch binding (×100): src0 at 2.5 epochs (whole + fractional),
+    * src1 at 0.5 (fractional only), everything else exactly 1. */
+  val EpochRates: Seq[(String, Int)] = Seq("src0" -> 250, "src1" -> 50)
+  val EpochDefault = 100
+
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cp_sample" -> ((s, d) =>
@@ -86,6 +91,13 @@ object CorpusRegistry {
     "cp_interleave" -> ((s, d) =>
       Corpus.interleaveStaged(Tables.documents(s, d), InterleaveWeights,
         InterleaveDefault)),
+    // the composed manifest: sample → budget → interleave; every stage
+    // the staged scale shape, the oracle replays the reference windows
+    "cp_training_mix" -> ((s, d) =>
+      Corpus.trainingMix(Tables.documents(s, d), WeightedRates, KeepPct,
+        TokenBudget, InterleaveWeights, InterleaveDefault)),
+    "cp_epochs" -> ((s, d) =>
+      Corpus.epochs(Tables.documents(s, d), EpochRates, EpochDefault)),
     // Full docs go in as the train side: eval docs self-match and are
     // flagged contaminated — a training mix must not contain its eval
     // set, so the funnel drops them by construction.
@@ -239,6 +251,58 @@ object CorpusRegistry {
          |SELECT doc_id, source, src_rank,
          |  src_rank * ($strideCase) AS vt
          |FROM ranked""".stripMargin
+    },
+    "cp_training_mix" -> {
+      val sampleTh = WeightedRates
+        .map { case (src, pct) =>
+          s"WHEN source = '$src' THEN ${Corpus.bucketThreshold(pct)}" }
+        .mkString("CASE ", " ", s" ELSE $Threshold END")
+      val strideCase = InterleaveWeights
+        .map { case (src, w) =>
+          s"WHEN source = '$src' THEN ${Corpus.InterleaveStride / w}" }
+        .mkString("CASE ", " ",
+          s" ELSE ${Corpus.InterleaveStride / InterleaveDefault} END")
+      s"""WITH sampled AS (
+         |  SELECT doc_id, source,
+         |    CAST(coalesce(len($ToksExpr), 0) AS BIGINT) AS n_tokens,
+         |    $MixExpr AS mb
+         |  FROM documents
+         |  WHERE $MixExpr < ($sampleTh)
+         |), cum AS (
+         |  SELECT doc_id, source, n_tokens, mb,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY mb, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM sampled
+         |), kept AS (
+         |  SELECT * FROM cum WHERE cum_tokens <= $TokenBudget
+         |), ranked AS (
+         |  SELECT doc_id, source, n_tokens, cum_tokens,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY mb, doc_id) AS BIGINT) AS src_rank
+         |  FROM kept
+         |)
+         |SELECT doc_id, source, n_tokens, cum_tokens, src_rank,
+         |  src_rank * ($strideCase) AS vt
+         |FROM ranked""".stripMargin
+    },
+    "cp_epochs" -> {
+      val pctCase = EpochRates
+        .map { case (src, pct) => s"WHEN source = '$src' THEN $pct" }
+        .mkString("CASE ", " ", s" ELSE $EpochDefault END")
+      s"""WITH base AS (
+         |  SELECT doc_id, source, ($pctCase) AS pct, $MixExpr AS mb
+         |  FROM documents
+         |), rep AS (
+         |  SELECT doc_id, source,
+         |    CAST(pct // 100 AS BIGINT)
+         |      + CASE WHEN mb * 100 < (pct % 100) * ${Corpus.MixBuckets}
+         |             THEN 1 ELSE 0 END AS n_rep
+         |  FROM base
+         |)
+         |SELECT doc_id, source,
+         |  CAST(unnest(generate_series(0, n_rep - 1)) AS BIGINT) AS epoch
+         |FROM rep WHERE n_rep > 0""".stripMargin
     },
     "cp_pii_scrub" ->
       s"""WITH s1 AS (

@@ -30,6 +30,8 @@ object MultimodalRegistry {
       Multimodal.features(Tables.documents(s, d)).select(
         col("doc_id") +: col("n_bytes").cast("bigint").as("n_bytes") +:
           (0 until 16).map(i => col("features")(i).as(f"f$i%02d")): _*)),
+    "mm_kind_census" -> ((s, d) =>
+      Multimodal.kindCensus(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -75,5 +77,20 @@ object MultimodalRegistry {
          |FROM documents d LEFT JOIN ch USING (doc_id)
          |GROUP BY d.doc_id, length(d.text)""".stripMargin
     },
+    "mm_kind_census" ->
+      """WITH k AS (
+        |  SELECT
+        |    CASE WHEN substr(text, 1, 4) = 'RIFF' THEN 'audio/riff'
+        |         WHEN substr(text, 1, 4) = '%PDF' THEN 'application/pdf'
+        |         WHEN regexp_matches(text, '^[\x09\x0a\x0d\x20-\x7e]*$')
+        |           THEN 'text/plain'
+        |         ELSE 'application/octet-stream' END AS kind,
+        |    md5(text) AS pm, CAST(length(text) AS BIGINT) AS len
+        |  FROM documents
+        |)
+        |SELECT kind, count(*) AS n_payloads,
+        |  count(DISTINCT pm) AS n_unique,
+        |  CAST(sum(len) AS BIGINT) AS total_bytes
+        |FROM k GROUP BY kind""".stripMargin,
   )
 }

@@ -207,6 +207,58 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch upsampling: whole epochs plus a deterministic fractional share") {
+    val docs = (1L to 40L).map(i => (i, "t", if (i <= 20) "hi" else "lo"))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.epochs(docs, Seq("hi" -> 250, "lo" -> 0), 100)
+      .as[(Long, String, Long)].collect()
+    assert(!out.exists(_._2 == "lo")) // 0 epochs drops the source
+    val byDoc = out.filter(_._2 == "hi").groupBy(_._1)
+      .view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(byDoc.size == 20)
+    // 2.5 epochs: every doc twice, the mix-bucket half a third time
+    val frac = (1L to 20L).filter(i =>
+      i % Corpus.MixP * Corpus.MixA % Corpus.MixBuckets * 100L
+        < 50L * Corpus.MixBuckets).toSet
+    assert(frac.nonEmpty && frac.size < 20) // the fraction really splits
+    byDoc.foreach { case (id, eps) =>
+      val expect = if (frac(id)) Seq(0L, 1L, 2L) else Seq(0L, 1L)
+      assert(eps == expect, s"doc $id")
+    }
+    // default 100: exactly one epoch-0 row per doc
+    val one = Corpus.epochs(docs, Nil, 100).as[(Long, String, Long)].collect()
+    assert(one.length == 40 && one.forall(_._3 == 0L))
+  }
+
+  test("training mix == the one-window reference chain, budget and order kept") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rates = Seq("src0" -> 5, "src1" -> 80)
+    val weights = Seq("src0" -> 1, "src1" -> 3)
+    val budget = 400L
+    // independent reference: every stage in its UNstaged one-window form
+    val refRows = Corpus.cached {
+      val sampled = Corpus.sampleWeighted(docs, rates, 30)
+      val kept = Corpus.tokenBudget(sampled, budget)
+      Corpus.interleave(kept, weights, 2)
+        .join(kept.select($"doc_id", $"n_tokens", $"cum_tokens"), "doc_id")
+        .select($"doc_id", $"source", $"n_tokens", $"cum_tokens",
+          $"src_rank", $"vt")
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    }
+    val mix = Corpus.cached {
+      Corpus.trainingMix(docs, rates, 30, budget, weights, 2)
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    }
+    assert(mix == refRows && mix.nonEmpty)
+    // manifest invariants: budget respected per source, ranks dense
+    val bySource = mix.groupBy(_._2)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_._4).max <= budget, s"$src over budget")
+      assert(rows.map(_._5).toSeq.sorted == (1L to rows.size).toSeq,
+        s"$src ranks not dense")
+    }
+  }
+
   test("shard assignment is deterministic, total, and roughly balanced") {
     val docs = (0L until 4096L).map(i => (i, s"w$i x y", s"src${i % 4}"))
       .toDF("doc_id", "text", "source")

@@ -105,4 +105,31 @@ class EdgeCaseSpec extends AnyFunSuite {
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.knnGraph(noVecs, 5).count() == 0)
   }
+
+  test("diversity, search, and interleave on empty and degenerate inputs") {
+    import graft.operators.Corpus
+    // diversity: zero-token docs get (0, 0, 0.0, 0.0), null text too
+    val div = TextAnalysis.diversity(degenerate)
+      .as[(Long, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(div.size == 4)
+    Seq(1L, 2L, 4L).foreach(id => assert(div(id) == ((id, 0L, 0L, 0.0, 0.0))))
+    assert(div(3L) == ((3L, 1L, 1L, 1.0, 0.0)))
+    assert(TextAnalysis.diversity(empty).count() == 0)
+    // search: no term hits anywhere → empty result, no throw; empty
+    // corpus → empty; empty terms is a contract error
+    TextAnalysis.cached {
+      assert(TextAnalysis.search(degenerate, Seq("absent"), 5).count() == 0)
+      assert(TextAnalysis.search(empty, Seq("absent"), 5).count() == 0)
+    }
+    intercept[IllegalArgumentException](TextAnalysis.search(empty, Nil, 5))
+    assert(TextAnalysis.searchIndexed(
+      TextAnalysis.searchIndex(empty), 0L, Seq("absent"), 5).count() == 0)
+    // interleave: empty in → empty out in both forms; zero/negative
+    // weights are contract errors
+    assert(Corpus.interleave(empty, Nil, 1).count() == 0)
+    assert(Corpus.interleaveStaged(empty, Nil, 1).count() == 0)
+    intercept[IllegalArgumentException](Corpus.interleave(empty, Nil, 0))
+    intercept[IllegalArgumentException](
+      Corpus.interleave(empty, Seq("s" -> -1), 1))
+  }
 }

@@ -33,6 +33,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byDoc(1L).map(_._4).distinct.length == 1)
   }
 
+  test("kind census counts payloads, distinct content, and bytes per kind") {
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, 1, 2)
+    val txt = "hello world".getBytes("UTF-8")
+    val payloads = Seq(
+      (1L, png), (2L, png),                                // duplicated image
+      (3L, txt), (4L, txt), (5L, "other".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val r = Multimodal.kindCensusOf(payloads)
+      .as[(String, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r.size == 2)
+    assert(r("image/png") == (("image/png", 2L, 1L, 20L)))
+    assert(r("text/plain") == (("text/plain", 3L, 2L, 27L)))
+  }
+
   test("batched decode is batch-size- and partition-independent") {
     val a = Multimodal.features(docs.repartition(1), batchSize = 2)
       .as[(Long, Int, Array[Float])].collect().sortBy(_._1)
