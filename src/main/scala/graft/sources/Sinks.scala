@@ -67,18 +67,52 @@ object Sinks {
             .cast("long")
         else lit(0L)
       }
+    // File boundaries come from the DISCRETE top-bits curve cell, not
+    // the raw z value: sampling a near-continuous z places range
+    // bounds mid-cell (sampling noise at small inputs, and at any
+    // scale a boundary inside a cell gives the two adjacent files
+    // full-width spans on the keys that flip inside that cell —
+    // exactly the pruning this layout exists for). With ~files
+    // distinct cell values the sampled bounds land BETWEEN cells, so
+    // every file covers whole hyper-rectangles deterministically.
+    val totalBits = bits * cols.size
+    val cellShift = math.max(0, totalBits - ceilLog2(files))
     df.withColumn("__z",
         graft.plans.Exprs.zorder(cols.indices.map(norm), bits))
-      .repartitionByRange(files, col("__z"))
+      .withColumn("__zcell", shiftright(col("__z"), cellShift))
+      .repartitionByRange(files, col("__zcell"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z")
+      .drop("__z", "__zcell")
       .write.mode("overwrite").parquet(path)
   }
+
+  private def ceilLog2(n: Int): Int =
+    64 - java.lang.Long.numberOfLeadingZeros(math.max(1, n - 1).toLong)
 
   /** Two-key form of [[writeZOrdered]]. */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     files: Int): Unit =
     writeZOrdered(df, path, Seq(colA, colB), files)
+
+  /** Write a training-order manifest ([[graft.operators.Corpus
+    * .trainingMix]] / interleave output) as globally-ordered parquet:
+    * range-partitioned on the (vt, source, doc_id) sort key into
+    * `files` shards, each locally sorted — so reading the files in
+    * range order IS the training order, with no single-task global
+    * sort anywhere (the repartitionByRange sampler + local sorts do in
+    * parallel what one orderBy task would serialize). Files are named
+    * by range partition (part-00000 precedes part-00001 in key space:
+    * Spark's range partitioner assigns ascending ranges to ascending
+    * partition ids). SinksSpec proves the concatenation of per-file
+    * contents equals the fully-sorted manifest. */
+  def writeTrainingOrder(manifest: DataFrame, path: String,
+                         files: Int = 8): Unit = {
+    require(files > 0, "writeTrainingOrder needs files > 0")
+    manifest
+      .repartitionByRange(files, col("vt"), col("source"), col("doc_id"))
+      .sortWithinPartitions(col("vt"), col("source"), col("doc_id"))
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Write bucketed+sorted tables for shuffle-free co-located joins
     * (see ScaleShapeSpec): the managed-table form of pre-partitioning

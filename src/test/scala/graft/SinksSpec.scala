@@ -30,6 +30,29 @@ class SinksSpec extends AnyFunSuite {
       s"expected partition pruning in:\n$scan")
   }
 
+  test("training-order write: concatenating files in range order == global sort") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, d)
+    // session-lifetime persist is fine here: one shared test session
+    val manifest = graft.operators.Corpus.trainingMix(docs,
+      Seq("src0" -> 5, "src1" -> 80), 30, 400L, Seq("src0" -> 1, "src1" -> 3), 2)
+    val out = java.nio.file.Files.createTempDirectory("graft_order").toString
+    Sinks.writeTrainingOrder(manifest, out, files = 4)
+    val expected = manifest.orderBy(col("vt"), col("source"), col("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    // read the part files individually, in range-partition name order
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    assert(parts.length >= 2, "expected a multi-file layout")
+    val streamed = parts.flatMap { f =>
+      spark.read.parquet(f.getPath)
+        .orderBy(col("vt"), col("source"), col("doc_id"))
+        .select(col("doc_id")).collect().map(_.getLong(0))
+    }.toSeq
+    assert(streamed == expected && expected.nonEmpty)
+  }
+
   test("z-ordered layout prunes range queries on BOTH keys; sorted layout only one") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -94,7 +117,11 @@ class SinksSpec extends AnyFunSuite {
         }
     def boxFor(key: String): (Long, Long) = {
       val (lo, hi) = li.agg(min(col(key)), max(col(key))).as[(Long, Long)].head()
-      val b = lo + (hi - lo) / 2
+      // strictly inside the key's upper half: a box STARTING at the
+      // exact midpoint straddles the top-bit cell boundary (integer
+      // division puts the midpoint in the low half), and a perfectly
+      // cell-aligned layout then legitimately reads every file
+      val b = lo + (hi - lo) * 5 / 8
       (b, b + (hi - lo) / 16)
     }
     // fraction of data files a box-range predicate must read
