@@ -319,6 +319,76 @@ object Similarity {
       nProbe, maxBroadcastProbes)
   }
 
+  /** PQ defaults: 8 subspaces over the 64-dim embeddings × 16
+    * centroids each → 8 4-bit codes (4 BYTES per vector, vs 256 bytes
+    * of floats) — the memory-compact code representation that keeps a
+    * 100 TB embedding corpus' index RAM-resident. Seeds are the
+    * [[PqKSub]] smallest ids among every [[PqSeedMod]]-th vector —
+    * deterministic, so the oracle replays the identical quantizer. */
+  val PqM = 8
+  val PqKSub = 16
+  val PqSeedMod = 7
+
+  /** L2-normalized double copy of a vector column: unit vectors make
+    * the PQ inner-product score a cosine approximation (cos = a·b on
+    * units), and (double)(float) promotion matches the oracle's
+    * `CAST(embedding AS DOUBLE[])`. */
+  private def unitOf(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nrm = sqrt(Exprs.dot(v, v))
+    transform(v, x => x.cast("double") / nrm)
+  }
+
+  /** One-row (seeds: array<array<double>>) sub-quantizer frame: the
+    * kSub smallest mod-selected ids' unit vectors, id-sorted. Seed
+    * selection runs through the bounded graft_topk heap (score = −id)
+    * — no global window, no driver collect. */
+  private def pqSeeds(e: DataFrame, kSub: Int, seedMod: Int): DataFrame = {
+    val ids = e.filter(col("vec_id") % seedMod === 0)
+      .agg(Exprs.topK((-col("vec_id")).cast("double"), col("vec_id"), kSub)
+        .as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.id").as("vec_id"))
+    e.join(broadcast(ids), "vec_id")
+      .select(col("vec_id"), unitOf(col("v")).as("u"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("u")))).as("s"))
+      .select(transform(col("s"), x => x.getField("u")).as("seeds"))
+  }
+
+  /** PQ-encode the corpus: scan → broadcast 1-row seeds → per-row
+    * first-argmin codes projection. No Exchange between the scan and
+    * the encode (same shape as IVF cell assignment, ScaleShapeSpec). */
+  private[graft] def pqCodes(e: DataFrame, seeds: DataFrame, m: Int): DataFrame =
+    e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"),
+        Exprs.pqEncode(unitOf(col("v")), col("seeds"), m).as("codes"))
+
+  /** ANN via product quantization with asymmetric distance
+    * computation: the corpus is stored as M centroid codes per vector
+    * (the compact index — [[pqCodes]]), each probe precomputes its
+    * (subspace × centroid) dot-product LUT once, and every (probe,
+    * vector) pair scores with M table ADDS instead of a dim-wide
+    * float loop. Scores are cosine APPROXIMATIONS (quantized
+    * neighbor side, exact probe side on unit vectors) — ranks trade
+    * accuracy for a ~dim/M per-pair cost cut and a 64× smaller
+    * neighbor representation; AnnRecallSpec pins the recall floor.
+    * Deterministic quantizer → the oracle replays the whole pipeline. */
+  def knnPq(embeddings: DataFrame, probes: DataFrame, k: Int,
+            m: Int = PqM, kSub: Int = PqKSub, seedMod: Int = PqSeedMod,
+            maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val seeds = pqSeeds(e, kSub, seedMod)
+    val codes = pqCodes(e, seeds, m)
+    val p0 = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val pl = p0.crossJoin(broadcast(seeds))
+      .select(col("probe_id"),
+        Exprs.pqLut(unitOf(col("pv")), col("seeds"), m).as("lut"))
+    val pj = if (fitsBroadcast(p0, maxBroadcastProbes)) broadcast(pl) else pl
+    val scored = pj.join(codes, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        Exprs.pqAdc(col("lut"), col("codes")).as("cos_sim"))
+    rankTopK(scored, k).withColumnRenamed("cos_sim", "approx_sim")
+  }
+
   /** The persisted IVF index: `assigned` = (vec_id, v, vnrm, cell)
     * rows (write bucketed on `cell` via Sinks.writeBucketed so probe
     * searches read cells pre-partitioned), `centroids` = the (cid, cv)

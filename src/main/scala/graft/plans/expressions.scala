@@ -188,6 +188,88 @@ case class TopTokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `pq_encode(u, seeds)`: product-quantization codes for a unit
+  * vector — the first-argmin centroid per subspace. See
+  * [[PqKernels.encode]]. */
+case class PqEncodeExpr(left: Expression, right: Expression, m: Int)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode() needs (array<double>, array<array<double>>), got " +
+          s"${a.catalogString} / ${b.catalogString}")
+    }
+
+  override def nullSafeEval(u: Any, seeds: Any): Any =
+    PqKernels.encode(u.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      seeds.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (u, s) => s"graft.plans.PqKernels.encode($u, $s, $m)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `pq_lut(pu, seeds)`: a probe's (subspace × centroid) partial-dot
+  * lookup table. See [[PqKernels.lut]]. */
+case class PqLutExpr(left: Expression, right: Expression, m: Int)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"pq_lut() needs (array<double>, array<array<double>>), got " +
+          s"${a.catalogString} / ${b.catalogString}")
+    }
+
+  override def nullSafeEval(pu: Any, seeds: Any): Any =
+    PqKernels.lut(pu.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      seeds.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, s) => s"graft.plans.PqKernels.lut($p, $s, $m)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqLutExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `pq_adc(lut, codes)`: asymmetric-distance score — M table adds per
+  * pair. See [[PqKernels.adc]]. */
+case class PqAdcExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc() needs (array<double>, array<int>), got " +
+          s"${a.catalogString} / ${b.catalogString}")
+    }
+
+  override def nullSafeEval(lut: Any, codes: Any): Any =
+    PqKernels.adc(lut.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      codes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, c) => s"graft.plans.PqKernels.adc($l, $c)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `sum_sq_token_counts(tokens)`: Σ c_w² over the row's token
   * multiset — see [[TokenStatsKernels.sumSqTokenCounts]] for the two
   * shuffles this projection replaces. */
@@ -261,6 +343,21 @@ object Exprs {
   /** Column wrapper for [[TopTokenCountExpr]]. */
   def topTokenCount(tokens: Column): Column =
     ColumnBridge.column(TopTokenCountExpr(ColumnBridge.expression(tokens)))
+
+  /** Column wrapper for [[PqEncodeExpr]]. */
+  def pqEncode(u: Column, seeds: Column, m: Int): Column =
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(u),
+      ColumnBridge.expression(seeds), m))
+
+  /** Column wrapper for [[PqLutExpr]]. */
+  def pqLut(pu: Column, seeds: Column, m: Int): Column =
+    ColumnBridge.column(PqLutExpr(ColumnBridge.expression(pu),
+      ColumnBridge.expression(seeds), m))
+
+  /** Column wrapper for [[PqAdcExpr]]. */
+  def pqAdc(lut: Column, codes: Column): Column =
+    ColumnBridge.column(PqAdcExpr(ColumnBridge.expression(lut),
+      ColumnBridge.expression(codes)))
 
   /** Column wrapper for [[SumSqTokenCountsExpr]]. */
   def sumSqTokenCounts(tokens: Column): Column =

@@ -264,6 +264,90 @@ object TopTokenKernels {
   }
 }
 
+/** Product-quantization kernels: encode a unit vector into one
+  * centroid code per subspace, precompute a probe's (subspace ×
+  * centroid) dot-product lookup table, and score a (probe, code) pair
+  * with M table adds — the asymmetric-distance-computation trio that
+  * turns 64-float vectors into (M × log2 k)-bit codes a 100 TB corpus
+  * can keep RAM-resident. All float math is strict left-to-right
+  * double accumulation, matching the oracle's sequential
+  * `list_reduce` spellings bit-for-bit; argmin ties keep the FIRST
+  * (lowest-index) centroid, matching `list_position(d, list_min(d))`.
+  */
+object PqKernels {
+
+  /** codes[j] = first argmin over centroids c of
+    * Σ_t (u[j·sub+t] − seeds[c][j·sub+t])², j = 0..m−1 (sub = dim/m,
+    * seeds = id-sorted full-dim unit centroid vectors). */
+  def encode(u: ArrayData, seeds: ArrayData, m: Int): ArrayData = {
+    val k = seeds.numElements()
+    val sub = u.numElements() / m
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val cv = seeds.getArray(c)
+        var d = 0.0
+        var t = 0
+        while (t < sub) {
+          val diff = u.getDouble(j * sub + t) - cv.getDouble(j * sub + t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** lut[j·k + c] = Σ_t pu[j·sub+t] · seeds[c][j·sub+t] — every
+    * (subspace, centroid) partial dot product for one probe, computed
+    * ONCE per probe so pair scoring is table adds, not vector math. */
+  def lut(pu: ArrayData, seeds: ArrayData, m: Int): ArrayData = {
+    val k = seeds.numElements()
+    val sub = pu.numElements() / m
+    val out = new Array[Double](m * k)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < k) {
+        val cv = seeds.getArray(c)
+        var d = 0.0
+        var t = 0
+        while (t < sub) {
+          d += pu.getDouble(j * sub + t) * cv.getDouble(j * sub + t)
+          t += 1
+        }
+        out(j * k + c) = d
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Σ_j lut[j·k + codes[j]], j ascending — M adds per scored pair
+    * (k inferred from the table and code lengths). */
+  def adc(lutArr: ArrayData, codes: ArrayData): Double = {
+    val m = codes.numElements()
+    if (m == 0) return 0.0
+    val k = lutArr.numElements() / m
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += lutArr.getDouble(j * k + codes.getInt(j))
+      j += 1
+    }
+    s
+  }
+}
+
 /** Per-row sum of squared token-occurrence counts — Σ c_w² over the
   * row's token multiset, the numerator of the Gini–Simpson lexical
   * diversity index 1 − Σ c_w²/n². Identical to `sum(c*c)` over a

@@ -50,6 +50,11 @@ object SimilarityRegistry {
     // oracle replays the whole report (counts divide exactly).
     "knn_recall" -> ((s, d) =>
       Similarity.recallReport(Tables.embeddings(s, d), probes(s, d), K)),
+    // Product quantization with ADC: deterministic sub-quantizer
+    // (seeded centroids, first-argmin ties) → the oracle replays the
+    // full encode + LUT-score pipeline with nested list lambdas.
+    "knn_pq" -> ((s, d) =>
+      Similarity.knnPq(Tables.embeddings(s, d), probes(s, d), K)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -227,5 +232,56 @@ object SimilarityRegistry {
          |SELECT 'ivf' AS algo,
          |  CAST((SELECT count(*) FROM bf JOIN ivf USING (probe_id, neighbor_id))
          |    AS DOUBLE) / (SELECT count(*) FROM bf) AS recall""".stripMargin,
+    // Replays the FULL PQ pipeline per-row with nested list lambdas:
+    // unit vectors → id-sorted seed list → per-(vec, subspace)
+    // centroid-distance lists → first-argmin codes
+    // (list_position(d, list_min(d)) == the kernel's strict-< tie) →
+    // the probe×code inner-product sum, j ascending, every fold
+    // strict left-to-right (DuckDB list_reduce is sequential — the
+    // same parity contract every vector oracle here relies on).
+    "knn_pq" -> {
+      val M = Similarity.PqM
+      val Sub = 64 / M
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), u AS (
+         |  SELECT vec_id, list_transform(v, x -> x / ${nrm("v")}) AS u FROM e
+         |), cb AS (
+         |  SELECT list(u ORDER BY vec_id) AS seeds FROM (
+         |    SELECT vec_id, u FROM u WHERE vec_id % ${Similarity.PqSeedMod} = 0
+         |    ORDER BY vec_id LIMIT ${Similarity.PqKSub})
+         |), dls AS (
+         |  SELECT vec_id,
+         |    list_transform(range($M), j ->
+         |      list_transform(seeds, cv ->
+         |        list_reduce(list_transform(range($Sub), t ->
+         |          (u[j * $Sub + t + 1] - cv[j * $Sub + t + 1])
+         |            * (u[j * $Sub + t + 1] - cv[j * $Sub + t + 1])),
+         |          (acc, x) -> acc + x))) AS dl
+         |  FROM u CROSS JOIN cb
+         |), codes AS (
+         |  SELECT vec_id,
+         |    list_transform(dl, d -> list_position(d, list_min(d))) AS codes
+         |  FROM dls
+         |), scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(range($M), j ->
+         |      list_reduce(list_transform(range($Sub), t ->
+         |        p.u[j * $Sub + t + 1]
+         |          * seeds[c.codes[j + 1]][j * $Sub + t + 1]),
+         |        (acc, x) -> acc + x)),
+         |      (acc, x) -> acc + x) AS approx_sim
+         |  FROM (SELECT vec_id, u FROM u WHERE vec_id % $ProbeMod = 0) p
+         |  CROSS JOIN cb
+         |  JOIN codes c ON c.vec_id <> p.vec_id
+         |), ranked AS (
+         |  SELECT probe_id, neighbor_id, approx_sim,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY approx_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM scored
+         |)
+         |SELECT probe_id, neighbor_id, approx_sim, rnk
+         |FROM ranked WHERE rnk <= $K""".stripMargin
+    },
   )
 }

@@ -75,4 +75,19 @@ class AnnRecallSpec extends AnyFunSuite {
   test("recallAtK is 1.0 for the exact result against itself") {
     assert(Similarity.recallAtK(exact, exact) == 1.0)
   }
+
+  test("knn_pq recall@10: defaults >= 0.25, kSub=64 >= 0.35, codebook dial works") {
+    // measured on this table: 0.29 at the registry defaults (16
+    // centroids/subspace — 4-bit codes), 0.40 at kSub=64 (6-bit
+    // codes): quantization recall, traded against a 64x smaller
+    // neighbor representation and M-add pair scoring.
+    val atDefaults = Similarity.recallAtK(exact,
+      Similarity.knnPq(emb, probes, 10))
+    val wide = Similarity.recallAtK(exact,
+      Similarity.knnPq(emb, probes, 10, kSub = 64, seedMod = 3))
+    info(f"pq recall@10: kSub=16 = $atDefaults%.3f, kSub=64 = $wide%.3f")
+    assert(atDefaults >= 0.25, f"default-pq recall degraded: $atDefaults%.3f")
+    assert(wide >= 0.35, f"wide-pq recall degraded: $wide%.3f")
+    assert(wide > atDefaults, "codebook-size dial stopped working")
+  }
 }

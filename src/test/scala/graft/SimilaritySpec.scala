@@ -27,6 +27,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(3L) == Seq(4L, 5L) || r(3L).head == 4L)
   }
 
+  test("PQ encode/LUT/ADC == a plain-Scala product quantizer on fuzzed vectors") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val dim = 64
+    val m = 8
+    val sub = dim / m
+    val data = (0L until n.toLong).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val df = data.toDF("vec_id", "embedding")
+    val out = Similarity.knnPq(df, Similarity.probeEvery(df, 10), 5,
+      m = m, kSub = 4, seedMod = 3)
+    // the compact-index shape: no corpus-key exchange anywhere before
+    // the per-probe top-k aggregate
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(vec_id"), plan)
+    val got = out.as[(Long, Long, Double, Int)].collect().toSet
+    // independent plain-Scala reference of the same quantizer
+    def unit(v: Array[Float]): Array[Double] = {
+      var s = 0.0; v.foreach(x => s += x.toDouble * x.toDouble)
+      val nr = math.sqrt(s); v.map(_.toDouble / nr)
+    }
+    val units = data.map { case (id, v) => id -> unit(v) }.toMap
+    val seeds = data.map(_._1).filter(_ % 3 == 0).sorted.take(4)
+      .map(id => units(id))
+    def codesOf(u: Array[Double]): Array[Int] = Array.tabulate(m) { j =>
+      var best = 0; var bd = Double.MaxValue
+      for (c <- seeds.indices) {
+        var d = 0.0; var t = 0
+        while (t < sub) {
+          val x = u(j * sub + t) - seeds(c)(j * sub + t); d += x * x; t += 1
+        }
+        if (d < bd) { bd = d; best = c }
+      }
+      best
+    }
+    def score(pu: Array[Double], codes: Array[Int]): Double = {
+      var s = 0.0
+      for (j <- 0 until m) {
+        var d = 0.0; var t = 0
+        while (t < sub) { d += pu(j * sub + t) * seeds(codes(j))(j * sub + t); t += 1 }
+        s += d
+      }
+      s
+    }
+    val codes = data.map { case (id, _) => id -> codesOf(units(id)) }.toMap
+    val expected = data.map(_._1).filter(_ % 10 == 0).flatMap { pid =>
+      data.map(_._1).filter(_ != pid)
+        .map(nid => (pid, nid, score(units(pid), codes(nid))))
+        .sortBy { case (_, nid, s) => (-s, nid) }.take(5).zipWithIndex
+        .map { case ((p, nv, s), i) => (p, nv, s, i + 1) }
+    }.toSet
+    assert(got == expected && expected.nonEmpty)
+  }
+
   test("knnLshIndexed over a persisted index == knnLsh rebuilt per call") {
     import org.apache.spark.sql.functions.col
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
