@@ -389,6 +389,49 @@ object Similarity {
     rankTopK(scored, k).withColumnRenamed("cos_sim", "approx_sim")
   }
 
+  /** IVF + PQ — the canonical billion-scale index composition: the
+    * IVF cells SHORTLIST candidates (each probe touches nProbe cells,
+    * sub-linear), the PQ codes SCORE them (M table adds per pair, 4
+    * bytes per neighbor). Index build is ONE corpus scan: both 1-row
+    * index frames (IVF codebook, PQ seeds) broadcast onto it and the
+    * cell argmax + code argmin are per-row projections in the same
+    * stage. Scores are the same cosine approximation [[knnPq]] emits;
+    * recall compounds both dials (nProbe × codebook size). The
+    * deterministic quantizers let the oracle replay the full composed
+    * pipeline. */
+  def knnIvfPq(embeddings: DataFrame, probes: DataFrame, k: Int,
+               centroidMod: Int = 37, nProbe: Int = 2,
+               m: Int = PqM, kSub: Int = PqKSub, seedMod: Int = PqSeedMod,
+               maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val cents = seedCentroids(e, centroidMod)
+    val seeds = pqSeeds(e, kSub, seedMod)
+    // one scan: cell + codes as sibling projections of the same row
+    val indexed = e
+      .crossJoin(broadcast(codebook(cents)))
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"),
+        get(Exprs.nearestCells(col("v"), col("cids"), col("units"), 1), lit(0))
+          .as("cell"),
+        Exprs.pqEncode(unitOf(col("v")), col("seeds"), m).as("codes"))
+    val p0 = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val probeCells = p0
+      .crossJoin(broadcast(codebook(cents)))
+      .crossJoin(broadcast(seeds))
+      .select(col("probe_id"),
+        Exprs.pqLut(unitOf(col("pv")), col("seeds"), m).as("lut"),
+        explode(Exprs.nearestCells(col("pv"), col("cids"), col("units"), nProbe))
+          .as("pcell"))
+    val pj = if (fitsBroadcast(p0, maxBroadcastProbes)) broadcast(probeCells)
+             else probeCells
+    val scored = pj
+      .join(indexed,
+        col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        Exprs.pqAdc(col("lut"), col("codes")).as("cos_sim"))
+    rankTopK(scored, k).withColumnRenamed("cos_sim", "approx_sim")
+  }
+
   /** The persisted IVF index: `assigned` = (vec_id, v, vnrm, cell)
     * rows (write bucketed on `cell` via Sinks.writeBucketed so probe
     * searches read cells pre-partitioned), `centroids` = the (cid, cv)

@@ -55,6 +55,10 @@ object SimilarityRegistry {
     // full encode + LUT-score pipeline with nested list lambdas.
     "knn_pq" -> ((s, d) =>
       Similarity.knnPq(Tables.embeddings(s, d), probes(s, d), K)),
+    // IVF cells shortlist + PQ codes score — the composed index; both
+    // quantizers deterministic, so the oracle replays the composition.
+    "knn_ivfpq" -> ((s, d) =>
+      Similarity.knnIvfPq(Tables.embeddings(s, d), probes(s, d), K)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -274,6 +278,76 @@ object SimilarityRegistry {
          |  FROM (SELECT vec_id, u FROM u WHERE vec_id % $ProbeMod = 0) p
          |  CROSS JOIN cb
          |  JOIN codes c ON c.vec_id <> p.vec_id
+         |), ranked AS (
+         |  SELECT probe_id, neighbor_id, approx_sim,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY approx_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM scored
+         |)
+         |SELECT probe_id, neighbor_id, approx_sim, rnk
+         |FROM ranked WHERE rnk <= $K""".stripMargin
+    },
+    // IVF assignment CTEs (as in knn_ivf) + PQ code CTEs (as in
+    // knn_pq), joined on the cell: candidates come from the probe's
+    // nProbe cells, scores from the code LUT sum.
+    "knn_ivfpq" -> {
+      val M = Similarity.PqM
+      val Sub = 64 / M
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), u AS (
+         |  SELECT vec_id, list_transform(v, x -> x / ${nrm("v")}) AS u FROM e
+         |), cents AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(v, x -> x / ${nrm("v")}) AS unit
+         |  FROM e WHERE vec_id % $CentroidMod = 0
+         |), scored_cells AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${VectorSql.dot("e.v", "c.unit")} AS d
+         |  FROM e CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY d DESC, cid ASC) AS rn
+         |    FROM scored_cells) WHERE rn = 1
+         |), probe_cells AS (
+         |  SELECT vec_id AS probe_id, cid AS pcell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY d DESC, cid ASC) AS rn
+         |    FROM scored_cells WHERE vec_id % $ProbeMod = 0) WHERE rn <= $NProbe
+         |), cb AS (
+         |  SELECT list(u ORDER BY vec_id) AS seeds FROM (
+         |    SELECT vec_id, u FROM u WHERE vec_id % ${Similarity.PqSeedMod} = 0
+         |    ORDER BY vec_id LIMIT ${Similarity.PqKSub})
+         |), dls AS (
+         |  SELECT vec_id,
+         |    list_transform(range($M), j ->
+         |      list_transform(seeds, cv ->
+         |        list_reduce(list_transform(range($Sub), t ->
+         |          (u[j * $Sub + t + 1] - cv[j * $Sub + t + 1])
+         |            * (u[j * $Sub + t + 1] - cv[j * $Sub + t + 1])),
+         |          (acc, x) -> acc + x))) AS dl
+         |  FROM u CROSS JOIN cb
+         |), codes AS (
+         |  SELECT vec_id,
+         |    list_transform(dl, d -> list_position(d, list_min(d))) AS codes
+         |  FROM dls
+         |), scored AS (
+         |  SELECT p.probe_id, n.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(range($M), j ->
+         |      list_reduce(list_transform(range($Sub), t ->
+         |        pu.u[j * $Sub + t + 1]
+         |          * seeds[n.codes[j + 1]][j * $Sub + t + 1]),
+         |        (acc, x) -> acc + x)),
+         |      (acc, x) -> acc + x) AS approx_sim
+         |  FROM probe_cells p
+         |  JOIN u pu ON pu.vec_id = p.probe_id
+         |  CROSS JOIN cb
+         |  JOIN (SELECT c.vec_id, c.codes, a.cell
+         |        FROM codes c JOIN assigned a ON a.vec_id = c.vec_id) n
+         |    ON n.cell = p.pcell AND n.vec_id <> p.probe_id
          |), ranked AS (
          |  SELECT probe_id, neighbor_id, approx_sim,
          |    row_number() OVER (PARTITION BY probe_id

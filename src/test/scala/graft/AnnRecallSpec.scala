@@ -90,4 +90,19 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(wide >= 0.35, f"wide-pq recall degraded: $wide%.3f")
     assert(wide > atDefaults, "codebook-size dial stopped working")
   }
+
+  test("knn_ivfpq recall@10: defaults >= 0.1, wide point >= 0.28, both dials compound") {
+    // the composed index compounds both approximations — measured 0.14
+    // at the defaults (nProbe=2 shortlist x 4-bit codes) and 0.33 at
+    // (nProbe=6, kSub=64): candidate loss x quantization loss, the
+    // price of sub-linear search over 4-byte codes.
+    val atDefaults = Similarity.recallAtK(exact,
+      Similarity.knnIvfPq(emb, probes, 10))
+    val wide = Similarity.recallAtK(exact,
+      Similarity.knnIvfPq(emb, probes, 10, nProbe = 6, kSub = 64, seedMod = 3))
+    info(f"ivfpq recall@10: defaults = $atDefaults%.3f, wide = $wide%.3f")
+    assert(atDefaults >= 0.1, f"default-ivfpq recall degraded: $atDefaults%.3f")
+    assert(wide >= 0.28, f"wide-ivfpq recall degraded: $wide%.3f")
+    assert(wide > atDefaults, "the compound dial stopped working")
+  }
 }

@@ -82,6 +82,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == expected && expected.nonEmpty)
   }
 
+  test("knnIvfPq pairs score identically to knnPq; candidates come from IVF cells") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = Similarity.probeEvery(emb, 50)
+    val nVecs = emb.count().toInt
+    // the full PQ score set (k = corpus): every (probe, neighbor) pair
+    val allPq = Similarity.knnPq(emb, probes, nVecs)
+      .select(col("probe_id"), col("neighbor_id"), col("approx_sim"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val composed = Similarity.knnIvfPq(emb, probes, 10)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(composed.nonEmpty)
+    // every composed score is exactly the PQ score for that pair: the
+    // IVF stage may only SHORTLIST, never change a score
+    composed.foreach { case (p, n, s, _) =>
+      assert(allPq((p, n)) == s, s"score drift for ($p, $n)")
+    }
+    // and the shortlist is real: some exact-PQ top pair is absent
+    // (nProbe=2 of ~14 cells cannot cover every neighbor)
+    val composedPairs = composed.map(r => (r._1, r._2)).toSet
+    val pqTop = Similarity.knnPq(emb, probes, 10)
+      .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert((pqTop -- composedPairs).nonEmpty, "shortlisting had no effect")
+  }
+
   test("knnLshIndexed over a persisted index == knnLsh rebuilt per call") {
     import org.apache.spark.sql.functions.col
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
