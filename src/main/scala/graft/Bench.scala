@@ -34,7 +34,7 @@ object Bench {
       "ta_quality", "ta_diversity", "ta_search", "cp_quality_gate",
       "cp_interleave",
       "dd_exact", "dd_exact_delta", "dd_minhash", "dd_simhash", "dd_semantic",
-      "knn_bruteforce", "knn_ivf", "knn_graph", "knn_pq",
+      "knn_bruteforce", "knn_ivf", "knn_graph", "knn_pq", "knn_ivfpq",
     ).filter(SparkEntry.queries.contains)
     sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))

@@ -104,6 +104,14 @@ class EdgeCaseSpec extends AnyFunSuite {
     // kNN graph on an empty embedding table: no edges, no throw
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.knnGraph(noVecs, 5).count() == 0)
+    // PQ on an empty corpus: no codes, no scores, no throw — and a
+    // kSub larger than the available seed pool just shrinks k
+    assert(Similarity.knnPq(noVecs, noVecs, 5).count() == 0)
+    val tiny = (0L until 6L).map(i =>
+      (i, Array.tabulate(64)(t => (i + t).toFloat))).toDF("vec_id", "embedding")
+    val r = Similarity.knnPq(tiny, Similarity.probeEvery(tiny, 3), 3,
+      kSub = 100, seedMod = 2)
+    assert(r.count() > 0) // 3 seeds < kSub=100: still well-defined
   }
 
   test("diversity, search, and interleave on empty and degenerate inputs") {
