@@ -47,6 +47,12 @@ object StreamsRegistry {
     // store; drained ≡ the batch scrub, so its SQL is the oracle
     // verbatim.
     "st_pii_scrub" -> ((s, d) => Streams.piiScrub(s, d)),
+    // streaming inverted-index maintenance + serving: per-batch
+    // postings appends (no cross-batch state), then searchIndexed over
+    // the accumulated index; drained ≡ batch ta_search (oracle
+    // verbatim).
+    "st_search" -> ((s, d) => Streams.searchServe(s, d,
+      TextAnalysisRegistry.SearchTerms, TextAnalysisRegistry.SearchK)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -102,5 +108,7 @@ object StreamsRegistry {
     "st_quality_gate" -> CorpusRegistry.oracleSql("cp_quality_gate"),
     // drained stateless append scrub ≡ the batch scrub: same oracle
     "st_pii_scrub" -> CorpusRegistry.oracleSql("cp_pii_scrub"),
+    // drained index maintenance + serve ≡ the batch search: same oracle
+    "st_search" -> TextAnalysisRegistry.oracleSql("ta_search"),
   )
 }

@@ -513,6 +513,48 @@ object Streams {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming inverted-index maintenance + serving ≡ batch
+    * [[graft.operators.TextAnalysis.search]]: each document
+    * micro-batch APPENDS its query-term postings — per-doc tf is a
+    * within-row computation (the explode never crosses rows), so any
+    * batch split yields the identical postings with NO cross-batch
+    * state at all — plus its doc count; after the drain,
+    * [[graft.operators.TextAnalysis.searchIndexed]] serves from the
+    * accumulated postings with the streamed doc total. The shape of a
+    * live ingest keeping a search index current while queries run
+    * against it. Drained with AvailableNow the result equals the
+    * batch search, so ta_search's SQL is the oracle verbatim. */
+  def searchServe(spark: SparkSession, dir: String, terms: Seq[String],
+                  k: Int): DataFrame = {
+    val postingsDir =
+      java.nio.file.Files.createTempDirectory("graft_st_search_p").toString
+    val countsDir =
+      java.nio.file.Files.createTempDirectory("graft_st_search_n").toString
+    val stream = FileStreamSource(s"$dir/documents.parquet").stream(spark)
+    searchIndexFromStream(stream, terms, postingsDir, countsDir)
+    val nDocs = spark.read.parquet(countsDir)
+      .agg(sum(col("n")).as("n")).head().getLong(0)
+    graft.operators.TextAnalysis.searchIndexed(
+      spark.read.parquet(postingsDir), nDocs, terms, k)
+  }
+
+  /** Source-agnostic index-maintenance core: drain any document
+    * stream, appending term postings and per-batch doc counts. */
+  private[streaming] def searchIndexFromStream(stream: DataFrame,
+      terms: Seq[String], postingsDir: String, countsDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.TextAnalysis.searchIndex(batch)
+          .filter(col("w").isInCollection(terms))
+          .write.mode("append").parquet(postingsDir)
+        batch.select(count(lit(1)).as("n"))
+          .write.mode("append").parquet(countsDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The banded join core over two watermarked sides with
     * (x_user, x_event, x_ts) columns — shared by the file binding and
     * the MemoryStream state-eviction spec. */

@@ -87,6 +87,47 @@ class StreamsSpec extends AnyFunSuite {
       && scrubFp(2L) == raw(2L))
   }
 
+  test("streaming index maintenance: postings built across batches serve == batch search") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val terms = Seq("spark", "stream")
+    val b1 = Seq((1L, "spark spark stream words"), (2L, "no hits here"))
+    val b2 = Seq((3L, "stream stream stream"), (4L, "spark alone"),
+      (5L, "also nothing"))
+    val postingsDir =
+      java.nio.file.Files.createTempDirectory("graft_sts_p").toString
+    val countsDir =
+      java.nio.file.Files.createTempDirectory("graft_sts_n").toString
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.TextAnalysis.searchIndex(batch)
+          .filter(col("w").isInCollection(terms))
+          .write.mode("append").parquet(postingsDir)
+        batch.select(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+          .write.mode("append").parquet(countsDir)
+      }
+      .start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val nDocs = spark.read.parquet(countsDir)
+      .agg(org.apache.spark.sql.functions.sum(col("n"))).head().getLong(0)
+    assert(nDocs == 5L) // the index carries the full doc total
+    val served = graft.operators.TextAnalysis.searchIndexed(
+      spark.read.parquet(postingsDir), nDocs, terms, 10)
+      .as[(Long, Long, Long)].collect().toSet
+    val batchRes = graft.operators.TextAnalysis.cached {
+      graft.operators.TextAnalysis.search(
+        (b1 ++ b2).toDF("doc_id", "text"), terms, 10)
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    assert(served == batchRes && batchRes.nonEmpty)
+  }
+
   test("streaming minhash: near-dup candidates across batches, bucket state capped") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
