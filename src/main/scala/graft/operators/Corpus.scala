@@ -378,6 +378,26 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         countDistinct(col("source")).as("n_sources"))
 
+  /** Exact stratified sampling: EXACTLY `n` docs per source (fewer
+    * only if the source is smaller), chosen deterministically as the
+    * n smallest (mix bucket, id) — the balanced eval-set / probe-set
+    * constructor, where rate-based [[sample]] can only hit a count in
+    * expectation. Scale shape: the per-source selection runs through
+    * the bounded graft_topk heap aggregate (score = −mb, ties on the
+    * smaller id — identical order to the oracle's window), so ≤ n
+    * rows per source per map task reach the one exchange and NO
+    * source is ever sorted in a single task. */
+  def stratifiedSample(docs: DataFrame, n: Int): DataFrame = {
+    require(n > 0, "stratifiedSample needs n > 0")
+    docs.select(col("source"), col("doc_id"),
+        mixBucket(col("doc_id")).as("mb"))
+      .groupBy(col("source"))
+      .agg(graft.plans.Exprs.topK((-col("mb")).cast("double"), col("doc_id"), n)
+        .as("top"))
+      .select(col("source"), explode(col("top")).as("t"))
+      .select(col("t.id").as("doc_id"), col("source"))
+  }
+
   /** Multi-epoch upsampling — the complement of [[sampleWeighted]]'s
     * downsampling: a training mix REPEATS high-quality sources.
     * `epochsPct` gives each source its epoch count ×100 (250 = 2.5

@@ -61,6 +61,10 @@ object CorpusRegistry {
   val EpochRates: Seq[(String, Int)] = Seq("src0" -> 250, "src1" -> 50)
   val EpochDefault = 100
 
+  /** Stratified binding: exactly 7 docs per source (sources hold 25 at
+    * sf0.01 — the cap genuinely selects). */
+  val StratifiedN = 7
+
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cp_sample" -> ((s, d) =>
@@ -98,6 +102,10 @@ object CorpusRegistry {
         TokenBudget, InterleaveWeights, InterleaveDefault)),
     "cp_epochs" -> ((s, d) =>
       Corpus.epochs(Tables.documents(s, d), EpochRates, EpochDefault)),
+    // exact per-source counts via the bounded top-k heap; the oracle
+    // spells the same selection as a per-source window
+    "cp_stratified" -> ((s, d) =>
+      Corpus.stratifiedSample(Tables.documents(s, d), StratifiedN)),
     // Full docs go in as the train side: eval docs self-match and are
     // flagged contaminated — a training mix must not contain its eval
     // set, so the funnel drops them by construction.
@@ -286,6 +294,13 @@ object CorpusRegistry {
          |  src_rank * ($strideCase) AS vt
          |FROM ranked""".stripMargin
     },
+    "cp_stratified" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY $MixExpr, doc_id) AS rn
+         |  FROM documents
+         |) WHERE rn <= $StratifiedN""".stripMargin,
     "cp_epochs" -> {
       val pctCase = EpochRates
         .map { case (src, pct) => s"WHEN source = '$src' THEN $pct" }

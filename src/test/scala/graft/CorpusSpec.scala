@@ -207,6 +207,29 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample: exactly n per source, heap == window selection") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = 3
+    val got = Corpus.stratifiedSample(docs, n)
+      .as[(Long, String)].collect()
+    // exactly n per source (every synthetic source holds more than n)
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.length == n, s"$src: ${rows.length}")
+    }
+    // identical selection to the windowed spelling
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source")
+      .orderBy(Corpus.mixBucket($"doc_id").asc, $"doc_id".asc)
+    val ref = docs.select($"doc_id", $"source")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" <= n).select($"doc_id", $"source")
+      .as[(Long, String)].collect().toSet
+    assert(got.toSet == ref)
+    // a source smaller than n yields all of it, not an error
+    val tiny = Seq((1L, "t", "only")).toDF("doc_id", "text", "source")
+    assert(Corpus.stratifiedSample(tiny, 5).count() == 1)
+  }
+
   test("epoch upsampling: whole epochs plus a deterministic fractional share") {
     val docs = (1L to 40L).map(i => (i, "t", if (i <= 20) "hi" else "lo"))
       .toDF("doc_id", "text", "source")
