@@ -338,20 +338,33 @@ object Similarity {
     transform(v, x => x.cast("double") / nrm)
   }
 
+  /** Release-on-exit bracket for the operators' internal persists
+    * (the PQ seed frame) — the similarity-family analog of
+    * [[Dedup.cached]]; [[knnBruteForceCached]] remains the dedicated
+    * bracket for over-cap probe caches. */
+  def cached[T](body: => T): T = CacheTracker.scoped(body)
+
   /** One-row (seeds: array<array<double>>) sub-quantizer frame: the
     * kSub smallest mod-selected ids' unit vectors, id-sorted. Seed
     * selection runs through the bounded graft_topk heap (score = −id)
-    * — no global window, no driver collect. */
+    * — no global window, no driver collect. PERSISTED
+    * ([[CacheTracker]]-tracked — one row): the frame broadcasts into
+    * both the corpus encode and the probe LUT, and without the
+    * persist each broadcast rebuilds the seed selection — two extra
+    * corpus scans per query (AQE's exchange reuse does not dedupe the
+    * two builds). Session-lifetime by contract (repeated queries
+    * share one quantizer — exactly what an index wants); wrap
+    * one-shot calls in [[cached]]. */
   private def pqSeeds(e: DataFrame, kSub: Int, seedMod: Int): DataFrame = {
     val ids = e.filter(col("vec_id") % seedMod === 0)
       .agg(Exprs.topK((-col("vec_id")).cast("double"), col("vec_id"), kSub)
         .as("top"))
       .select(explode(col("top")).as("t"))
       .select(col("t.id").as("vec_id"))
-    e.join(broadcast(ids), "vec_id")
+    CacheTracker.persistTracked(e.join(broadcast(ids), "vec_id")
       .select(col("vec_id"), unitOf(col("v")).as("u"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("u")))).as("s"))
-      .select(transform(col("s"), x => x.getField("u")).as("seeds"))
+      .select(transform(col("s"), x => x.getField("u")).as("seeds")))
   }
 
   /** PQ-encode the corpus: scan → broadcast 1-row seeds → per-row
