@@ -197,6 +197,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: C(A→B) = |A∩B| / |A| ≥ τ
+    * over word n-gram shingle sets — doc A living mostly INSIDE doc B
+    * (a quote, an embedded copy, a page plus boilerplate). The case
+    * symmetric Jaccard structurally misses: J ≤ |A|/|B|, so a small
+    * doc fully contained in a large one can never clear a Jaccard
+    * threshold. Blocking: only the CONTAINED side needs a prefix — if
+    * C(A→B) ≥ τ, at most (1−τ)·|A| of A's shingles miss B, so any
+    * ⌈(1−τ)·|A|⌉+1 of them must include a hit; joining A's
+    * global-df-RAREST prefix (the same lossless SSJoin ordering as
+    * [[ngramJaccard]] — a corpus-common shingle still can't form a
+    * hot bucket) against B's FULL shingle rows is lossless for C ≥ τ.
+    * No size-ratio prune: containment has no min/max-size bound, and
+    * both directions of every doc pair are evaluated independently.
+    * Verification is the exact intersection count over the shared
+    * shingle store, divided by the CONTAINED side's size. */
+  def containment(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    val ex = shingleRows(docs, n)
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = ex.join(dfreq, "s")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= ceil((lit(1.0) - lit(tau)) * col("sz")) + lit(1))
+      .select(col("doc_id"), col("s"))
+    val cand = prefix.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sizes = ex.select(col("doc_id"), col("sz")).distinct()
+    cand
+      .join(ex.as("ra"), col("id_a") === col("ra.doc_id"))
+      .join(ex.as("rb"),
+        col("id_b") === col("rb.doc_id") && col("ra.s") === col("rb.s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .withColumn("containment",
+        col("inter").cast("double") / col("sz_a"))
+      .filter(col("containment") >= tau)
+      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        col("containment"))
+  }
+
   /** Exact-Jaccard verification of (id_a, id_b) candidate pairs
     * against a shingle store ((doc_id, sz, s) rows, one row per
     * DISTINCT shingle — [[shingleRows]]): |A∩B| by joining both pair

@@ -12,6 +12,8 @@ import graft.sources.Tables
 object DedupRegistry {
 
   val JaccardTau = 0.8
+  /** dd_containment threshold: C(A→B) = |A∩B|/|A|. */
+  val ContainTau = 0.8
   val CosineTau = 0.35 // synthetic embeddings top out near 0.47 within-label
 
   /** dd_exact_delta's corpus split: every DeltaMod-th doc plays the
@@ -54,6 +56,11 @@ object DedupRegistry {
     "dd_exact_norm" -> ((s, d) => Dedup.exactNormalized(Tables.documents(s, d))),
     "dd_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), 3, JaccardTau)),
+    // asymmetric containment (A mostly inside B); the oracle replays
+    // the unfiltered both-direction blocking — prefix filtering is
+    // lossless for C >= tau (spec-fuzzed)
+    "dd_containment" -> ((s, d) =>
+      Dedup.containment(Tables.documents(s, d), 3, ContainTau)),
     "dd_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dd_embedding" -> ((s, d) =>
@@ -171,6 +178,25 @@ object DedupRegistry {
          |  CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard
          |FROM cand
          |WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= $JaccardTau""".stripMargin,
+    // both directions, no size prune (containment has no min/max-size
+    // bound); the divisor is the CONTAINED side's shingle count
+    "dd_containment" ->
+      s"""WITH sets AS (
+         |  SELECT doc_id, $Sh3 AS sh
+         |  FROM (SELECT doc_id, $ToksExpr AS toks FROM documents)
+         |  WHERE len($Sh3) > 0
+         |), ex AS (
+         |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets
+         |), cpairs AS (
+         |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         |         a.sz AS sz_a, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT contained_id, container_id,
+         |  CAST(inter AS DOUBLE) / sz_a AS containment
+         |FROM cpairs
+         |WHERE CAST(inter AS DOUBLE) / sz_a >= $ContainTau""".stripMargin,
     // Transitive closure of the near-dup pair graph: reach(id, r) walks
     // every node to everything reachable from it (edges symmetric,
     // UNION dedups so the recursion terminates); min(r) per id is the

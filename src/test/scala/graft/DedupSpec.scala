@@ -109,6 +109,46 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containment finds the embedded-doc case symmetric Jaccard misses") {
+    val quote = "alpha beta gamma delta eps zeta eta theta"
+    val page = quote + " " + (1 to 40).map(i => s"filler word$i extra").mkString(" ")
+    val docs = Seq(
+      (1L, quote, "s"),   // fully contained in doc 2
+      (2L, page, "s"),
+      (3L, "totally unrelated text about nothing shared", "s"),
+    ).toDF("doc_id", "text", "source")
+    val c = Dedup.containment(docs, 3, 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(c.toSeq == Seq((1L, 2L, 1.0))) // A→B only; B is not in A
+    // symmetric Jaccard cannot see it: J <= |A|/|B| << 0.8
+    assert(Dedup.ngramJaccard(docs, 3, 0.8).count() == 0)
+  }
+
+  test("prefix-filtered containment == exhaustive local containment on fuzzed corpora") {
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    Seq(0.5, 0.7, 0.9).foreach { tau =>
+      val corpus = (0 until 40).map { i =>
+        val len = 5 + rnd.nextInt(25)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "), "s")
+      }
+      val got = Dedup.containment(
+          corpus.toDF("doc_id", "text", "source"), 3, tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val sets = corpus.map { case (id, text, _) =>
+        id -> text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      }.toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys
+        if a != b && sets(a).nonEmpty && sets(b).nonEmpty
+        inter = (sets(a) & sets(b)).size
+        cont = inter.toDouble / sets(a).size
+        if cont >= tau
+      } yield (a, b, cont)).toSet
+      assert(got == want, s"tau=$tau: got ${got.size}, want ${want.size}")
+    }
+  }
+
   test("exact dedup survives a 90%-duplicate corpus (hot fingerprint)") {
     // 9000 copies of one boilerplate doc + 1000 distinct docs — the
     // skew shape the groupBy+join-back path exists for. Every copy
