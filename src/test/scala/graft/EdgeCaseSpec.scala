@@ -26,6 +26,17 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(m == Map("ab" -> 1L))
   }
 
+  test("containment on degenerate docs: no pairs, no throw") {
+    assert(Dedup.containment(empty, 3, 0.8).count() == 0)
+    assert(Dedup.containment(degenerate, 3, 0.8).count() == 0)
+    // identical docs contain each other in BOTH directions
+    val twins = Seq((1L, "alpha beta gamma delta", "s"),
+      (2L, "alpha beta gamma delta", "s")).toDF("doc_id", "text", "source")
+    val c = Dedup.containment(twins, 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(c == Set((1L, 2L, 1.0), (2L, 1L, 1.0)))
+  }
+
   test("dedup families tolerate null/short text") {
     assert(Dedup.minhashLsh(degenerate).count() == 0) // no shingles → no pairs
     assert(Dedup.simhash(degenerate).collect()
