@@ -214,21 +214,39 @@ object Dedup {
     * shingle store, divided by the CONTAINED side's size. */
   def containment(docs: DataFrame, n: Int, tau: Double): DataFrame = {
     val ex = shingleRows(docs, n)
-    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val prefix = ex.join(dfreq, "s")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= ceil((lit(1.0) - lit(tau)) * col("sz")) + lit(1))
-      .select(col("doc_id"), col("s"))
+    val prefix = containmentPrefix(ex, tau)
     val cand = prefix.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sizes = ex.select(col("doc_id"), col("sz")).distinct()
+    verifyContainment(cand, ex, tau)
+  }
+
+  /** The ⌈(1−τ)·sz⌉+1 rarest-by-df prefix of each doc's shingles —
+    * lossless containment blocking for the CONTAINED side (any
+    * fixed-size subset works; rarest-first minimizes bucket heat).
+    * `df` ranks by document frequency over the GIVEN rows, so a
+    * full-corpus caller gets global df and a delta caller delta-local
+    * df — the ordering only shapes candidate volume, never the
+    * verified output. */
+  private def containmentPrefix(rows: DataFrame, tau: Double): DataFrame = {
+    val dfreq = rows.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    rows.join(dfreq, "s")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= ceil((lit(1.0) - lit(tau)) * col("sz")) + lit(1))
+      .select(col("doc_id"), col("s"))
+  }
+
+  /** Exact containment verification: intersection count over the
+    * shingle store divided by the CONTAINED side's size. */
+  private def verifyContainment(cand: DataFrame, rows: DataFrame,
+                                tau: Double): DataFrame = {
+    val sizes = rows.select(col("doc_id"), col("sz")).distinct()
     cand
-      .join(ex.as("ra"), col("id_a") === col("ra.doc_id"))
-      .join(ex.as("rb"),
+      .join(rows.as("ra"), col("id_a") === col("ra.doc_id"))
+      .join(rows.as("rb"),
         col("id_b") === col("rb.doc_id") && col("ra.s") === col("rb.s"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -238,6 +256,60 @@ object Dedup {
       .filter(col("containment") >= tau)
       .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
         col("containment"))
+  }
+
+  /** The persisted state for INCREMENTAL containment: the shingle-row
+    * store plus each doc's PREFIX (chosen at its own ingest — a stale
+    * df ordering is still a valid fixed-size subset, so losslessness
+    * never decays as the corpus grows). Both documented bucketed
+    * tables at scale: rows on `s` (the candidate/verify join key),
+    * prefix on `s`. */
+  final case class ContainmentStore(rows: DataFrame, prefix: DataFrame)
+
+  /** Build [[ContainmentStore]] state for an initial corpus. */
+  def containmentStore(docs: DataFrame, n: Int = 3,
+                       tau: Double = 0.8): ContainmentStore = {
+    val ex = shingleRows(docs, n)
+    ContainmentStore(ex, containmentPrefix(ex, tau))
+  }
+
+  /** Every containment pair touching the delta + the merged store. */
+  final case class ContainmentDelta(pairs: DataFrame,
+                                    updatedStore: ContainmentStore)
+
+  /** Incremental (delta) containment — both DIRECTIONS of the
+    * asymmetric pair need their own blocking: a delta doc contained
+    * in anything joins the DELTA's prefixes against store ∪ delta
+    * rows, and an OLD doc newly contained in a delta doc joins the
+    * STORE's maintained prefixes against the delta's rows (old-old
+    * pairs cannot re-form — every candidate touches the delta). Only
+    * the delta is tokenized and shingled; delta prefixes rank by
+    * delta-local df (see [[containmentPrefix]] — ordering never
+    * changes the verified output), store prefixes keep their
+    * ingest-time ordering. Verification is exact over the merged
+    * store, so the emitted pairs are EXACTLY the full run's restricted
+    * to delta-touching pairs (DeltaDedupSpec). Idempotent under
+    * re-ingest: delta ids are anti-joined out of both store sides
+    * first. */
+  def containmentDelta(store: ContainmentStore, delta: DataFrame,
+                       n: Int = 3, tau: Double = 0.8): ContainmentDelta = {
+    val dRows = CacheTracker.persistTracked(shingleRows(delta, n))
+    val dPrefix = containmentPrefix(dRows, tau)
+    val dIds = delta.select(col("doc_id")).distinct()
+    def dropDelta(df: DataFrame): DataFrame =
+      df.join(dIds, Seq("doc_id"), "left_anti")
+    val oldRows = dropDelta(store.rows)
+    val oldPrefix = dropDelta(store.prefix)
+    val allRows = oldRows.union(dRows)
+    val candNew = dPrefix.as("a").join(allRows.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val candOld = oldPrefix.as("a").join(dRows.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val cand = candNew.union(candOld).distinct()
+    ContainmentDelta(verifyContainment(cand, allRows, tau),
+      ContainmentStore(allRows, oldPrefix.union(dPrefix)))
   }
 
   /** Exact-Jaccard verification of (id_a, id_b) candidate pairs

@@ -61,6 +61,17 @@ object DedupRegistry {
     // lossless for C >= tau (spec-fuzzed)
     "dd_containment" -> ((s, d) =>
       Dedup.containment(Tables.documents(s, d), 3, ContainTau)),
+    // incremental containment: both directions blocked per ingest
+    // (delta prefixes x store rows, store prefixes x delta rows);
+    // the oracle runs the full pipeline and restricts to
+    // delta-touching pairs — the contract containmentDelta emits.
+    "dd_containment_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val c = org.apache.spark.sql.functions.col("doc_id")
+      Dedup.containmentDelta(
+        Dedup.containmentStore(docs.filter(c % DeltaMod =!= 0), 3, ContainTau),
+        docs.filter(c % DeltaMod === 0), 3, ContainTau).pairs
+    }),
     "dd_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dd_embedding" -> ((s, d) =>
@@ -197,6 +208,26 @@ object DedupRegistry {
          |  CAST(inter AS DOUBLE) / sz_a AS containment
          |FROM cpairs
          |WHERE CAST(inter AS DOUBLE) / sz_a >= $ContainTau""".stripMargin,
+    // the full containment run restricted to delta-touching pairs —
+    // exactly what the per-ingest delta emits
+    "dd_containment_delta" ->
+      s"""WITH sets AS (
+         |  SELECT doc_id, $Sh3 AS sh
+         |  FROM (SELECT doc_id, $ToksExpr AS toks FROM documents)
+         |  WHERE len($Sh3) > 0
+         |), ex AS (
+         |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets
+         |), cpairs AS (
+         |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         |         a.sz AS sz_a, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT contained_id, container_id,
+         |  CAST(inter AS DOUBLE) / sz_a AS containment
+         |FROM cpairs
+         |WHERE CAST(inter AS DOUBLE) / sz_a >= $ContainTau
+         |  AND (contained_id % $DeltaMod = 0 OR container_id % $DeltaMod = 0)""".stripMargin,
     // Transitive closure of the near-dup pair graph: reach(id, r) walks
     // every node to everything reachable from it (edges symmetric,
     // UNION dedups so the recursion terminates); min(r) per id is the

@@ -164,6 +164,46 @@ class DeltaDedupSpec extends AnyFunSuite {
       r.updatedStore.as[(Long, Long)].collect().toSet)
   }
 
+  test("containmentDelta emits exactly the full run's pairs touching the delta") {
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val page = quote + " " + (1 to 30).map(i => s"filler word$i more").mkString(" ")
+    val other = "one two three four five six seven"
+    val full = docsDF(Seq(
+      1L -> quote, 2L -> page,   // old-old containment: must NOT re-emit
+      3L -> other,
+      101L -> quote,             // delta doc contained in OLD page (new→old)
+      102L -> (other + " plus surrounding context words around it"), // OLD doc 3 contained in a DELTA page (old→new)
+      103L -> "pqq rqq sqq tqq uqq vqq",
+      104L -> ("pqq rqq sqq tqq uqq vqq with extra tail words"), // delta-internal
+      105L -> "entirely disjoint trailing document"))
+    val old = full.filter($"doc_id" < 100)
+    val delta = full.filter($"doc_id" >= 100)
+    def pairs(df: DataFrame) = df.as[(Long, Long, Double)].collect().toSet
+    val fullPairs = pairs(Dedup.containment(full, 3, 0.8))
+    val r = Dedup.containmentDelta(
+      Dedup.containmentStore(old, 3, 0.8), delta, 3, 0.8)
+    assert(pairs(r.pairs) == fullPairs.filter(p => p._1 >= 100 || p._2 >= 100))
+    // both asymmetric directions crossed the ingest boundary
+    val dirs = pairs(r.pairs).map(p => (p._1, p._2))
+    assert(dirs.contains((101L, 2L)), s"new-contained-in-old missing: $dirs")
+    assert(dirs.contains((3L, 102L)), s"old-contained-in-new missing: $dirs")
+    assert(dirs.contains((103L, 104L)), s"delta-internal missing: $dirs")
+    assert(!dirs.contains((1L, 2L)), "old-old pair re-emitted")
+
+    // two sequential ingests compose to the one-shot delta pass
+    val r1 = Dedup.containmentDelta(Dedup.containmentStore(old, 3, 0.8),
+      full.filter($"doc_id" >= 100 && $"doc_id" <= 102), 3, 0.8)
+    val r2 = Dedup.containmentDelta(r1.updatedStore,
+      full.filter($"doc_id" >= 103), 3, 0.8)
+    assert(pairs(r1.pairs) ++ pairs(r2.pairs) == pairs(r.pairs))
+
+    // re-ingest idempotency: the delta replaces its stored rows
+    val r3 = Dedup.containmentDelta(r.updatedStore, delta, 3, 0.8)
+    assert(pairs(r3.pairs) == pairs(r.pairs))
+    assert(r3.updatedStore.rows.as[(Long, Long, String)].collect().toSet ==
+      r.updatedStore.rows.as[(Long, Long, String)].collect().toSet)
+  }
+
   test("embeddingNearDupLshDelta emits exactly the full run's pairs touching the delta") {
     import org.apache.spark.sql.functions.col
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
