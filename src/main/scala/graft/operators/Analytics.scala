@@ -702,6 +702,29 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
         Num.dsum(col("value")).as("total_value"))
 
+  /** Cohort retention matrix — the classic product-analytics query
+    * class: cohort each user by their FIRST day doing `eventType`,
+    * then count how many are still doing it N days later. Shape:
+    * filtered scan → distinct (user, day) activity → per-user first
+    * day (one map-side-combined aggregate on user) → join-back → one
+    * aggregate on the (cohort, offset) matrix key. All keys are user-
+    * or day-bounded; no window, no skew key. The day offset is an
+    * exact integer day difference and the cohort day is emitted as a
+    * formatted string, so every engine compares the matrix
+    * identically. */
+  def retention(events: DataFrame, eventType: String): DataFrame = {
+    val ud = events
+      .filter(col("event_type") === eventType)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    ud.join(first, "user_id")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort")).cast("int").as("day_offset"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** JSON property extraction + aggregation: props is an opaque JSON
     * string column; `$.k` is pulled with the codegen'd JSON path
     * expression, never a UDF. */

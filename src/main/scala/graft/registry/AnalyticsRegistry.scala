@@ -114,6 +114,11 @@ object AnalyticsRegistry {
       Analytics.eventsJsonAgg(Tables.events(s, d))),
     "q_events_sessionize" -> ((s, d) =>
       Analytics.sessionize(Tables.events(s, d), 30)),
+    // purchase-cohort retention: day granularity so the synthetic
+    // corpus yields a real multi-cohort matrix (week-level cohorts
+    // collapse — every user is active in week 1)
+    "q_retention" -> ((s, d) =>
+      Analytics.retention(Tables.events(s, d), "purchase")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -404,6 +409,19 @@ object AnalyticsRegistry {
          |  ${dsumSql("value")} AS total_value
          |FROM events
          |GROUP BY 1, 2""".stripMargin,
+    "q_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |  FROM events WHERE event_type = 'purchase'
+        |), cohorts AS (
+        |  SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id
+        |)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', CAST(cohort AS DATE), CAST(day AS DATE))
+        |    AS INTEGER) AS day_offset,
+        |  count(*) AS n_users
+        |FROM ud JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q_window_suite" ->
       """SELECT o_custkey, o_orderkey,
         |  ntile(4) OVER w AS quartile,

@@ -181,6 +181,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(all.length > rows20.length)
   }
 
+  test("retention: day-0 equals cohort size, later offsets never exceed it") {
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val m = Analytics.retention(events, "purchase")
+      .as[(String, Int, Long)].collect()
+    assert(m.nonEmpty && m.forall(_._2 >= 0))
+    val day0 = m.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    // every cohort has a day-0 row (a user is active on their first
+    // day by definition) and retention is monotonically bounded by it
+    m.foreach { case (c, off, n) =>
+      assert(day0.contains(c), s"cohort $c missing its day-0 row")
+      assert(n <= day0(c), s"cohort $c offset $off: $n > ${day0(c)}")
+    }
+    // cohort sizes partition the purchasing-user population
+    val purchasers = events.filter($"event_type" === "purchase")
+      .select($"user_id").distinct().count()
+    assert(day0.values.sum == purchasers)
+  }
+
   test("q13 outer-join distribution keeps order-less customers at count 0") {
     val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
     val orders = Seq((10L, 1L, "5-LOW"), (11L, 1L, "5-LOW"),
