@@ -31,6 +31,7 @@ object Bench {
       "q18_large_orders", "q_setops_census",
       "q13_cust_distribution", "q19_disjunctive_revenue",
       "q_events_sessionize", "q_asof_last_order", "q_range_join",
+      "q_retention",
       "ta_quality", "ta_diversity", "ta_search", "cp_quality_gate",
       "cp_interleave",
       "dd_exact", "dd_exact_delta", "dd_minhash", "dd_simhash", "dd_semantic",
