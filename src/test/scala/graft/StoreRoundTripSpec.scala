@@ -108,4 +108,31 @@ class StoreRoundTripSpec extends AnyFunSuite {
     dropTable("mh_banded_rt")
     dropTable("mh_shingles_rt")
   }
+
+  test("containment rows + prefix stores round-trip through bucketed tables") {
+    val docs = Tables.documents(spark, d)
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val st = Dedup.containmentStore(old, 3, 0.8)
+    val inMem = Dedup.containmentDelta(st, delta, 3, 0.8)
+    dropTable("ct_rows_rt")
+    dropTable("ct_prefix_rt")
+    // both sides bucketed on the shingle — the key of the candidate
+    // joins in both directions (the layout Dedup.ContainmentStore
+    // documents)
+    Sinks.writeBucketed(st.rows, "ct_rows_rt", "s", 8)
+    Sinks.writeBucketed(st.prefix, "ct_prefix_rt", "s", 8)
+    val fromTable = Dedup.containmentDelta(
+      Dedup.ContainmentStore(spark.table("ct_rows_rt"),
+        spark.table("ct_prefix_rt")), delta, 3, 0.8)
+    def pairs(r: Dedup.ContainmentDelta) =
+      r.pairs.as[(Long, Long, Double)].collect().toSet
+    assert(pairs(fromTable) == pairs(inMem) && pairs(inMem).nonEmpty)
+    assert(fromTable.updatedStore.rows.as[(Long, Long, String)].collect().toSet ==
+      inMem.updatedStore.rows.as[(Long, Long, String)].collect().toSet)
+    assert(fromTable.updatedStore.prefix.as[(Long, String)].collect().toSet ==
+      inMem.updatedStore.prefix.as[(Long, String)].collect().toSet)
+    dropTable("ct_rows_rt")
+    dropTable("ct_prefix_rt")
+  }
 }
