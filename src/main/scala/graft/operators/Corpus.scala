@@ -179,14 +179,21 @@ object Corpus {
     // keeps multiply-referenced non-cheap aliases staged).
     val base = docs.select(col("source"), col("lang"),
       Text.tokens(col("text")).as("toks"))
-    val derived = base.select(
+    // ONE kernel walk of the token array yields every vote count (per
+    // language + the union) — staged as its own attribute so the five
+    // s_<lang> columns and stop_ratio are O(1) array reads, not five
+    // more token passes (this projection was the bench's hottest
+    // per-row CPU before the multi-list kernel).
+    val staged = base.select(col("source"), col("lang"), col("toks"),
+      TextAnalysis.stopHitsAll(col("toks")).as("hits"))
+    val derived = staged.select(
       col("source") +: col("lang") +:
         size(col("toks")).as("n_tokens") +:
-        TextAnalysis.stopRatioCol(col("toks")).as("stop_ratio") +:
+        TextAnalysis.stopRatioFromHits(col("hits"), col("toks")).as("stop_ratio") +:
         Text.ngrams(col("toks"), 3).as("g") +:
         TextAnalysis.topWordFracCol(col("toks")).as("top_word_frac") +:
-        langs.map { case (l, ws) =>
-          TextAnalysis.stopHits(col("toks"), ws).as(s"s_$l") }: _*)
+        langs.map(_._1).zipWithIndex.map { case (l, i) =>
+          TextAnalysis.langHitCol(col("hits"), i).as(s"s_$l") }: _*)
     derived.select(col("source"),
         (col("n_tokens") >= minTokens).cast("long").as("len_ok"),
         (col("stop_ratio") >= minStopRatio).cast("long").as("stop_ok"),

@@ -45,8 +45,39 @@ object TextAnalysis {
   private[operators] val AllStopwords: Seq[String] =
     StopwordsByLang.flatMap(_._2).distinct.sorted
 
+  /** Hit count for ONE word list — routed through the single-pass
+    * kernel so even standalone callers skip the interpreted
+    * `filter(toks, isInCollection)` lambda (identical counts: see
+    * [[graft.plans.StopHitsKernels]]). */
   private[operators] def stopHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(words)))
+    element_at(graft.plans.Exprs.multiStopHits(toks, Seq(words)), 1)
+
+  /** Every vote list the gate families share, in a FIXED order: one
+    * slot per language (StopwordsByLang order) plus the union list
+    * ([[AllStopwords]]) last. */
+  private[operators] lazy val HitLists: Seq[Seq[String]] =
+    StopwordsByLang.map(_._2) :+ AllStopwords
+
+  /** ONE token walk, every list's hit count — the staged column the
+    * quality gate and language ID project their votes from. Slot i+1 =
+    * language i, last slot = the union. */
+  private[operators] def stopHitsAll(toks: Column): Column =
+    graft.plans.Exprs.multiStopHits(toks, HitLists)
+
+  /** Language i's vote from a staged [[stopHitsAll]] column. */
+  private[operators] def langHitCol(hits: Column, i: Int): Column =
+    element_at(hits, i + 1)
+
+  /** The union (all-stopwords) hit count from a staged
+    * [[stopHitsAll]] column. */
+  private[operators] def unionHitCol(hits: Column): Column =
+    element_at(hits, StopwordsByLang.size + 1)
+
+  /** [[stopRatioCol]] over a staged [[stopHitsAll]] column — same
+    * expression tail (one IEEE division of integer counts), no second
+    * token walk. */
+  private[operators] def stopRatioFromHits(hits: Column, toks: Column): Column =
+    unionHitCol(hits).cast("double") / greatest(size(toks), lit(1))
 
   /** Per-row gate columns, exposed so composites (the H-family quality
     * gate) can compute every per-doc statistic in ONE projection of the
@@ -128,10 +159,15 @@ object TextAnalysis {
     * argmax with a lexicographic (first-listed) tie-break. Emits the
     * vote columns so the decision is auditable. */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    val voted = docs.select(
+    // stage the one-walk hit array as an attribute, then project each
+    // language's vote from it — one kernel call per row instead of
+    // |langs| interpreted filter passes
+    val staged = docs.select(col("doc_id"), col("lang"),
+      stopHitsAll(Text.tokens(col("text"))).as("_hits"))
+    val voted = staged.select(
       col("doc_id") +: col("lang") +:
-        StopwordsByLang.map { case (l, ws) => stopHits(toks, ws).as(s"s_$l") }: _*)
+        StopwordsByLang.map(_._1).zipWithIndex.map { case (l, i) =>
+          langHitCol(col("_hits"), i).as(s"s_$l") }: _*)
     voted.withColumn("pred_lang", argmaxLang(StopwordsByLang.map(_._1), "s_"))
       .withColumn("matched", (col("pred_lang") === col("lang")).cast("int"))
   }

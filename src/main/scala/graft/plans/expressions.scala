@@ -270,6 +270,41 @@ case class PqAdcExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `multi_stop_hits(tokens, lists)`: per-list stopword hit counts in
+  * ONE token walk — hits[i] ≡ `size(filter(toks, isInCollection(
+  * lists(i))))`. See [[StopHitsKernels]] for the bitmask design and
+  * the |lists| interpreted filter passes this projection replaces.
+  * `wordLists` is a plan constant (the stopword lists), carried on the
+  * node like `perms`/`nProbe` on the other kernel expressions. */
+case class MultiStopHitsExpr(child: Expression, wordLists: Seq[Seq[String]])
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"multi_stop_hits() needs array<string>, got ${t.catalogString}")
+  }
+
+  // built once per task (driver for interpreted eval; shipped through
+  // the codegen references array for generated stages)
+  @transient private lazy val masks = StopHitsKernels.buildMasks(wordLists)
+
+  override def nullSafeEval(input: Any): Any =
+    StopHitsKernels.multiHits(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      masks, wordLists.length)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopMasks", masks, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.StopHitsKernels.multiHits($c, $ref, ${wordLists.length})")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiStopHitsExpr =
+    copy(child = newChild)
+}
+
 /** `sum_sq_token_counts(tokens)`: Σ c_w² over the row's token
   * multiset — see [[TokenStatsKernels.sumSqTokenCounts]] for the two
   * shuffles this projection replaces. */
@@ -358,6 +393,11 @@ object Exprs {
   def pqAdc(lut: Column, codes: Column): Column =
     ColumnBridge.column(PqAdcExpr(ColumnBridge.expression(lut),
       ColumnBridge.expression(codes)))
+
+  /** Column wrapper for [[MultiStopHitsExpr]]. */
+  def multiStopHits(tokens: Column, wordLists: Seq[Seq[String]]): Column =
+    ColumnBridge.column(MultiStopHitsExpr(
+      ColumnBridge.expression(tokens), wordLists))
 
   /** Column wrapper for [[SumSqTokenCountsExpr]]. */
   def sumSqTokenCounts(tokens: Column): Column =

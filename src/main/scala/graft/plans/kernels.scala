@@ -348,6 +348,66 @@ object PqKernels {
   }
 }
 
+/** Per-row MULTI-LIST stopword hit counting: every gate family that
+  * votes per language (quality gate, language ID, stop-ratio) needs
+  * "how many of this row's tokens are in list i" for SEVERAL lists at
+  * once. The column-function spelling — one
+  * `filter(toks, isInCollection(list))` per list — walks the token
+  * array |lists| times through an interpreted lambda (higher-order
+  * functions are CodegenFallback), which made the quality gate the
+  * most expensive benched query. This kernel walks the tokens ONCE:
+  * each stopword maps to a BITMASK of the lists containing it, so a
+  * token costs one hash probe + one popcount loop over its mask,
+  * regardless of how many lists it belongs to. Counts are identical
+  * to `size(filter(toks, isInCollection(list)))` per list (occurrence
+  * counting, exact byte equality) — the DuckDB oracles don't change.
+  */
+object StopHitsKernels {
+
+  /** word → bitmask of the lists containing it. Built once on the
+    * driver per plan (shipped to generated code via the references
+    * array); at most 32 lists so masks fit an Int. */
+  def buildMasks(wordLists: Seq[Seq[String]]): java.util.HashMap[UTF8String, Integer] = {
+    require(wordLists.nonEmpty && wordLists.length <= 32,
+      "multi_stop_hits takes between 1 and 32 word lists")
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    wordLists.zipWithIndex.foreach { case (ws, i) =>
+      ws.foreach { w =>
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, Integer.valueOf(
+          (if (prev == null) 0 else prev.intValue()) | (1 << i)))
+      }
+    }
+    m
+  }
+
+  /** hits[i] = occurrences of tokens contained in list i. Null tokens
+    * are skipped (the filter path's `isInCollection(null)` is null,
+    * which filter drops — same outcome). */
+  def multiHits(tokens: ArrayData,
+                masks: java.util.HashMap[UTF8String, Integer],
+                nLists: Int): ArrayData = {
+    val out = new Array[Int](nLists)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val msk = masks.get(tokens.getUTF8String(i))
+        if (msk != null) {
+          var b = msk.intValue()
+          while (b != 0) {
+            out(java.lang.Integer.numberOfTrailingZeros(b)) += 1
+            b &= b - 1
+          }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Per-row sum of squared token-occurrence counts — Σ c_w² over the
   * row's token multiset, the numerator of the Gini–Simpson lexical
   * diversity index 1 − Σ c_w²/n². Identical to `sum(c*c)` over a

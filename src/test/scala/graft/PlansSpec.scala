@@ -105,6 +105,38 @@ class PlansSpec extends AnyFunSuite {
     assert(r(0).getSeq[String](0) == Seq("x", "y") && r(1).isNullAt(0))
   }
 
+  test("MultiStopHitsExpr == per-list filter(isInCollection) passes, fuzzed") {
+    import graft.functions.Text
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(13L)
+    // vocab straddles the stopword lists: shared words ("de" is in the
+    // de/es/fr/zh lists), unique words, non-stopwords, Unicode
+    val vocab = Vector("the", "de", "la", "und", "wo", "zai", "straße",
+      "北京", "notastop", "xyz")
+    val docs = (0 until 80).map { i =>
+      (i.toLong,
+        Seq.fill(rnd.nextInt(50))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text") // includes empty docs (rnd.nextInt(50) == 0)
+    val lists = TextAnalysis.StopwordsByLang.map(_._2) :+
+      TextAnalysis.StopwordsByLang.flatMap(_._2).distinct.sorted
+    val viaExpr = docs
+      .select(col("doc_id"),
+        Exprs.multiStopHits(Text.tokens(col("text")), lists).as("h"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val filterCols = lists.zipWithIndex.map { case (ws, i) =>
+      size(filter(Text.tokens(col("text")), t => t.isInCollection(ws))).as(s"h$i")
+    }
+    val viaFilter = docs.select(col("doc_id") +: filterCols: _*)
+      .as[(Long, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5, r._6, r._7)).toMap
+    assert(viaExpr.size == 80 && viaExpr == viaFilter)
+    // null text → null hit array, same as the filter path
+    val nulls = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    val r = nulls.select(
+      Exprs.multiStopHits(Text.tokens(col("text")), lists)).collect()
+    assert(r(0).isNullAt(0))
+  }
+
   test("SumSqTokenCountsExpr == (doc, word) count-aggregate sum(c*c) on fuzzed docs") {
     import graft.functions.Text
     val rnd = new scala.util.Random(11L)
