@@ -590,7 +590,6 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
-    var prevSum: java.math.BigDecimal = null
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
@@ -599,26 +598,31 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
       val hooked = labels
         .join(neighborMin, col("id") === col("src"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // pointer doubling: follow my label's label. The left join keeps
-      // self-labeled roots (their label row IS their id row).
-      labels = hooked.as("l")
+      // self-labeled roots (their label row IS their id row). The
+      // round's CHANGED flag rides along (labels only decrease, so
+      // "changed" is one comparison against the round's input label).
+      val doubled = hooked.as("l")
         .join(hooked.select(col("id").as("pid"), col("label").as("plabel")).as("p"),
           col("l.label") === col("p.pid"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.label"), coalesce(col("plabel"), col("l.label"))).as("label"))
-        .localCheckpoint(true)
-      // min-labels only decrease; a stable sum means a fixed point.
-      // The sum runs in DECIMAL(38,0) so billions of 64-bit ids can't
-      // wrap around to a false convergence. sum() is NULL on an empty
-      // label set (no near-dup pairs at all) — treat as converged.
-      val sumRow = labels
-        .agg(sum(col("label").cast("decimal(38,0)"))).head()
-      val labelSum = if (sumRow.isNullAt(0)) null
-        else sumRow.getDecimal(0)
-      done = sumRow.isNullAt(0) || (prevSum != null && labelSum.compareTo(prevSum) == 0)
-      prevSum = labelSum
+          least(col("l.label"), coalesce(col("plabel"), col("l.label"))).as("label"),
+          (least(col("l.label"), coalesce(col("plabel"), col("l.label")))
+            < col("l.old_label")).cast("long").as("changed"))
+      // LAZY checkpoint: the convergence aggregate below is the action
+      // that materializes it, so each round submits ONE job (the old
+      // shape paid an eager-checkpoint job PLUS a label-sum job per
+      // round — the iterative tail that dominated dd_semantic's bench
+      // row). A round that lowered no label is the fixed point: the
+      // next round is a deterministic function of unchanged inputs.
+      // sum(changed) is NULL on an empty label frame (no pairs at
+      // all) — converged.
+      val next = doubled.localCheckpoint(false)
+      val changedRow = next.agg(sum(col("changed"))).head()
+      done = changedRow.isNullAt(0) || changedRow.getLong(0) == 0L
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
