@@ -390,7 +390,38 @@ object Similarity {
             maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
     val seeds = pqSeeds(e, kSub, seedMod)
-    val codes = pqCodes(e, seeds, m)
+    knnPqWith(pqCodes(e, seeds, m), seeds, probes, k, m, maxBroadcastProbes)
+  }
+
+  /** The persisted PQ index: the 4-byte/vector code table plus the
+    * 1-row sub-quantizer seed frame — everything a serving query
+    * needs. At corpus scale both are maintained tables; the code table
+    * is the RAM-resident representation PQ exists for. */
+  final case class PqIndex(codes: DataFrame, seeds: DataFrame)
+
+  /** Build [[PqIndex]] state for a corpus: ONE scan (the encode is a
+    * projection under the broadcast seed frame). */
+  def pqIndex(embeddings: DataFrame, m: Int = PqM, kSub: Int = PqKSub,
+              seedMod: Int = PqSeedMod): PqIndex = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val seeds = pqSeeds(e, kSub, seedMod)
+    PqIndex(pqCodes(e, seeds, m), seeds)
+  }
+
+  /** [[knnPq]] over a PREBUILT [[PqIndex]] — the serving shape (mirror
+    * of [[knnLshIndexed]] / [[knnIvfIndexed]]): per query batch only
+    * the probe LUTs are computed; the corpus-side encode is the
+    * persisted code table. `m` MUST match the index build. */
+  def knnPqIndexed(index: PqIndex, probes: DataFrame, k: Int, m: Int = PqM,
+                   maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame =
+    knnPqWith(index.codes, index.seeds, probes, k, m, maxBroadcastProbes)
+
+  /** Shared probe-side tail of both PQ paths: LUT projection under the
+    * broadcast seeds, ADC scoring against the code table, bounded
+    * top-k. */
+  private def knnPqWith(codes: DataFrame, seeds: DataFrame, probes: DataFrame,
+                        k: Int, m: Int,
+                        maxBroadcastProbes: Long): DataFrame = {
     val p0 = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val pl = p0.crossJoin(broadcast(seeds))
       .select(col("probe_id"),

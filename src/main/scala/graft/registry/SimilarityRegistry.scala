@@ -59,9 +59,42 @@ object SimilarityRegistry {
     // quantizers deterministic, so the oracle replays the composition.
     "knn_ivfpq" -> ((s, d) =>
       Similarity.knnIvfPq(Tables.embeddings(s, d), probes(s, d), K)),
+    // --- serving paths: the query against a PREBUILT index -------
+    // Each *_served binding materializes its index ONCE per corpus dir
+    // (ServingIndexes; the bench warm-up pays the build) and times only
+    // probe bucketing/LUTs + the index join — the repeated-query cost
+    // the indexed operators exist for. Results are identical to the
+    // build-path siblings (same deterministic blocking), so each reuses
+    // its sibling's oracle SQL verbatim.
+    "knn_lsh_served" -> ((s, d) => {
+      val (paths, _) = ServingIndexes.once("lsh", d) {
+        (Seq(graft.operators.Dedup.embeddingLshStore(Tables.embeddings(s, d),
+          nTables = 4, planesPerTable = 6).bucketed), 0L)
+      }
+      Similarity.knnLshIndexed(s.read.parquet(paths.head), probes(s, d), K)
+    }),
+    "knn_ivf_served" -> ((s, d) => {
+      val (paths, _) = ServingIndexes.once("ivf", d) {
+        val idx = Similarity.ivfIndex(Tables.embeddings(s, d), CentroidMod)
+        (Seq(idx.assigned, idx.centroids), 0L)
+      }
+      Similarity.knnIvfIndexed(
+        Similarity.IvfIndex(s.read.parquet(paths.head), s.read.parquet(paths(1))),
+        probes(s, d), K, NProbe)
+    }),
+    "knn_pq_served" -> ((s, d) => {
+      val (paths, _) = ServingIndexes.once("pq", d) {
+        val idx = Similarity.pqIndex(Tables.embeddings(s, d))
+        (Seq(idx.codes, idx.seeds), 0L)
+      }
+      Similarity.knnPqIndexed(
+        Similarity.PqIndex(s.read.parquet(paths.head), s.read.parquet(paths(1))),
+        probes(s, d), K)
+    }),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+   val base = Map(
     "knn_bruteforce" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -357,5 +390,13 @@ object SimilarityRegistry {
          |SELECT probe_id, neighbor_id, approx_sim, rnk
          |FROM ranked WHERE rnk <= $K""".stripMargin
     },
-  )
+   )
+   // the serving paths return the build paths' exact results (same
+   // deterministic blocking over a parquet round-trip), so they share
+   // the sibling oracles verbatim
+   base ++ Map(
+     "knn_lsh_served" -> base("knn_lsh"),
+     "knn_ivf_served" -> base("knn_ivf"),
+     "knn_pq_served" -> base("knn_pq"))
+  }
 }

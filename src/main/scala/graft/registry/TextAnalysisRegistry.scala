@@ -44,13 +44,26 @@ object TextAnalysisRegistry {
     "ta_diversity" -> ((s, d) => TextAnalysis.diversity(Tables.documents(s, d))),
     "ta_search" -> ((s, d) =>
       TextAnalysis.search(Tables.documents(s, d), SearchTerms, SearchK)),
+    // Serving path: the same query against a PREBUILT postings index
+    // (built once per corpus dir — the bench warm-up pays it), so the
+    // timed cost is the term-filtered index read + ranking, never a
+    // corpus scan or tokenization. Identical output to ta_search
+    // (TextAnalysisSpec) — shares its oracle verbatim.
+    "ta_search_served" -> ((s, d) => {
+      val (paths, nDocs) = ServingIndexes.once("postings", d) {
+        val docs = Tables.documents(s, d)
+        (Seq(TextAnalysis.searchIndex(docs)), docs.count())
+      }
+      TextAnalysis.searchIndexed(s.read.parquet(paths.head), nDocs,
+        SearchTerms, SearchK)
+    }),
   )
 
   def oracleSql: Map[String, String] = {
     val allStops = TextAnalysis.StopwordsByLang.flatMap(_._2).distinct.sorted
     val voteCols = TextAnalysis.StopwordsByLang
       .map { case (l, ws) => s"${hits(ws)} AS s_$l" }.mkString(",\n  ")
-    Map(
+    val base = Map(
       "ta_tokens" ->
         """SELECT doc_id,
           |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
@@ -232,5 +245,8 @@ object TextAnalysisRegistry {
            |  CAST(sum(length(word)) AS DOUBLE) / count(*) AS avg_wlen
            |FROM toks GROUP BY lang""".stripMargin,
     )
+    // the serving path returns ta_search's exact result over a
+    // postings round-trip — same oracle verbatim
+    base + ("ta_search_served" -> base("ta_search"))
   }
 }

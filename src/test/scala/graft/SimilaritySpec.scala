@@ -153,6 +153,25 @@ class SimilaritySpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS ivf_index_rt")
   }
 
+  test("knnPqIndexed over a persisted code table == knnPq rebuilt per call") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = Similarity.probeEvery(emb, 50)
+    val fresh = Similarity.knnPq(emb, probes, 10).collect().map(_.toSeq).toSet
+    // index built once, round-tripped through parquet (the serving
+    // layout: 4-byte codes + the 1-row seed frame), queried via
+    // knnPqIndexed
+    val idx = Similarity.pqIndex(emb)
+    val dir = java.nio.file.Files.createTempDirectory("pq_index_rt")
+    idx.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    idx.seeds.write.mode("overwrite").parquet(s"$dir/seeds")
+    val served = Similarity.knnPqIndexed(
+      Similarity.PqIndex(spark.read.parquet(s"$dir/codes"),
+        spark.read.parquet(s"$dir/seeds")),
+      probes, 10).collect().map(_.toSeq).toSet
+    assert(served == fresh && fresh.nonEmpty)
+    scala.reflect.io.Directory(new java.io.File(dir.toString)).deleteRecursively()
+  }
+
   test("LSH hyperplanes are deterministic and scores are exact cosines") {
     val h1 = Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq
     val h2 = Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq
