@@ -310,7 +310,14 @@ object Corpus {
     * vt = r · (Stride div w), so sorting the corpus by
     * (vt, source, doc_id) interleaves sources proportionally to their
     * weights (a weight-3 source appears 3× as often as a weight-1
-    * source in every prefix, ±1) instead of concatenating them.
+    * source in every prefix) instead of concatenating them.
+    * Proportionality is exact up to the stride TRUNCATION: `Stride div
+    * w` floors, so a weight not dividing 2^20 (e.g. 3) runs a hair
+    * fast — one extra slot ahead of the ideal rate per ~Stride/(w·frac)
+    * ticks, visible only past ~350k docs per source at w=3. The ±1
+    * prefix bound holds below that; the ORDER stays deterministic and
+    * oracle-exact at any size (the oracle replays the same truncated
+    * stride).
     * Within a source the order is the (mix bucket, id) pseudorandom
     * permutation — the same engine-replayable clock the sampler uses —
     * so the full order is reproducible on any engine, partitioning, or

@@ -263,14 +263,21 @@ object Dedup {
     * df ordering is still a valid fixed-size subset, so losslessness
     * never decays as the corpus grows). Both documented bucketed
     * tables at scale: rows on `s` (the candidate/verify join key),
-    * prefix on `s`. */
-  final case class ContainmentStore(rows: DataFrame, prefix: DataFrame)
+    * prefix on `s`.
+    *
+    * `n` and `tau` record the BUILD parameters: losslessness is
+    * immune to df-order staleness but NOT to parameter drift — a
+    * prefix of ⌈(1−τ)·sz⌉+1 shingles is too short for any query
+    * threshold BELOW the τ it was sized for, and shingle width must
+    * match exactly. [[containmentDelta]] enforces both. */
+  final case class ContainmentStore(rows: DataFrame, prefix: DataFrame,
+                                    n: Int, tau: Double)
 
   /** Build [[ContainmentStore]] state for an initial corpus. */
   def containmentStore(docs: DataFrame, n: Int = 3,
                        tau: Double = 0.8): ContainmentStore = {
     val ex = shingleRows(docs, n)
-    ContainmentStore(ex, containmentPrefix(ex, tau))
+    ContainmentStore(ex, containmentPrefix(ex, tau), n, tau)
   }
 
   /** Every containment pair touching the delta + the merged store. */
@@ -293,6 +300,17 @@ object Dedup {
     * first. */
   def containmentDelta(store: ContainmentStore, delta: DataFrame,
                        n: Int = 3, tau: Double = 0.8): ContainmentDelta = {
+    // parameter-drift guard: stored prefixes are sized ⌈(1−τ)·sz⌉+1
+    // for the store's build τ — a LOOSER query threshold needs longer
+    // prefixes than the store holds and would silently drop
+    // old-contained-in-new pairs; a different shingle width never
+    // matches at all.
+    require(n == store.n,
+      s"containmentDelta n=$n must equal the store's shingle width n=${store.n}")
+    require(tau >= store.tau,
+      f"containmentDelta tau=$tau%.3f is below the store's build " +
+        f"tau=${store.tau}%.3f: stored prefixes are too short for a looser " +
+        "threshold (rebuild the store or query at tau >= the build tau)")
     val dRows = CacheTracker.persistTracked(shingleRows(delta, n))
     val dPrefix = containmentPrefix(dRows, tau)
     val dIds = delta.select(col("doc_id")).distinct()
@@ -308,8 +326,11 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val cand = candNew.union(candOld).distinct()
+    // the merged store's tau is the tightest build tau so far (tau >=
+    // store.tau by the guard): every prefix in it supports queries at
+    // that threshold or above
     ContainmentDelta(verifyContainment(cand, allRows, tau),
-      ContainmentStore(allRows, oldPrefix.union(dPrefix)))
+      ContainmentStore(allRows, oldPrefix.union(dPrefix), n, tau))
   }
 
   /** Exact-Jaccard verification of (id_a, id_b) candidate pairs

@@ -333,10 +333,14 @@ object PqKernels {
   }
 
   /** Σ_j lut[j·k + codes[j]], j ascending — M adds per scored pair
-    * (k inferred from the table and code lengths). */
+    * (k inferred from the table and code lengths). An empty LUT (the
+    * quantizer saw zero seed vectors — a corpus whose ids contain no
+    * seedMod multiple) scores 0.0 instead of indexing past the end:
+    * encode's first-argmin over zero centroids emits code 0 per
+    * subspace, which would otherwise read lut[0] of an empty table. */
   def adc(lutArr: ArrayData, codes: ArrayData): Double = {
     val m = codes.numElements()
-    if (m == 0) return 0.0
+    if (m == 0 || lutArr.numElements() == 0) return 0.0
     val k = lutArr.numElements() / m
     var s = 0.0
     var j = 0

@@ -202,6 +202,16 @@ class DeltaDedupSpec extends AnyFunSuite {
     assert(pairs(r3.pairs) == pairs(r.pairs))
     assert(r3.updatedStore.rows.as[(Long, Long, String)].collect().toSet ==
       r.updatedStore.rows.as[(Long, Long, String)].collect().toSet)
+
+    // parameter-drift guards: a LOOSER tau (stored prefixes too short)
+    // and a different shingle width are contract errors, not silent
+    // pair loss; the SAME-or-tighter tau is accepted
+    val st = Dedup.containmentStore(old, 3, 0.8)
+    intercept[IllegalArgumentException](
+      Dedup.containmentDelta(st, delta, 3, 0.7))
+    intercept[IllegalArgumentException](
+      Dedup.containmentDelta(st, delta, 4, 0.8))
+    assert(Dedup.containmentDelta(st, delta, 3, 0.9).pairs.count() >= 0)
   }
 
   test("embeddingNearDupLshDelta emits exactly the full run's pairs touching the delta") {

@@ -123,6 +123,15 @@ class EdgeCaseSpec extends AnyFunSuite {
     val r = Similarity.knnPq(tiny, Similarity.probeEvery(tiny, 3), 3,
       kSub = 100, seedMod = 2)
     assert(r.count() > 0) // 3 seeds < kSub=100: still well-defined
+    // EMPTY seed pool (non-empty corpus, no vec_id divisible by
+    // seedMod): zero centroids → every code 0, every LUT empty — adc
+    // scores 0.0 instead of indexing past the empty table, so the
+    // result is a well-defined (all-tied, id-ordered) ranking
+    val noSeeds = (1L until 6L).map(i => // ids 1..5, none % 7 == 0
+      (i, Array.tabulate(64)(t => (i + t).toFloat))).toDF("vec_id", "embedding")
+    val ns = Similarity.knnPq(noSeeds, Similarity.probeEvery(noSeeds, 1), 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(ns.length == 5 * 2 && ns.forall(_._3 == 0.0))
   }
 
   test("diversity, search, and interleave on empty and degenerate inputs") {

@@ -124,7 +124,7 @@ class StoreRoundTripSpec extends AnyFunSuite {
     Sinks.writeBucketed(st.prefix, "ct_prefix_rt", "s", 8)
     val fromTable = Dedup.containmentDelta(
       Dedup.ContainmentStore(spark.table("ct_rows_rt"),
-        spark.table("ct_prefix_rt")), delta, 3, 0.8)
+        spark.table("ct_prefix_rt"), 3, 0.8), delta, 3, 0.8)
     def pairs(r: Dedup.ContainmentDelta) =
       r.pairs.as[(Long, Long, Double)].collect().toSet
     assert(pairs(fromTable) == pairs(inMem) && pairs(inMem).nonEmpty)
