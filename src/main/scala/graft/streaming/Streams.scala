@@ -468,7 +468,7 @@ object Streams {
                       tau: Double = 0.8): DataFrame = {
     val store = graft.operators.Dedup.shingleRows(
       spark.read.parquet(s"$dir/documents.parquet"), n)
-    val outDir = java.nio.file.Files.createTempDirectory("graft_mh_ver").toString
+    val outDir = TempDirs.create("graft_mh_ver")
     try
       minhashVerifiedFromStream(
         FileStreamSource(s"$dir/documents.parquet").stream(spark),
@@ -500,12 +500,38 @@ object Streams {
     q.awaitTermination()
   }
 
-  /** File-source binding of [[knnFromStream]]: every `mod`-th corpus
-    * vector plays the probe stream, answered against the full corpus
-    * — mirrors the batch knn_bruteforce binding exactly. */
+  /** Temp directories backing the harness bindings' sinks, deleted
+    * recursively at JVM exit — a long session serving many queries
+    * would otherwise leak one directory per call. Production callers
+    * use the path-taking overloads instead and own their sinks. */
+  private object TempDirs {
+    private val registered =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      registered.forEach { f =>
+        scala.reflect.io.Directory(f).deleteRecursively(); ()
+      }))
+    def create(prefix: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix)
+      registered.add(d.toFile)
+      d.toString
+    }
+  }
+
+  /** File-source binding of [[knnFromStream]], temp-sink form (the CI
+    * harness binding; the sink is session-scoped and cleaned at JVM
+    * exit): every `mod`-th corpus vector plays the probe stream,
+    * answered against the full corpus — mirrors the batch
+    * knn_bruteforce binding exactly. */
   def knnServe(spark: SparkSession, dir: String, k: Int = 10,
-               mod: Int = 50): DataFrame = {
-    val outDir = java.nio.file.Files.createTempDirectory("graft_st_knn").toString
+               mod: Int = 50): DataFrame =
+    knnServe(spark, dir, TempDirs.create("graft_st_knn"), k, mod)
+
+  /** [[knnFromStream]] with a CALLER-SUPPLIED parquet sink — the
+    * production entry point: answers land durably at `outDir` and the
+    * returned frame (re)reads them from there. */
+  def knnServe(spark: SparkSession, dir: String, outDir: String, k: Int,
+               mod: Int): DataFrame = {
     val probeStream = FileStreamSource(s"$dir/embeddings.parquet").stream(spark)
       .filter(col("vec_id") % mod === 0)
     knnFromStream(probeStream,
@@ -525,30 +551,46 @@ object Streams {
     * against it. Drained with AvailableNow the result equals the
     * batch search, so ta_search's SQL is the oracle verbatim. */
   def searchServe(spark: SparkSession, dir: String, terms: Seq[String],
-                  k: Int): DataFrame = {
-    val postingsDir =
-      java.nio.file.Files.createTempDirectory("graft_st_search_p").toString
-    val countsDir =
-      java.nio.file.Files.createTempDirectory("graft_st_search_n").toString
+                  k: Int): DataFrame =
+    searchServe(spark, dir, terms, k,
+      TempDirs.create("graft_st_search_p"),
+      TempDirs.create("graft_st_search_n"))
+
+  /** [[searchServe]] with CALLER-SUPPLIED index paths — the production
+    * entry point: the postings and doc-count tables land durably where
+    * the caller says, survive the session, and can be re-served (or
+    * grown by a later drain) without rebuilding. Re-draining the same
+    * source into the same paths is IDEMPOTENT: each micro-batch
+    * overwrites its own batchId-keyed subdirectory (see
+    * [[searchIndexFromStream]]). */
+  def searchServe(spark: SparkSession, dir: String, terms: Seq[String],
+                  k: Int, postingsDir: String, countsDir: String): DataFrame = {
     val stream = FileStreamSource(s"$dir/documents.parquet").stream(spark)
     searchIndexFromStream(stream, terms, postingsDir, countsDir)
     val nDocs = spark.read.parquet(countsDir)
       .agg(sum(col("n")).as("n")).head().getLong(0)
+    // the batchId partition column is layout, not postings data
     graft.operators.TextAnalysis.searchIndexed(
-      spark.read.parquet(postingsDir), nDocs, terms, k)
+      spark.read.parquet(postingsDir).select("doc_id", "w", "tf"),
+      nDocs, terms, k)
   }
 
   /** Source-agnostic index-maintenance core: drain any document
-    * stream, appending term postings and per-batch doc counts. */
+    * stream, writing term postings and per-batch doc counts. Each
+    * micro-batch OVERWRITES its own `batch=<id>` subdirectory instead
+    * of appending to a shared one — foreachBatch is at-least-once, so
+    * a replayed batch (failure retry, or a full re-drain from a fresh
+    * checkpoint) rewrites its own output rather than double-counting
+    * tf, df, and nDocs. */
   private[streaming] def searchIndexFromStream(stream: DataFrame,
       terms: Seq[String], postingsDir: String, countsDir: String): Unit = {
     val q = stream.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.TextAnalysis.searchIndex(batch)
           .filter(col("w").isInCollection(terms))
-          .write.mode("append").parquet(postingsDir)
+          .write.mode("overwrite").parquet(s"$postingsDir/batch=$batchId")
         batch.select(count(lit(1)).as("n"))
-          .write.mode("append").parquet(countsDir)
+          .write.mode("overwrite").parquet(s"$countsDir/batch=$batchId")
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -128,6 +128,38 @@ class StreamsSpec extends AnyFunSuite {
     assert(served == batchRes && batchRes.nonEmpty)
   }
 
+  test("searchServe with caller-supplied index paths: durable, re-servable, idempotent re-drain") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import graft.registry.TextAnalysisRegistry.{SearchTerms, SearchK}
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("sts_paths")
+    val (p, n) = (s"$root/postings", s"$root/counts")
+    val batchRes = TextAnalysis.cached {
+      TextAnalysis.search(graft.sources.Tables.documents(spark, dir),
+        SearchTerms, SearchK).as[(Long, Long, Long)].collect().toSet
+    }
+    val served = Streams.searchServe(spark, dir, SearchTerms, SearchK, p, n)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served == batchRes && batchRes.nonEmpty)
+    // the index is DURABLE at the caller's paths: serve again straight
+    // from the written tables, no stream, no rebuild
+    val nDocs = spark.read.parquet(n)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("n"))).head().getLong(0)
+    val reServed = TextAnalysis.searchIndexed(
+      spark.read.parquet(p).select("doc_id", "w", "tf"),
+      nDocs, SearchTerms, SearchK).as[(Long, Long, Long)].collect().toSet
+    assert(reServed == batchRes)
+    // re-draining the same source into the same paths overwrites each
+    // batch's own subdirectory — tf/df/nDocs unchanged, never doubled
+    // (the append-mode shape this replaced double-counted everything)
+    val reDrained = Streams.searchServe(spark, dir, SearchTerms, SearchK, p, n)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(reDrained == batchRes)
+    scala.reflect.io.Directory(new java.io.File(root.toString)).deleteRecursively()
+  }
+
   test("streaming minhash: near-dup candidates across batches, bucket state capped") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
