@@ -62,6 +62,77 @@ object Dedup {
   def exactNormalized(docs: DataFrame): DataFrame =
     keepByMinId(docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp")))
 
+  /** PARAGRAPH-granularity exact dedup — cross-doc repeated-block
+    * removal (boilerplate headers, license blocks, navigation chrome:
+    * the sub-document duplication whole-doc dedup can't see): split
+    * each doc into paragraph rows on `delimRegex`, fingerprint each
+    * paragraph, elect ONE keeper occurrence per distinct paragraph
+    * (lexicographic min (doc_id, para_idx) — [[keepByMinId]]'s rule on
+    * a two-part occurrence key), and emit every occurrence's
+    * assignment: (doc_id, para_idx, keep_doc, keep_idx, is_dup).
+    * para_idx is the position in the SPLIT (empty/whitespace blocks
+    * are dropped but keep their slot), so the downstream rewrite —
+    * filter is_dup = 1, reassemble by (doc_id, para_idx) — preserves
+    * paragraph order. Work: one bounded explode (paragraphs per doc),
+    * one map-side-combined min per fingerprint, one join-back —
+    * [[exact]]'s shape one granularity down; no windows, no
+    * all-pairs, a hot boilerplate paragraph is one aggregate row per
+    * map task, never a single-task partition. */
+  def paragraphExact(docs: DataFrame, delimRegex: String = "\\n+"): DataFrame =
+    paraAssign(docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), delimRegex)).as(Seq("para_idx", "para")))
+      .filter(length(trim(col("para"))) > 0)
+      .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
+        col("para")))
+
+  /** [[paragraphExact]] for corpora WITHOUT structural delimiters (and
+    * for span-level dedup generally): "paragraphs" are consecutive
+    * `spanTokens`-token windows of the tokenized text — fixed-window
+    * span dedup, the granularity a pipeline falls back to when
+    * repeated blocks don't align to newlines (or none exist, as in the
+    * synthetic test corpus). Same occurrence contract and dedup tail
+    * as [[paragraphExact]]; the last span of a doc may be shorter. */
+  def spanExact(docs: DataFrame, spanTokens: Int = 16): DataFrame = {
+    require(spanTokens > 0, "spanExact needs spanTokens > 0")
+    val toks = Text.tokens(col("text"))
+    // last span index = (n-1) div spanTokens; `/` on columns is double
+    // division, so floor-cast — exact for the int ranges here. Token-
+    // less (or null-text) docs emit no spans on either engine.
+    val spans = when(size(col("toks")) > 0,
+      transform(
+        sequence(lit(0),
+          floor((size(col("toks")) - 1) / lit(spanTokens)).cast("int")),
+        i => concat_ws(" ",
+          slice(col("toks"), i * spanTokens + 1, lit(spanTokens)))))
+      .otherwise(array().cast("array<string>"))
+    paraAssign(docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), spans.as("spans"))
+      .select(col("doc_id"),
+        posexplode(col("spans")).as(Seq("para_idx", "para")))
+      .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
+        col("para")))
+  }
+
+  /** Shared assignment tail of both paragraph forms: persist the slim
+    * (doc_id, para_idx, fp) occurrence frame (the keeper aggregate and
+    * the join-back both read it — [[keepByMinId]]'s persist trick),
+    * min-struct keeper election, join back. Paragraph strings are
+    * non-null by construction, so the join key is a plain equi-join. */
+  private def paraAssign(paras: DataFrame): DataFrame = {
+    val fps = CacheTracker.persistTracked(paras.select(col("doc_id"),
+      col("para_idx"), md5(col("para")).as("fp")))
+    val keep = fps.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("k"))
+      .select(col("fp"), col("k.doc_id").as("keep_doc"),
+        col("k.para_idx").as("keep_idx"))
+    fps.join(keep, "fp")
+      .select(col("doc_id"), col("para_idx"), col("keep_doc"), col("keep_idx"),
+        (col("doc_id") =!= col("keep_doc") ||
+          col("para_idx") =!= col("keep_idx")).cast("int").as("is_dup"))
+  }
+
   /** TOTAL store fingerprint: md5(text), with null text mapped to a
     * sentinel that no md5 hex string can collide with. A never-null
     * key lets every store join be a plain equi-join on the bucket

@@ -23,6 +23,12 @@ object DedupRegistry {
     * rule, not just the append-only case the spec proves. */
   val DeltaMod = 3
 
+  /** dd_paragraph's span width: the synthetic corpus has no newlines,
+    * so "paragraphs" are fixed 16-token windows ([[Dedup.spanExact]]);
+    * the newline splitter ([[Dedup.paragraphExact]]) is the structured-
+    * corpus API, spec-proven on a boilerplate corpus (DedupSpec). */
+  val SpanTokens = 16
+
   /** DuckDB spelling of Text.shingles(Text.tokens(text), 3). */
   private val Sh3 =
     """list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
@@ -72,6 +78,10 @@ object DedupRegistry {
         Dedup.containmentStore(docs.filter(c % DeltaMod =!= 0), 3, ContainTau),
         docs.filter(c % DeltaMod === 0), 3, ContainTau).pairs
     }),
+    // paragraph/span-granularity exact dedup: every occurrence of a
+    // repeated sub-document block assigned to its first occurrence
+    "dd_paragraph" -> ((s, d) =>
+      Dedup.spanExact(Tables.documents(s, d), SpanTokens)),
     "dd_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dd_embedding" -> ((s, d) =>
@@ -183,6 +193,34 @@ object DedupRegistry {
          |FROM delta d
          |JOIN dmin m ON d.fp IS NOT DISTINCT FROM m.fp
          |LEFT JOIN store s ON d.fp IS NOT DISTINCT FROM s.fp""".stripMargin,
+    // replay the fixed-window span split (16-token windows of the same
+    // token array, 1-based inclusive slices), md5 each span, elect the
+    // lexicographic-min (doc_id, para_idx) occurrence in two steps
+    // (min doc, then min idx within it) — equal to Spark's min-struct
+    "dd_paragraph" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $ToksExpr AS toks FROM documents
+         |), spans AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(
+         |      range(CAST(ceil(len(toks) / $SpanTokens.0) AS BIGINT)),
+         |      i -> {'idx': i, 'para': array_to_string(
+         |        toks[i * $SpanTokens + 1 : i * $SpanTokens + $SpanTokens],
+         |        ' ')})) AS pr
+         |  FROM base
+         |), fps AS (
+         |  SELECT doc_id, pr.idx AS para_idx, md5(pr.para) AS fp FROM spans
+         |), keep AS (
+         |  SELECT fp, min(doc_id) AS keep_doc FROM fps GROUP BY fp
+         |), keepi AS (
+         |  SELECT k.fp, k.keep_doc, min(f.para_idx) AS keep_idx
+         |  FROM keep k JOIN fps f ON f.fp = k.fp AND f.doc_id = k.keep_doc
+         |  GROUP BY 1, 2
+         |)
+         |SELECT f.doc_id, f.para_idx, ki.keep_doc, ki.keep_idx,
+         |  CAST(f.doc_id <> ki.keep_doc OR f.para_idx <> ki.keep_idx
+         |    AS INTEGER) AS is_dup
+         |FROM fps f JOIN keepi ki ON ki.fp = f.fp""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH $JaccardCtes
          |SELECT id_a, id_b,

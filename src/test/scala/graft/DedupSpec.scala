@@ -23,6 +23,53 @@ class DedupSpec extends AnyFunSuite {
     (4L, "completely different words entirely unrelated content here now", "s"),
   ).toDF("doc_id", "text", "source")
 
+  test("paragraphExact: shared boilerplate paragraphs dedup to their first occurrence") {
+    // a license block repeated across docs at different positions —
+    // the sub-document duplication whole-doc dedup can't see
+    val lic = "licensed under the apache license version two"
+    val pdocs = Seq(
+      (1L, s"intro paragraph one\n$lic\nbody of doc one"),
+      (2L, s"$lic\nentirely different body"),
+      (3L, "no boilerplate at all here"),
+      (4L, s"   \n$lic"), // whitespace-only block dropped, slot kept
+      (5L, null.asInstanceOf[String]), // null text: no paragraph rows
+    ).toDF("doc_id", "text")
+    val r = Dedup.paragraphExact(pdocs)
+      .as[(Long, Long, Long, Long, Int)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4), x._5)).toMap
+    // license occurrences: keeper is (1, 1); later occurrences flagged
+    assert(r((1L, 1L)) == (((1L, 1L), 0)))
+    assert(r((2L, 0L)) == (((1L, 1L), 1)))
+    assert(r((4L, 1L)) == (((1L, 1L), 1))) // para_idx keeps the split slot
+    // unique paragraphs keep themselves; doc 5 and blanks emit nothing
+    assert(r((3L, 0L)) == (((3L, 0L), 0)))
+    assert(!r.contains((4L, 0L)) && !r.keySet.exists(_._1 == 5L))
+    // the rewrite contract: dropping is_dup=1 leaves each distinct
+    // paragraph exactly once
+    val kept = r.toList.collect { case (occ, (_, 0)) => occ }
+    assert(kept.size == r.values.map(_._1).toSet.size)
+  }
+
+  test("spanExact: fixed token windows, exact-dup docs share every span") {
+    // 40 DISTINCT letter-only tokens (digits are token separators) → 3 spans
+    val a = (0 until 40)
+      .map(i => s"tok${('a' + i % 26).toChar}${('a' + i / 26).toChar}")
+      .mkString(" ")
+    val sdocs = Seq((10L, a), (20L, a), (30L, "tiny doc")).toDF("doc_id", "text")
+    val r = Dedup.spanExact(sdocs, 16)
+      .as[(Long, Long, Long, Long, Int)].collect()
+    val byDoc = r.groupBy(_._1)
+    assert(byDoc(10L).length == 3 && byDoc(20L).length == 3
+      && byDoc(30L).length == 1)
+    // doc 20's spans all point at doc 10's same-index spans
+    byDoc(20L).foreach { case (_, idx, kd, ki, dup) =>
+      assert(kd == 10L && ki == idx && dup == 1)
+    }
+    byDoc(10L).foreach { case (_, idx, kd, ki, dup) =>
+      assert(kd == 10L && ki == idx && dup == 0)
+    }
+  }
+
   test("minhash+LSH finds near-dup pairs and verifies with exact jaccard") {
     val pairs = Dedup.minhashLsh(docs, n = 3, tau = 0.5)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
