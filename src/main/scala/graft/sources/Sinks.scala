@@ -129,4 +129,43 @@ object Sinks {
       .sortBy(bucketCol)
       .mode("overwrite")
       .saveAsTable(table)
+
+  /** Compact a bucketed store table in place. Every delta ingest
+    * APPENDS its new rows to the store (one file per write task per
+    * bucket), so over many ingests the accumulated small-file count —
+    * not the data size — starts to dominate the per-ingest store scan:
+    * the classic maintained-table debt. This rewrites the table into
+    * ONE file per bucket with ZERO shuffle: forcing the BUCKETED scan
+    * (autoBucketedScan off for the rewrite) makes each read task hold
+    * exactly one bucket's files, so the bucketed re-write emits one
+    * file per task — a plain repartition-on-the-bucket-column is NOT
+    * safe here, because the optimizer eliminates it against the
+    * table's claimed partitioning while the planner independently
+    * decides a non-bucketed scan, scattering every bucket across
+    * tasks. The rewrite then swaps in via table rename. Bucketing
+    * metadata is preserved: downstream ingest joins keep their
+    * shuffle-free store side, and results are unchanged across a
+    * compaction between two ingests (StoreRoundTripSpec proves rows,
+    * assignments, file count, and plan). */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, table: String,
+                   bucketCol: String, buckets: Int): Unit = {
+    val tmp = s"${table}__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    val autoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(autoScan)
+    spark.conf.set(autoScan, "false")
+    try
+      spark.table(table)
+        .write
+        .bucketBy(buckets, bucketCol)
+        .sortBy(bucketCol)
+        .mode("overwrite")
+        .saveAsTable(tmp)
+    finally prev match {
+      case Some(v) => spark.conf.set(autoScan, v)
+      case None => spark.conf.unset(autoScan)
+    }
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
 }

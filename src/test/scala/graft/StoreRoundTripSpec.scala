@@ -83,6 +83,58 @@ class StoreRoundTripSpec extends AnyFunSuite {
     dropTable("keeper_store_rt")
   }
 
+  test("compactStore between two ingests: same results, fewer files, still shuffle-free") {
+    val docs = Tables.documents(spark, d)
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val d1 = docs.filter(col("doc_id") % 6 === 0)
+    val d2 = docs.filter(col("doc_id") % 6 === 3)
+    // the in-memory reference chain: two sequential ingests
+    val ref1 = Dedup.exactDelta(Dedup.keeperStore(old), d1)
+    val ref2 = Dedup.exactDelta(ref1.updatedStore, d2)
+    def asn(df: DataFrame) = df.as[(Long, Long, Int)].collect().toSet
+    val t = "keeper_store_cp"
+    dropTable(t)
+    // ingest history with append debt: base store, then the first
+    // delta's genuinely NEW fingerprints appended (what a real ingest
+    // materializes — the updated store minus what was already there)
+    Sinks.writeBucketed(Dedup.keeperStore(old), t, "fp", 8)
+    val r1 = Dedup.exactDelta(spark.table(t), d1)
+    assert(asn(r1.assignment) == asn(ref1.assignment))
+    r1.updatedStore.join(spark.table(t), Seq("fp"), "left_anti")
+      .write.bucketBy(8, "fp").sortBy("fp").mode("append").saveAsTable(t)
+    def files() = new java.io.File(s"spark-warehouse/$t")
+      .listFiles().count(_.getName.startsWith("part-"))
+    val rowsBefore = spark.table(t).as[(String, Long)].collect().toSet
+    val filesBefore = files()
+    Sinks.compactStore(spark, t, "fp", 8)
+    // rows identical, file count reduced to one per bucket
+    assert(spark.table(t).as[(String, Long)].collect().toSet == rowsBefore)
+    assert(files() < filesBefore && files() <= 8,
+      s"compaction left ${files()} files (was $filesBefore)")
+    // the NEXT ingest over the compacted table: same assignment, and
+    // the store side still enters the join without an Exchange
+    val r2 = Dedup.exactDelta(spark.table(t), d2)
+    assert(asn(r2.assignment) == asn(ref2.assignment) && asn(r2.assignment).nonEmpty)
+    withConf("spark.sql.adaptive.enabled" -> "false",
+             "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = Dedup.exactDelta(spark.table(t), d2)
+        .assignment.queryExecution.executedPlan
+      val storeSides = plan.collect { case j: SortMergeJoinExec => j }
+        .flatMap(j => Seq(j.left, j.right))
+        .filter(side =>
+          side.collect { case jj: SortMergeJoinExec => jj }.isEmpty &&
+          side.collect {
+            case s: FileSourceScanExec if s.output.map(_.name).contains("keep_id") => s
+          }.nonEmpty)
+      assert(storeSides.nonEmpty)
+      storeSides.foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"compacted store side shuffles:\n$side")
+      }
+    }
+    dropTable(t)
+  }
+
   test("minhash banded + shingle stores round-trip through bucketed tables") {
     val docs = Tables.documents(spark, d)
     val old = docs.filter(col("doc_id") % 3 =!= 0)
