@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   *   - per-row column math (length, hash, magic sniff) — codegen'd;
   *   - frame sampling — positional byte slices, exploded;
   *   - batched decode (`mapPartitions`) — partition-local batching so
-  *     a real decoder (libjpeg, ffmpeg, …) amortizes setup per batch,
-  *     never per row. The decoder here is a deterministic STUB (this
-  *     container has no media libs); the batching, schema and
-  *     partitioning are the real, tested plumbing.
+  *     a decoder amortizes setup per batch, never per row. Since r9
+  *     IMAGE payloads (PNG/JPEG) decode for REAL via the JDK's
+  *     javax.imageio into a pixel-luminance feature histogram; other
+  *     kinds take a deterministic byte-histogram stand-in (the JDK
+  *     ships no audio/video decoder), so the batching, schema and
+  *     partitioning are testable bit-for-bit either way.
   *
   * The driver's corpus has no binary table, so `withPayload` derives
   * the payload from `documents.text` (UTF-8 bytes) — opaque bytes as
@@ -95,11 +97,63 @@ object Multimodal {
         countDistinct(col("pm")).as("n_unique"),
         sum(col("len")).as("total_bytes"))
 
-  /** STUB decoder: a real implementation hands each batch of payloads
-    * to a native decoder (libjpeg/ffmpeg/…) and returns one feature
-    * row per input. This fake — a 16-bin byte histogram, L1-normalized
-    * — is deterministic so the plumbing is testable bit-for-bit
-    * without media libraries. */
+  /** Image-magic probe for the batch decoder's routing (PNG / JPEG —
+    * the two formats the JDK decodes natively). */
+  private def looksLikeImage(bytes: Array[Byte]): Boolean =
+    (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') ||
+    (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8 && (bytes(2) & 0xFF) == 0xFF)
+
+  /** REAL image decode via `javax.imageio` (ships in the JDK — no
+    * external media libs): decoded pixels → 16-bin integer-luminance
+    * histogram (Rec.601 integer weights, deterministic), L1-normalized
+    * over the pixel count — the same 16-float feature contract as the
+    * byte stand-in, so image and non-image payloads share one schema.
+    * None for bytes that carry an image magic but don't decode
+    * (truncated or synthetic headers) — the caller falls back to the
+    * byte histogram. */
+  private[operators] def decodeImage(bytes: Array[Byte]): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val hist = new Array[Int](16)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+              114 * (rgb & 0xFF)) / 1000
+            hist(lum >> 4) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = (img.getWidth.toLong * img.getHeight).toFloat
+        Some(hist.map(_.toFloat / n))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Batch decoder: image payloads decode for REAL ([[decodeImage]] —
+    * r9 upgrade); every other kind, and image-magic bytes that don't
+    * decode, take the deterministic byte-histogram stand-in
+    * ([[decodeBatchStub]] — the one declared stub left: audio/video
+    * decoders aren't in the JDK). */
+  def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Int, Array[Float])] =
+    batch.map { case (id, bytes) =>
+      (if (looksLikeImage(bytes)) decodeImage(bytes) else None) match {
+        case Some(h) => (id, bytes.length, h)
+        case None => decodeBatchStub(Seq((id, bytes))).head
+      }
+    }
+
+  /** STAND-IN decoder for non-image kinds: a real implementation hands
+    * each batch of payloads to a native decoder (ffmpeg, libsndfile,
+    * …) and returns one feature row per input. This fake — a 16-bin
+    * byte histogram, L1-normalized — is deterministic so the plumbing
+    * is testable bit-for-bit without media libraries. */
   def decodeBatchStub(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Int, Array[Float])] =
     batch.map { case (id, bytes) =>
       // exact Int counts (a Float accumulator stops incrementing at
@@ -125,7 +179,7 @@ object Multimodal {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(batchSize).flatMap(b => decodeBatchStub(b.toSeq)))
+      .mapPartitions(_.grouped(batchSize).flatMap(b => decodeBatch(b.toSeq)))
       .toDF("doc_id", "n_bytes", "features")
   }
 }

@@ -38,6 +38,48 @@ class BinaryPayloadSpec extends AnyFunSuite {
       3L -> "audio/riff", 4L -> "text/plain"))
   }
 
+  test("a real PNG's pixels decode into the feature vector via javax.imageio") {
+    import spark.implicits._
+    // 4x2 image: top row black (luminance 0 -> bin 0), bottom row
+    // white (luminance 255 -> bin 15) — written through the actual
+    // PNG encoder, so featuresOf exercises the real decode path
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach { x =>
+      img.setRGB(x, 0, 0x000000)
+      img.setRGB(x, 1, 0xFFFFFF)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+    val gray = new java.awt.image.BufferedImage(3, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 3).foreach(x => (0 until 3).foreach(y =>
+      gray.setRGB(x, y, 0x808080))) // luminance 128 -> bin 8
+    val baos2 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray, "png", baos2))
+    val text = "plain ascii payload".getBytes("UTF-8")
+    val t = Seq((1L, png), (2L, baos2.toByteArray), (3L, text))
+      .toDF("doc_id", "payload")
+    // the payload really is a PNG as far as sniffing is concerned
+    assert(Multimodal.metadataOf(t).select("doc_id", "kind")
+      .as[(Long, String)].collect().toMap.apply(1L) == "image/png")
+    val feats = Multimodal.featuresOf(t)
+      .as[(Long, Int, Seq[Float])].collect().map(r => r._1 -> r).toMap
+    // half the pixels at luminance 0, half at 255
+    val (_, n1, h1) = feats(1L)
+    assert(n1 == png.length && h1(0) == 0.5f && h1(15) == 0.5f
+      && h1.sum == 1.0f)
+    // all nine pixels in the mid-gray bin
+    val (_, _, h2) = feats(2L)
+    assert(h2(8) == 1.0f && h2.sum == 1.0f)
+    // non-image payloads still take the byte-histogram stand-in
+    val (_, n3, h3) = feats(3L)
+    assert((n3, h3.toSeq) ==
+      (text.length,
+        Multimodal.decodeBatchStub(Seq((3L, text))).head._3.toSeq))
+  }
+
   test("frames and features run on binary payloads with exact lengths") {
     import spark.implicits._
     val t = binaryTable()
