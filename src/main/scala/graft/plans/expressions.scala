@@ -38,6 +38,27 @@ case class TokenizeExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `tokens_cjk(text)`: CJK-aware tokens — letter runs as
+  * [[TokenizeExpr]], unsegmented-script runs as char bigrams. See
+  * [[TextKernels.tokensCjk]]. */
+case class CjkTokenizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tokens_cjk() needs a string input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokensCjk(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.tokensCjk($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CjkTokenizeExpr =
+    copy(child = newChild)
+}
+
 /** `dot(a, b)`: Σ aᵢ·bᵢ, strict left-to-right double accumulation over
   * float/double array columns (promotion exactly as SQL CAST). */
 case class DotExpr(left: Expression, right: Expression) extends BinaryExpression {
@@ -356,6 +377,10 @@ object Exprs {
   /** Column wrapper for [[TokenizeExpr]]. */
   def tokens(c: Column): Column =
     ColumnBridge.column(TokenizeExpr(ColumnBridge.expression(c)))
+
+  /** Column wrapper for [[CjkTokenizeExpr]]. */
+  def tokensCjk(c: Column): Column =
+    ColumnBridge.column(CjkTokenizeExpr(ColumnBridge.expression(c)))
 
   /** Column wrapper for [[DotExpr]]. */
   def dot(a: Column, b: Column): Column =

@@ -60,6 +60,56 @@ object TextKernels {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Unsegmented scripts (Han/Hiragana/Katakana/Hangul) have no
+    * whitespace word boundaries, so the letter-run tokenizer above
+    * returns a CJK sentence as ONE giant token — fine for reference
+    * parity, wrong for per-token statistics. */
+  private def isCjk(cp: Int): Boolean = {
+    val sc = Character.UnicodeScript.of(cp)
+    sc == Character.UnicodeScript.HAN ||
+      sc == Character.UnicodeScript.HIRAGANA ||
+      sc == Character.UnicodeScript.KATAKANA ||
+      sc == Character.UnicodeScript.HANGUL
+  }
+
+  /** CJK-aware tokenization: non-CJK letter runs tokenize exactly as
+    * [[tokens]] (split on non-letters, lowercase after), while runs of
+    * unsegmented-script characters emit overlapping character BIGRAMS
+    * (a single-character run emits that character) — the standard
+    * char-n-gram fallback for scripts without whitespace boundaries.
+    * Mixed text needs no gating: each run takes its script's path. */
+  def tokensCjk(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val n = str.length
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (isCjk(cp)) {
+        // CJK run → overlapping char bigrams
+        var prevStart = i
+        i += Character.charCount(cp)
+        var emitted = false
+        while (i < n && isCjk(str.codePointAt(i))) {
+          val next = i + Character.charCount(str.codePointAt(i))
+          out += UTF8String.fromString(str.substring(prevStart, next))
+          prevStart = i
+          i = next
+          emitted = true
+        }
+        if (!emitted) out += UTF8String.fromString(str.substring(prevStart, i))
+      } else if (Character.isLetter(cp)) {
+        // non-CJK letter run, lowercased after the split ([[tokens]])
+        val start = i
+        while (i < n && {
+          val c = str.codePointAt(i); Character.isLetter(c) && !isCjk(c)
+        }) i += Character.charCount(str.codePointAt(i))
+        out += UTF8String.fromString(str.substring(start, i)).toLowerCase
+      } else i += Character.charCount(cp)
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** Dense-vector kernels: strict left-to-right double accumulation,

@@ -134,6 +134,41 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(ns.length == 5 * 2 && ns.forall(_._3 == 0.0))
   }
 
+  test("CJK text: default tokenizer pinned (one run-token), cjkTokens emits char bigrams") {
+    import graft.functions.Text
+    import org.apache.spark.sql.functions.col
+    val samples = Seq(
+      (1L, "深度学习模型训练"),            // Han, no separators
+      (2L, "the 深度学习 model"),          // mixed scripts
+      (3L, "plain latin words only"),      // no CJK at all
+      (4L, "日本語のテキスト"),            // Hiragana + Katakana + Han
+      (5L, "한국어 텍스트"),               // Hangul, space-separated
+    ).toDF("doc_id", "text")
+    val both = samples.select(col("doc_id"),
+        Text.tokens(col("text")).as("t"), Text.cjkTokens(col("text")).as("c"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // PINNED default: an unsegmented-script sentence is ONE giant
+    // token under [^\p{L}]+ — the documented reference-parity skew
+    // (SURVEY §5); per-token ta_*/dd_ statistics over CJK corpora
+    // should opt into cjkTokens instead.
+    assert(both(1L)._1 == Seq("深度学习模型训练"))
+    assert(both(1L)._2 == Seq("深度", "度学", "学习", "习模", "模型", "型训", "训练"))
+    // mixed text: each run takes its script's path, Latin lowercased
+    assert(both(2L)._1 == Seq("the", "深度学习", "model"))
+    assert(both(2L)._2 == Seq("the", "深度", "度学", "学习", "model"))
+    // Latin-only text: the two tokenizers agree exactly
+    assert(both(3L)._1 == both(3L)._2 && both(3L)._1 == Seq("plain", "latin", "words", "only"))
+    // kana/hangul count as unsegmented too; spaces still separate
+    // one continuous 8-char run across Han/Hiragana/Katakana → 7 bigrams
+    assert(both(4L)._2.forall(_.length <= 2) && both(4L)._2.size == 7)
+    assert(both(5L)._2 == Seq("한국", "국어", "텍스", "스트"))
+    // single CJK char between separators emits itself
+    val one = Seq((9L, "a 中 b")).toDF("doc_id", "text")
+      .select(Text.cjkTokens(col("text"))).as[Seq[String]].head()
+    assert(one == Seq("a", "中", "b"))
+  }
+
   test("diversity, search, and interleave on empty and degenerate inputs") {
     import graft.operators.Corpus
     // diversity: zero-token docs get (0, 0, 0.0, 0.0), null text too
