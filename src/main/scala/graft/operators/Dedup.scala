@@ -79,12 +79,16 @@ object Dedup {
     * all-pairs, a hot boilerplate paragraph is one aggregate row per
     * map task, never a single-task partition. */
   def paragraphExact(docs: DataFrame, delimRegex: String = "\\n+"): DataFrame =
-    paraAssign(docs
+    paraAssign(paragraphRows(docs, delimRegex))
+
+  /** (doc_id, para_idx, para) rows of the delimiter-split form. */
+  private def paragraphRows(docs: DataFrame, delimRegex: String): DataFrame =
+    docs
       .select(col("doc_id"),
         posexplode(split(col("text"), delimRegex)).as(Seq("para_idx", "para")))
       .filter(length(trim(col("para"))) > 0)
       .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
-        col("para")))
+        col("para"))
 
   /** [[paragraphExact]] for corpora WITHOUT structural delimiters (and
     * for span-level dedup generally): "paragraphs" are consecutive
@@ -93,7 +97,11 @@ object Dedup {
     * repeated blocks don't align to newlines (or none exist, as in the
     * synthetic test corpus). Same occurrence contract and dedup tail
     * as [[paragraphExact]]; the last span of a doc may be shorter. */
-  def spanExact(docs: DataFrame, spanTokens: Int = 16): DataFrame = {
+  def spanExact(docs: DataFrame, spanTokens: Int = 16): DataFrame =
+    paraAssign(spanRows(docs, spanTokens))
+
+  /** (doc_id, para_idx, para) rows of the fixed-token-window form. */
+  private def spanRows(docs: DataFrame, spanTokens: Int): DataFrame = {
     require(spanTokens > 0, "spanExact needs spanTokens > 0")
     val toks = Text.tokens(col("text"))
     // last span index = (n-1) div spanTokens; `/` on columns is double
@@ -106,13 +114,54 @@ object Dedup {
         i => concat_ws(" ",
           slice(col("toks"), i * spanTokens + 1, lit(spanTokens)))))
       .otherwise(array().cast("array<string>"))
-    paraAssign(docs
+    docs
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), spans.as("spans"))
       .select(col("doc_id"),
         posexplode(col("spans")).as(Seq("para_idx", "para")))
       .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
-        col("para")))
+        col("para"))
+  }
+
+  /** The REWRITE the paragraph family exists for — boilerplate
+    * removal, executed: drop every duplicate occurrence and reassemble
+    * each doc from its KEPT paragraphs in position order. Output:
+    * (doc_id, n_paras, n_kept, text_kept) — text_kept joins kept
+    * paragraphs with '\n' ('' when every paragraph was a duplicate);
+    * docs with no paragraph rows (null/empty text) don't appear, same
+    * as the assignment. Shape: the shared keeper election + join-back,
+    * then ONE per-doc aggregate; reassembly sorts within each doc's
+    * own collected rows (sort_array over (para_idx, para) structs —
+    * bounded by paragraphs-per-doc, no window, no second shuffle
+    * beyond the doc_id aggregate). `paragraphRewrite` is the
+    * delimiter form; [[spanRewrite]] the fixed-window form (the
+    * registered binding). */
+  def paragraphRewrite(docs: DataFrame, delimRegex: String = "\\n+"): DataFrame =
+    paraRewrite(paragraphRows(docs, delimRegex))
+
+  /** [[paragraphRewrite]] over [[spanRows]] windows. */
+  def spanRewrite(docs: DataFrame, spanTokens: Int = 16): DataFrame =
+    paraRewrite(spanRows(docs, spanTokens))
+
+  private def paraRewrite(paras: DataFrame): DataFrame = {
+    // the persisted frame carries the paragraph TEXT here (the keeper
+    // aggregate and the reassembly join both read it) — heavier than
+    // paraAssign's id-only cache, but the rewrite must emit the bytes
+    val rows = CacheTracker.persistTracked(paras.select(col("doc_id"),
+      col("para_idx"), col("para"), md5(col("para")).as("fp")))
+    rows.join(paraKeepers(rows), "fp")
+      .withColumn("kept", (col("doc_id") === col("keep_doc") &&
+        col("para_idx") === col("keep_idx")).cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("kept")).as("n_kept"),
+        // collect_list skips the nulls `when` leaves for dropped
+        // occurrences; struct sort = position order within the doc
+        concat_ws("\n",
+          transform(
+            sort_array(collect_list(when(col("kept") === 1,
+              struct(col("para_idx"), col("para"))))),
+            x => x.getField("para"))).as("text_kept"))
   }
 
   /** Shared assignment tail of both paragraph forms: persist the slim
@@ -120,14 +169,18 @@ object Dedup {
     * the join-back both read it — [[keepByMinId]]'s persist trick),
     * min-struct keeper election, join back. Paragraph strings are
     * non-null by construction, so the join key is a plain equi-join. */
-  private def paraAssign(paras: DataFrame): DataFrame = {
-    val fps = CacheTracker.persistTracked(paras.select(col("doc_id"),
-      col("para_idx"), md5(col("para")).as("fp")))
-    val keep = fps.groupBy(col("fp"))
+  /** Keeper election shared by assignment and rewrite: lexicographic
+    * min (doc_id, para_idx) per fingerprint, map-side combinable. */
+  private def paraKeepers(fps: DataFrame): DataFrame =
+    fps.groupBy(col("fp"))
       .agg(min(struct(col("doc_id"), col("para_idx"))).as("k"))
       .select(col("fp"), col("k.doc_id").as("keep_doc"),
         col("k.para_idx").as("keep_idx"))
-    fps.join(keep, "fp")
+
+  private def paraAssign(paras: DataFrame): DataFrame = {
+    val fps = CacheTracker.persistTracked(paras.select(col("doc_id"),
+      col("para_idx"), md5(col("para")).as("fp")))
+    fps.join(paraKeepers(fps), "fp")
       .select(col("doc_id"), col("para_idx"), col("keep_doc"), col("keep_idx"),
         (col("doc_id") =!= col("keep_doc") ||
           col("para_idx") =!= col("keep_idx")).cast("int").as("is_dup"))

@@ -82,6 +82,10 @@ object DedupRegistry {
     // repeated sub-document block assigned to its first occurrence
     "dd_paragraph" -> ((s, d) =>
       Dedup.spanExact(Tables.documents(s, d), SpanTokens)),
+    // the rewrite executed: duplicate occurrences dropped, each doc
+    // reassembled from its kept paragraphs in position order
+    "dd_paragraph_rewrite" -> ((s, d) =>
+      Dedup.spanRewrite(Tables.documents(s, d), SpanTokens)),
     "dd_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dd_embedding" -> ((s, d) =>
@@ -221,6 +225,43 @@ object DedupRegistry {
          |  CAST(f.doc_id <> ki.keep_doc OR f.para_idx <> ki.keep_idx
          |    AS INTEGER) AS is_dup
          |FROM fps f JOIN keepi ki ON ki.fp = f.fp""".stripMargin,
+    // same span/keeper CTEs as dd_paragraph (fps keeps the paragraph
+    // TEXT), then one per-doc aggregate: string_agg of kept paragraphs
+    // ordered by position (skipping dropped occurrences), '' when all
+    // of a doc's paragraphs were duplicates — Spark's concat_ws over
+    // the sorted kept structs, replayed
+    "dd_paragraph_rewrite" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $ToksExpr AS toks FROM documents
+         |), spans AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(
+         |      range(CAST(ceil(len(toks) / $SpanTokens.0) AS BIGINT)),
+         |      i -> {'idx': i, 'para': array_to_string(
+         |        toks[i * $SpanTokens + 1 : i * $SpanTokens + $SpanTokens],
+         |        ' ')})) AS pr
+         |  FROM base
+         |), fps AS (
+         |  SELECT doc_id, pr.idx AS para_idx, pr.para AS para,
+         |    md5(pr.para) AS fp
+         |  FROM spans
+         |), keep AS (
+         |  SELECT fp, min(doc_id) AS keep_doc FROM fps GROUP BY fp
+         |), keepi AS (
+         |  SELECT k.fp, k.keep_doc, min(f.para_idx) AS keep_idx
+         |  FROM keep k JOIN fps f ON f.fp = k.fp AND f.doc_id = k.keep_doc
+         |  GROUP BY 1, 2
+         |), joined AS (
+         |  SELECT f.doc_id, f.para_idx, f.para,
+         |    CAST(f.doc_id = ki.keep_doc AND f.para_idx = ki.keep_idx
+         |      AS INTEGER) AS kept
+         |  FROM fps f JOIN keepi ki ON ki.fp = f.fp
+         |)
+         |SELECT doc_id, count(*) AS n_paras,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN kept = 1 THEN para END, chr(10)
+         |    ORDER BY para_idx), '') AS text_kept
+         |FROM joined GROUP BY doc_id""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH $JaccardCtes
          |SELECT id_a, id_b,

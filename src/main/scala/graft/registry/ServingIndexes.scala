@@ -27,6 +27,16 @@ object ServingIndexes {
   private val built =
     scala.collection.concurrent.TrieMap.empty[String, (Seq[String], Long)]
 
+  // harness hygiene: the memoized index dirs die with the JVM — a CI
+  // driver cycling many sessions would otherwise accumulate one set
+  // per (kind, corpus) per run
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    built.values.foreach { case (paths, _) =>
+      paths.foreach { p =>
+        scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively(); ()
+      }
+    }))
+
   /** Build-once: materialize each frame of `build` as parquet under
     * its own temp dir; returns the paths plus one long payload (e.g.
     * the corpus doc count captured at build time). Thread-safe; keyed

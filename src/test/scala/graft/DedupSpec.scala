@@ -48,6 +48,15 @@ class DedupSpec extends AnyFunSuite {
     // paragraph exactly once
     val kept = r.toList.collect { case (occ, (_, 0)) => occ }
     assert(kept.size == r.values.map(_._1).toSet.size)
+    // the rewrite EXECUTED: boilerplate stripped, position order kept
+    val rw = Dedup.paragraphRewrite(pdocs)
+      .as[(Long, Long, Long, String)].collect().map(x => x._1 -> x).toMap
+    assert(rw(1L) == ((1L, 3L, 3L,
+      s"intro paragraph one\n$lic\nbody of doc one")))
+    assert(rw(2L) == ((2L, 2L, 1L, "entirely different body")))
+    assert(rw(3L) == ((3L, 1L, 1L, "no boilerplate at all here")))
+    assert(rw(4L) == ((4L, 1L, 0L, ""))) // its only paragraph was a dup
+    assert(!rw.contains(5L))
   }
 
   test("spanExact: fixed token windows, exact-dup docs share every span") {
