@@ -394,6 +394,43 @@ object TextAnalysis {
     topKByScore(tf, weights, k)
   }
 
+  /** MULTI-QUERY serving over the postings index — the shape a
+    * serving tier actually runs: Q query bags answered in ONE pass.
+    * `queries` is a (query_id, w) frame, one row per query term.
+    * Per-term df/weights are computed once per DISTINCT term across
+    * all queries (not per query); each candidate posting fans out only
+    * to the queries containing its term; per-(query, doc) BIGINT
+    * scores aggregate map-side; top-k per query via the bounded
+    * graft_topk heap (score desc, doc_id asc) — k×partitions rows per
+    * query reach the exchange, never the candidate set (a per-query
+    * row_number window would hash-sort every candidate). Output:
+    * (query_id, doc_id, score, rnk). Integer scores rank exactly
+    * through the heap's double slot below 2^53 — the quantized-weight
+    * regime [[search]] documents. TextAnalysisSpec proves each query's
+    * rows ≡ the single-query [[searchIndexed]]. */
+  def searchIndexedBatch(postings: DataFrame, nDocs: Long, queries: DataFrame,
+                         k: Int): DataFrame = {
+    require(nDocs >= 0 && nDocs <= Long.MaxValue / IdfScale,
+      "searchIndexedBatch nDocs out of range")
+    val numerator = nDocs * IdfScale
+    val q = queries.select(col("query_id"), col("w")).distinct()
+    val terms = q.select(col("w")).distinct()
+    val tf = postings.join(broadcast(terms), "w")
+    val weights = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .select(col("w"), expr(s"$numerator div df").as("wt"))
+    val scored = tf.join(broadcast(weights), "w")
+      .join(broadcast(q), "w")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf") * col("wt")).as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.plans.Exprs.topK(col("score").cast("double"),
+        col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        col("t.score").cast("long").as("score"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Per-language corpus statistics: type-token ratio and average
     * word length. One explode + one agg on lang (bounded key space). */
   def wordStats(docs: DataFrame): DataFrame =

@@ -27,6 +27,14 @@ object TextAnalysisRegistry {
   val SearchTerms = Seq("spark", "stream", "vector")
   val SearchK = 25
 
+  /** ta_search_batch's query bags: three queries of different widths
+    * over the synthetic vocabulary (bag 1 = the single-query binding's
+    * terms, so its rows cross-check ta_search's ranking). */
+  val BatchQueries: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "stream", 1L -> "vector",
+    2L -> "table", 2L -> "join",
+    3L -> "window")
+
   private val PredLangCase: String =
     predLangCase(TextAnalysis.StopwordsByLang.map(_._1), "s_")
 
@@ -56,6 +64,17 @@ object TextAnalysisRegistry {
       }
       TextAnalysis.searchIndexed(s.read.parquet(paths.head), nDocs,
         SearchTerms, SearchK)
+    }),
+    // multi-query serving: three query bags answered in ONE pass over
+    // the same memoized postings index
+    "ta_search_batch" -> ((s, d) => {
+      val (paths, nDocs) = ServingIndexes.once("postings", d) {
+        val docs = Tables.documents(s, d)
+        (Seq(TextAnalysis.searchIndex(docs)), docs.count())
+      }
+      import s.implicits._
+      TextAnalysis.searchIndexedBatch(s.read.parquet(paths.head), nDocs,
+        BatchQueries.toDF("query_id", "w"), SearchK)
     }),
   )
 
@@ -247,6 +266,36 @@ object TextAnalysisRegistry {
     )
     // the serving path returns ta_search's exact result over a
     // postings round-trip — same oracle verbatim
-    base + ("ta_search_served" -> base("ta_search"))
+    val batchSql = {
+      val vals = BatchQueries
+        .map { case (id, w) => s"(CAST($id AS BIGINT), '$w')" }.mkString(", ")
+      val termList = BatchQueries.map(_._2).distinct
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH queries(query_id, w) AS (VALUES $vals),
+         |tf AS (
+         |  SELECT doc_id, w, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($ToksExpr) AS w FROM documents)
+         |  WHERE w IN ($termList)
+         |  GROUP BY 1, 2
+         |), n AS (SELECT count(*) AS n_docs FROM documents),
+         |wts AS (
+         |  SELECT w, n_docs * ${TextAnalysis.IdfScale} // df AS wt
+         |  FROM (SELECT w, count(*) AS df FROM tf GROUP BY w) d CROSS JOIN n
+         |), scored AS (
+         |  SELECT q.query_id, t.doc_id, CAST(sum(t.tf * wt) AS BIGINT) AS score
+         |  FROM tf t JOIN wts USING (w) JOIN queries q ON q.w = t.w
+         |  GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY score DESC, doc_id ASC) AS rnk
+         |  FROM scored
+         |)
+         |SELECT query_id, doc_id, score, rnk
+         |FROM ranked WHERE rnk <= $SearchK""".stripMargin
+    }
+    base ++ Map(
+      "ta_search_served" -> base("ta_search"),
+      "ta_search_batch" -> batchSql)
   }
 }

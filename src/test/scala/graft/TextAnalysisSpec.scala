@@ -77,6 +77,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.head._2 == 2L)                     // doc 1 matched both terms
   }
 
+  test("searchIndexedBatch == per-query searchIndexed, one pass for all bags") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val nDocs = docs.count()
+    val postings = TextAnalysis.searchIndex(docs)
+    val bags = Map(
+      1L -> Seq("spark", "stream", "vector"),
+      2L -> Seq("table", "join"),
+      3L -> Seq("window"),
+      4L -> Seq("zzzabsentterm")) // no hits: the bag just emits no rows
+    val queries = bags.toSeq.flatMap { case (id, ts) => ts.map(id -> _) }
+      .toDF("query_id", "w")
+    val batch = TextAnalysis.searchIndexedBatch(postings, nDocs, queries, 10)
+      .as[(Long, Long, Long, Int)].collect()
+    val byBag = batch.groupBy(_._1)
+    bags.foreach { case (id, ts) =>
+      val single = TextAnalysis.searchIndexed(postings, nDocs, ts, 10)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._3)).toSet // (doc_id, score)
+      val got = byBag.getOrElse(id, Array.empty)
+        .map(r => (r._2, r._3)).toSet
+      assert(got == single, s"bag $id")
+      // ranks are dense, 1-based, score-then-id ordered
+      val ranked = byBag.getOrElse(id, Array.empty).sortBy(_._4)
+      assert(ranked.map(_._4).toSeq == (1 to ranked.length))
+      assert(ranked.sliding(2).forall {
+        case Array(a, b) => a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)
+        case _ => true
+      })
+    }
+    assert(byBag.contains(1L) && !byBag.contains(4L))
+  }
+
   test("searchIndexed over a persisted postings index == search on the corpus") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val terms = Seq("spark", "stream", "vector")
