@@ -414,8 +414,19 @@ object TextAnalysis {
       "searchIndexedBatch nDocs out of range")
     val numerator = nDocs * IdfScale
     val q = queries.select(col("query_id"), col("w")).distinct()
-    val terms = q.select(col("w")).distinct()
-    val tf = postings.join(broadcast(terms), "w")
+    // the distinct TERM LIST is collected driver-side on purpose: it
+    // is bounded by the INPUT batch (a serving tier's query bags), not
+    // by any table, and turning it into an isInCollection literal puts
+    // the term filter in the index scan's PushedFilters — a broadcast
+    // join would read the ENTIRE postings index per batch instead of
+    // the query terms' row groups (spec-asserted on a parquet index).
+    val termList = {
+      import queries.sparkSession.implicits._
+      q.select(col("w")).distinct().as[String].collect().toSeq
+    }
+    require(termList.nonEmpty,
+      "searchIndexedBatch needs at least one query term")
+    val tf = postings.filter(col("w").isInCollection(termList))
     val weights = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       .select(col("w"), expr(s"$numerator div df").as("wt"))
     val scored = tf.join(broadcast(weights), "w")

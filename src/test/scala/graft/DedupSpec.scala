@@ -28,6 +28,7 @@ class DedupSpec extends AnyFunSuite {
     // the sub-document duplication whole-doc dedup can't see
     val lic = "licensed under the apache license version two"
     val pdocs = Seq(
+      (0L, "repeated inside\nmiddle part\nrepeated inside"), // in-doc dup
       (1L, s"intro paragraph one\n$lic\nbody of doc one"),
       (2L, s"$lic\nentirely different body"),
       (3L, "no boilerplate at all here"),
@@ -57,6 +58,10 @@ class DedupSpec extends AnyFunSuite {
     assert(rw(3L) == ((3L, 1L, 1L, "no boilerplate at all here")))
     assert(rw(4L) == ((4L, 1L, 0L, ""))) // its only paragraph was a dup
     assert(!rw.contains(5L))
+    // IN-DOC repetition: the first occurrence keeps, the later one
+    // drops, order of the survivors preserved
+    assert(r((0L, 0L)) == (((0L, 0L), 0)) && r((0L, 2L)) == (((0L, 0L), 1)))
+    assert(rw(0L) == ((0L, 3L, 2L, "repeated inside\nmiddle part")))
   }
 
   test("spanExact: fixed token windows, exact-dup docs share every span") {

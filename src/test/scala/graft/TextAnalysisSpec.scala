@@ -108,6 +108,16 @@ class TextAnalysisSpec extends AnyFunSuite {
       })
     }
     assert(byBag.contains(1L) && !byBag.contains(4L))
+    // over a PARQUET index the batch's term filter reaches the scan's
+    // pushed filters (a terms join would read the whole index per
+    // batch) — same plan property as the single-query path
+    val dir = java.nio.file.Files.createTempDirectory("batch_idx").toString
+    postings.write.mode("overwrite").parquet(dir)
+    val servedPlan = TextAnalysis.searchIndexedBatch(
+      spark.read.parquet(dir), nDocs, queries, 10)
+      .queryExecution.executedPlan.toString
+    assert(servedPlan.contains("PushedFilters: [In(w"), servedPlan)
+    scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
   test("searchIndexed over a persisted postings index == search on the corpus") {
