@@ -741,10 +741,16 @@ object Dedup {
       val neighborMin = edges
         .join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      // LAZY checkpoint: both sides of the pointer-doubling self-join
+      // read `hooked`, and without the mark each side would recompute
+      // the hook join; the round's convergence action below
+      // materializes it once and the second stage reads cached blocks
+      // (no extra job — same trick as `next`).
       val hooked = labels
         .join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(false)
       // pointer doubling: follow my label's label. The left join keeps
       // self-labeled roots (their label row IS their id row). The
       // round's CHANGED flag rides along (labels only decrease, so
