@@ -71,6 +71,40 @@ object WordCount {
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)
 
+  /** Bigram LM table: P(w2 | w1) for the corpus' top bigrams — the
+    * conditional-probability table an n-gram language model IS. c12 =
+    * bigram count, c1 = the context's total continuations (Σ of its
+    * bigram counts = occurrences of w1 as a non-final token), prob =
+    * c12/c1 — integer counts, ONE IEEE division, so every probability
+    * is bit-identical on any engine (their per-context sum is 1 up to
+    * float rounding of the individual quotients). Same one-shuffle
+    * shape as [[wordCount]] on the bigram key; the context aggregate
+    * reuses the bigram counts (no second corpus scan) and joins back
+    * on w1. Deterministic top-k: c12 desc, then (w1, w2). */
+  def bigramLm(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    val bi = docs
+      .select(explode(Text.ngrams(Text.tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c12"))
+      // tokens never contain spaces, so first/last split is exact
+      .select(substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"), col("c12"))
+    val ctx = bi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    bi.join(ctx, "w1")
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        (col("c12").cast("double") / col("c1")).as("prob"))
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** Frequency-of-frequencies (the Zipf spectrum): how many distinct
+    * words occur exactly `cnt` times — the statistic Good–Turing-style
+    * smoothing starts from and a one-row-per-count duplication
+    * fingerprint of the corpus. Two map-side-combined aggregates, no
+    * joins. */
+  def freqSpectrum(docs: DataFrame, textCol: String = "text"): DataFrame =
+    wordCount(docs, textCol)
+      .groupBy(col("cnt")).agg(count(lit(1)).as("n_words"))
+
   /** Word counts per corpus grouping column (the reference's
     * multi-file corpus, reference main.go:102-105). */
   def perGroup(docs: DataFrame, groupCol: String,

@@ -43,6 +43,13 @@ object WcRegistry {
       WordCount.perGroup(Tables.documents(s, d), "source")),
     "wc_trigrams" -> ((s, d) =>
       WordCount.ngramCounts(Tables.documents(s, d), 3, 50)),
+    // the conditional-probability table an n-gram LM is; per-context
+    // probabilities sum to exactly 1 (integer counts, one division)
+    "wc_bigram_lm" -> ((s, d) =>
+      WordCount.bigramLm(Tables.documents(s, d), 50)),
+    // Zipf spectrum: count of distinct words per occurrence count
+    "wc_freq_spectrum" -> ((s, d) =>
+      WordCount.freqSpectrum(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -82,5 +89,33 @@ object WcRegistry {
         |)
         |SELECT ngram, count(*) AS cnt FROM g
         |GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 50""".stripMargin,
+    // the bigram table split back into (w1, w2); the context total is
+    // the SUM of its bigram counts (= non-final occurrences of w1)
+    "wc_bigram_lm" ->
+      """WITH base AS (
+        |  SELECT list_filter(list_transform(
+        |    regexp_split_to_array(text, '[^\p{L}]+'), w -> lower(w)),
+        |    w -> w <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT unnest(list_transform(range(greatest(len(toks) - 1, 0)),
+        |    i -> concat_ws(' ', toks[i + 1], toks[i + 2]))) AS ngram
+        |  FROM base
+        |), bi AS (
+        |  SELECT string_split(ngram, ' ')[1] AS w1,
+        |         string_split(ngram, ' ')[2] AS w2,
+        |         count(*) AS c12
+        |  FROM g GROUP BY ngram
+        |), ctx AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY w1
+        |)
+        |SELECT bi.w1, w2, c12, c1, CAST(c12 AS DOUBLE) / c1 AS prob
+        |FROM bi JOIN ctx ON ctx.w1 = bi.w1
+        |ORDER BY c12 DESC, bi.w1 ASC, w2 ASC LIMIT 50""".stripMargin,
+    "wc_freq_spectrum" ->
+      s"""$TokCte
+         |SELECT cnt, count(*) AS n_words FROM (
+         |  SELECT word, count(*) AS cnt FROM toks GROUP BY word
+         |) GROUP BY cnt""".stripMargin,
   )
 }

@@ -92,6 +92,33 @@ class ScaleShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraph dedup and rewrite never window; batch search ranks via the heap") {
+    // a hot boilerplate paragraph (millions of copies) must stay
+    // map-side-combinable — Window.partitionBy(fp) would single-task
+    // it, exactly the dd_exact lesson one granularity down
+    Seq(Dedup.spanExact(Tables.documents(spark, d), 16),
+        Dedup.spanRewrite(Tables.documents(spark, d), 16)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"paragraph path windows:\n$plan")
+      // min(struct) plans as a sort/object aggregate — still a partial
+      // (map-side) + final pair, which is the property that matters
+      assert(plan.contains("Aggregate"), plan)
+    }
+    // multi-query serving ranks per query through the bounded graft_topk
+    // aggregate — a per-query row_number would hash-sort every candidate
+    val queries = {
+      import spark.implicits._
+      Seq(1L -> "spark", 1L -> "stream", 2L -> "table").toDF("query_id", "w")
+    }
+    val docs = Tables.documents(spark, d)
+    val batch = graft.operators.TextAnalysis.searchIndexedBatch(
+      graft.operators.TextAnalysis.searchIndex(docs), docs.count(), queries, 10)
+    val bplan = batch.queryExecution.executedPlan.toString
+    assert(!bplan.contains("Window"), s"batch search windows:\n$bplan")
+    assert(bplan.contains("graft_topk") || bplan.contains("ObjectHashAggregate"),
+      s"expected the bounded top-k aggregate:\n$bplan")
+  }
+
   test("fused quality gate is one scan: a single FileScan of documents, no join") {
     import graft.registry.CorpusRegistry._
     val df = Corpus.qualityGate(Tables.documents(spark, d), MinTokens,

@@ -42,6 +42,26 @@ class WordCountSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top == Seq(("hello", 3L), ("world", 3L), ("degrees", 1L)))
   }
 
+  test("bigram LM probabilities sum to 1 per context; spectrum balances the counts") {
+    // un-limited table (k larger than any possible bigram count)
+    val lm = WordCount.bigramLm(docs, 1000)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(lm.nonEmpty)
+    // doc 1: hello hello world world world → P(hello|hello)=.5, P(world|hello)=.5
+    val m = lm.map(r => (r._1, r._2) -> r._5).toMap
+    assert(m(("hello", "hello")) == 0.5 && m(("hello", "world")) == 0.5)
+    assert(m(("world", "world")) == 1.0)
+    // each context's continuation probabilities sum to 1 (exactly, for
+    // this fixture's power-of-two denominators)
+    lm.groupBy(_._1).foreach { case (w1, rows) =>
+      assert(rows.map(_._5).sum == 1.0, s"context $w1")
+    }
+    // spectrum: Σ cnt·n_words = total tokens, Σ n_words = distinct words
+    val spec = WordCount.freqSpectrum(docs).as[(Long, Long)].collect()
+    assert(spec.map { case (c, n) => c * n }.sum == 9L)
+    assert(spec.map(_._2).sum == 5L)
+  }
+
   test("per-source grouping keeps corpora separate") {
     val m = WordCount.perGroup(docs, "source")
       .as[(String, String, Long)].collect()
