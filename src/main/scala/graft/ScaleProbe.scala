@@ -21,7 +21,8 @@ object ScaleProbe {
       else Seq("wc_wordcount", "dd_paragraph", "cp_quality_gate",
         "ta_search_served")
     val spark = GraftSession.local("graft-scale-probe")
-    val src = "/root/testdata/sf0.1"
+    // honor the harness convention (Bench reads the same variable)
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = java.nio.file.Files.createTempDirectory("graft_probe").toString
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L

@@ -164,11 +164,6 @@ object Dedup {
             x => x.getField("para"))).as("text_kept"))
   }
 
-  /** Shared assignment tail of both paragraph forms: persist the slim
-    * (doc_id, para_idx, fp) occurrence frame (the keeper aggregate and
-    * the join-back both read it — [[keepByMinId]]'s persist trick),
-    * min-struct keeper election, join back. Paragraph strings are
-    * non-null by construction, so the join key is a plain equi-join. */
   /** Keeper election shared by assignment and rewrite: lexicographic
     * min (doc_id, para_idx) per fingerprint, map-side combinable. */
   private def paraKeepers(fps: DataFrame): DataFrame =
@@ -177,6 +172,11 @@ object Dedup {
       .select(col("fp"), col("k.doc_id").as("keep_doc"),
         col("k.para_idx").as("keep_idx"))
 
+  /** Shared assignment tail of both paragraph forms: persist the slim
+    * (doc_id, para_idx, fp) occurrence frame (the keeper aggregate and
+    * the join-back both read it — [[keepByMinId]]'s persist trick),
+    * min-struct keeper election, join back. Paragraph strings are
+    * non-null by construction, so the join key is a plain equi-join. */
   private def paraAssign(paras: DataFrame): DataFrame = {
     val fps = CacheTracker.persistTracked(paras.select(col("doc_id"),
       col("para_idx"), md5(col("para")).as("fp")))

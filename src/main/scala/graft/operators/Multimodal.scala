@@ -118,12 +118,15 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else {
+        val w = img.getWidth
         val hist = new Array[Int](16)
-        var y = 0
+        val row = new Array[Int](w) // bulk row reads: one ColorModel
+        var y = 0                   // conversion call per ROW, not pixel
         while (y < img.getHeight) {
+          img.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
+          while (x < w) {
+            val rgb = row(x)
             val lum = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
               114 * (rgb & 0xFF)) / 1000
             hist(lum >> 4) += 1
@@ -131,10 +134,16 @@ object Multimodal {
           }
           y += 1
         }
-        val n = (img.getWidth.toLong * img.getHeight).toFloat
+        val n = (w.toLong * img.getHeight).toFloat
         Some(hist.map(_.toFloat / n))
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // NonFatal, not just IOException: the JDK image plugins throw
+      // IllegalArgument/ArrayIndexOutOfBounds/NegativeArraySize on
+      // malformed header fields — one crafted payload must fall back
+      // to the byte histogram, not kill the whole decode job
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Batch decoder: image payloads decode for REAL ([[decodeImage]] —
     * r9 upgrade); every other kind, and image-magic bytes that don't

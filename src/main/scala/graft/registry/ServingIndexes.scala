@@ -1,7 +1,5 @@
 package graft.registry
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.DataFrame
 
 /** Memoized per-(kind, corpus-dir) index materialization for the
@@ -27,29 +25,26 @@ object ServingIndexes {
   private val built =
     scala.collection.concurrent.TrieMap.empty[String, (Seq[String], Long)]
 
-  // harness hygiene: the memoized index dirs die with the JVM — a CI
-  // driver cycling many sessions would otherwise accumulate one set
-  // per (kind, corpus) per run
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    built.values.foreach { case (paths, _) =>
-      paths.foreach { p =>
-        scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively(); ()
-      }
-    }))
-
   /** Build-once: materialize each frame of `build` as parquet under
-    * its own temp dir; returns the paths plus one long payload (e.g.
-    * the corpus doc count captured at build time). Thread-safe; keyed
-    * by (kind, corpus dir) so sf0.01 and sf0.1 don't collide. */
+    * its own temp dir (registered for deletion at JVM exit); returns
+    * the paths plus one long payload (e.g. the corpus doc count
+    * captured at build time). Keyed by (kind, corpus dir) so sf0.01
+    * and sf0.1 don't collide. The coarse lock makes the build
+    * EXACTLY-once under concurrent first calls — TrieMap's
+    * getOrElseUpdate alone can run the thunk twice and leak the
+    * loser's directories; index builds are rare and heavyweight, so
+    * serializing them costs nothing. */
   def once(kind: String, dir: String)
           (build: => (Seq[DataFrame], Long)): (Seq[String], Long) =
-    built.getOrElseUpdate(s"$kind@$dir", {
-      val (frames, payload) = build
-      val paths = frames.zipWithIndex.map { case (df, i) =>
-        val path = Files.createTempDirectory(s"graft_idx_${kind}_$i").toString
-        df.write.mode("overwrite").parquet(path)
-        path
-      }
-      (paths, payload)
-    })
+    built.synchronized {
+      built.getOrElseUpdate(s"$kind@$dir", {
+        val (frames, payload) = build
+        val paths = frames.zipWithIndex.map { case (df, i) =>
+          val path = graft.sources.Sinks.TempDirs.create(s"graft_idx_${kind}_$i")
+          df.write.mode("overwrite").parquet(path)
+          path
+        }
+        (paths, payload)
+      })
+    }
 }

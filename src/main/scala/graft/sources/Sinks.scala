@@ -165,7 +165,33 @@ object Sinks {
       case Some(v) => spark.conf.set(autoScan, v)
       case None => spark.conf.unset(autoScan)
     }
-    spark.sql(s"DROP TABLE `$table`")
+    // swap via a RECOVERABLE rename chain, not DROP-then-RENAME: a
+    // crash between steps leaves the data reachable under `__old` or
+    // `__compacting` (recovery = one rename), never silently gone.
+    val old = s"${table}__old"
+    spark.sql(s"DROP TABLE IF EXISTS `$old`")
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE `$old`")
+  }
+
+  /** Temp directories deleted recursively at JVM exit — shared by the
+    * harness bindings that materialize session-scoped sinks/indexes
+    * (streaming serve sinks, ServingIndexes). Production callers own
+    * durable paths instead. */
+  object TempDirs {
+    private val registered =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      registered.forEach { f =>
+        scala.reflect.io.Directory(f).deleteRecursively(); ()
+      }))
+    def create(prefix: String): String =
+      register(java.nio.file.Files.createTempDirectory(prefix).toString)
+    /** Track an existing directory for exit-time deletion. */
+    def register(path: String): String = {
+      registered.add(new java.io.File(path))
+      path
+    }
   }
 }

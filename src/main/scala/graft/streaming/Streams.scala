@@ -500,23 +500,10 @@ object Streams {
     q.awaitTermination()
   }
 
-  /** Temp directories backing the harness bindings' sinks, deleted
-    * recursively at JVM exit — a long session serving many queries
-    * would otherwise leak one directory per call. Production callers
-    * use the path-taking overloads instead and own their sinks. */
-  private object TempDirs {
-    private val registered =
-      new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      registered.forEach { f =>
-        scala.reflect.io.Directory(f).deleteRecursively(); ()
-      }))
-    def create(prefix: String): String = {
-      val d = java.nio.file.Files.createTempDirectory(prefix)
-      registered.add(d.toFile)
-      d.toString
-    }
-  }
+  // session-scoped sink dirs, deleted at JVM exit (shared helper —
+  // production callers use the path-taking overloads and own their
+  // sinks)
+  private def TempDirs = graft.sources.Sinks.TempDirs
 
   /** File-source binding of [[knnFromStream]], temp-sink form (the CI
     * harness binding; the sink is session-scoped and cleaned at JVM
@@ -566,6 +553,17 @@ object Streams {
   def searchServe(spark: SparkSession, dir: String, terms: Seq[String],
                   k: Int, postingsDir: String, countsDir: String): DataFrame = {
     val stream = FileStreamSource(s"$dir/documents.parquet").stream(spark)
+    // every drain here starts a FRESH checkpoint and re-lists the full
+    // current source, so stale batch=N subdirectories from a PRIOR
+    // drain that produced MORE batches must not survive into the new
+    // index — clear them first (the per-batch overwrite below still
+    // covers mid-drain retries of the same batchId).
+    Seq(postingsDir, countsDir).foreach { p =>
+      val d = new java.io.File(p)
+      if (d.isDirectory)
+        d.listFiles().filter(_.getName.startsWith("batch="))
+          .foreach(f => { scala.reflect.io.Directory(f).deleteRecursively(); () })
+    }
     searchIndexFromStream(stream, terms, postingsDir, countsDir)
     val nDocs = spark.read.parquet(countsDir)
       .agg(sum(col("n")).as("n")).head().getLong(0)

@@ -154,6 +154,13 @@ class StreamsSpec extends AnyFunSuite {
     // re-draining the same source into the same paths overwrites each
     // batch's own subdirectory — tf/df/nDocs unchanged, never doubled
     // (the append-mode shape this replaced double-counted everything)
+    // — and STALE batch dirs from a prior drain that produced more
+    // batches are cleared first: plant a poisoned batch=99 on both
+    // sides and prove it does not leak into the rebuilt index
+    Seq((1234567L, "spark", 1000L)).toDF("doc_id", "w", "tf")
+      .write.mode("overwrite").parquet(s"$p/batch=99")
+    Seq(Tuple1(12345L)).toDF("n")
+      .write.mode("overwrite").parquet(s"$n/batch=99")
     val reDrained = Streams.searchServe(spark, dir, SearchTerms, SearchK, p, n)
       .as[(Long, Long, Long)].collect().toSet
     assert(reDrained == batchRes)
