@@ -164,6 +164,58 @@ object Dedup {
             x => x.getField("para"))).as("text_kept"))
   }
 
+  /** The keeper STORE for incremental paragraph dedup: one (fp,
+    * keep_doc, keep_idx) row per DISTINCT paragraph — the slim table a
+    * growing corpus persists between ingests ([[keeperStore]] one
+    * granularity down; written bucketed on fp at scale). */
+  def paragraphStore(docs: DataFrame, spanTokens: Int = 16): DataFrame =
+    paraKeepers(spanRows(docs, spanTokens).select(col("doc_id"),
+      col("para_idx"), md5(col("para")).as("fp")))
+      .select(col("fp"), col("keep_doc"), col("keep_idx"))
+
+  /** Result of a paragraph delta pass: the delta occurrences'
+    * assignment and the keeper store with the delta's genuinely new
+    * paragraphs merged in (input to the NEXT ingest). */
+  final case class ParagraphDelta(assignment: DataFrame,
+                                  updatedStore: DataFrame)
+
+  /** Incremental (delta) paragraph dedup — [[exactDelta]]'s contract
+    * at sub-document granularity: dedup a new-docs frame's paragraphs
+    * against the persisted keeper store WITHOUT rescanning the old
+    * corpus. Keepers are sticky (a paragraph already in the store
+    * keeps its existing keeper occurrence — re-electing would
+    * retroactively flip published rows); a NEW paragraph's keeper is
+    * the delta's lexicographic-min occurrence, exactly
+    * [[paragraphExact]]'s rule, so an append-only ingest equals the
+    * full rescan restricted to delta rows (DeltaDedupSpec). Re-ingest
+    * is idempotent: the store is per-FINGERPRINT, so a replayed
+    * delta's paragraphs resolve to their own stored keepers and the
+    * anti-joined store union adds nothing. Cost per ingest: one
+    * split+hash of the DELTA (persisted slim), one fp-key shuffle of
+    * delta-sized frames, one store equi-join. */
+  def paragraphDelta(store: DataFrame, delta: DataFrame,
+                     spanTokens: Int = 16): ParagraphDelta = {
+    val fps = CacheTracker.persistTracked(spanRows(delta, spanTokens)
+      .select(col("doc_id"), col("para_idx"), md5(col("para")).as("fp")))
+    val dmin = paraKeepers(fps)
+      .select(col("fp"), col("keep_doc").as("dmin_doc"),
+        col("keep_idx").as("dmin_idx"))
+    val s = store.select(col("fp"), col("keep_doc").as("s_doc"),
+      col("keep_idx").as("s_idx"))
+    val assignment = fps
+      .join(dmin, "fp")
+      .join(s, Seq("fp"), "left")
+      .select(col("doc_id"), col("para_idx"),
+        coalesce(col("s_doc"), col("dmin_doc")).as("keep_doc"),
+        coalesce(col("s_idx"), col("dmin_idx")).as("keep_idx"))
+      .withColumn("is_dup", (col("doc_id") =!= col("keep_doc") ||
+        col("para_idx") =!= col("keep_idx")).cast("int"))
+    val newFps = dmin.join(store, Seq("fp"), "left_anti")
+      .select(col("fp"), col("dmin_doc").as("keep_doc"),
+        col("dmin_idx").as("keep_idx"))
+    ParagraphDelta(assignment, store.union(newFps))
+  }
+
   /** Keeper election shared by assignment and rewrite: lexicographic
     * min (doc_id, para_idx) per fingerprint, map-side combinable. */
   private def paraKeepers(fps: DataFrame): DataFrame =

@@ -86,6 +86,16 @@ object DedupRegistry {
     // reassembled from its kept paragraphs in position order
     "dd_paragraph_rewrite" -> ((s, d) =>
       Dedup.spanRewrite(Tables.documents(s, d), SpanTokens)),
+    // incremental paragraph dedup: the delta's occurrences assigned
+    // against a keeper store built from the rest of the corpus —
+    // sticky stored keepers, delta-min keepers for new paragraphs
+    "dd_paragraph_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val c = org.apache.spark.sql.functions.col("doc_id")
+      Dedup.paragraphDelta(
+        Dedup.paragraphStore(docs.filter(c % DeltaMod =!= 0), SpanTokens),
+        docs.filter(c % DeltaMod === 0), SpanTokens).assignment
+    }),
     "dd_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dd_embedding" -> ((s, d) =>
@@ -262,6 +272,50 @@ object DedupRegistry {
          |  coalesce(string_agg(CASE WHEN kept = 1 THEN para END, chr(10)
          |    ORDER BY para_idx), '') AS text_kept
          |FROM joined GROUP BY doc_id""".stripMargin,
+    // span CTEs over the FULL corpus, then: store = two-step keeper
+    // election over the non-delta docs' paragraphs, dmin = the same
+    // over the delta's; a stored keeper is sticky, a new paragraph
+    // elects the delta's min occurrence — exactly what the delta pass
+    // emits for the delta's rows
+    "dd_paragraph_delta" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $ToksExpr AS toks FROM documents
+         |), spans AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(
+         |      range(CAST(ceil(len(toks) / $SpanTokens.0) AS BIGINT)),
+         |      i -> {'idx': i, 'para': array_to_string(
+         |        toks[i * $SpanTokens + 1 : i * $SpanTokens + $SpanTokens],
+         |        ' ')})) AS pr
+         |  FROM base
+         |), fps AS (
+         |  SELECT doc_id, pr.idx AS para_idx, md5(pr.para) AS fp FROM spans
+         |), old AS (
+         |  SELECT * FROM fps WHERE doc_id % $DeltaMod <> 0
+         |), skeep AS (
+         |  SELECT fp, min(doc_id) AS keep_doc FROM old GROUP BY fp
+         |), store AS (
+         |  SELECT k.fp, k.keep_doc, min(f.para_idx) AS keep_idx
+         |  FROM skeep k JOIN old f ON f.fp = k.fp AND f.doc_id = k.keep_doc
+         |  GROUP BY 1, 2
+         |), delta AS (
+         |  SELECT * FROM fps WHERE doc_id % $DeltaMod = 0
+         |), dkeep AS (
+         |  SELECT fp, min(doc_id) AS keep_doc FROM delta GROUP BY fp
+         |), dmin AS (
+         |  SELECT k.fp, k.keep_doc, min(f.para_idx) AS keep_idx
+         |  FROM dkeep k JOIN delta f ON f.fp = k.fp AND f.doc_id = k.keep_doc
+         |  GROUP BY 1, 2
+         |)
+         |SELECT d.doc_id, d.para_idx,
+         |  coalesce(s.keep_doc, m.keep_doc) AS keep_doc,
+         |  coalesce(s.keep_idx, m.keep_idx) AS keep_idx,
+         |  CAST(d.doc_id <> coalesce(s.keep_doc, m.keep_doc)
+         |    OR d.para_idx <> coalesce(s.keep_idx, m.keep_idx)
+         |    AS INTEGER) AS is_dup
+         |FROM delta d
+         |JOIN dmin m ON m.fp = d.fp
+         |LEFT JOIN store s ON s.fp = d.fp""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH $JaccardCtes
          |SELECT id_a, id_b,

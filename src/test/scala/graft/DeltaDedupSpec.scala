@@ -214,6 +214,51 @@ class DeltaDedupSpec extends AnyFunSuite {
     assert(Dedup.containmentDelta(st, delta, 3, 0.9).pairs.count() >= 0)
   }
 
+  test("paragraphDelta: sticky stored keepers, delta-min for new paragraphs, composable") {
+    // 6-token spans: every quoted phrase below is one span
+    val span = 6
+    val lic = "licensed under the apache license version"
+    val fresh = "completely new paragraph appearing only here"
+    val docs = docsDF(Seq(
+      5L -> lic,                       // old: the boilerplate's keeper
+      6L -> "some other old paragraph entirely",
+      // delta ids BELOW the stored keeper exercise stickiness, ids
+      // above exercise the append-only case
+      1L -> lic,                       // delta, id < 5: store still wins
+      101L -> lic,                     // delta, id > 5
+      102L -> fresh,                   // new paragraph: delta elects min
+      103L -> fresh))
+    val old = docs.filter($"doc_id" >= 5L && $"doc_id" < 100L)
+    val delta = docs.filter($"doc_id" < 5L || $"doc_id" >= 100L)
+    val store = Dedup.paragraphStore(old, span)
+    val r = Dedup.paragraphDelta(store, delta, span)
+    val asn = r.assignment.as[(Long, Long, Long, Long, Int)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4), x._5)).toMap
+    // sticky: both lic occurrences point at the STORED keeper (5, 0),
+    // including the delta doc with the smaller id
+    assert(asn((1L, 0L)) == (((5L, 0L), 1)))
+    assert(asn((101L, 0L)) == (((5L, 0L), 1)))
+    // new paragraph: the delta's min occurrence keeps
+    assert(asn((102L, 0L)) == (((102L, 0L), 0)))
+    assert(asn((103L, 0L)) == (((102L, 0L), 1)))
+    // the updated store carries exactly one row per distinct paragraph
+    val st = r.updatedStore.as[(String, Long, Long)].collect()
+    assert(st.map(_._1).distinct.length == st.length && st.length == 3)
+    // re-ingest idempotency: same assignment, store unchanged
+    val r2 = Dedup.paragraphDelta(r.updatedStore, delta, span)
+    assert(r2.assignment.as[(Long, Long, Long, Long, Int)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4), x._5)).toMap == asn)
+    assert(r2.updatedStore.as[(String, Long, Long)].collect().toSet == st.toSet)
+    // two sequential ingests compose to the one-shot pass
+    val rA = Dedup.paragraphDelta(store, delta.filter($"doc_id" <= 101L), span)
+    val rB = Dedup.paragraphDelta(rA.updatedStore,
+      delta.filter($"doc_id" > 101L), span)
+    val seq = (rA.assignment.as[(Long, Long, Long, Long, Int)].collect() ++
+      rB.assignment.as[(Long, Long, Long, Long, Int)].collect())
+      .map(x => (x._1, x._2) -> ((x._3, x._4), x._5)).toMap
+    assert(seq == asn)
+  }
+
   test("embeddingNearDupLshDelta emits exactly the full run's pairs touching the delta") {
     import org.apache.spark.sql.functions.col
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
