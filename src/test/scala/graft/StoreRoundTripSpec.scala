@@ -135,6 +135,44 @@ class StoreRoundTripSpec extends AnyFunSuite {
     dropTable(t)
   }
 
+  test("paragraph keeper store round-trips bucketed; the ingest join reads it shuffle-free") {
+    val docs = Tables.documents(spark, d)
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val inMem = Dedup.paragraphDelta(Dedup.paragraphStore(old, 16), delta, 16)
+    dropTable("para_store_rt")
+    // paragraph fingerprints are md5 of non-null paragraphs — never
+    // null, so the store join is a plain equi-join a table bucketed
+    // on fp satisfies without an Exchange (the exactDelta property at
+    // sub-document granularity, no sentinel needed)
+    Sinks.writeBucketed(Dedup.paragraphStore(old, 16), "para_store_rt", "fp", 8)
+    val fromTable = Dedup.paragraphDelta(spark.table("para_store_rt"), delta, 16)
+    def asn(df: DataFrame) = df.as[(Long, Long, Long, Long, Int)].collect().toSet
+    assert(asn(fromTable.assignment) == asn(inMem.assignment)
+      && asn(inMem.assignment).nonEmpty)
+    assert(fromTable.updatedStore.as[(String, Long, Long)].collect().toSet ==
+      inMem.updatedStore.as[(String, Long, Long)].collect().toSet)
+    withConf("spark.sql.adaptive.enabled" -> "false",
+             "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = Dedup.paragraphDelta(spark.table("para_store_rt"), delta, 16)
+        .assignment.queryExecution.executedPlan
+      val storeSides = plan.collect { case j: SortMergeJoinExec => j }
+        .flatMap(j => Seq(j.left, j.right))
+        .filter(side =>
+          side.collect { case jj: SortMergeJoinExec => jj }.isEmpty &&
+          side.collect {
+            case s: FileSourceScanExec if s.output.map(_.name).contains("keep_doc") => s
+          }.nonEmpty)
+      assert(storeSides.nonEmpty,
+        s"no sort-merge join reads the bucketed paragraph store:\n$plan")
+      storeSides.foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"paragraph store side still shuffles:\n$side")
+      }
+    }
+    dropTable("para_store_rt")
+  }
+
   test("minhash banded + shingle stores round-trip through bucketed tables") {
     val docs = Tables.documents(spark, d)
     val old = docs.filter(col("doc_id") % 3 =!= 0)
