@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val mult = args.headOption.map(_.toInt).getOrElse(50)
+    val mult = args.headOption.map { a =>
+      scala.util.Try(a.toInt).filter(_ > 0).getOrElse(
+        sys.error(s"ScaleProbe: mult must be a positive integer, got '$a'"))
+    }.getOrElse(50)
     val queries = if (args.length > 1) args(1).split(",").toSeq
       else Seq("wc_wordcount", "dd_paragraph", "cp_quality_gate",
         "ta_search_served")
@@ -25,7 +28,9 @@ object ScaleProbe {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = java.nio.file.Files.createTempDirectory("graft_probe").toString
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    // max() is NULL on an empty table — treat it as "no ids taken"
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    val maxId = (if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)) + 1L
     val big = (0 until mult).map(i =>
         docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * maxId)))
       .reduce(_ union _)

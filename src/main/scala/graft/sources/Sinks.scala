@@ -151,20 +151,26 @@ object Sinks {
                    bucketCol: String, buckets: Int): Unit = {
     val tmp = s"${table}__compacting"
     spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
-    val autoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.getOption(autoScan)
-    spark.conf.set(autoScan, "false")
-    try
-      spark.table(table)
-        .write
-        .bucketBy(buckets, bucketCol)
-        .sortBy(bucketCol)
-        .mode("overwrite")
-        .saveAsTable(tmp)
-    finally prev match {
-      case Some(v) => spark.conf.set(autoScan, v)
-      case None => spark.conf.unset(autoScan)
-    }
+    // the rewrite needs autoBucketedScan OFF (see above), but that
+    // conf is session-wide — toggling it on the caller's session would
+    // let CONCURRENT queries in the same session plan non-bucketed
+    // scans mid-compaction. Run the rewrite in a cloned session
+    // instead: newSession shares the catalog (the rewritten table is
+    // visible to the caller) but owns its conf, so the toggle is
+    // invisible outside this method. Single WRITER per store table is
+    // still assumed — two concurrent compactions (or a compaction
+    // racing an ingest's append) on the SAME table can interleave the
+    // rename chain below; readers are safe except during the two
+    // renames, where the table name briefly doesn't resolve.
+    val rewriteSession = spark.newSession()
+    rewriteSession.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    rewriteSession.table(table)
+      .write
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode("overwrite")
+      .saveAsTable(tmp)
     // swap via a RECOVERABLE rename chain, not DROP-then-RENAME: a
     // crash between steps leaves the data reachable under `__old` or
     // `__compacting` (recovery = one rename), never silently gone.

@@ -547,30 +547,55 @@ object Streams {
     * entry point: the postings and doc-count tables land durably where
     * the caller says, survive the session, and can be re-served (or
     * grown by a later drain) without rebuilding. Re-draining the same
-    * source into the same paths is IDEMPOTENT: each micro-batch
-    * overwrites its own batchId-keyed subdirectory (see
-    * [[searchIndexFromStream]]). */
+    * source into the same paths is IDEMPOTENT (each micro-batch
+    * overwrites its own batchId-keyed subdirectory, see
+    * [[searchIndexFromStream]]) and SAFE: the fresh drain lands in
+    * `<dir>.staging` siblings and only replaces the live batch dirs
+    * after it completes, so a drain that fails mid-way (source error,
+    * job failure) leaves the caller's previous index fully intact and
+    * serveable. */
   def searchServe(spark: SparkSession, dir: String, terms: Seq[String],
                   k: Int, postingsDir: String, countsDir: String): DataFrame = {
     val stream = FileStreamSource(s"$dir/documents.parquet").stream(spark)
-    // every drain here starts a FRESH checkpoint and re-lists the full
+    // every drain starts a FRESH checkpoint and re-lists the full
     // current source, so stale batch=N subdirectories from a PRIOR
     // drain that produced MORE batches must not survive into the new
-    // index — clear them first (the per-batch overwrite below still
-    // covers mid-drain retries of the same batchId).
-    Seq(postingsDir, countsDir).foreach { p =>
-      val d = new java.io.File(p)
-      if (d.isDirectory)
-        d.listFiles().filter(_.getName.startsWith("batch="))
-          .foreach(f => { scala.reflect.io.Directory(f).deleteRecursively(); () })
+    // index. Rather than clearing the live dirs up front (which would
+    // destroy the previous good index if THIS drain then fails), drain
+    // into staging siblings and swap only on success.
+    val (stageP, stageN) = (s"$postingsDir.staging", s"$countsDir.staging")
+    Seq(stageP, stageN).foreach { p =>
+      scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively(); ()
     }
-    searchIndexFromStream(stream, terms, postingsDir, countsDir)
+    searchIndexFromStream(stream, terms, stageP, stageN)
+    Seq((stageP, postingsDir), (stageN, countsDir)).foreach {
+      case (stage, live) => promoteStaged(stage, live)
+    }
     val nDocs = spark.read.parquet(countsDir)
       .agg(sum(col("n")).as("n")).head().getLong(0)
     // the batchId partition column is layout, not postings data
     graft.operators.TextAnalysis.searchIndexed(
       spark.read.parquet(postingsDir).select("doc_id", "w", "tf"),
       nDocs, terms, k)
+  }
+
+  /** Replace `live`'s batch=N subdirectories with `stage`'s (directory
+    * renames — no data copy) and drop the staging dir. Called only
+    * after a drain completes, so the unprotected window is the swap
+    * itself (two directory-rename passes), not the whole drain. */
+  private def promoteStaged(stage: String, live: String): Unit = {
+    val liveDir = new java.io.File(live)
+    liveDir.mkdirs()
+    Option(liveDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("batch="))
+      .foreach(f => { scala.reflect.io.Directory(f).deleteRecursively(); () })
+    Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("batch="))
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          liveDir.toPath.resolve(f.getName)); ()
+      }
+    scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively(); ()
   }
 
   /** Source-agnostic index-maintenance core: drain any document

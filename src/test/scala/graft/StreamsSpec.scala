@@ -167,6 +167,34 @@ class StreamsSpec extends AnyFunSuite {
     scala.reflect.io.Directory(new java.io.File(root.toString)).deleteRecursively()
   }
 
+  test("searchServe: a failed re-drain leaves the previous index intact") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import graft.registry.TextAnalysisRegistry.{SearchTerms, SearchK}
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("sts_fail")
+    val (p, n) = (s"$root/postings", s"$root/counts")
+    val served = Streams.searchServe(spark, dir, SearchTerms, SearchK, p, n)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served.nonEmpty)
+    // a re-drain whose source cannot be read fails BEFORE any live
+    // batch dir is touched — the fresh drain goes to .staging siblings
+    // and only replaces the live dirs after it completes
+    intercept[Exception] {
+      Streams.searchServe(spark, s"$root/no_such_corpus", SearchTerms,
+        SearchK, p, n)
+    }
+    val nDocs = spark.read.parquet(n)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("n"))).head().getLong(0)
+    val reServed = TextAnalysis.searchIndexed(
+      spark.read.parquet(p).select("doc_id", "w", "tf"),
+      nDocs, SearchTerms, SearchK).as[(Long, Long, Long)].collect().toSet
+    assert(reServed == served,
+      "previous index must survive a failed re-drain")
+    scala.reflect.io.Directory(new java.io.File(root.toString)).deleteRecursively()
+  }
+
   test("streaming minhash: near-dup candidates across batches, bucket state capped") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
