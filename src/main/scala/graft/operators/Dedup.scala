@@ -780,29 +780,44 @@ object Dedup {
     * truncates lineage so plans stay flat. Output: (doc_id,
     * cluster_id = min doc_id in the component). */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val tEdges = System.nanoTime()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"),
         col("id_a").cast("long").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    if (sys.env.contains("SPARK_GRAFT_CLUSTERS_DEBUG"))
+      println(f"clusters edges_ckpt sec=${(System.nanoTime() - tEdges) / 1e9}%.3f at=${System.nanoTime() / 1e9}%.3f")
+    val tInit = System.nanoTime()
+    // seeded init = round 0's hook for free: every node starts at
+    // min(own id, min neighbor id) — one aggregate over the cached
+    // edges (edges carry both directions, so every node appears as
+    // src), saving a full round's plan+schedule+job cost vs the
+    // identity init this replaced.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("id"),
+        least(col("src"), col("nmin")).as("label"))
       .localCheckpoint(true)
+    if (sys.env.contains("SPARK_GRAFT_CLUSTERS_DEBUG"))
+      println(f"clusters labels_init sec=${(System.nanoTime() - tInit) / 1e9}%.3f at=${System.nanoTime() / 1e9}%.3f")
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
       val neighborMin = edges
         .join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      // LAZY checkpoint: both sides of the pointer-doubling self-join
-      // read `hooked`, and without the mark each side would recompute
-      // the hook join; the round's convergence action below
-      // materializes it once and the second stage reads cached blocks
-      // (no extra job — same trick as `next`).
+      // NOT checkpointed: both sides of the pointer-doubling self-join
+      // read `hooked`, so its hook join executes twice per round — but
+      // both inputs are cached checkpoint blocks and the label frame
+      // is bounded (pair-touching nodes only), so the re-execution is
+      // milliseconds, while the lazy checkpoint this replaced cost a
+      // full extra plan+toRdd pass per round. Per-round DRIVER latency
+      // (planning + scheduling, not execution) dominates an iterative
+      // op at bench scale, and is a fixed per-round tax at any scale.
       val hooked = labels
         .join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(false)
       // pointer doubling: follow my label's label. The left join keeps
       // self-labeled roots (their label row IS their id row). The
       // round's CHANGED flag rides along (labels only decrease, so
@@ -823,8 +838,11 @@ object Dedup {
       // sum(changed) is NULL on an empty label frame (no pairs at
       // all) — converged.
       val next = doubled.localCheckpoint(false)
+      val t0 = System.nanoTime()
       val changedRow = next.agg(sum(col("changed"))).head()
       done = changedRow.isNullAt(0) || changedRow.getLong(0) == 0L
+      if (sys.env.contains("SPARK_GRAFT_CLUSTERS_DEBUG"))
+        println(f"clusters round=$iter changed=${if (changedRow.isNullAt(0)) -1L else changedRow.getLong(0)} sec=${(System.nanoTime() - t0) / 1e9}%.3f at=${System.nanoTime() / 1e9}%.3f")
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
