@@ -32,7 +32,7 @@ object Bench {
       "q13_cust_distribution", "q19_disjunctive_revenue",
       "q_events_sessionize", "q_asof_last_order", "q_range_join",
       "q_retention",
-      "ta_quality", "ta_diversity", "ta_search", "cp_quality_gate",
+      "ta_quality", "ta_diversity", "ta_lm_score", "ta_search", "cp_quality_gate",
       "cp_interleave",
       "dd_exact", "dd_exact_delta", "dd_paragraph", "dd_paragraph_rewrite",
       "dd_minhash", "dd_simhash", "dd_semantic",

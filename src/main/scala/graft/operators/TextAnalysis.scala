@@ -314,6 +314,52 @@ object TextAnalysis {
             / (col("n_tokens") * col("n_tokens")).cast("double"))
           .otherwise(lit(0.0)).as("simpson"))
 
+  /** Scale factor for [[lmScore]]'s quantized bigram probabilities
+    * (and [[search]]'s idf weights — same bound: c·scale ≤ 2^63 holds
+    * to ~9·10^12 occurrences of one bigram, comfortably past a
+    * 100 TB corpus's hottest bigram). */
+  val LmScale = 1000000L
+
+  /** Per-document language-model quality score — the CCNet-style
+    * perplexity filter, log- and float-free so every engine ranks
+    * identically: train a bigram model on the corpus itself (count
+    * tables c12(w1 w2) and c1(w1)), quantize each bigram's conditional
+    * probability to BIGINT q = ⌊c12·10⁶ / c1⌋ ∈ [1, 10⁶], and score
+    * each doc by the mean q over its bigram OCCURRENCES (lm_q =
+    * Σq div n_bigrams). Monotone in the geometric-mean probability a
+    * real perplexity filter thresholds on, with no transcendentals —
+    * the same quantized-integer trick as [[search]]'s idf weights. No
+    * smoothing is needed: the corpus contains each doc, so every doc
+    * bigram has c12 ≥ 1. Low lm_q = improbable word sequences (the
+    * gibberish/boilerplate tail a mix owner cuts first); docs with
+    * fewer than 2 tokens have no bigrams and don't appear.
+    *
+    * Shape at scale: the (doc_id, bigram) occurrence rows are
+    * persisted once (the count pass and the scoring join both read
+    * them — same slim-projection trick as exact dedup's keyed frame);
+    * the model is two map-side-combined aggregates; the scoring join
+    * shuffles on the bigram key (the model is corpus-sized, NOT
+    * broadcastable at scale — AQE broadcasts it when small) and a hot
+    * bigram is skew-splittable because the model side is one row per
+    * bigram. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val bi = CacheTracker.persistTracked(docs
+      .select(col("doc_id"),
+        explode(Text.ngrams(Text.tokens(col("text")), 2)).as("bigram")))
+    val c12 = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      // tokens never contain spaces, so the first/last split is exact
+      .select(col("bigram"), substring_index(col("bigram"), " ", 1).as("w1"),
+        col("c12"))
+    val ctx = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val q = c12.join(ctx, "w1")
+      .select(col("bigram"), expr(s"c12 * $LmScale div c1").as("q"))
+    bi.join(q, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_q div n_bigrams").as("lm_q"))
+  }
+
   /** Scale factor for [[search]]'s quantized idf weights. */
   val IdfScale = 1000000L
 

@@ -50,6 +50,7 @@ object TextAnalysisRegistry {
     "ta_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d), 3)),
     "ta_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "ta_diversity" -> ((s, d) => TextAnalysis.diversity(Tables.documents(s, d))),
+    "ta_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
     "ta_search" -> ((s, d) =>
       TextAnalysis.search(Tables.documents(s, d), SearchTerms, SearchK)),
     // Serving path: the same query against a PREBUILT postings index
@@ -111,6 +112,29 @@ object TextAnalysisRegistry {
            |  (1.0 - punct_ratio) * (1.0 - stop_ratio)
            |    * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) AS quality
            |FROM ratios""".stripMargin,
+      // the same quantized-integer spelling as the Spark side: BIGINT
+      // q = c12*scale // c1, per-doc mean by integer division — no
+      // logs, no doubles, so the rankings agree bit-for-bit
+      "ta_lm_score" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, $ToksExpr AS toks FROM documents
+           |), g AS (
+           |  SELECT doc_id, unnest(list_transform(range(greatest(len(toks) - 1, 0)),
+           |    i -> concat_ws(' ', toks[i + 1], toks[i + 2]))) AS bigram
+           |  FROM base
+           |), bi AS (
+           |  SELECT bigram, count(*) AS c12 FROM g GROUP BY bigram
+           |), ctx AS (
+           |  SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) AS c1
+           |  FROM bi GROUP BY 1
+           |), q AS (
+           |  SELECT bigram, c12 * ${TextAnalysis.LmScale} // c1 AS q
+           |  FROM bi JOIN ctx ON ctx.w1 = string_split(bi.bigram, ' ')[1]
+           |)
+           |SELECT g.doc_id, count(*) AS n_bigrams,
+           |  CAST(sum(q.q) AS BIGINT) // count(*) AS lm_q
+           |FROM g JOIN q USING (bigram)
+           |GROUP BY g.doc_id""".stripMargin,
       "ta_langid" ->
         s"""WITH voted AS (
            |  SELECT doc_id, lang, $voteCols

@@ -120,6 +120,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("lmScore: hand-computed quantized bigram means, bigram-less docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"), // "the cat" (c12=2, c1(the)=2), "cat sat" (1 of 2)
+      (2L, "the cat ran"), // "the cat", "cat ran" (1 of 2)
+      (3L, "zz qq"),       // "zz qq" is its context's only bigram -> q = scale
+      (4L, "single"),      // no bigrams -> absent
+      (5L, "")             // no tokens  -> absent
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs)
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, n, q) => (k, (n, q)) }.toMap
+    val s = TextAnalysis.LmScale
+    // doc 1: mean(q("the cat")=s, q("cat sat")=s/2) = 3s/4; doc 2 same
+    assert(got == Map(
+      1L -> (2L, 3 * s / 4),
+      2L -> (2L, 3 * s / 4),
+      3L -> (1L, s)))
+    // on a real corpus every quantized probability is in [1, scale],
+    // so every per-doc mean is too
+    val real = TextAnalysis.lmScore(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .as[(Long, Long, Long)].collect()
+    assert(real.nonEmpty && real.forall { case (_, n, q) =>
+      n > 0 && q >= 1 && q <= s })
+  }
+
   test("searchIndexed over a persisted postings index == search on the corpus") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val terms = Seq("spark", "stream", "vector")
