@@ -892,6 +892,43 @@ object Dedup {
       .withColumn("is_dup", (col("vec_id") =!= col("cluster_id")).cast("int"))
   }
 
+  /** Keeper election by QUALITY, not by id — the policy a production
+    * pipeline actually runs on near-dup clusters: of the N near-copies
+    * of a page, keep the BEST one (longest / highest-scoring — usually
+    * the most complete version), not the one that happened to crawl
+    * first. Composes any pair stage with [[clusters]], then elects per
+    * component the max-`score` member (smallest doc_id among score
+    * ties, so the election is total and deterministic); docs in no
+    * pair are their own keeper. Output matches [[exact]]'s (doc_id,
+    * keep_id, is_dup) contract so downstream filtering is unchanged.
+    *
+    * Shape: the component map from [[clusters]] (bounded by
+    * pair-touching nodes) left-joins onto the slim (doc_id, score)
+    * projection; the election is one map-side-combined max per
+    * cluster plus a min over the tied rows — two bounded aggregates
+    * and joins keyed on cluster_id, no windows (a window over
+    * cluster_id would single-task the giant boilerplate cluster that
+    * dedup exists to find). Null scores sort below every real score. */
+  def keepBest(docs: DataFrame, pairs: DataFrame,
+               score: org.apache.spark.sql.Column): DataFrame = {
+    val comp = clusters(pairs)
+    val assigned = CacheTracker.persistTracked(
+      docs.select(col("doc_id"), score.cast("long").as("score"))
+        .join(comp.select(col("doc_id"), col("cluster_id")), Seq("doc_id"),
+          "left")
+        .select(col("doc_id"),
+          coalesce(col("score"), lit(Long.MinValue)).as("score"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")))
+    val best = assigned.groupBy(col("cluster_id"))
+      .agg(max(col("score")).as("best"))
+    val keepers = assigned.join(best, "cluster_id")
+      .filter(col("score") === col("best"))
+      .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("keep_id"))
+    assigned.join(keepers, "cluster_id")
+      .select(col("doc_id"), col("keep_id"),
+        (col("doc_id") =!= col("keep_id")).cast("int").as("is_dup"))
+  }
+
   /** The persisted index state for INCREMENTAL embedding near-dup
     * detection: the LSH-bucketed vector rows (vec_id, v, nrm, table,
     * bucket) — [[MinHashStore]]'s analog for the semantic path. At

@@ -108,6 +108,14 @@ object DedupRegistry {
     // by ClustersSpec + DedupSpec).
     "dd_clusters" -> ((s, d) =>
       Dedup.clusters(Dedup.ngramJaccard(Tables.documents(s, d), 3, JaccardTau))),
+    // keeper election by QUALITY over the Jaccard clusters: keep the
+    // longest member (n_chars; min doc_id among ties), every doc
+    // assigned — the production keeper policy, exact's contract
+    "dd_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.keepBest(docs, Dedup.ngramJaccard(docs, 3, JaccardTau),
+        org.apache.spark.sql.functions.col("n_chars"))
+    }),
     // End-to-end semantic dedup: LSH cosine pairs → components →
     // keeper map for every vector. Both stages' oracles compose (plane
     // literals + recursive closure + left join).
@@ -381,6 +389,40 @@ object DedupRegistry {
          |)
          |SELECT id AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY id""".stripMargin,
+    // the dd_clusters closure + a two-stage election: per-cluster max
+    // score, then min doc_id among the tied rows — the same bounded
+    // aggregates the Spark side runs (null scores coalesce to
+    // Long.MinValue on both engines)
+    "dd_keep_best" ->
+      s"""WITH RECURSIVE $JaccardCtes, pairs AS (
+         |  SELECT id_a, id_b FROM cand
+         |  WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= $JaccardTau
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+         |), comp AS (
+         |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+         |), assigned AS (
+         |  SELECT d.doc_id,
+         |    coalesce(d.n_chars, ${Long.MinValue}) AS score,
+         |    coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |), best AS (
+         |  SELECT cluster_id, max(score) AS best FROM assigned GROUP BY cluster_id
+         |), keepers AS (
+         |  SELECT a.cluster_id, min(a.doc_id) AS keep_id
+         |  FROM assigned a JOIN best b
+         |    ON a.cluster_id = b.cluster_id AND a.score = b.best
+         |  GROUP BY a.cluster_id
+         |)
+         |SELECT a.doc_id, k.keep_id,
+         |  CAST(a.doc_id <> k.keep_id AS INTEGER) AS is_dup
+         |FROM assigned a JOIN keepers k ON a.cluster_id = k.cluster_id""".stripMargin,
     "dd_embedding" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -111,6 +111,22 @@ class DedupSpec extends AnyFunSuite {
     assert(m(10L) == (10L, 0) && m(11L) == (10L, 1) && m(12L) == (12L, 0))
   }
 
+  test("keepBest elects the highest-scoring cluster member, min id on ties") {
+    // cluster {1,2,3} via pairs (1,2),(2,3): best score 50 tied by 2
+    // and 3 -> keeper 2; singleton 4 keeps itself; null score loses
+    val docs = Seq((1L, Some(10L)), (2L, Some(50L)), (3L, Some(50L)),
+      (4L, Some(7L)), (5L, None))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 5L)).toDF("id_a", "id_b")
+    val m = Dedup.keepBest(docs, pairs,
+      org.apache.spark.sql.functions.col("score"))
+      .as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m == Map(
+      1L -> (2L, 1), 2L -> (2L, 0), 3L -> (2L, 1), 5L -> (2L, 1),
+      4L -> (4L, 0)))
+  }
+
   test("prefix filtering kills the corpus-common-shingle candidate flood, losslessly") {
     // 120 docs that all end with the same boilerplate phrase: under
     // raw-shingle blocking every pair shares the boilerplate 3-grams,
