@@ -181,6 +181,20 @@ object Analytics {
       .agg(count(lit(1)).as("n_orders"),
         Num.dsum(col("o_totalprice")).as("total_price"))
 
+  /** GROUPING SETS ((status), (priority), ()): the two one-column
+    * marginals plus the grand total in ONE scan — the grouping-set
+    * shapes ROLLUP/CUBE can't spell (no (status, priority) cell here,
+    * which CUBE would force), via the Spark 4 DataFrame groupingSets
+    * API so Catalyst plans its usual Expand + one map-side-combined
+    * aggregate. */
+  def ordersGroupingSets(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.dsum(col("o_totalprice")).as("total_price"))
+
   /** PIVOT with explicit values, compiled to its optimal single-
     * aggregate form: one conditional count per pivot value, all in ONE
     * scan + ONE map-side-combined aggregate + one exchange on the

@@ -86,6 +86,8 @@ object AnalyticsRegistry {
       Analytics.ordersRollup(Tables.orders(s, d))),
     "q_orders_cube" -> ((s, d) =>
       Analytics.ordersCube(Tables.orders(s, d))),
+    "q_orders_gsets" -> ((s, d) =>
+      Analytics.ordersGroupingSets(Tables.orders(s, d))),
     "q_pivot_status" -> ((s, d) =>
       Analytics.ordersPivotByStatus(Tables.orders(s, d))),
     // the one-scan census form; the oracle keeps the INTERSECT/EXCEPT
@@ -363,6 +365,12 @@ object AnalyticsRegistry {
          |  ${dsumSql("o_totalprice")} AS total_price
          |FROM orders
          |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_orders_gsets" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  count(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     // the conditional-aggregation spelling of the same single pass the
     // valued pivot compiles to
     "q_pivot_status" ->
