@@ -34,7 +34,7 @@ object Bench {
       "q_retention",
       "ta_quality", "ta_diversity", "ta_lm_score", "ta_search", "cp_quality_gate",
       "cp_interleave",
-      "dd_exact", "dd_exact_delta", "dd_paragraph", "dd_paragraph_rewrite",
+      "dd_exact", "dd_exact_delta", "dd_keep_best_dedup", "dd_paragraph", "dd_paragraph_rewrite",
       "dd_minhash", "dd_simhash", "dd_semantic",
       "knn_bruteforce", "knn_ivf", "knn_graph", "knn_pq", "knn_ivfpq",
       // serving paths: the index builds once in the warm-up pass

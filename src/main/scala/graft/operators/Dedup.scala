@@ -929,6 +929,31 @@ object Dedup {
         (col("doc_id") =!= col("keep_id")).cast("int").as("is_dup"))
   }
 
+  /** The COMPOSED production order for quality keeper election on a
+    * duplication-heavy corpus: exact dedup FIRST (near-dup pair output
+    * is quadratic in exact-copy multiplicity — 100 byte-copies of one
+    * page are 4,950 forced true pairs; shedding them first is the same
+    * survival shape as [[dd_minhash_dedup]]'s), then [[keepBest]]'s
+    * election over the exact KEEPERS only, with the final map
+    * composing the two assignments: doc → exact keeper → that
+    * keeper's cluster-best. Electing over keepers loses nothing:
+    * byte copies share text (identical score), and each exact keeper
+    * is its group's min id, so the min-id tie-break over keepers
+    * equals the tie-break over all copies. Output is [[exact]]'s
+    * (doc_id, keep_id, is_dup) contract. */
+  def keepBestDedup(docs: DataFrame, n: Int, tau: Double,
+                    score: org.apache.spark.sql.Column): DataFrame = {
+    val ex = CacheTracker.persistTracked(exact(docs)
+      .select(col("doc_id"), col("keep_id").as("ek")))
+    val keeperDocs = docs.join(
+      ex.filter(col("doc_id") === col("ek")).select(col("doc_id")), "doc_id")
+    val electedBest = keepBest(keeperDocs, ngramJaccard(keeperDocs, n, tau),
+      score).select(col("doc_id").as("ek"), col("keep_id"))
+    ex.join(electedBest, "ek")
+      .select(col("doc_id"), col("keep_id"),
+        (col("doc_id") =!= col("keep_id")).cast("int").as("is_dup"))
+  }
+
   /** The persisted index state for INCREMENTAL embedding near-dup
     * detection: the LSH-bucketed vector rows (vec_id, v, nrm, table,
     * bucket) — [[MinHashStore]]'s analog for the semantic path. At

@@ -41,11 +41,13 @@ object DedupRegistry {
 
   /** Shared CTE chain producing the n-gram Jaccard candidate table
     * `cand(id_a, id_b, sz_a, sz_b, inter)` — used by the pair oracle
-    * and, under WITH RECURSIVE, by the clustering oracle. */
-  private val JaccardCtes =
+    * and, under WITH RECURSIVE, by the clustering oracles. `source`
+    * lets the composed exact-first row run the chain over its keeper
+    * CTE instead of the raw table. */
+  private def jaccardCtes(source: String): String =
     s"""sets AS (
        |  SELECT doc_id, $Sh3 AS sh
-       |  FROM (SELECT doc_id, $ToksExpr AS toks FROM documents)
+       |  FROM (SELECT doc_id, $ToksExpr AS toks FROM $source)
        |  WHERE len($Sh3) > 0
        |), ex AS (
        |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets
@@ -56,6 +58,8 @@ object DedupRegistry {
        |  GROUP BY 1, 2, 3, 4
        |  HAVING CAST(least(sz_a, sz_b) AS DOUBLE) / greatest(sz_a, sz_b) >= $JaccardTau
        |)""".stripMargin
+
+  private val JaccardCtes = jaccardCtes("documents")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -116,6 +120,12 @@ object DedupRegistry {
       Dedup.keepBest(docs, Dedup.ngramJaccard(docs, 3, JaccardTau),
         org.apache.spark.sql.functions.col("n_chars"))
     }),
+    // the COMPOSED production order for the election: exact dedup
+    // first (pair output is quadratic in byte-copy multiplicity),
+    // quality election over the keepers, assignments composed
+    "dd_keep_best_dedup" -> ((s, d) =>
+      Dedup.keepBestDedup(Tables.documents(s, d), 3, JaccardTau,
+        org.apache.spark.sql.functions.col("n_chars"))),
     // End-to-end semantic dedup: LSH cosine pairs → components →
     // keeper map for every vector. Both stages' oracles compose (plane
     // literals + recursive closure + left join).
@@ -423,6 +433,47 @@ object DedupRegistry {
          |SELECT a.doc_id, k.keep_id,
          |  CAST(a.doc_id <> k.keep_id AS INTEGER) AS is_dup
          |FROM assigned a JOIN keepers k ON a.cluster_id = k.cluster_id""".stripMargin,
+    // exact keepers first (the md5 window), the Jaccard chain + the
+    // closure + the election over the keeper CTE, then one join
+    // composes doc -> exact keeper -> cluster-best
+    "dd_keep_best_dedup" ->
+      s"""WITH RECURSIVE m AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         |k0 AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS ek FROM m),
+         |keepdocs AS (
+         |  SELECT d.* FROM documents d
+         |  JOIN k0 ON k0.doc_id = d.doc_id AND k0.ek = d.doc_id
+         |), ${jaccardCtes("keepdocs")}, pairs AS (
+         |  SELECT id_a, id_b FROM cand
+         |  WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= $JaccardTau
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+         |), comp AS (
+         |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+         |), assigned AS (
+         |  SELECT d.doc_id,
+         |    coalesce(d.n_chars, ${Long.MinValue}) AS score,
+         |    coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM keepdocs d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |), best AS (
+         |  SELECT cluster_id, max(score) AS best FROM assigned GROUP BY cluster_id
+         |), keepers AS (
+         |  SELECT a.cluster_id, min(a.doc_id) AS keep_id
+         |  FROM assigned a JOIN best b
+         |    ON a.cluster_id = b.cluster_id AND a.score = b.best
+         |  GROUP BY a.cluster_id
+         |), elected AS (
+         |  SELECT a.doc_id AS ek, k.keep_id
+         |  FROM assigned a JOIN keepers k ON a.cluster_id = k.cluster_id
+         |)
+         |SELECT k0.doc_id, e.keep_id,
+         |  CAST(k0.doc_id <> e.keep_id AS INTEGER) AS is_dup
+         |FROM k0 JOIN elected e ON e.ek = k0.ek""".stripMargin,
     "dd_embedding" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

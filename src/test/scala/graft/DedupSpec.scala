@@ -127,6 +127,24 @@ class DedupSpec extends AnyFunSuite {
       4L -> (4L, 0)))
   }
 
+  test("keepBestDedup: exact-first composition maps every copy to the cluster's best") {
+    val t1 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val t2 = t1 + " w11" // J(t1,t2) = 8/9 >= 0.8: a near-dup, longer
+    val docs = Seq(
+      (1L, t1, t1.length.toLong), (2L, t1, t1.length.toLong), // byte copies
+      (3L, t2, t2.length.toLong),                             // the best version
+      (4L, "x y z", 5L)                                       // unrelated singleton
+    ).toDF("doc_id", "text", "n_chars")
+    val m = Dedup.keepBestDedup(docs, 3, 0.8,
+      org.apache.spark.sql.functions.col("n_chars"))
+      .as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // exact collapses {1,2}->1; keepers {1,3,4}; pair (1,3); cluster
+    // best = 3 (longer); every copy of t1 maps to 3
+    assert(m == Map(
+      1L -> (3L, 1), 2L -> (3L, 1), 3L -> (3L, 0), 4L -> (4L, 0)))
+  }
+
   test("prefix filtering kills the corpus-common-shingle candidate flood, losslessly") {
     // 120 docs that all end with the same boilerplate phrase: under
     // raw-shingle blocking every pair shares the boilerplate 3-grams,
