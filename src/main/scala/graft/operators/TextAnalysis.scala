@@ -343,17 +343,44 @@ object TextAnalysis {
     * bigram is skew-splittable because the model side is one row per
     * bigram. */
   def lmScore(docs: DataFrame): DataFrame = {
-    val bi = CacheTracker.persistTracked(docs
-      .select(col("doc_id"),
-        explode(Text.ngrams(Text.tokens(col("text")), 2)).as("bigram")))
+    val bi = CacheTracker.persistTracked(bigramRows(docs))
+    lmScoreIndexed(bi, lmModelFromRows(bi))
+  }
+
+  /** (doc_id, bigram) occurrence rows — one per bigram POSITION. */
+  private def bigramRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(Text.ngrams(Text.tokens(col("text")), 2)).as("bigram"))
+
+  /** Train [[lmScore]]'s quantized model table (bigram, q) from a
+    * corpus — the artifact the serving path persists: train once on a
+    * reference corpus, score any number of incoming batches against
+    * it without re-training ([[lmScoreIndexed]]). At scale a
+    * maintained table bucketed on `bigram` (the scoring join key). */
+  def lmModel(docs: DataFrame): DataFrame = lmModelFromRows(bigramRows(docs))
+
+  private def lmModelFromRows(bi: DataFrame): DataFrame = {
     val c12 = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
       // tokens never contain spaces, so the first/last split is exact
       .select(col("bigram"), substring_index(col("bigram"), " ", 1).as("w1"),
         col("c12"))
     val ctx = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val q = c12.join(ctx, "w1")
+    c12.join(ctx, "w1")
       .select(col("bigram"), expr(s"c12 * $LmScale div c1").as("q"))
-    bi.join(q, "bigram")
+  }
+
+  /** Score docs (given as raw docs or prebuilt (doc_id, bigram) rows)
+    * against a PREBUILT model table: one scan + the bigram-keyed join
+    * + one per-doc aggregate — no model aggregates in the plan.
+    * Bigrams unseen by the model are dropped (n_bigrams counts scored
+    * occurrences), the out-of-vocabulary behavior of an external
+    * reference model; when the model was trained on the same corpus
+    * every bigram is in-vocabulary and this equals [[lmScore]]
+    * (TextAnalysisSpec). */
+  def lmScoreIndexed(docsOrRows: DataFrame, model: DataFrame): DataFrame = {
+    val bi = if (docsOrRows.columns.contains("bigram")) docsOrRows
+      else bigramRows(docsOrRows)
+    bi.join(model, "bigram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
       .select(col("doc_id"), col("n_bigrams"),

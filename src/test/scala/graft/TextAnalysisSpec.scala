@@ -147,6 +147,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       n > 0 && q >= 1 && q <= s })
   }
 
+  test("lmScoreIndexed over a persisted model == lmScore; OOV bigrams drop") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fresh = TextAnalysis.cached {
+      TextAnalysis.lmScore(docs).as[(Long, Long, Long)].collect().toSet
+    }
+    val dir = java.nio.file.Files.createTempDirectory("lm_model").toString
+    TextAnalysis.lmModel(docs).write.mode("overwrite").parquet(dir)
+    val served = TextAnalysis.lmScoreIndexed(docs, spark.read.parquet(dir))
+    // the served plan reads the model from parquet — no model-training
+    // aggregates (context sums) in the query
+    val plan = served.queryExecution.optimizedPlan.toString
+    assert(plan.contains(dir.split('/').last) || plan.contains("parquet"), plan)
+    assert(!plan.toLowerCase.contains("substring_index"), plan)
+    assert(served.as[(Long, Long, Long)].collect().toSet == fresh
+      && fresh.nonEmpty)
+    // an external model drops out-of-vocabulary bigrams: a doc whose
+    // bigrams the model never saw scores on the in-vocab ones only
+    val mini = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val model = Seq(("alpha beta", 250000L)).toDF("bigram", "q")
+    val scored = TextAnalysis.lmScoreIndexed(mini, model)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(scored == Set((100L, 1L, 250000L)))
+    scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("searchIndexed over a persisted postings index == search on the corpus") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val terms = Seq("spark", "stream", "vector")
