@@ -359,8 +359,17 @@ object TextAnalysis {
     * maintained table bucketed on `bigram` (the scoring join key). */
   def lmModel(docs: DataFrame): DataFrame = lmModelFromRows(bigramRows(docs))
 
-  private def lmModelFromRows(bi: DataFrame): DataFrame = {
-    val c12 = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+  private def lmModelFromRows(bi: DataFrame): DataFrame =
+    lmModelFromCounts(bi.groupBy(col("bigram")).agg(count(lit(1)).as("c12")))
+
+  /** [[lmModel]] from (bigram, c12) COUNT rows — bigram counts are
+    * additive, so partial counts from any split of the corpus (e.g.
+    * one count table per streaming micro-batch,
+    * [[graft.streaming.Streams.lmServe]]) sum to the batch model
+    * exactly; the input needn't be pre-merged (the groupBy re-sums
+    * split rows). */
+  def lmModelFromCounts(counts: DataFrame): DataFrame = {
+    val c12 = counts.groupBy(col("bigram")).agg(sum(col("c12")).as("c12"))
       // tokens never contain spaces, so the first/last split is exact
       .select(col("bigram"), substring_index(col("bigram"), " ", 1).as("w1"),
         col("c12"))
@@ -368,6 +377,11 @@ object TextAnalysis {
     c12.join(ctx, "w1")
       .select(col("bigram"), expr(s"c12 * $LmScale div c1").as("q"))
   }
+
+  /** The per-batch (bigram, c12) count projection [[lmModelFromCounts]]
+    * merges — what a streaming maintainer writes per micro-batch. */
+  def lmCounts(docs: DataFrame): DataFrame =
+    bigramRows(docs).groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
 
   /** Score docs (given as raw docs or prebuilt (doc_id, bigram) rows)
     * against a PREBUILT model table: one scan + the bigram-keyed join

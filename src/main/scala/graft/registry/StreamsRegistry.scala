@@ -53,6 +53,10 @@ object StreamsRegistry {
     // verbatim).
     "st_search" -> ((s, d) => Streams.searchServe(s, d,
       TextAnalysisRegistry.SearchTerms, TextAnalysisRegistry.SearchK)),
+    // streaming LM maintenance: per-batch additive (bigram, c12)
+    // counts, model built from the accumulated table after the drain;
+    // drained ≡ batch ta_lm_score (oracle verbatim).
+    "st_lm" -> ((s, d) => Streams.lmServe(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -110,5 +114,7 @@ object StreamsRegistry {
     "st_pii_scrub" -> CorpusRegistry.oracleSql("cp_pii_scrub"),
     // drained index maintenance + serve ≡ the batch search: same oracle
     "st_search" -> TextAnalysisRegistry.oracleSql("ta_search"),
+    // drained model maintenance + scoring ≡ the batch LM score
+    "st_lm" -> TextAnalysisRegistry.oracleSql("ta_lm_score"),
   )
 }

@@ -598,6 +598,43 @@ object Streams {
     scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively(); ()
   }
 
+  /** Streaming LM-model maintenance + serving ≡ batch
+    * [[graft.operators.TextAnalysis.lmScore]]: each document
+    * micro-batch writes its own (bigram, c12) count table — bigram
+    * counts are ADDITIVE and within-row (the explode never crosses
+    * rows), so any batch split's partial counts sum to the batch
+    * model with no cross-batch state; after the drain the model
+    * builds from the accumulated counts
+    * ([[graft.operators.TextAnalysis.lmModelFromCounts]] re-sums the
+    * per-batch rows) and scores the corpus. The shape of a live
+    * ingest keeping a quality-scoring model current. Same durability
+    * contract as [[searchServe]]: batchId-keyed idempotent overwrite,
+    * staged drain, swap on success. */
+  def lmServe(spark: SparkSession, dir: String): DataFrame =
+    lmServe(spark, dir, TempDirs.create("graft_st_lm"))
+
+  /** [[lmServe]] with a CALLER-SUPPLIED model-counts path — the
+    * production entry point (the counts survive the session and can
+    * be grown by a later drain). */
+  def lmServe(spark: SparkSession, dir: String, countsDir: String): DataFrame = {
+    val stream = FileStreamSource(s"$dir/documents.parquet").stream(spark)
+    val stage = s"$countsDir.staging"
+    scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.TextAnalysis.lmCounts(batch)
+          .write.mode("overwrite").parquet(s"$stage/batch=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    promoteStaged(stage, countsDir)
+    val model = graft.operators.TextAnalysis.lmModelFromCounts(
+      spark.read.parquet(countsDir).select("bigram", "c12"))
+    graft.operators.TextAnalysis.lmScoreIndexed(
+      spark.read.parquet(s"$dir/documents.parquet"), model)
+  }
+
   /** Source-agnostic index-maintenance core: drain any document
     * stream, writing term postings and per-batch doc counts. Each
     * micro-batch OVERWRITES its own `batch=<id>` subdirectory instead

@@ -167,6 +167,59 @@ class StreamsSpec extends AnyFunSuite {
     scala.reflect.io.Directory(new java.io.File(root.toString)).deleteRecursively()
   }
 
+  test("lm model built from per-batch counts across batches == batch lmScore") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = Seq((1L, "the cat sat on the mat"), (2L, "the cat ran"))
+    val b2 = Seq((3L, "the dog sat on the mat"), (4L, "cat and dog"))
+    val countsDir =
+      java.nio.file.Files.createTempDirectory("graft_st_lm").toString
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.TextAnalysis.lmCounts(batch)
+          .write.mode("overwrite").parquet(s"$countsDir/batch=$batchId")
+      }
+      .start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val allDocs = (b1 ++ b2).toDF("doc_id", "text")
+    val served = graft.operators.TextAnalysis.lmScoreIndexed(allDocs,
+      graft.operators.TextAnalysis.lmModelFromCounts(
+        spark.read.parquet(countsDir).select("bigram", "c12")))
+      .as[(Long, Long, Long)].collect().toSet
+    val batchRes = graft.operators.TextAnalysis.cached {
+      graft.operators.TextAnalysis.lmScore(allDocs)
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    assert(served == batchRes && batchRes.nonEmpty)
+  }
+
+  test("lmServe with a caller-supplied counts path: durable, idempotent re-drain") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("st_lm_path")
+    val countsDir = s"$root/counts"
+    val batchRes = graft.operators.TextAnalysis.cached {
+      graft.operators.TextAnalysis.lmScore(
+        graft.sources.Tables.documents(spark, dir))
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    val served = Streams.lmServe(spark, dir, countsDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served == batchRes && batchRes.nonEmpty)
+    // a poisoned stale batch dir must not survive a re-drain (staged
+    // swap clears the live batch dirs only after the drain succeeds)
+    Seq(("poison poison", 999999L)).toDF("bigram", "c12")
+      .write.mode("overwrite").parquet(s"$countsDir/batch=99")
+    val reDrained = Streams.lmServe(spark, dir, countsDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(reDrained == batchRes)
+    scala.reflect.io.Directory(new java.io.File(root.toString)).deleteRecursively()
+  }
+
   test("searchServe: a failed re-drain leaves the previous index intact") {
     import spark.implicits._
     import graft.operators.TextAnalysis
