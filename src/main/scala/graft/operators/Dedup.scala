@@ -954,6 +954,159 @@ object Dedup {
         (col("doc_id") =!= col("keep_id")).cast("int").as("is_dup"))
   }
 
+  /** Persisted state for INCREMENTAL n-gram Jaccard: the shingle rows
+    * and the df-rarest prefix table — [[ContainmentStore]]'s layout
+    * with Jaccard verification. The prefix length ⌈(1−τ)·sz⌉+1 is
+    * lossless for J ≥ τ by the same any-fixed-subset argument as
+    * containment (J ≥ τ ⇒ C(A→B) ≥ τ, so any that-many shingles of A
+    * include one shared with B) — df order only optimizes bucket
+    * occupancy, so stored prefixes stay valid as the corpus grows. */
+  final case class JaccardStore(rows: DataFrame, prefix: DataFrame,
+                                n: Int, tau: Double)
+
+  /** Build [[JaccardStore]] state for an initial corpus. */
+  def jaccardStore(docs: DataFrame, n: Int = 3,
+                   tau: Double = 0.8): JaccardStore = {
+    val ex = shingleRows(docs, n)
+    JaccardStore(ex, containmentPrefix(ex, tau), n, tau)
+  }
+
+  /** Every verified Jaccard pair touching the delta + the merged store. */
+  final case class JaccardDelta(pairs: DataFrame, updatedStore: JaccardStore)
+
+  /** Incremental (delta) n-gram Jaccard — [[containmentDelta]]'s
+    * both-direction blocking with symmetric verification: candidates
+    * are delta prefixes × all rows PLUS stored prefixes × delta rows
+    * (every candidate touches the delta by construction; old-old
+    * pairs were found by the initial run), normalized to id_a < id_b,
+    * verified by the exact Jaccard over the merged shingle rows.
+    * Same parameter-drift guards as the containment family. */
+  def ngramJaccardDelta(store: JaccardStore, delta: DataFrame,
+                        n: Int = 3, tau: Double = 0.8): JaccardDelta = {
+    require(n == store.n,
+      s"ngramJaccardDelta n=$n must equal the store's shingle width n=${store.n}")
+    require(tau >= store.tau,
+      f"ngramJaccardDelta tau=$tau%.3f is below the store's build " +
+        f"tau=${store.tau}%.3f: stored prefixes are too short for a looser " +
+        "threshold (rebuild the store or query at tau >= the build tau)")
+    val dRows = CacheTracker.persistTracked(shingleRows(delta, n))
+    val dPrefix = containmentPrefix(dRows, tau)
+    // re-ingest idempotency (containmentDelta's rule): the delta
+    // REPLACES any stored rows under its ids, never duplicates them
+    val dIds = delta.select(col("doc_id")).distinct()
+    val oldRows = store.rows.join(dIds, Seq("doc_id"), "left_anti")
+    val oldPrefix = store.prefix.join(dIds, Seq("doc_id"), "left_anti")
+    val allRows = CacheTracker.persistTracked(oldRows.union(dRows))
+    def block(p: DataFrame, r: DataFrame) =
+      p.as("a").join(r.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+    val cand = block(dPrefix, allRows).union(block(oldPrefix, dRows))
+      .distinct()
+    val sizes = allRows.select(col("doc_id"), col("sz")).distinct()
+    val verified = cand
+      .join(allRows.as("ra"), col("id_a") === col("ra.doc_id"))
+      .join(allRows.as("rb"),
+        col("id_b") === col("rb.doc_id") && col("ra.s") === col("rb.s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    JaccardDelta(verified,
+      JaccardStore(allRows, oldPrefix.union(dPrefix), n, tau))
+  }
+
+  /** The persisted state for INCREMENTAL quality keeper election:
+    * the verified near-dup pair table, the per-doc scores, and the
+    * current assignment. At corpus scale: pairs bucketed on id_a,
+    * scores/assignment on doc_id ([[graft.sources.Sinks.writeBucketed]]),
+    * so the delta's subgraph-selection joins read them
+    * pre-partitioned. */
+  final case class KeepBestStore(pairs: DataFrame, scores: DataFrame,
+                                 assignment: DataFrame)
+
+  /** Build [[KeepBestStore]] state for an initial corpus. */
+  def keepBestStore(docs: DataFrame, pairs0: DataFrame,
+                    score: org.apache.spark.sql.Column): KeepBestStore = {
+    val pairs = CacheTracker.persistTracked(
+      pairs0.select(col("id_a"), col("id_b")))
+    val scores = docs.select(col("doc_id"), score.cast("long").as("score"))
+    KeepBestStore(pairs, scores, keepBest(docs, pairs, score))
+  }
+
+  /** Result of an incremental election pass: the merged assignment for
+    * the WHOLE corpus (sticky where untouched), and the updated store. */
+  final case class KeepBestDelta(assignment: DataFrame,
+                                 updatedStore: KeepBestStore)
+
+  /** Incremental (delta) quality keeper election — [[keepBest]]
+    * without re-clustering the whole corpus per ingest. Cluster
+    * MERGES can only happen through pairs that touch the delta (old
+    * edges were already closed over), so the recompute set is exactly:
+    * the old clusters containing any node of a delta pair, plus the
+    * delta docs. The election re-runs on that subgraph's edges (old
+    * pairs within affected clusters + delta pairs); every other
+    * cluster's assignment — and every unpaired delta doc's self-
+    * assignment — is a projection, no propagation. Because the
+    * election is content-determined (max score, min id — never
+    * arrival order), the merged assignment EQUALS the full
+    * [[keepBest]] over the union corpus (DeltaDedupSpec), so the full
+    * run's oracle holds verbatim for the delta path.
+    *
+    * `deltaPairs` comes from any pair stage run delta-mode (e.g.
+    * [[containmentDelta]]/[[minhashLshDelta]]'s pairs, or a
+    * prefix-blocked Jaccard pass of delta×(store∪delta)): every
+    * verified pair with at least one delta endpoint. */
+  def keepBestDelta(store: KeepBestStore, delta: DataFrame,
+                    deltaPairs0: DataFrame,
+                    score: org.apache.spark.sql.Column): KeepBestDelta = {
+    val deltaPairs = CacheTracker.persistTracked(
+      deltaPairs0.select(col("id_a"), col("id_b")))
+    val dScores = delta.select(col("doc_id"), score.cast("long").as("score"))
+    val allScores = store.scores.union(dScores)
+    // old clusters touched by any delta-pair endpoint
+    val touched = deltaPairs.select(col("id_a").as("doc_id"))
+      .union(deltaPairs.select(col("id_b").as("doc_id")))
+      .distinct()
+    val affectedClusters = store.assignment
+      .join(touched, "doc_id")
+      .select(col("keep_id").as("affected_keep")).distinct()
+    // the affected subgraph: old pairs inside affected clusters (via
+    // either endpoint's old assignment — both endpoints share a
+    // cluster by construction) + the delta pairs
+    val oldAffectedPairs = store.pairs
+      .join(store.assignment.select(col("doc_id").as("id_a"),
+        col("keep_id").as("affected_keep")), Seq("id_a"))
+      .join(affectedClusters, Seq("affected_keep"), "left_semi")
+      .select(col("id_a"), col("id_b"))
+    val subPairs = oldAffectedPairs.union(deltaPairs)
+    // re-elect on the subgraph: keepBest needs (doc_id, score) docs for
+    // every subgraph node PLUS the unpaired members of affected
+    // clusters (they re-elect too — their cluster's best may change)
+    val affectedDocs = store.assignment
+      .join(affectedClusters,
+        col("keep_id") === col("affected_keep"), "left_semi")
+      .select(col("doc_id"))
+      .union(delta.select(col("doc_id")))
+      .distinct()
+      .join(allScores, "doc_id")
+      .select(col("doc_id"), col("score"))
+    val reElected = keepBest(affectedDocs, subPairs, col("score"))
+    // sticky everywhere untouched; unpaired delta docs self-assign via
+    // keepBest's left join (they are in affectedDocs)
+    val untouched = store.assignment
+      .join(affectedClusters,
+        col("keep_id") === col("affected_keep"), "left_anti")
+    KeepBestDelta(untouched.union(reElected),
+      KeepBestStore(store.pairs.union(deltaPairs), allScores,
+        untouched.union(reElected)))
+  }
+
   /** The persisted index state for INCREMENTAL embedding near-dup
     * detection: the LSH-bucketed vector rows (vec_id, v, nrm, table,
     * bucket) — [[MinHashStore]]'s analog for the semantic path. At

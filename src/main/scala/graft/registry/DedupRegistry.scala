@@ -61,6 +61,39 @@ object DedupRegistry {
 
   private val JaccardCtes = jaccardCtes("documents")
 
+  /** dd_keep_best's full-run SQL — shared verbatim by the delta row
+    * (delta ≡ full: the election is content-determined). */
+  private lazy val oracleKeepBest: String =
+    s"""WITH RECURSIVE $JaccardCtes, pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= $JaccardTau
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+       |), comp AS (
+       |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+       |), assigned AS (
+       |  SELECT d.doc_id,
+       |    coalesce(d.n_chars, ${Long.MinValue}) AS score,
+       |    coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+       |), best AS (
+       |  SELECT cluster_id, max(score) AS best FROM assigned GROUP BY cluster_id
+       |), keepers AS (
+       |  SELECT a.cluster_id, min(a.doc_id) AS keep_id
+       |  FROM assigned a JOIN best b
+       |    ON a.cluster_id = b.cluster_id AND a.score = b.best
+       |  GROUP BY a.cluster_id
+       |)
+       |SELECT a.doc_id, k.keep_id,
+       |  CAST(a.doc_id <> k.keep_id AS INTEGER) AS is_dup
+       |FROM assigned a JOIN keepers k ON a.cluster_id = k.cluster_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dd_exact_norm" -> ((s, d) => Dedup.exactNormalized(Tables.documents(s, d))),
@@ -119,6 +152,22 @@ object DedupRegistry {
       val docs = Tables.documents(s, d)
       Dedup.keepBest(docs, Dedup.ngramJaccard(docs, 3, JaccardTau),
         org.apache.spark.sql.functions.col("n_chars"))
+    }),
+    // incremental election: delta pairs from the both-direction
+    // Jaccard blocking, re-election on the touched clusters only,
+    // sticky assignments elsewhere — delta ≡ full (the election is
+    // content-determined), so dd_keep_best's oracle holds verbatim
+    "dd_keep_best_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val c = org.apache.spark.sql.functions.col("doc_id")
+      val score = org.apache.spark.sql.functions.col("n_chars")
+      val old = docs.filter(c % DeltaMod =!= 0)
+      val delta = docs.filter(c % DeltaMod === 0)
+      val deltaPairs = Dedup.ngramJaccardDelta(
+        Dedup.jaccardStore(old, 3, JaccardTau), delta, 3, JaccardTau).pairs
+      Dedup.keepBestDelta(
+        Dedup.keepBestStore(old, Dedup.ngramJaccard(old, 3, JaccardTau), score),
+        delta, deltaPairs, score).assignment
     }),
     // the COMPOSED production order for the election: exact dedup
     // first (pair output is quadratic in byte-copy multiplicity),
@@ -403,36 +452,11 @@ object DedupRegistry {
     // score, then min doc_id among the tied rows — the same bounded
     // aggregates the Spark side runs (null scores coalesce to
     // Long.MinValue on both engines)
-    "dd_keep_best" ->
-      s"""WITH RECURSIVE $JaccardCtes, pairs AS (
-         |  SELECT id_a, id_b FROM cand
-         |  WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= $JaccardTau
-         |), edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT id_b AS src, id_a AS dst FROM pairs
-         |), reach(id, r) AS (
-         |  SELECT DISTINCT src, src FROM edges
-         |  UNION
-         |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
-         |), comp AS (
-         |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
-         |), assigned AS (
-         |  SELECT d.doc_id,
-         |    coalesce(d.n_chars, ${Long.MinValue}) AS score,
-         |    coalesce(c.cluster_id, d.doc_id) AS cluster_id
-         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
-         |), best AS (
-         |  SELECT cluster_id, max(score) AS best FROM assigned GROUP BY cluster_id
-         |), keepers AS (
-         |  SELECT a.cluster_id, min(a.doc_id) AS keep_id
-         |  FROM assigned a JOIN best b
-         |    ON a.cluster_id = b.cluster_id AND a.score = b.best
-         |  GROUP BY a.cluster_id
-         |)
-         |SELECT a.doc_id, k.keep_id,
-         |  CAST(a.doc_id <> k.keep_id AS INTEGER) AS is_dup
-         |FROM assigned a JOIN keepers k ON a.cluster_id = k.cluster_id""".stripMargin,
+    "dd_keep_best" -> oracleKeepBest,
+    // delta ≡ full: the election is content-determined (max score,
+    // min id — never arrival order), so the incremental path must
+    // reproduce the full run exactly
+    "dd_keep_best_delta" -> oracleKeepBest,
     // exact keepers first (the md5 window), the Jaccard chain + the
     // closure + the election over the keeper CTE, then one join
     // composes doc -> exact keeper -> cluster-best

@@ -214,6 +214,75 @@ class DeltaDedupSpec extends AnyFunSuite {
     assert(Dedup.containmentDelta(st, delta, 3, 0.9).pairs.count() >= 0)
   }
 
+  test("ngramJaccardDelta emits exactly the full run's pairs touching the delta") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = a + " lambda" // J = 8/9 vs a
+    val full = docsDF(Seq(
+      1L -> a, 2L -> b,                    // old-old pair: must NOT re-emit
+      3L -> "one two three four five six",
+      101L -> a,                           // delta near-dup of OLD docs
+      103L -> "pq rq sq tq uq vq wq xq",
+      104L -> "pq rq sq tq uq vq wq xq yq", // delta-internal pair
+      105L -> "entirely disjoint trailing document"))
+    val old = full.filter($"doc_id" < 100)
+    val delta = full.filter($"doc_id" >= 100)
+    def pairs(df: DataFrame) =
+      df.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val fullPairs = pairs(Dedup.ngramJaccard(full, 3, 0.8))
+    val r = Dedup.ngramJaccardDelta(Dedup.jaccardStore(old, 3, 0.8),
+      delta, 3, 0.8)
+    assert(pairs(r.pairs) == fullPairs.filter(p => p._1 >= 100 || p._2 >= 100))
+    assert(pairs(r.pairs).contains((1L, 101L)), "old-new pair missing")
+    assert(pairs(r.pairs).contains((103L, 104L)), "delta-internal pair missing")
+    assert(!pairs(r.pairs).contains((1L, 2L)), "old-old pair re-emitted")
+    // re-ingest idempotency + drift guards (the containment contract)
+    val r2 = Dedup.ngramJaccardDelta(r.updatedStore, delta, 3, 0.8)
+    assert(pairs(r2.pairs) == pairs(r.pairs))
+    intercept[IllegalArgumentException](
+      Dedup.ngramJaccardDelta(r.updatedStore, delta, 3, 0.7))
+    intercept[IllegalArgumentException](
+      Dedup.ngramJaccardDelta(r.updatedStore, delta, 4, 0.8))
+  }
+
+  test("keepBestDelta == the full election, including a delta-bridged cluster merge") {
+    import org.apache.spark.sql.functions.col
+    // two OLD clusters {1,2} and {3,4} that a DELTA doc 101 bridges
+    // (101 pairs with 2 AND 3), plus an untouched old cluster {5,6},
+    // an old singleton 7, a delta near-dup 102 of 7, and a delta
+    // singleton 103. Scores make the merged cluster's best a DELTA doc.
+    val docs = Seq(
+      (1L, 10L), (2L, 20L), (3L, 30L), (4L, 25L),
+      (5L, 50L), (6L, 60L), (7L, 70L),
+      (101L, 99L), (102L, 65L), (103L, 5L))
+      .toDF("doc_id", "score")
+    val oldPairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val deltaPairs = Seq((2L, 101L), (3L, 101L), (7L, 102L))
+      .toDF("id_a", "id_b")
+    val old = docs.filter($"doc_id" < 100)
+    val delta = docs.filter($"doc_id" >= 100)
+    val fullRes = Dedup.keepBest(docs,
+      oldPairs.union(deltaPairs), col("score"))
+      .as[(Long, Long, Int)].collect().toSet
+    val store = Dedup.keepBestStore(old, oldPairs, col("score"))
+    val r = Dedup.keepBestDelta(store, delta, deltaPairs, col("score"))
+    assert(asn(r.assignment) == fullRes)
+    // the merged cluster {1,2,3,4,101} elected the delta doc
+    val m = fullRes.map(t => t._1 -> t._2).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 101L).forall(m(_) == 101L))
+    assert(m(5L) == 6L && m(6L) == 6L, "untouched cluster re-elected")
+    assert(m(7L) == 7L && m(102L) == 7L, "singleton-join election wrong")
+    assert(m(103L) == 103L, "unpaired delta doc must self-assign")
+    // a second ingest over the updated store still equals the full run
+    val delta2 = Seq((201L, 1000L)).toDF("doc_id", "score")
+    val delta2Pairs = Seq((5L, 201L)).toDF("id_a", "id_b")
+    val full2 = Dedup.keepBest(docs.union(delta2),
+      oldPairs.union(deltaPairs).union(delta2Pairs), col("score"))
+      .as[(Long, Long, Int)].collect().toSet
+    val r2 = Dedup.keepBestDelta(r.updatedStore, delta2, delta2Pairs,
+      col("score"))
+    assert(asn(r2.assignment) == full2)
+  }
+
   test("paragraphDelta: sticky stored keepers, delta-min for new paragraphs, composable") {
     // 6-token spans: every quoted phrase below is one span
     val span = 6

@@ -225,4 +225,37 @@ class StoreRoundTripSpec extends AnyFunSuite {
     dropTable("ct_rows_rt")
     dropTable("ct_prefix_rt")
   }
+
+  test("keepBest election stores round-trip through bucketed tables") {
+    val docs = Tables.documents(spark, d)
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val score = col("n_chars")
+    val jSt = Dedup.jaccardStore(old, 3, 0.8)
+    val kSt = Dedup.keepBestStore(old,
+      Dedup.ngramJaccard(old, 3, 0.8), score)
+    val deltaPairs = Dedup.ngramJaccardDelta(jSt, delta, 3, 0.8).pairs
+    val inMem = Dedup.keepBestDelta(kSt, delta, deltaPairs, score)
+    Seq("kb_pairs_rt", "kb_scores_rt", "kb_asn_rt", "kb_jrows_rt",
+      "kb_jprefix_rt").foreach(dropTable)
+    // pairs on id_a (the subgraph-selection join key), scores and
+    // assignment on doc_id, the Jaccard store on the shingle
+    Sinks.writeBucketed(kSt.pairs, "kb_pairs_rt", "id_a", 8)
+    Sinks.writeBucketed(kSt.scores, "kb_scores_rt", "doc_id", 8)
+    Sinks.writeBucketed(kSt.assignment, "kb_asn_rt", "doc_id", 8)
+    Sinks.writeBucketed(jSt.rows, "kb_jrows_rt", "s", 8)
+    Sinks.writeBucketed(jSt.prefix, "kb_jprefix_rt", "s", 8)
+    val deltaPairsT = Dedup.ngramJaccardDelta(
+      Dedup.JaccardStore(spark.table("kb_jrows_rt"),
+        spark.table("kb_jprefix_rt"), 3, 0.8), delta, 3, 0.8).pairs
+    val fromTable = Dedup.keepBestDelta(
+      Dedup.KeepBestStore(spark.table("kb_pairs_rt"),
+        spark.table("kb_scores_rt"), spark.table("kb_asn_rt")),
+      delta, deltaPairsT, score)
+    def res(r: Dedup.KeepBestDelta) =
+      r.assignment.as[(Long, Long, Int)].collect().toSet
+    assert(res(fromTable) == res(inMem) && res(inMem).nonEmpty)
+    Seq("kb_pairs_rt", "kb_scores_rt", "kb_asn_rt", "kb_jrows_rt",
+      "kb_jprefix_rt").foreach(dropTable)
+  }
 }
