@@ -494,6 +494,37 @@ object Similarity {
       cents)
   }
 
+  /** [[ivfIndex]] with a CALLER-SUPPLIED codebook — the form a
+    * maintained index must match: assignment under a FIXED codebook is
+    * a pure per-row function, so an index grown by [[ivfDelta]] equals
+    * this built fresh over the union (ApproxAndIvfSpec). */
+  def ivfIndexWith(embeddings: DataFrame, centroids: DataFrame): IvfIndex = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    IvfIndex(assignCells(e, centroids).withColumn("vnrm", Vec.norm(col("v"))),
+      centroids)
+  }
+
+  /** Incremental (delta) IVF index maintenance — the E-family's
+    * analog of the dedup delta forms: new vectors are assigned to
+    * cells under the STORE's codebook (the zero-shuffle per-row
+    * argmax — no old-vector rescan, no re-training) and appended;
+    * re-ingesting ids REPLACES their stored rows (idempotent, the
+    * containmentDelta rule). The codebook stays fixed — the contract
+    * of a served ANN index between rebuilds; queries over the grown
+    * index equal a fresh build over the union with the same codebook
+    * ([[ivfIndexWith]], spec-proven), so the full run's oracle (with
+    * the store-side centroid predicate) replays the delta path
+    * exactly. At scale `assigned` is the maintained bucketed-on-cell
+    * table; the delta write is an append of delta-sized rows. */
+  def ivfDelta(index: IvfIndex, delta: DataFrame): IvfIndex = {
+    val dIds = delta.select(col("vec_id")).distinct()
+    val kept = index.assigned.join(dIds, Seq("vec_id"), "left_anti")
+    val d = delta.select(col("vec_id"), col("embedding").as("v"))
+    IvfIndex(kept.union(
+      assignCells(d, index.centroids).withColumn("vnrm", Vec.norm(col("v")))),
+      index.centroids)
+  }
+
   /** [[knnIvf]] over a PREBUILT [[IvfIndex]] — the serving shape
     * (mirror of [[knnLshIndexed]]): per query batch only the probes
     * are ranked against the broadcast codebook; the corpus-side

@@ -15,6 +15,9 @@ import graft.sources.Tables
 object SimilarityRegistry {
 
   val ProbeMod = 50
+  /** knn_ivf_delta's corpus split (the dedup registry's convention):
+    * every DeltaMod-th vector plays the incoming delta. */
+  val DeltaMod = 3
   val K = 10
   val CentroidMod = 37 // knnIvf default
   val NProbe = 2
@@ -36,6 +39,19 @@ object SimilarityRegistry {
       Similarity.knnLsh(Tables.embeddings(s, d), probes(s, d), K)),
     "knn_ivf" -> ((s, d) =>
       Similarity.knnIvf(Tables.embeddings(s, d), probes(s, d), K)),
+    // incremental index maintenance: the delta's vectors assigned
+    // under the STORE's codebook and appended (no rescan, no
+    // retrain); queried over the grown index — ≡ a fresh build over
+    // the union with the same codebook, so the oracle replays it with
+    // the old-side centroid predicate
+    "knn_ivf_delta" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val c = org.apache.spark.sql.functions.col("vec_id")
+      val grown = Similarity.ivfDelta(
+        Similarity.ivfIndex(emb.filter(c % DeltaMod =!= 0), CentroidMod),
+        emb.filter(c % DeltaMod === 0))
+      Similarity.knnIvfIndexed(grown, probes(s, d), K, NProbe)
+    }),
     // k-means-refined codebook (3 Lloyd's iterations); like knn_ivf,
     // no SQL oracle — ApproxAndIvfSpec checks exact scores, bounds,
     // determinism and that training actually moved the centroids.
@@ -145,6 +161,47 @@ object SimilarityRegistry {
          |  SELECT vec_id AS cid,
          |    list_transform(v, x -> x / ${VectorSql.nrm("v")}) AS unit
          |  FROM e WHERE vec_id % $CentroidMod = 0
+         |), scored_cells AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    ${VectorSql.dot("e.v", "c.unit")} AS d
+         |  FROM e CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY d DESC, cid ASC) AS rn
+         |    FROM scored_cells) WHERE rn = 1
+         |), probe_cells AS (
+         |  SELECT vec_id AS probe_id, v AS pv, cid AS pcell FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY d DESC, cid ASC) AS rn
+         |    FROM scored_cells WHERE vec_id % $ProbeMod = 0) WHERE rn <= $NProbe
+         |), cand AS (
+         |  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         |    ${VectorSql.cos("p.pv", "e.v")} AS cos_sim
+         |  FROM probe_cells p
+         |  JOIN (SELECT vec_id, v, cell FROM assigned) e
+         |    ON e.cell = p.pcell AND e.vec_id <> p.probe_id
+         |), ranked AS (
+         |  SELECT probe_id, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM cand
+         |)
+         |SELECT probe_id, neighbor_id, cos_sim, rnk
+         |FROM ranked WHERE rnk <= $K""".stripMargin,
+    // the full knn_ivf replay under the STORE's codebook: centroids
+    // come from the OLD side only (the index was built before the
+    // delta arrived; the codebook stays fixed between rebuilds) —
+    // assignment and probes cover the whole grown corpus
+    "knn_ivf_delta" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(v, x -> x / ${VectorSql.nrm("v")}) AS unit
+         |  FROM e WHERE vec_id % $CentroidMod = 0 AND vec_id % $DeltaMod <> 0
          |), scored_cells AS (
          |  SELECT e.vec_id, e.v, c.cid,
          |    ${VectorSql.dot("e.v", "c.unit")} AS d

@@ -125,4 +125,28 @@ class ApproxAndIvfSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Int)].collect()
     assert(again.sortBy(r => (r._1, r._4)).toSeq == ivfT.sortBy(r => (r._1, r._4)).toSeq)
   }
+
+  test("ivfDelta grows the index to a fresh same-codebook build; idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    val idx = Similarity.ivfIndex(old, centroidMod = 37)
+    val grown = Similarity.ivfDelta(idx, delta)
+    def asn(i: Similarity.IvfIndex) = i.assigned
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toSet
+    // assignment under a fixed codebook is per-row: grown == fresh
+    // build over the union with the SAME (old-side) codebook
+    val fresh = Similarity.ivfIndexWith(emb, idx.centroids)
+    assert(asn(grown) == asn(fresh) && asn(grown).nonEmpty)
+    // re-ingest replaces, never duplicates
+    assert(asn(Similarity.ivfDelta(grown, delta)) == asn(grown))
+    // the served query over the grown index == over the fresh build
+    val probes = Similarity.probeEvery(emb, 50)
+    def q(i: Similarity.IvfIndex) =
+      Similarity.knnIvfIndexed(i, probes, 10, nProbe = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(q(grown) == q(fresh) && q(grown).nonEmpty)
+  }
 }
