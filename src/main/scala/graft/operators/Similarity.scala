@@ -408,6 +408,21 @@ object Similarity {
     PqIndex(pqCodes(e, seeds, m), seeds)
   }
 
+  /** Incremental (delta) PQ index maintenance — [[ivfDelta]]'s
+    * contract for the code table: delta vectors PQ-encode under the
+    * STORE's seed frame (one scan, per-row projection — no rescan, no
+    * re-seeding) and append; re-ingested ids replace their rows. The
+    * quantizer stays fixed between rebuilds, so the grown code table
+    * equals a fresh encode of the union under the same seeds
+    * (ApproxAndIvfSpec) and the full replay with the old-side seed
+    * predicate is the oracle. */
+  def pqDelta(index: PqIndex, delta: DataFrame, m: Int = PqM): PqIndex = {
+    val dIds = delta.select(col("vec_id")).distinct()
+    val kept = index.codes.join(dIds, Seq("vec_id"), "left_anti")
+    val d = delta.select(col("vec_id"), col("embedding").as("v"))
+    PqIndex(kept.union(pqCodes(d, index.seeds, m)), index.seeds)
+  }
+
   /** [[knnPq]] over a PREBUILT [[PqIndex]] — the serving shape (mirror
     * of [[knnLshIndexed]] / [[knnIvfIndexed]]): per query batch only
     * the probe LUTs are computed; the corpus-side encode is the

@@ -71,6 +71,17 @@ object SimilarityRegistry {
     // full encode + LUT-score pipeline with nested list lambdas.
     "knn_pq" -> ((s, d) =>
       Similarity.knnPq(Tables.embeddings(s, d), probes(s, d), K)),
+    // incremental code-table maintenance: delta vectors encode under
+    // the STORE's seed frame and append — knn_ivf_delta's contract
+    // for the PQ index
+    "knn_pq_delta" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val c = org.apache.spark.sql.functions.col("vec_id")
+      val grown = Similarity.pqDelta(
+        Similarity.pqIndex(emb.filter(c % DeltaMod =!= 0)),
+        emb.filter(c % DeltaMod === 0))
+      Similarity.knnPqIndexed(grown, probes(s, d), K)
+    }),
     // IVF cells shortlist + PQ codes score — the composed index; both
     // quantizers deterministic, so the oracle replays the composition.
     "knn_ivfpq" -> ((s, d) =>
@@ -108,6 +119,53 @@ object SimilarityRegistry {
         probes(s, d), K)
     }),
   )
+
+  /** knn_pq's replay, parameterized by an extra seed predicate so the
+    * delta row can pin the quantizer to the old side. */
+  private def pqSql(seedPred: String): String = {
+      val M = Similarity.PqM
+      val Sub = 64 / M
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), u AS (
+         |  SELECT vec_id, list_transform(v, x -> x / ${nrm("v")}) AS u FROM e
+         |), cb AS (
+         |  SELECT list(u ORDER BY vec_id) AS seeds FROM (
+         |    SELECT vec_id, u FROM u WHERE vec_id % ${Similarity.PqSeedMod} = 0$seedPred
+         |    ORDER BY vec_id LIMIT ${Similarity.PqKSub})
+         |), dls AS (
+         |  SELECT vec_id,
+         |    list_transform(range($M), j ->
+         |      list_transform(seeds, cv ->
+         |        list_reduce(list_transform(range($Sub), t ->
+         |          (u[j * $Sub + t + 1] - cv[j * $Sub + t + 1])
+         |            * (u[j * $Sub + t + 1] - cv[j * $Sub + t + 1])),
+         |          (acc, x) -> acc + x))) AS dl
+         |  FROM u CROSS JOIN cb
+         |), codes AS (
+         |  SELECT vec_id,
+         |    list_transform(dl, d -> list_position(d, list_min(d))) AS codes
+         |  FROM dls
+         |), scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(range($M), j ->
+         |      list_reduce(list_transform(range($Sub), t ->
+         |        p.u[j * $Sub + t + 1]
+         |          * seeds[c.codes[j + 1]][j * $Sub + t + 1]),
+         |        (acc, x) -> acc + x)),
+         |      (acc, x) -> acc + x) AS approx_sim
+         |  FROM (SELECT vec_id, u FROM u WHERE vec_id % $ProbeMod = 0) p
+         |  CROSS JOIN cb
+         |  JOIN codes c ON c.vec_id <> p.vec_id
+         |), ranked AS (
+         |  SELECT probe_id, neighbor_id, approx_sim,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY approx_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM scored
+         |)
+         |SELECT probe_id, neighbor_id, approx_sim, rnk
+         |FROM ranked WHERE rnk <= $K""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = {
    val base = Map(
@@ -333,50 +391,11 @@ object SimilarityRegistry {
     // the probe×code inner-product sum, j ascending, every fold
     // strict left-to-right (DuckDB list_reduce is sequential — the
     // same parity contract every vector oracle here relies on).
-    "knn_pq" -> {
-      val M = Similarity.PqM
-      val Sub = 64 / M
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |), u AS (
-         |  SELECT vec_id, list_transform(v, x -> x / ${nrm("v")}) AS u FROM e
-         |), cb AS (
-         |  SELECT list(u ORDER BY vec_id) AS seeds FROM (
-         |    SELECT vec_id, u FROM u WHERE vec_id % ${Similarity.PqSeedMod} = 0
-         |    ORDER BY vec_id LIMIT ${Similarity.PqKSub})
-         |), dls AS (
-         |  SELECT vec_id,
-         |    list_transform(range($M), j ->
-         |      list_transform(seeds, cv ->
-         |        list_reduce(list_transform(range($Sub), t ->
-         |          (u[j * $Sub + t + 1] - cv[j * $Sub + t + 1])
-         |            * (u[j * $Sub + t + 1] - cv[j * $Sub + t + 1])),
-         |          (acc, x) -> acc + x))) AS dl
-         |  FROM u CROSS JOIN cb
-         |), codes AS (
-         |  SELECT vec_id,
-         |    list_transform(dl, d -> list_position(d, list_min(d))) AS codes
-         |  FROM dls
-         |), scored AS (
-         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-         |    list_reduce(list_transform(range($M), j ->
-         |      list_reduce(list_transform(range($Sub), t ->
-         |        p.u[j * $Sub + t + 1]
-         |          * seeds[c.codes[j + 1]][j * $Sub + t + 1]),
-         |        (acc, x) -> acc + x)),
-         |      (acc, x) -> acc + x) AS approx_sim
-         |  FROM (SELECT vec_id, u FROM u WHERE vec_id % $ProbeMod = 0) p
-         |  CROSS JOIN cb
-         |  JOIN codes c ON c.vec_id <> p.vec_id
-         |), ranked AS (
-         |  SELECT probe_id, neighbor_id, approx_sim,
-         |    row_number() OVER (PARTITION BY probe_id
-         |                       ORDER BY approx_sim DESC, neighbor_id ASC) AS rnk
-         |  FROM scored
-         |)
-         |SELECT probe_id, neighbor_id, approx_sim, rnk
-         |FROM ranked WHERE rnk <= $K""".stripMargin
-    },
+    "knn_pq" -> pqSql(""),
+    // the full knn_pq replay under the STORE's quantizer: seeds from
+    // the OLD side only (the index predates the delta; the quantizer
+    // stays fixed between rebuilds) — codes and probes span the corpus
+    "knn_pq_delta" -> pqSql(s" AND vec_id % $DeltaMod <> 0"),
     // IVF assignment CTEs (as in knn_ivf) + PQ code CTEs (as in
     // knn_pq), joined on the cell: candidates come from the probe's
     // nProbe cells, scores from the code LUT sum.

@@ -149,4 +149,32 @@ class ApproxAndIvfSpec extends AnyFunSuite {
         .as[(Long, Long, Double, Int)].collect().toSet
     assert(q(grown) == q(fresh) && q(grown).nonEmpty)
   }
+
+  test("pqDelta grows the code table to a fresh same-seed encode; idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    Similarity.cached {
+      val idx = Similarity.pqIndex(old)
+      val grown = Similarity.pqDelta(idx, delta)
+      def codes(i: Similarity.PqIndex) = i.codes
+        .as[(Long, Array[Int])].collect().map { case (v, c) => (v, c.toSeq) }
+        .toSet
+      // encode under a fixed seed frame is per-row: grown == fresh
+      // union encode under the SAME (old-side) seeds
+      val fresh = Similarity.PqIndex(
+        Similarity.pqCodes(
+          emb.select(col("vec_id"), col("embedding").as("v")), idx.seeds,
+          Similarity.PqM), idx.seeds)
+      assert(codes(grown) == codes(fresh) && codes(grown).nonEmpty)
+      assert(codes(Similarity.pqDelta(grown, delta)) == codes(grown))
+      val probes = Similarity.probeEvery(emb, 50)
+      def q(i: Similarity.PqIndex) =
+        Similarity.knnPqIndexed(i, probes, 10)
+          .as[(Long, Long, Double, Int)].collect().toSet
+      assert(q(grown) == q(fresh) && q(grown).nonEmpty)
+    }
+  }
 }
