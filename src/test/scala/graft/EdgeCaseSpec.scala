@@ -195,4 +195,44 @@ class EdgeCaseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Corpus.interleave(empty, Seq("s" -> -1), 1))
   }
+
+  test("round-10 ops on empty and degenerate inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // lmScore: empty corpus -> empty; bigram-less docs -> empty
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.lmScore(emptyDocs).count() == 0)
+    assert(TextAnalysis.lmScore(
+      Seq((1L, "single"), (2L, "")).toDF("doc_id", "text")).count() == 0)
+    // keepBest: no pairs at all -> every doc its own keeper
+    val docs = Seq((1L, 5L), (2L, 9L)).toDF("doc_id", "score")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val kb = Dedup.keepBest(docs, noPairs, col("score"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(kb == Set((1L, 1L, 0), (2L, 2L, 0)))
+    // keepBestDelta with an empty delta AND no delta pairs: every
+    // assignment sticky, stores unchanged
+    val store = Dedup.keepBestStore(docs, noPairs, col("score"))
+    val emptyDelta = Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val r = Dedup.keepBestDelta(store, emptyDelta, noPairs, col("score"))
+    assert(r.assignment.as[(Long, Long, Int)].collect().toSet == kb)
+    // ngramJaccardDelta with an empty delta: no pairs, store unchanged
+    val jSt = Dedup.jaccardStore(
+      Seq((1L, "a b c d e"), (2L, "x y z w v")).toDF("doc_id", "text"), 3, 0.8)
+    val jd = Dedup.ngramJaccardDelta(jSt,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 3, 0.8)
+    assert(jd.pairs.count() == 0)
+    assert(jd.updatedStore.rows.count() == jSt.rows.count())
+    // ivfDelta / pqDelta with an empty delta: index unchanged
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val emptyEmb = emb.filter(col("vec_id") < 0)
+    val ivf = graft.operators.Similarity.ivfIndex(emb.limit(50))
+    assert(graft.operators.Similarity.ivfDelta(ivf, emptyEmb)
+      .assigned.count() == ivf.assigned.count())
+    graft.operators.Similarity.cached {
+      val pq = graft.operators.Similarity.pqIndex(emb.limit(50))
+      assert(graft.operators.Similarity.pqDelta(pq, emptyEmb)
+        .codes.count() == pq.codes.count())
+    }
+  }
 }
