@@ -417,7 +417,8 @@ object Similarity {
     * (ApproxAndIvfSpec) and the full replay with the old-side seed
     * predicate is the oracle. */
   def pqDelta(index: PqIndex, delta: DataFrame, m: Int = PqM): PqIndex = {
-    val dIds = delta.select(col("vec_id")).distinct()
+    // no distinct — see ivfDelta
+    val dIds = delta.select(col("vec_id"))
     val kept = index.codes.join(dIds, Seq("vec_id"), "left_anti")
     val d = delta.select(col("vec_id"), col("embedding").as("v"))
     PqIndex(kept.union(pqCodes(d, index.seeds, m)), index.seeds)
@@ -532,7 +533,10 @@ object Similarity {
     * exactly. At scale `assigned` is the maintained bucketed-on-cell
     * table; the delta write is an append of delta-sized rows. */
   def ivfDelta(index: IvfIndex, delta: DataFrame): IvfIndex = {
-    val dIds = delta.select(col("vec_id")).distinct()
+    // no distinct: an anti join is insensitive to build-side
+    // duplicates, and the distinct's hash exchange would be the only
+    // shuffle in an otherwise projection-shaped delta (ScaleShapeSpec)
+    val dIds = delta.select(col("vec_id"))
     val kept = index.assigned.join(dIds, Seq("vec_id"), "left_anti")
     val d = delta.select(col("vec_id"), col("embedding").as("v"))
     IvfIndex(kept.union(

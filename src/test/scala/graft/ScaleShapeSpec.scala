@@ -233,4 +233,26 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"),
       s"expected partial+final graft_topk aggregate:\n$plan")
   }
+
+  test("index deltas are zero-shuffle on the delta side: assign/encode are projections") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, d)
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    // ivfDelta: the grown index's plan may exchange for the stored
+    // side's union read, but the DELTA branch (scan -> broadcast
+    // codebook -> argmax projection) must not hash-partition or window
+    val grown = Similarity.ivfDelta(Similarity.ivfIndex(old, 37), delta)
+    val ivfPlan = grown.assigned.queryExecution.executedPlan.toString
+    assert(!ivfPlan.contains("Exchange hashpartitioning"),
+      s"ivfDelta shuffles:\n$ivfPlan")
+    assert(!ivfPlan.contains("Window"), s"ivfDelta windows:\n$ivfPlan")
+    Similarity.cached {
+      val pq = Similarity.pqDelta(Similarity.pqIndex(old), delta)
+      val pqPlan = pq.codes.queryExecution.executedPlan.toString
+      assert(!pqPlan.contains("Exchange hashpartitioning"),
+        s"pqDelta shuffles:\n$pqPlan")
+      assert(!pqPlan.contains("Window"), s"pqDelta windows:\n$pqPlan")
+    }
+  }
 }
