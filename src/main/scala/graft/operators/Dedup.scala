@@ -1059,28 +1059,49 @@ object Dedup {
     * run's oracle holds verbatim for the delta path.
     *
     * `deltaPairs` comes from any pair stage run delta-mode (e.g.
-    * [[containmentDelta]]/[[minhashLshDelta]]'s pairs, or a
-    * prefix-blocked Jaccard pass of delta×(store∪delta)): every
-    * verified pair with at least one delta endpoint. */
+    * [[ngramJaccardDelta]]/[[minhashLshDelta]]'s pairs): every
+    * verified pair with at least one delta endpoint. Re-ingesting ids
+    * REPLACES them (scores, assignment rows, and stored pairs
+    * touching them), and the old cluster of a re-ingested id is
+    * always re-elected — changed content may have DROPPED pairs, so
+    * the remaining members re-form from the surviving edges. */
   def keepBestDelta(store: KeepBestStore, delta: DataFrame,
                     deltaPairs0: DataFrame,
                     score: org.apache.spark.sql.Column): KeepBestDelta = {
     val deltaPairs = CacheTracker.persistTracked(
       deltaPairs0.select(col("id_a"), col("id_b")))
     val dScores = delta.select(col("doc_id"), score.cast("long").as("score"))
-    val allScores = store.scores.union(dScores)
-    // old clusters touched by any delta-pair endpoint
+    // re-ingest idempotency (containmentDelta's rule): the delta
+    // REPLACES its ids everywhere — scores, prior assignment rows,
+    // and stored pairs touching a delta id (ngramJaccardDelta re-emits
+    // every delta-touching pair) — never duplicates them
+    val dIds = delta.select(col("doc_id")).distinct()
+    val oldScores = store.scores.join(dIds, Seq("doc_id"), "left_anti")
+    val oldAssignment = store.assignment.join(dIds, Seq("doc_id"), "left_anti")
+    val oldPairsKept = store.pairs
+      .join(dIds.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(dIds.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
+      .select(col("id_a"), col("id_b"))
+    val allScores = oldScores.union(dScores)
+    // affected old clusters: any cluster containing a delta-pair
+    // endpoint, PLUS any cluster that previously contained a
+    // re-ingested id (its content may have CHANGED and dropped pairs,
+    // so the remaining members must re-elect even if no new pair
+    // touches them)
     val touched = deltaPairs.select(col("id_a").as("doc_id"))
       .union(deltaPairs.select(col("id_b").as("doc_id")))
       .distinct()
-    val affectedClusters = store.assignment
+    val affectedClusters = oldAssignment
       .join(touched, "doc_id")
-      .select(col("keep_id").as("affected_keep")).distinct()
+      .select(col("keep_id").as("affected_keep"))
+      .union(store.assignment.join(dIds, Seq("doc_id"))
+        .select(col("keep_id").as("affected_keep")))
+      .distinct()
     // the affected subgraph: old pairs inside affected clusters (via
     // either endpoint's old assignment — both endpoints share a
     // cluster by construction) + the delta pairs
-    val oldAffectedPairs = store.pairs
-      .join(store.assignment.select(col("doc_id").as("id_a"),
+    val oldAffectedPairs = oldPairsKept
+      .join(oldAssignment.select(col("doc_id").as("id_a"),
         col("keep_id").as("affected_keep")), Seq("id_a"))
       .join(affectedClusters, Seq("affected_keep"), "left_semi")
       .select(col("id_a"), col("id_b"))
@@ -1088,7 +1109,7 @@ object Dedup {
     // re-elect on the subgraph: keepBest needs (doc_id, score) docs for
     // every subgraph node PLUS the unpaired members of affected
     // clusters (they re-elect too — their cluster's best may change)
-    val affectedDocs = store.assignment
+    val affectedDocs = oldAssignment
       .join(affectedClusters,
         col("keep_id") === col("affected_keep"), "left_semi")
       .select(col("doc_id"))
@@ -1099,11 +1120,11 @@ object Dedup {
     val reElected = keepBest(affectedDocs, subPairs, col("score"))
     // sticky everywhere untouched; unpaired delta docs self-assign via
     // keepBest's left join (they are in affectedDocs)
-    val untouched = store.assignment
+    val untouched = oldAssignment
       .join(affectedClusters,
         col("keep_id") === col("affected_keep"), "left_anti")
     KeepBestDelta(untouched.union(reElected),
-      KeepBestStore(store.pairs.union(deltaPairs), allScores,
+      KeepBestStore(oldPairsKept.union(deltaPairs), allScores,
         untouched.union(reElected)))
   }
 

@@ -281,6 +281,28 @@ class DeltaDedupSpec extends AnyFunSuite {
     val r2 = Dedup.keepBestDelta(r.updatedStore, delta2, delta2Pairs,
       col("score"))
     assert(asn(r2.assignment) == full2)
+    // re-ingesting the SAME delta replaces, never duplicates: same
+    // assignment, same store row counts
+    val r3 = Dedup.keepBestDelta(r.updatedStore, delta, deltaPairs,
+      col("score"))
+    assert(asn(r3.assignment) == fullRes)
+    assert(r3.updatedStore.scores.count() == r.updatedStore.scores.count())
+    assert(r3.updatedStore.pairs.count() == r.updatedStore.pairs.count())
+    // re-ingest with CHANGED content that DROPS pairs: 101 no longer
+    // bridges {1,2} and {3,4} — the formerly-merged cluster must
+    // re-form from its surviving edges even though no new pair
+    // touches it
+    val changedPairs = Seq((7L, 102L)).toDF("id_a", "id_b")
+    val fullChanged = Dedup.keepBest(docs,
+      oldPairs.union(changedPairs), col("score"))
+      .as[(Long, Long, Int)].collect().toSet
+    val r4 = Dedup.keepBestDelta(r.updatedStore, delta, changedPairs,
+      col("score"))
+    assert(asn(r4.assignment) == fullChanged)
+    val m4 = fullChanged.map(t => t._1 -> t._2).toMap
+    assert(m4(1L) == 2L && m4(2L) == 2L && m4(3L) == 3L && m4(4L) == 3L,
+      "un-bridged clusters must re-form separately")
+    assert(m4(101L) == 101L, "the changed doc must self-assign")
   }
 
   test("paragraphDelta: sticky stored keepers, delta-min for new paragraphs, composable") {
