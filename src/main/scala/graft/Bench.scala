@@ -62,14 +62,28 @@ object Bench {
                    n: Int): Map[String, Seq[Double]] = {
     val fn = SparkEntry.queries(name)
     sfDir.map { d =>
-      def once(): Unit =
-        try fn(spark, d).write.format("noop").mode("overwrite").save()
+      // each pass inside a cache bracket: a pass's internal persists
+      // (shingle rows, hit frames, seed frames) are built fresh per
+      // pass and never reused by the next one, so without the bracket
+      // they accumulate as dead storage across 39 queries x 6 passes
+      // and late rows pay the eviction churn. ServingIndexes state is
+      // parquet paths, not cached frames — unaffected. The release
+      // runs OUTSIDE the timed window (the timer stops before the
+      // bracket exits), so a pass is charged for its work, not its
+      // cleanup.
+      def once(): Double = {
+        var dt = 0.0
+        try graft.operators.CacheTracker.scoped {
+          val t0 = System.nanoTime()
+          fn(spark, d).write.format("noop").mode("overwrite").save()
+          dt = (System.nanoTime() - t0) / 1e9
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name@$d failed: ${e.getMessage}") }
-      once() // warm-up (JIT, code cache, parquet footers)
-      d -> (0 until n).map { _ =>
-        val t0 = System.nanoTime(); once(); (System.nanoTime() - t0) / 1e9
+        dt
       }
+      once() // warm-up (JIT, code cache, parquet footers)
+      d -> (0 until n).map(_ => once())
     }.toMap
   }
 
