@@ -739,6 +739,56 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** ORDERED multi-step funnel: how many users performed step 1, then
+    * step 2 STRICTLY after their first step 1, then step 3 strictly
+    * after that earliest qualifying step 2, … — the conversion query
+    * sessionization doesn't answer (sequence, not adjacency). Shape:
+    * filter to funnel event types, ONE shuffle on user_id, then a
+    * per-user sorted fold (higher-order `aggregate` over the sorted
+    * event list) that carries the earliest qualifying timestamp per
+    * step — per-user memory is bounded by that user's funnel events,
+    * the same bound sessionize's window already assumes, and the
+    * closing per-step count is a map-side-combined aggregate on a
+    * step-count-sized key. Strict `>` between steps makes same-
+    * timestamp ties order-independent (a step-k event at exactly the
+    * step-(k-1) time never advances the funnel, whichever sorts
+    * first). Timestamps fold as exact epoch-micros. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val zero = struct(steps.indices.map(i =>
+      lit(null).cast("long").as(s"t$i")): _*)
+    val perUser = events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("us"), col("event_type"))))
+        .as("evs"))
+      .select(aggregate(col("evs"), zero, (acc, e) => struct(
+        steps.indices.map { i =>
+          val hit =
+            if (i == 0)
+              acc.getField("t0").isNull &&
+                e.getField("event_type") === steps.head
+            else
+              acc.getField(s"t$i").isNull &&
+                acc.getField(s"t${i - 1}").isNotNull &&
+                e.getField("event_type") === steps(i) &&
+                e.getField("us") > acc.getField(s"t${i - 1}")
+          when(hit, e.getField("us")).otherwise(acc.getField(s"t$i"))
+            .as(s"t$i")
+        }: _*)).as("f"))
+    perUser
+      .select(posexplode(array(steps.indices.map(i =>
+        col(s"f.t$i")): _*)).as(Seq("step", "t")))
+      .groupBy(col("step"))
+      .agg(count(col("t")).as("n_users"))
+      .select(col("step"),
+        element_at(array(steps.map(lit): _*), col("step") + 1)
+          .as("step_name"),
+        col("n_users"))
+  }
+
   /** JSON property extraction + aggregation: props is an opaque JSON
     * string column; `$.k` is pulled with the codegen'd JSON path
     * expression, never a UDF. */

@@ -96,6 +96,57 @@ object Corpus {
       .agg(count(lit(1)).as("n_witnesses"), min(col("eval_id")).as("first_eval_id"))
   }
 
+  /** FUZZY benchmark decontamination: training docs whose word
+    * n-gram shingle-set Jaccard with ANY eval doc clears τ — the leak
+    * the exact-shingle [[decontaminate]] pass structurally misses
+    * (a lightly paraphrased eval answer shares MANY shingles but each
+    * inexactly-quoted sentence breaks some, so "shares ≥ 1 shingle"
+    * over-fires on boilerplate while "J ≥ τ" targets wholesale
+    * near-copies). Blocking is the two-table lossless SSJoin prefix
+    * ([[Dedup.ngramJaccardCross]]): candidates are A-prefix ×
+    * B-prefix under one shared rarity order, so the corpus side never
+    * self-joins and a ubiquitous shingle can't form a hot bucket.
+    * Output per contaminated doc: how many eval docs it near-matches,
+    * its best Jaccard, and the smallest matching eval id. */
+  def decontaminateFuzzy(train: DataFrame, evalDocs: DataFrame, n: Int,
+                         tau: Double): DataFrame =
+    Dedup.ngramJaccardCross(train, evalDocs, n, tau)
+      .select(col("id_a").as("doc_id"), col("id_b").as("eval_id"),
+        col("jaccard"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("max_jaccard"),
+        min(col("eval_id")).as("first_eval_id"))
+
+  /** Cross-source shingle-overlap census: for every source pair, how
+    * many distinct word n-gram shingles they share and the Jaccard of
+    * their shingle sets — the corpus-curation signal for "these two
+    * crawls/dumps substantially duplicate each other" BEFORE paying
+    * for doc-level dedup between them. Shape: one (source, shingle)
+    * distinct projection (shuffle on the pair key), then a shingle-key
+    * self-join whose per-key occupancy is bounded by the number of
+    * SOURCES (each shingle appears once per source after the
+    * distinct), never by corpus size — so pair volume is
+    * O(|shingles| × S²) with S the source count, not a doc-scaled
+    * blowup. Per-source set sizes are an S-row aggregate, broadcast
+    * back onto the pair rows. */
+  def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
+    val ss = CacheTracker.persistTracked(docs
+      .select(col("source"),
+        explode(Text.shingles(Text.tokens(col("text")), n)).as("s"))
+      .distinct())
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    ss.as("a").join(ss.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+        (col("n_shared").cast("double")
+          / (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
+  }
+
   /** PII patterns, spelled to mean the same thing in Java regex
     * (Spark) and RE2 (DuckDB): URLs first (so an address inside a URL
     * isn't double-counted), then emails, then IPv4s. */

@@ -335,12 +335,7 @@ object Dedup {
 
   private def prefixCandidates(ex: DataFrame, tau: Double): DataFrame = {
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val prefix = ex.join(dfreq, "s")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= ceil((lit(1.0) - lit(tau)) * col("sz")) + lit(1))
-      .select(col("doc_id"), col("sz"), col("s"))
+    val prefix = prefixOf(ex, dfreq, tau)
     // Size-ratio prune min/max ≥ τ is lossless for J ≥ τ since J ≤ min/max.
     prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -349,6 +344,60 @@ object Dedup {
       .filter(least(col("sz_a"), col("sz_b")).cast("double")
         / greatest(col("sz_a"), col("sz_b")) >= tau)
       .distinct()
+  }
+
+  /** Each doc's first ⌈(1−τ)·sz⌉+1 shingles under the (df, s) total
+    * order induced by the GIVEN df frame. Factored out of
+    * [[prefixCandidates]] so the two-table form can rank both tables
+    * under ONE shared order — the losslessness argument is pairwise
+    * and only needs the order to be common to both docs of a pair. */
+  private def prefixOf(ex: DataFrame, dfreq: DataFrame,
+                       tau: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    ex.join(dfreq, "s")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= ceil((lit(1.0) - lit(tau)) * col("sz")) + lit(1))
+      .select(col("doc_id"), col("sz"), col("s"))
+  }
+
+  /** TWO-TABLE exact-Jaccard pairs (A-side id, B-side id, J ≥ τ) —
+    * the cross-corpus form of [[ngramJaccard]]: fuzzy benchmark
+    * decontamination (train×eval), cross-snapshot diffing, any "which
+    * of MY docs near-match one of THEIRS" question. Both tables'
+    * shingles are prefix-ranked under ONE shared (union-df, s) order,
+    * so the self-join losslessness argument applies verbatim to every
+    * cross pair: if J(A,B) ≥ τ their common-order prefixes must share
+    * a shingle. Candidates join A-prefix × B-prefix only — no
+    * within-table pairs are ever generated, which is what makes this
+    * cheaper than [[ngramJaccard]] over the union when one side is an
+    * eval-set sliver of the other. Verification is the exact
+    * intersection over both FULL shingle stores. Doc ids need not be
+    * disjoint across tables (output orientation is A-side first, and
+    * an id shared by both tables is a legitimate self-pair at J=1). */
+  def ngramJaccardCross(aDocs: DataFrame, bDocs: DataFrame, n: Int,
+                        tau: Double): DataFrame = {
+    val ra = shingleRows(aDocs, n)
+    val rb = shingleRows(bDocs, n)
+    val dfreq = ra.select(col("s")).union(rb.select(col("s")))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val cand = prefixOf(ra, dfreq, tau).as("a")
+      .join(prefixOf(rb, dfreq, tau).as("b"), col("a.s") === col("b.s"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double")
+        / greatest(col("sz_a"), col("sz_b")) >= tau)
+      .distinct()
+    cand
+      .join(ra.as("ra"), col("id_a") === col("ra.doc_id"))
+      .join(rb.as("rb"),
+        col("id_b") === col("rb.doc_id") && col("ra.s") === col("rb.s"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Word n-gram exact-Jaccard near-dup pairs: prefix-filtered

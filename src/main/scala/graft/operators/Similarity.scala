@@ -261,6 +261,30 @@ object Similarity {
     assignCells(e, seedCentroids(e, centroidMod))
   }
 
+  /** Embedding-space OUTLIER report: the `topK` vectors farthest (by
+    * cosine) from their own nearest seed centroid — the quality filter
+    * that surfaces mojibake, empty-ish, and off-distribution
+    * embeddings before they pollute a training mix. Reuses the IVF
+    * cell assignment (zero-shuffle broadcast-codebook argmax), adds
+    * one broadcast join to the centroid-unit frame for the own-cell
+    * cosine, and closes with a global sort-limit — Spark plans that as
+    * TakeOrderedAndProject (per-partition bounded heap, driver merge
+    * of k×partitions rows), never a full global sort. Deterministic:
+    * ties break on vec_id. */
+  def outliers(embeddings: DataFrame, centroidMod: Int = 37,
+               topK: Int = 25): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val cents = seedCentroids(e, centroidMod)
+    val cu = cents.select(col("cid"), unitOf(col("cv")).as("cu"))
+    assignCells(e, cents)
+      .join(broadcast(cu), col("cell") === col("cid"))
+      .select(col("vec_id"), col("cell"),
+        (Exprs.dot(col("v"), col("cu"))
+          / sqrt(Exprs.dot(col("v"), col("v")))).as("cos_sim"))
+      .orderBy(col("cos_sim").asc, col("vec_id").asc)
+      .limit(topK)
+  }
+
   /** Lloyd's k-means refinement of the deterministic seed codebook.
     * Each iteration is (a) the zero-shuffle argmax assignment above and
     * (b) ONE agg shuffle on the cell id computing per-cell element

@@ -15,6 +15,10 @@ object AnalyticsRegistry {
   private val Q1Cutoff = "1998-09-02"
   private val Q3Cutoff = "1998-03-15"
 
+  /** Funnel binding: the synthetic event stream's natural conversion
+    * sequence. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) =>
       Analytics.pricingSummary(Tables.lineitem(s, d), Q1Cutoff)),
@@ -121,6 +125,8 @@ object AnalyticsRegistry {
     // collapse — every user is active in week 1)
     "q_retention" -> ((s, d) =>
       Analytics.retention(Tables.events(s, d), "purchase")),
+    "q_events_funnel" -> ((s, d) =>
+      Analytics.funnel(Tables.events(s, d), FunnelSteps)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -417,6 +423,28 @@ object AnalyticsRegistry {
          |  ${dsumSql("value")} AS total_value
          |FROM events
          |GROUP BY 1, 2""".stripMargin,
+    // staged min-joins replay the per-user sorted fold: step k's time
+    // is the min event time strictly after the step-(k-1) time
+    "q_events_funnel" -> {
+      val ctes = FunnelSteps.zipWithIndex.map { case (step, i) =>
+        if (i == 0)
+          s"""s0 AS (
+             |  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+             |  WHERE event_type = '$step' GROUP BY user_id
+             |)""".stripMargin
+        else
+          s"""s$i AS (
+             |  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+             |  FROM events e JOIN s${i - 1} USING (user_id)
+             |  WHERE e.event_type = '$step' AND epoch_us(e.ts) > s${i - 1}.t
+             |  GROUP BY e.user_id
+             |)""".stripMargin
+      }.mkString("WITH ", ", ", "")
+      val selects = FunnelSteps.zipWithIndex.map { case (step, i) =>
+        s"SELECT $i AS step, '$step' AS step_name, count(*) AS n_users FROM s$i"
+      }.mkString("\nUNION ALL ")
+      s"$ctes\n$selects"
+    },
     "q_retention" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day

@@ -31,10 +31,27 @@ object CorpusRegistry {
   // oracles (TextSql) — the gate must replay the identical vote.
   import TextSql.{ToksExpr, hits, predLangCase}
 
-  /** DuckDB spelling of Text.shingles(Text.tokens(text), 4). */
-  private val Sh4 =
-    """list_distinct(list_transform(range(greatest(len(toks) - 3, 0)),
-      |    i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3], toks[i + 4])))""".stripMargin
+  /** DuckDB spelling of Text.shingles(Text.tokens(text), n) over a
+    * `toks` alias. */
+  private def shN(n: Int): String = {
+    val parts = (1 to n).map(j => s"toks[i + $j]").mkString(", ")
+    s"""list_distinct(list_transform(range(greatest(len(toks) - ${n - 1}, 0)),
+       |    i -> concat_ws(' ', $parts)))""".stripMargin
+  }
+  private val Sh4 = shN(4)
+
+  /** Fuzzy-decontamination binding: trigram shingles at the dd-family
+    * Jaccard threshold; eval = every 7th doc (a mod that actually
+    * crosses the synthetic corpus's near-dup pairs, so the pass
+    * genuinely fires — the exact pass keeps its own disjoint
+    * every-97th split). */
+  val FuzzyEvalMod = 7
+  val FuzzyN = 3
+  val FuzzyTau = 0.8
+
+  /** Source-overlap census shingle width (the decontamination width:
+    * long enough that sharing is copying, not phrase coincidence). */
+  val OverlapN = 4
 
   private val MixExpr =
     s"(doc_id % ${Corpus.MixP}) * ${Corpus.MixA} % ${Corpus.MixBuckets}"
@@ -77,6 +94,14 @@ object CorpusRegistry {
         docs.filter(col("doc_id") % EvalMod =!= 0),
         docs.filter(col("doc_id") % EvalMod === 0), DecontamN)
     }),
+    "cp_decontaminate_fuzzy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.decontaminateFuzzy(
+        docs.filter(col("doc_id") % FuzzyEvalMod =!= 0),
+        docs.filter(col("doc_id") % FuzzyEvalMod === 0), FuzzyN, FuzzyTau)
+    }),
+    "cp_source_overlap" -> ((s, d) =>
+      Corpus.sourceOverlap(Tables.documents(s, d), OverlapN)),
     "cp_pii_scrub" -> ((s, d) =>
       Corpus.piiScrub(Tables.documents(s, d))),
     "cp_quality_gate" -> ((s, d) =>
@@ -141,6 +166,50 @@ object CorpusRegistry {
          |  min(ev.eval_id) AS first_eval_id
          |FROM tr JOIN ev ON tr.s = ev.s
          |GROUP BY tr.doc_id""".stripMargin,
+    // replays the UNFILTERED two-table blocking — prefix filtering is
+    // lossless for J >= tau, so the full join is the same set
+    "cp_decontaminate_fuzzy" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, sh FROM (
+         |    SELECT doc_id, ${shN(FuzzyN)} AS sh
+         |    FROM (SELECT doc_id, $ToksExpr AS toks FROM documents))
+         |  WHERE len(sh) > 0
+         |), tr AS (
+         |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh
+         |  WHERE doc_id % $FuzzyEvalMod <> 0
+         |), ev AS (
+         |  SELECT doc_id AS eval_id, len(sh) AS sz_b, unnest(sh) AS s FROM sh
+         |  WHERE doc_id % $FuzzyEvalMod = 0
+         |), p AS (
+         |  SELECT tr.doc_id, eval_id, sz, sz_b, count(*) AS inter
+         |  FROM tr JOIN ev USING (s) GROUP BY 1, 2, 3, 4
+         |), j AS (
+         |  SELECT doc_id, eval_id,
+         |    CAST(inter AS DOUBLE) / (sz + sz_b - inter) AS jac
+         |  FROM p
+         |  WHERE CAST(inter AS DOUBLE) / (sz + sz_b - inter) >= $FuzzyTau
+         |)
+         |SELECT doc_id, count(*) AS n_matches, max(jac) AS max_jaccard,
+         |  min(eval_id) AS first_eval_id
+         |FROM j GROUP BY doc_id""".stripMargin,
+    "cp_source_overlap" ->
+      s"""WITH ss AS (
+         |  SELECT DISTINCT source, s FROM (
+         |    SELECT source, unnest(sh) AS s FROM (
+         |      SELECT source, $Sh4 AS sh
+         |      FROM (SELECT source, $ToksExpr AS toks FROM documents)))
+         |), sizes AS (
+         |  SELECT source, count(*) AS n FROM ss GROUP BY source
+         |), pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         |  FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT src_a, src_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON sa.source = src_a
+         |JOIN sizes sb ON sb.source = src_b""".stripMargin,
     "cp_pipeline_report" -> {
       val mixD = s"(d.doc_id % ${Corpus.MixP}) * ${Corpus.MixA} % ${Corpus.MixBuckets}"
       s"""WITH m AS (SELECT doc_id, md5(text) AS fp FROM documents),

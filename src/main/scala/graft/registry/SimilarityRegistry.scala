@@ -21,6 +21,9 @@ object SimilarityRegistry {
   val K = 10
   val CentroidMod = 37 // knnIvf default
   val NProbe = 2
+  /** Outlier-report size: enough rows that the report is a real work
+    * queue, bounded so the sort stays a TakeOrdered heap. */
+  val OutlierK = 25
 
   private val Dot = VectorSql.dot("p.pv", "e.v")
   private def nrm(expr: String) = VectorSql.nrm(expr)
@@ -39,6 +42,8 @@ object SimilarityRegistry {
       Similarity.knnLsh(Tables.embeddings(s, d), probes(s, d), K)),
     "knn_ivf" -> ((s, d) =>
       Similarity.knnIvf(Tables.embeddings(s, d), probes(s, d), K)),
+    "knn_outliers" -> ((s, d) =>
+      Similarity.outliers(Tables.embeddings(s, d), CentroidMod, OutlierK)),
     // incremental index maintenance: the delta's vectors assigned
     // under the STORE's codebook and appended (no rescan, no
     // retrain); queried over the grown index — ≡ a fresh build over
@@ -186,6 +191,33 @@ object SimilarityRegistry {
          |)
          |SELECT probe_id, neighbor_id, cos_sim, rnk
          |FROM ranked WHERE rnk <= $K""".stripMargin,
+    // outliers: replay the seed-codebook argmax assignment (dot DESC,
+    // cid ASC — knn_ivf's spelling), then the own-cell cosine and the
+    // deterministic global bottom-k (cos ASC, vec_id ASC).
+    "knn_outliers" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(v, x -> x / ${nrm("v")}) AS unit
+         |  FROM e WHERE vec_id % $CentroidMod = 0
+         |), scored AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    ${VectorSql.dot("e.v", "c.unit")} AS d
+         |  FROM e CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT vec_id, v, cid AS cell, d FROM (
+         |    SELECT vec_id, v, cid, d,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY d DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn = 1
+         |), o AS (
+         |  SELECT vec_id, cell, d / ${nrm("v")} AS cos_sim FROM assigned
+         |)
+         |SELECT vec_id, cell, cos_sim FROM (
+         |  SELECT vec_id, cell, cos_sim,
+         |    row_number() OVER (ORDER BY cos_sim ASC, vec_id ASC) AS rn
+         |  FROM o) WHERE rn <= $OutlierK""".stripMargin,
     // LSH: replay the deterministic hyperplane blocking (plane
     // literals), score candidates exactly, rank per probe.
     "knn_lsh" ->
