@@ -259,4 +259,35 @@ class AnalyticsSpec extends AnyFunSuite {
     // only 10 and 12; Brand#2 still counts supplier 10
     assert(r == Map("Brand#1" -> 2L, "Brand#2" -> 1L))
   }
+
+  test("funnel counts ordered step completion, strictly increasing times") {
+    def evu(rows: (Long, Long, String)*) = // (user_id, ts_us, type)
+      rows.zipWithIndex.map { case ((u, us, t), i) => (i.toLong, u, us, t) }
+        .toDF("event_id", "user_id", "ts_us", "event_type")
+        .selectExpr("event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+          "event_type", "1.0 AS value", "'{}' AS props")
+    val events = evu(
+      (1L, 10L, "view"), (1L, 15L, "error"), (1L, 20L, "click"),
+      (1L, 30L, "purchase"),                       // full funnel
+      (2L, 5L, "click"), (2L, 10L, "view"),        // click BEFORE view only
+      (3L, 10L, "view"), (3L, 15L, "purchase"),
+      (3L, 20L, "click"),                          // purchase precedes click
+      (4L, 1L, "click"), (4L, 2L, "purchase"),     // never viewed
+      (5L, 10L, "view"), (5L, 10L, "click"))       // same-instant: strict >
+    val out = Analytics.funnel(events, Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0, "view", 4L), (1, "click", 2L), (2, "purchase", 1L)))
+    // a shorter funnel over the same events: u1 and u3 click after
+    // their view; u2 clicked only before it, u5 only at the same tick
+    val two = Analytics.funnel(events, Seq("view", "click"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(two == Seq((0, "view", 4L), (1, "click", 2L)))
+  }
+
+  test("funnel on empty input emits no rows (counts need >= 1 user)") {
+    val none = Seq.empty[(Long, Long, String)]
+      .toDF("user_id", "ts_us", "event_type")
+      .selectExpr("user_id", "timestamp_micros(ts_us) AS ts", "event_type")
+    assert(Analytics.funnel(none, Seq("view", "click")).count() == 0)
+  }
 }

@@ -302,4 +302,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(report.map(_._2).sum == 4096L)
     assert(report.forall(_._4 == 4L))    // every source in every shard
   }
+
+  test("fuzzy decontamination flags near-copies, not one-shingle brushes") {
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "eval"),
+    ).toDF("doc_id", "text", "source")
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "s"), // exact copy
+      (2L, "the quick brown cat sleeps here right now ok", "s"), // 1 shared trigram
+      (3L, "completely unrelated clean training text words", "s"),
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.decontaminateFuzzy(train, evalDocs, 3, 0.8)
+      .as[(Long, Long, Double, Long)].collect().toList
+    assert(out == List((1L, 1L, 1.0, 100L)))
+    // the exact pass WOULD flag doc 2 — that contrast is the operator
+    val exact = Corpus.decontaminate(train, evalDocs, 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 2L))
+  }
+
+  test("source overlap censuses shared shingles and set jaccard per pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta eps", "srcA"),  // 4-grams: ABGD, BGDE
+      (2L, "alpha beta gamma delta zeta", "srcB"), // 4-grams: ABGD, BGDZ
+      (3L, "alpha beta gamma delta eps", "srcB"),  // dup within B: no double count
+      (4L, "tiny", "srcC"),                        // too short: no shingles
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.sourceOverlap(docs, 4)
+      .as[(String, String, Long, Long, Long, Double)].collect().toList
+    // B holds {ABGD, BGDZ, BGDE}: doc 3 adds B's copy of BGDE
+    assert(out == List(("srcA", "srcB", 2L, 2L, 3L, 2.0 / 3.0)))
+  }
 }

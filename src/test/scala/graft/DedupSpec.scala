@@ -258,4 +258,33 @@ class DedupSpec extends AnyFunSuite {
     assert(hotRows.count(_._3 == 1) == 8999)
     assert(coldRows.forall(r => r._2 == r._1 && r._3 == 0))
   }
+
+  test("cross-table jaccard == union self-join restricted to cross pairs") {
+    // Seeded fuzz over a tiny vocabulary (heavy shingle collisions):
+    // the two-table prefix blocking must equal the proven self-join
+    // form run on the union, keeping exactly the A x B pairs.
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def mk(ids: Range) = ids.map { i =>
+      val len = 5 + rnd.nextInt(20)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "), "s")
+    }
+    val aRows = mk(0 until 30)
+    // plant two guaranteed cross near-dups: an exact copy of a's doc 0
+    // and a one-word extension of a's doc 1
+    val bRows = mk(100 until 118) ++ Seq(
+      (118L, aRows(0)._2, "s"),
+      (119L, aRows(1)._2 + " alpha beta", "s"))
+    val a = aRows.toDF("doc_id", "text", "source")
+    val b = bRows.toDF("doc_id", "text", "source")
+    Seq(0.5, 0.8).foreach { tau =>
+      val cross = Dedup.ngramJaccardCross(a, b, 3, tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val viaUnion = Dedup.ngramJaccard(a.union(b), 3, tau)
+        .as[(Long, Long, Double)].collect().toSet
+        .filter(p => p._1 < 100L && p._2 >= 100L)
+      assert(cross == viaUnion, s"tau=$tau")
+      assert(cross.exists(p => p._1 == 0L && p._2 == 118L && p._3 == 1.0))
+    }
+  }
 }

@@ -206,4 +206,30 @@ class SimilaritySpec extends AnyFunSuite {
       assert(es.forall(_._2 != v))
     }
   }
+
+  test("outliers ranks the off-cluster vector first, ascending own-cell cosine") {
+    // centroidMod=2: centroids are vecs 0, 2 and 4. Everything sits
+    // near an axis except vec 5, which points away from EVERY
+    // centroid — the planted outlier.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)),
+      (3L, Array(0f, 0.1f, 0.9f, 0f)),
+      (4L, Array(0.8f, 0f, 0.2f, 0f)),
+      (5L, Array(-1f, -1f, -1f, 2f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.outliers(emb, centroidMod = 2, topK = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 3)
+    assert(out.head._1 == 5L)                       // planted outlier first
+    assert(out.map(_._3).toSeq == out.map(_._3).toSeq.sorted) // cos ascending
+    // every reported cell is a genuine centroid id
+    assert(out.forall(r => r._2 == 0L || r._2 == 2L || r._2 == 4L))
+    // centroids score cos=1 in their own cell, so with three
+    // non-centroid vectors below 1.0 the top-3 excludes all of 0/2/4
+    assert(out.map(_._1).toSet == Set(5L, 1L, 3L))
+    // topK caps the report
+    assert(Similarity.outliers(emb, centroidMod = 2, topK = 2).count() == 2)
+  }
 }
