@@ -31,12 +31,13 @@ object Bench {
       "q18_large_orders", "q_setops_census",
       "q13_cust_distribution", "q19_disjunctive_revenue",
       "q_events_sessionize", "q_asof_last_order", "q_range_join",
-      "q_retention",
+      "q_retention", "q_events_funnel",
       "ta_quality", "ta_diversity", "ta_lm_score", "ta_search", "cp_quality_gate",
-      "cp_interleave",
+      "cp_interleave", "cp_decontaminate_fuzzy", "cp_source_overlap",
       "dd_exact", "dd_exact_delta", "dd_keep_best_dedup", "dd_paragraph", "dd_paragraph_rewrite",
       "dd_minhash", "dd_simhash", "dd_semantic",
       "knn_bruteforce", "knn_ivf", "knn_graph", "knn_pq", "knn_ivfpq",
+      "knn_outliers",
       // serving paths: the index builds once in the warm-up pass
       // (ServingIndexes memoizes per corpus dir), so these rows time
       // the per-query cost the indexed operators exist for

@@ -255,4 +255,41 @@ class ScaleShapeSpec extends AnyFunSuite {
       assert(!pqPlan.contains("Window"), s"pqDelta windows:\n$pqPlan")
     }
   }
+
+  test("funnel is fold-after-one-user-shuffle; outliers close via TakeOrdered") {
+    val funnel = Analytics.funnel(Tables.events(spark, d),
+      Seq("view", "click", "purchase"))
+    val fPlan = funnel.queryExecution.executedPlan.toString
+    // the sequence fold must not become per-step windows or joins
+    assert(!fPlan.contains("Window"), s"funnel windows:\n$fPlan")
+    assert(!fPlan.contains("Join"), s"funnel joins:\n$fPlan")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(fPlan).size
+    assert(userExchanges == 1, s"expected ONE user-key shuffle:\n$fPlan")
+
+    val out = Similarity.outliers(Tables.embeddings(spark, d), 37, 10)
+    val oPlan = out.queryExecution.executedPlan.toString
+    // global bottom-k must be a bounded heap, never a global sort or
+    // a single-partition window; assignment stays a projection
+    assert(oPlan.contains("TakeOrderedAndProject"),
+      s"outliers does not TakeOrdered:\n$oPlan")
+    assert(!oPlan.contains("Window"), s"outliers windows:\n$oPlan")
+    assert(!oPlan.contains("Exchange hashpartitioning(vec_id"),
+      s"outliers shuffles the corpus on vec_id:\n$oPlan")
+  }
+
+  test("cross-corpus blocking joins stay equi-keyed: no nested-loop fallback") {
+    val docs = Tables.documents(spark, d)
+    import org.apache.spark.sql.functions.col
+    Seq(
+      Dedup.ngramJaccardCross(docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), 3, 0.8),
+      Corpus.sourceOverlap(docs, 4)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"blocking degenerated to a nested loop:\n$plan")
+    }
+  }
 }
