@@ -57,6 +57,11 @@ object StreamsRegistry {
     // counts, model built from the accumulated table after the drain;
     // drained ≡ batch ta_lm_score (oracle verbatim).
     "st_lm" -> ((s, d) => Streams.lmServe(s, d)),
+    // streaming ordered funnel: per-user step times in the state store
+    // (flatMapGroupsWithState), counts as the post-drain serving
+    // query; drained ≡ batch q_events_funnel (oracle verbatim).
+    "st_funnel" -> ((s, d) =>
+      Streams.funnel(s, d, AnalyticsRegistry.FunnelSteps)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -116,5 +121,7 @@ object StreamsRegistry {
     "st_search" -> TextAnalysisRegistry.oracleSql("ta_search"),
     // drained model maintenance + scoring ≡ the batch LM score
     "st_lm" -> TextAnalysisRegistry.oracleSql("ta_lm_score"),
+    // drained per-user step state + serving count ≡ the batch funnel
+    "st_funnel" -> AnalyticsRegistry.oracleSql("q_events_funnel"),
   )
 }

@@ -206,6 +206,93 @@ object Streams {
       .map(s => Session(userId, s.startUs, s.endUs, s.n))
   }
 
+  /** One event inside the streaming funnel. */
+  case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)
+
+  /** Per-(user, step) snapshot row: earliest qualifying time for the
+    * step, or -1 while the user hasn't reached it. */
+  case class FunnelStepTime(user_id: Long, step: Int, t_us: Long)
+
+  /** Streaming funnel group function: state is the per-step earliest
+    * qualifying times (-1 = not reached), exactly the batch fold's
+    * accumulator ([[graft.operators.Analytics.funnel]]). Each batch's
+    * events sort in-batch and fold FROM the carried state, so the
+    * result equals the batch fold whenever each user's events arrive
+    * time-ordered ACROSS batches (an AvailableNow drain qualifies);
+    * state is monotone — a step time is set once and never lowered —
+    * so a late out-of-order event can never un-convert a user, the
+    * same open-state caveat as [[sessionizeGroup]]. Emits the full
+    * k-row snapshot per touched user per batch (update mode). */
+  def funnelGroup(steps: Seq[String])(
+      userId: Long, events: Iterator[FunnelEvent],
+      state: GroupState[Array[Long]]): Iterator[FunnelStepTime] = {
+    val t = state.getOption.getOrElse(Array.fill(steps.length)(-1L))
+    events.toSeq.sortBy(_.ts_us).foreach { e =>
+      val i = steps.indexOf(e.event_type)
+      if (i >= 0 && t(i) == -1L &&
+          (i == 0 || (t(i - 1) != -1L && e.ts_us > t(i - 1))))
+        t(i) = e.ts_us
+    }
+    state.update(t)
+    steps.indices.iterator.map(i => FunnelStepTime(userId, i, t(i)))
+  }
+
+  /** Source-agnostic core of the streaming funnel: any typed event
+    * stream (file harness, Kafka-shaped feed, MemoryStream in specs)
+    * runs the identical stateful fold. */
+  def funnelSnapshotsFromStream(events: Dataset[FunnelEvent],
+                                steps: Seq[String]): Dataset[FunnelStepTime] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        funnelGroup(steps))
+  }
+
+  /** Streaming ordered funnel ≡ the batch `q_events_funnel`: per-user
+    * step state via flatMapGroupsWithState (the engine's state store
+    * carries each user's step times between micro-batches — at scale
+    * this is the always-on conversion tracker a live event stream
+    * feeds), snapshot-deduped and counted per step AFTER the drain
+    * (an aggregation can't follow update-mode flatMapGroupsWithState
+    * inside the stream; the step count is the serving query). */
+  def funnel(spark: SparkSession, dir: String,
+             steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    import spark.implicits._
+    val stream = FileStreamSource(s"$dir/events.parquet").stream(spark)
+    val schema = stream.schema
+    val tsUs =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000") // epoch-nanos long → micros
+      else unix_micros(col("ts"))
+    val snapshots = funnelSnapshotsFromStream(
+      stream
+        .filter(col("event_type").isin(steps: _*))
+        .select(col("user_id"), tsUs.as("ts_us"), col("event_type"))
+        .as[FunnelEvent],
+      steps)
+    val sink = s"st_fun_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = snapshots.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Snapshot semantics: step times are monotone (-1 → set-once), so
+    // the latest snapshot per (user, step) is the max; then the batch
+    // funnel's closing shape — counts over reached steps, all steps
+    // present whenever >= 1 user exists.
+    spark.table(sink)
+      .groupBy(col("user_id"), col("step"))
+      .agg(max(col("t_us")).as("t_us"))
+      .groupBy(col("step"))
+      .agg(count(when(col("t_us") >= 0L, lit(1))).as("n_users"))
+      .select(col("step"),
+        element_at(array(steps.map(lit): _*), col("step") + 1)
+          .as("step_name"),
+        col("n_users"))
+  }
+
   /** Closed-session sessionizer group function: append-mode semantics.
     * A session is emitted exactly once — either when a later event of
     * the same user starts a new session (in-batch gap), or when the

@@ -341,4 +341,45 @@ class StreamsSpec extends AnyFunSuite {
     // state carried: session 1 spans both batches with 3 events
     assert(snap.toSeq == Seq((1L, 0L, 15 * m, 3L), (1L, 135 * m, 135 * m, 1L)))
   }
+
+  test("streaming funnel: step state carries across batches, monotone set-once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val input = MemoryStream[(Long, Long, String)]
+    val snaps = Streams.funnelSnapshotsFromStream(
+      input.toDS().map(r => Streams.FunnelEvent(r._1, r._2, r._3)), steps)
+    val q = snaps.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("spec_funnel").start()
+    try {
+      // batch 1: u1 views, u2 clicks (no view yet — must not count)
+      input.addData((1L, 10L, "view"), (2L, 10L, "click"))
+      q.processAllAvailable()
+      // batch 2: u1's click arrives in a LATER batch and must convert
+      // against batch 1's stored view time; u2's view arrives AFTER
+      // its click — monotone state must not resurrect the old click;
+      // u1 also purchases at the click tick (strict >: no conversion)
+      input.addData((1L, 20L, "click"), (1L, 20L, "purchase"),
+        (2L, 20L, "view"))
+      q.processAllAvailable()
+      val last = spark.table("spec_funnel")
+        .groupBy($"user_id", $"step")
+        .agg(org.apache.spark.sql.functions.max("t_us").as("t_us"))
+        .as[(Long, Int, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(last((1L, 0)) == 10L && last((1L, 1)) == 20L)
+      assert(last((1L, 2)) == -1L)            // same-tick purchase: strict >
+      assert(last((2L, 0)) == 20L && last((2L, 1)) == -1L)
+      // batch 3: now u2 clicks after its view — conversion completes
+      input.addData((2L, 30L, "click"))
+      q.processAllAvailable()
+      val last2 = spark.table("spec_funnel")
+        .groupBy($"user_id", $"step")
+        .agg(org.apache.spark.sql.functions.max("t_us").as("t_us"))
+        .as[(Long, Int, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(last2((2L, 1)) == 30L)
+    } finally q.stop()
+  }
 }
