@@ -752,8 +752,17 @@ object Analytics {
     * step-count-sized key. Strict `>` between steps makes same-
     * timestamp ties order-independent (a step-k event at exactly the
     * step-(k-1) time never advances the funnel, whichever sorts
-    * first). Timestamps fold as exact epoch-micros. */
-  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    * first). Timestamps fold as exact epoch-micros.
+    *
+    * `withinUs` adds a CONVERSION WINDOW: step k counts only within
+    * `withinUs` micros of the step-(k-1) time (the product-analytics
+    * "converts within a day" form). Semantics stay anchored at the
+    * FIRST step-1 event — no funnel re-entry when a window lapses —
+    * which keeps the fold greedy-correct and the oracle a pair of
+    * bounds on the same staged min-joins. None adds no clause (the
+    * unwindowed plan is unchanged: `true AND x` constant-folds). */
+  def funnel(events: DataFrame, steps: Seq[String],
+             withinUs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val zero = struct(steps.indices.map(i =>
       lit(null).cast("long").as(s"t$i")): _*)
@@ -774,7 +783,9 @@ object Analytics {
               acc.getField(s"t$i").isNull &&
                 acc.getField(s"t${i - 1}").isNotNull &&
                 e.getField("event_type") === steps(i) &&
-                e.getField("us") > acc.getField(s"t${i - 1}")
+                e.getField("us") > acc.getField(s"t${i - 1}") &&
+                withinUs.fold(lit(true))(w =>
+                  e.getField("us") - acc.getField(s"t${i - 1}") <= lit(w))
           when(hit, e.getField("us")).otherwise(acc.getField(s"t$i"))
             .as(s"t$i")
         }: _*)).as("f"))

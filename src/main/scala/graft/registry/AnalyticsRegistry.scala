@@ -19,6 +19,36 @@ object AnalyticsRegistry {
     * sequence. */
   val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
 
+  /** Windowed-funnel bound: 24 h — the synthetic stream's median
+    * click-after-view gap is ~32 h, so the window genuinely prunes. */
+  val FunnelWindowUs: Long = 24L * 3600L * 1000000L
+
+  /** DuckDB replay of [[Analytics.funnel]] for the bound FunnelSteps,
+    * optionally with the conversion-window clause. */
+  private def funnelSql(withinUs: Option[Long]): String = {
+    val ctes = FunnelSteps.zipWithIndex.map { case (step, i) =>
+      if (i == 0)
+        s"""s0 AS (
+           |  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+           |  WHERE event_type = '$step' GROUP BY user_id
+           |)""".stripMargin
+      else {
+        val window = withinUs
+          .map(w => s" AND epoch_us(e.ts) - s${i - 1}.t <= $w").getOrElse("")
+        s"""s$i AS (
+           |  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+           |  FROM events e JOIN s${i - 1} USING (user_id)
+           |  WHERE e.event_type = '$step' AND epoch_us(e.ts) > s${i - 1}.t$window
+           |  GROUP BY e.user_id
+           |)""".stripMargin
+      }
+    }.mkString("WITH ", ", ", "")
+    val selects = FunnelSteps.zipWithIndex.map { case (step, i) =>
+      s"SELECT $i AS step, '$step' AS step_name, count(*) AS n_users FROM s$i"
+    }.mkString("\nUNION ALL ")
+    s"$ctes\n$selects"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) =>
       Analytics.pricingSummary(Tables.lineitem(s, d), Q1Cutoff)),
@@ -127,6 +157,9 @@ object AnalyticsRegistry {
       Analytics.retention(Tables.events(s, d), "purchase")),
     "q_events_funnel" -> ((s, d) =>
       Analytics.funnel(Tables.events(s, d), FunnelSteps)),
+    "q_events_funnel_windowed" -> ((s, d) =>
+      Analytics.funnel(Tables.events(s, d), FunnelSteps,
+        Some(FunnelWindowUs))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -424,27 +457,10 @@ object AnalyticsRegistry {
          |FROM events
          |GROUP BY 1, 2""".stripMargin,
     // staged min-joins replay the per-user sorted fold: step k's time
-    // is the min event time strictly after the step-(k-1) time
-    "q_events_funnel" -> {
-      val ctes = FunnelSteps.zipWithIndex.map { case (step, i) =>
-        if (i == 0)
-          s"""s0 AS (
-             |  SELECT user_id, min(epoch_us(ts)) AS t FROM events
-             |  WHERE event_type = '$step' GROUP BY user_id
-             |)""".stripMargin
-        else
-          s"""s$i AS (
-             |  SELECT e.user_id, min(epoch_us(e.ts)) AS t
-             |  FROM events e JOIN s${i - 1} USING (user_id)
-             |  WHERE e.event_type = '$step' AND epoch_us(e.ts) > s${i - 1}.t
-             |  GROUP BY e.user_id
-             |)""".stripMargin
-      }.mkString("WITH ", ", ", "")
-      val selects = FunnelSteps.zipWithIndex.map { case (step, i) =>
-        s"SELECT $i AS step, '$step' AS step_name, count(*) AS n_users FROM s$i"
-      }.mkString("\nUNION ALL ")
-      s"$ctes\n$selects"
-    },
+    // is the min event time strictly after (and, windowed, within
+    // `withinUs` of) the step-(k-1) time
+    "q_events_funnel" -> funnelSql(None),
+    "q_events_funnel_windowed" -> funnelSql(Some(FunnelWindowUs)),
     "q_retention" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day

@@ -223,14 +223,15 @@ object Streams {
     * so a late out-of-order event can never un-convert a user, the
     * same open-state caveat as [[sessionizeGroup]]. Emits the full
     * k-row snapshot per touched user per batch (update mode). */
-  def funnelGroup(steps: Seq[String])(
+  def funnelGroup(steps: Seq[String], withinUs: Option[Long] = None)(
       userId: Long, events: Iterator[FunnelEvent],
       state: GroupState[Array[Long]]): Iterator[FunnelStepTime] = {
     val t = state.getOption.getOrElse(Array.fill(steps.length)(-1L))
     events.toSeq.sortBy(_.ts_us).foreach { e =>
       val i = steps.indexOf(e.event_type)
       if (i >= 0 && t(i) == -1L &&
-          (i == 0 || (t(i - 1) != -1L && e.ts_us > t(i - 1))))
+          (i == 0 || (t(i - 1) != -1L && e.ts_us > t(i - 1) &&
+            withinUs.forall(w => e.ts_us - t(i - 1) <= w))))
         t(i) = e.ts_us
     }
     state.update(t)
@@ -241,12 +242,14 @@ object Streams {
     * stream (file harness, Kafka-shaped feed, MemoryStream in specs)
     * runs the identical stateful fold. */
   def funnelSnapshotsFromStream(events: Dataset[FunnelEvent],
-                                steps: Seq[String]): Dataset[FunnelStepTime] = {
+                                steps: Seq[String],
+                                withinUs: Option[Long] = None)
+      : Dataset[FunnelStepTime] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
-        funnelGroup(steps))
+        funnelGroup(steps, withinUs))
   }
 
   /** Streaming ordered funnel ≡ the batch `q_events_funnel`: per-user

@@ -284,6 +284,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(two == Seq((0, "view", 4L), (1, "click", 2L)))
   }
 
+  test("windowed funnel prunes conversions outside the step window") {
+    def evu(rows: (Long, Long, String)*) =
+      rows.zipWithIndex.map { case ((u, us, t), i) => (i.toLong, u, us, t) }
+        .toDF("event_id", "user_id", "ts_us", "event_type")
+        .selectExpr("event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+          "event_type", "1.0 AS value", "'{}' AS props")
+    val events = evu(
+      (1L, 10L, "view"), (1L, 20L, "click"),   // inside the window
+      (2L, 10L, "view"), (2L, 121L, "click"),  // outside: 111 > 100
+      (3L, 10L, "view"), (3L, 110L, "click"))  // boundary: exactly 100
+    val out = Analytics.funnel(events, Seq("view", "click"), Some(100L))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    // boundary is inclusive (<= window); u2's only click is too late
+    assert(out == Seq((0, "view", 3L), (1, "click", 2L)))
+    // without the window all three convert
+    val all = Analytics.funnel(events, Seq("view", "click"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(all == Seq((0, "view", 3L), (1, "click", 3L)))
+  }
+
   test("funnel on empty input emits no rows (counts need >= 1 user)") {
     val none = Seq.empty[(Long, Long, String)]
       .toDF("user_id", "ts_us", "event_type")
