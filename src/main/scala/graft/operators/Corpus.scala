@@ -129,22 +129,95 @@ object Corpus {
     * O(|shingles| × S²) with S the source count, not a doc-scaled
     * blowup. Per-source set sizes are an S-row aggregate, broadcast
     * back onto the pair rows. */
-  def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
+  def sourceOverlap(docs: DataFrame, n: Int): DataFrame =
+    overlapCensus(sourceOverlapStore(docs, n))
+
+  /** The persisted state for INCREMENTAL source overlap: the distinct
+    * (source, shingle) rows, the per-source set sizes, and the pair
+    * counts — everything [[sourceOverlapDelta]] needs to absorb an
+    * ingest without re-pairing the old corpus. At scale `rows` is a
+    * bucketed table on `s` (the pair-join key); `sizes` and `pairs`
+    * are source-count-bounded (tiny). Invariant: `sizes`/`pairs` are
+    * exactly the aggregate/pair-count of `rows` — [[overlapCensus]]
+    * derives the report from the small tables alone. */
+  final case class SourceOverlapStore(rows: DataFrame, sizes: DataFrame,
+                                      pairs: DataFrame)
+
+  /** Build [[SourceOverlapStore]] state for an initial corpus. */
+  def sourceOverlapStore(docs: DataFrame, n: Int): SourceOverlapStore = {
     val ss = CacheTracker.persistTracked(docs
       .select(col("source"),
         explode(Text.shingles(Text.tokens(col("text")), n)).as("s"))
       .distinct())
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    ss.as("a").join(ss.as("b"),
+    val pairs = ss.as("a").join(ss.as("b"),
         col("a.s") === col("b.s") && col("a.source") < col("b.source"))
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
-      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+    SourceOverlapStore(ss, sizes, pairs)
+  }
+
+  /** The overlap report from store state alone: pair counts joined to
+    * both sides' set sizes (S-row broadcast joins), Jaccard derived. */
+  private def overlapCensus(store: SourceOverlapStore): DataFrame =
+    store.pairs
+      .join(store.sizes.select(col("source").as("src_a"), col("n").as("n_a")),
+        "src_a")
+      .join(store.sizes.select(col("source").as("src_b"), col("n").as("n_b")),
+        "src_b")
       .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
         (col("n_shared").cast("double")
           / (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
+
+  /** Result of an overlap delta pass: the census over the GROWN
+    * corpus and the state for the next ingest. */
+  final case class SourceOverlapDelta(census: DataFrame,
+                                      updatedStore: SourceOverlapStore)
+
+  /** Incremental (delta) source-overlap maintenance: absorb a new-docs
+    * ingest WITHOUT re-pairing the old corpus. The delta's genuinely
+    * new (source, shingle) rows (composite anti-join against the
+    * store — a delta-sized shuffle) pair once against the store rows
+    * on the shingle key (per-key occupancy still ≤ source count; the
+    * store side is the bucketed table, so no store shuffle) and once
+    * among themselves; pair counts and sizes merge by full-outer sum,
+    * so a source or source pair born in this ingest appears without
+    * special-casing. The anti-join guarantees a new row never meets
+    * its own source in the store, so the store join needs no
+    * same-source filter. Re-ingest is idempotent: a replayed delta's
+    * rows all anti-join away. Census ≡ [[sourceOverlap]] over the
+    * grown corpus (spec-proven), which is why the oracle replays the
+    * full-corpus SQL. */
+  def sourceOverlapDelta(store: SourceOverlapStore,
+                         delta: DataFrame, n: Int): SourceOverlapDelta = {
+    val dss = delta
+      .select(col("source"),
+        explode(Text.shingles(Text.tokens(col("text")), n)).as("s"))
+      .distinct()
+    val newRows = CacheTracker.persistTracked(
+      dss.join(store.rows, Seq("source", "s"), "left_anti"))
+    val vsStore = newRows.as("a").join(store.rows.as("b"),
+        col("a.s") === col("b.s"))
+      .select(least(col("a.source"), col("b.source")).as("src_a"),
+        greatest(col("a.source"), col("b.source")).as("src_b"))
+    val vsSelf = newRows.as("a").join(newRows.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    val pairDelta = vsStore.union(vsSelf)
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("d"))
+    val pairs2 = store.pairs
+      .join(pairDelta, Seq("src_a", "src_b"), "full_outer")
+      .select(col("src_a"), col("src_b"),
+        (coalesce(col("n_shared"), lit(0L)) + coalesce(col("d"), lit(0L)))
+          .as("n_shared"))
+    val sizes2 = store.sizes
+      .join(newRows.groupBy(col("source")).agg(count(lit(1)).as("dn")),
+        Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
+    val updated = SourceOverlapStore(store.rows.union(newRows), sizes2, pairs2)
+    SourceOverlapDelta(overlapCensus(updated), updated)
   }
 
   /** PII patterns, spelled to mean the same thing in Java regex

@@ -53,6 +53,27 @@ object CorpusRegistry {
     * long enough that sharing is copying, not phrase coincidence). */
   val OverlapN = 4
 
+  /** DuckDB replay of the full-corpus source-overlap census — the
+    * oracle for both the one-shot and the delta-maintained form. */
+  private lazy val SourceOverlapSql: String =
+    s"""WITH ss AS (
+       |  SELECT DISTINCT source, s FROM (
+       |    SELECT source, unnest(sh) AS s FROM (
+       |      SELECT source, $Sh4 AS sh
+       |      FROM (SELECT source, $ToksExpr AS toks FROM documents)))
+       |), sizes AS (
+       |  SELECT source, count(*) AS n FROM ss GROUP BY source
+       |), pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |  FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT src_a, src_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       |  CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.source = src_a
+       |JOIN sizes sb ON sb.source = src_b""".stripMargin
+
   private val MixExpr =
     s"(doc_id % ${Corpus.MixP}) * ${Corpus.MixA} % ${Corpus.MixBuckets}"
 
@@ -102,6 +123,17 @@ object CorpusRegistry {
     }),
     "cp_source_overlap" -> ((s, d) =>
       Corpus.sourceOverlap(Tables.documents(s, d), OverlapN)),
+    // incremental maintenance ≡ the full census over the grown corpus
+    // (spec-proven), so the oracle replays the full-corpus SQL; the
+    // store is built from the mod-3 "old" split, the delta ingests
+    // the rest (the dd/knn delta families' convention)
+    "cp_source_overlap_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val store = Corpus.sourceOverlapStore(
+        docs.filter(col("doc_id") % 3 =!= 0), OverlapN)
+      Corpus.sourceOverlapDelta(store,
+        docs.filter(col("doc_id") % 3 === 0), OverlapN).census
+    }),
     "cp_pii_scrub" -> ((s, d) =>
       Corpus.piiScrub(Tables.documents(s, d))),
     "cp_quality_gate" -> ((s, d) =>
@@ -192,24 +224,10 @@ object CorpusRegistry {
          |SELECT doc_id, count(*) AS n_matches, max(jac) AS max_jaccard,
          |  min(eval_id) AS first_eval_id
          |FROM j GROUP BY doc_id""".stripMargin,
-    "cp_source_overlap" ->
-      s"""WITH ss AS (
-         |  SELECT DISTINCT source, s FROM (
-         |    SELECT source, unnest(sh) AS s FROM (
-         |      SELECT source, $Sh4 AS sh
-         |      FROM (SELECT source, $ToksExpr AS toks FROM documents)))
-         |), sizes AS (
-         |  SELECT source, count(*) AS n FROM ss GROUP BY source
-         |), pairs AS (
-         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
-         |  FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
-         |  GROUP BY 1, 2
-         |)
-         |SELECT src_a, src_b, n_shared, sa.n AS n_a, sb.n AS n_b,
-         |  CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
-         |FROM pairs
-         |JOIN sizes sa ON sa.source = src_a
-         |JOIN sizes sb ON sb.source = src_b""".stripMargin,
+    "cp_source_overlap" -> SourceOverlapSql,
+    // the delta-maintained census over old+delta == the full census
+    // over the whole table: the full SQL is the oracle verbatim
+    "cp_source_overlap_delta" -> SourceOverlapSql,
     "cp_pipeline_report" -> {
       val mixD = s"(d.doc_id % ${Corpus.MixP}) * ${Corpus.MixA} % ${Corpus.MixBuckets}"
       s"""WITH m AS (SELECT doc_id, md5(text) AS fp FROM documents),

@@ -333,4 +333,29 @@ class CorpusSpec extends AnyFunSuite {
     // B holds {ABGD, BGDZ, BGDE}: doc 3 adds B's copy of BGDE
     assert(out == List(("srcA", "srcB", 2L, 2L, 3L, 2.0 / 3.0)))
   }
+
+  test("delta-maintained source overlap == full census; re-ingest adds nothing") {
+    // fuzzed corpus with heavy cross-source shingle sharing, incl. a
+    // source that exists ONLY in the delta split
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docs = (0 until 60).map { i =>
+      val len = 6 + rnd.nextInt(18)
+      val src = if (i % 3 == 0 && i % 2 == 1) "srcNew" else s"src${i % 4}"
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "), src)
+    }.toDF("doc_id", "text", "source")
+    import org.apache.spark.sql.functions.col
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Long, Long, Long, Double)].collect().toSet
+    val full = rows(Corpus.sourceOverlap(docs, 3))
+    val store = Corpus.sourceOverlapStore(old, 3)
+    val d1 = Corpus.sourceOverlapDelta(store, delta, 3)
+    assert(rows(d1.census) == full)
+    // idempotent: replaying the same delta changes nothing
+    val d2 = Corpus.sourceOverlapDelta(d1.updatedStore, delta, 3)
+    assert(rows(d2.census) == full)
+    assert(d2.updatedStore.rows.count() == d1.updatedStore.rows.count())
+  }
 }
