@@ -107,7 +107,12 @@ object Corpus {
     * B-prefix under one shared rarity order, so the corpus side never
     * self-joins and a ubiquitous shingle can't form a hot bucket.
     * Output per contaminated doc: how many eval docs it near-matches,
-    * its best Jaccard, and the smallest matching eval id. */
+    * its best Jaccard, and the smallest matching eval id.
+    *
+    * Naturally INCREMENTAL with no store: the eval set is fixed and
+    * the check is per-train-doc, so screening a new ingest is exactly
+    * `decontaminateFuzzy(ingest, evalDocs, n, tau)` — delta cost is
+    * ingest-sized, and no delta sibling is needed. */
   def decontaminateFuzzy(train: DataFrame, evalDocs: DataFrame, n: Int,
                          tau: Double): DataFrame =
     Dedup.ngramJaccardCross(train, evalDocs, n, tau)

@@ -235,4 +235,29 @@ class EdgeCaseSpec extends AnyFunSuite {
         .codes.count() == pq.codes.count())
     }
   }
+
+  test("funnel/overlap/fuzzy/outlier ops on empty and degenerate inputs") {
+    val noDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    val someDocs = Seq((1L, "alpha beta gamma delta eps", "s"))
+      .toDF("doc_id", "text", "source")
+    // overlap: empty corpus and single-source corpus both yield no pairs
+    assert(graft.operators.Corpus.sourceOverlap(noDocs, 4).count() == 0)
+    assert(graft.operators.Corpus.sourceOverlap(someDocs, 4).count() == 0)
+    // overlap delta FROM an empty store == the full census of the delta
+    val boot = graft.operators.Corpus.sourceOverlapDelta(
+      graft.operators.Corpus.sourceOverlapStore(noDocs, 4), someDocs, 4)
+    assert(boot.census.count() == 0 &&
+      boot.updatedStore.rows.count() == 2) // ABGD, BGDE under srcA… one source
+    // fuzzy decontamination: empty train or empty eval → no matches
+    assert(graft.operators.Corpus
+      .decontaminateFuzzy(noDocs, someDocs, 3, 0.8).count() == 0)
+    assert(graft.operators.Corpus
+      .decontaminateFuzzy(someDocs, noDocs, 3, 0.8).count() == 0)
+    // outliers: topK larger than the corpus returns every vector once
+    val emb = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val rep = graft.operators.Similarity.outliers(emb, centroidMod = 1, topK = 10)
+    assert(rep.count() == 2)
+  }
 }
