@@ -100,6 +100,27 @@ object Dedup {
   def spanExact(docs: DataFrame, spanTokens: Int = 16): DataFrame =
     paraAssign(spanRows(docs, spanTokens))
 
+  /** BOILERPLATE MINING: the top-`topK` most-repeated spans across
+    * the corpus — occurrence count, distinct-doc count, and the span
+    * text itself. The report a curation owner reads BEFORE running
+    * span dedup: it names the license headers / nav bars / ToS blocks
+    * worth stripping at the source. One span+hash scan, one
+    * map-side-combined aggregate on the fingerprint (a hot span
+    * contributes one row per map task, the dd_exact lesson), then a
+    * bounded global top-k (TakeOrderedAndProject — no global sort).
+    * Ties break on fp for a deterministic report; only genuinely
+    * repeated spans (≥ 2 occurrences) qualify. */
+  def boilerplate(docs: DataFrame, spanTokens: Int = 16,
+                  topK: Int = 20): DataFrame =
+    spanRows(docs, spanTokens)
+      .groupBy(md5(col("para")).as("fp"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("para")).as("para"))
+      .filter(col("n_occurrences") >= 2)
+      .orderBy(col("n_occurrences").desc, col("fp").asc)
+      .limit(topK)
+
   /** (doc_id, para_idx, para) rows of the fixed-token-window form. */
   private def spanRows(docs: DataFrame, spanTokens: Int): DataFrame = {
     require(spanTokens > 0, "spanExact needs spanTokens > 0")

@@ -28,6 +28,8 @@ object DedupRegistry {
     * the newline splitter ([[Dedup.paragraphExact]]) is the structured-
     * corpus API, spec-proven on a boilerplate corpus (DedupSpec). */
   val SpanTokens = 16
+  /** Boilerplate report size. */
+  val BoilerplateK = 20
 
   /** DuckDB spelling of Text.shingles(Text.tokens(text), 3). */
   private val Sh3 =
@@ -133,6 +135,10 @@ object DedupRegistry {
         Dedup.paragraphStore(docs.filter(c % DeltaMod =!= 0), SpanTokens),
         docs.filter(c % DeltaMod === 0), SpanTokens).assignment
     }),
+    // boilerplate mining: the top most-repeated spans with occurrence
+    // and distinct-doc counts — the "what to strip" report
+    "dd_boilerplate" -> ((s, d) =>
+      Dedup.boilerplate(Tables.documents(s, d), SpanTokens, BoilerplateK)),
     "dd_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dd_embedding" -> ((s, d) =>
@@ -302,6 +308,31 @@ object DedupRegistry {
          |  CAST(f.doc_id <> ki.keep_doc OR f.para_idx <> ki.keep_idx
          |    AS INTEGER) AS is_dup
          |FROM fps f JOIN keepi ki ON ki.fp = f.fp""".stripMargin,
+    // same span CTEs as dd_paragraph with the paragraph TEXT kept,
+    // then the repeated-span aggregate and the deterministic top-k
+    "dd_boilerplate" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $ToksExpr AS toks FROM documents
+         |), spans AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(
+         |      range(CAST(ceil(len(toks) / $SpanTokens.0) AS BIGINT)),
+         |      i -> {'idx': i, 'para': array_to_string(
+         |        toks[i * $SpanTokens + 1 : i * $SpanTokens + $SpanTokens],
+         |        ' ')})) AS pr
+         |  FROM base
+         |), fps AS (
+         |  SELECT doc_id, md5(pr.para) AS fp, pr.para AS para FROM spans
+         |), g AS (
+         |  SELECT fp, count(*) AS n_occurrences,
+         |    count(DISTINCT doc_id) AS n_docs, min(para) AS para
+         |  FROM fps GROUP BY fp
+         |)
+         |SELECT fp, n_occurrences, n_docs, para FROM (
+         |  SELECT g.*, row_number()
+         |    OVER (ORDER BY n_occurrences DESC, fp ASC) AS rn
+         |  FROM g WHERE n_occurrences >= 2)
+         |WHERE rn <= $BoilerplateK""".stripMargin,
     // same span/keeper CTEs as dd_paragraph (fps keeps the paragraph
     // TEXT), then one per-doc aggregate: string_agg of kept paragraphs
     // ordered by position (skipping dropped occurrences), '' when all

@@ -259,6 +259,29 @@ class DedupSpec extends AnyFunSuite {
     assert(coldRows.forall(r => r._2 == r._1 && r._3 == 0))
   }
 
+  test("boilerplate report: top repeated spans with occurrence and doc counts") {
+    // letter-only words (the tokenizer drops digits): one exact span
+    val block = (0 until 16).map(i => s"term${('a' + i).toChar}").mkString(" ")
+    val docs = Seq(
+      (1L, block + " unique alpha tail words here", "s"),
+      (2L, block + " different beta ending text now", "s"),
+      (3L, block, "s"),                       // block only
+      (4L, "totally unrelated document body text", "s"),
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.boilerplate(docs, spanTokens = 16, topK = 5)
+      .as[(String, Long, Long, String)].collect()
+    // the shared first span is the only repeated one: 3 occurrences
+    // across 3 docs; singleton spans (tails, doc 4) never qualify
+    assert(out.length == 1)
+    assert(out.head._2 == 3L && out.head._3 == 3L && out.head._4 == block)
+    // within-doc repetition counts occurrences but one doc
+    val selfRep = Seq((9L, block + " " + block, "s"))
+      .toDF("doc_id", "text", "source")
+    val rep = Dedup.boilerplate(selfRep, 16, 5)
+      .as[(String, Long, Long, String)].collect()
+    assert(rep.length == 1 && rep.head._2 == 2L && rep.head._3 == 1L)
+  }
+
   test("cross-table jaccard == union self-join restricted to cross pairs") {
     // Seeded fuzz over a tiny vocabulary (heavy shingle collisions):
     // the two-table prefix blocking must equal the proven self-join
