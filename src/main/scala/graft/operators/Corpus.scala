@@ -497,6 +497,53 @@ object Corpus {
         (col("src_rank") * stride).as("vt"))
   }
 
+  /** SEQUENCE-PACKING manifest — where the corpus meets the trainer:
+    * docs concatenate in deterministic (mix bucket, id) order within
+    * each shard and are cut into fixed `seqLen`-token training
+    * sequences (GPT-style document packing; a doc whose span crosses a
+    * cut is `is_split`). Output per doc: shard, exact token offset,
+    * the [seq_first, seq_last] span, and the split flag — the manifest
+    * a serialization job (or a split-avoiding repacker) consumes.
+    *
+    * Scale shape: the offset is an exact per-shard prefix sum, which
+    * naively is ONE window per shard — a single task sorting a whole
+    * shard. This runs the [[tokenBudgetStaged]] two-phase shape
+    * instead: per-(shard, coarse-bucket) token totals, cumulative
+    * bucket offsets over the tiny (shards × buckets) frame
+    * (broadcast), then in-bucket windows bounded by bucket occupancy.
+    * cb = mb's high bits, so (cb, mb, id) order ≡ (mb, id) order and
+    * the staged prefix is IDENTICAL to the one-window reference the
+    * oracle replays (CorpusSpec proves it against an in-memory
+    * reference). Zero-token docs occupy a point span, never split. */
+  def packReport(docs: DataFrame, seqLen: Long, nShards: Int,
+                 coarseBuckets: Int = 1024): DataFrame = {
+    require(seqLen > 0, "packReport needs seqLen > 0")
+    require(nShards > 0, "packReport needs nShards > 0")
+    require(coarseBuckets > 0, "packReport needs coarseBuckets > 0")
+    val base = sizedDocs(docs)
+      .withColumn("shard", (col("mb") * nShards / MixBuckets).cast("int"))
+      .withColumn("cb", (col("mb") * coarseBuckets / MixBuckets).cast("int"))
+    val wCum = Window.partitionBy(col("shard")).orderBy(col("cb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("shard"), col("cb"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("bucket_tokens")).over(wCum), lit(0L)))
+      .select(col("shard"), col("cb"), col("cum_before"))
+    val wIn = Window.partitionBy(col("shard"), col("cb"))
+      .orderBy(col("mb").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spanEnd = col("tok_offset") + greatest(col("n_tokens"), lit(1L)) - 1L
+    base.join(broadcast(offsets), Seq("shard", "cb"))
+      .withColumn("tok_offset",
+        col("cum_before") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("tok_offset"),
+        (col("tok_offset") / seqLen).cast("long").as("seq_first"),
+        (spanEnd / seqLen).cast("long").as("seq_last"),
+        ((col("tok_offset") / seqLen).cast("long") =!=
+          (spanEnd / seqLen).cast("long")).cast("int").as("is_split"))
+  }
+
   /** Deterministic shard assignment — the global-shuffle-then-shard
     * step that precedes training-data serialization: shard = the mix
     * bucket's high bits (pseudorandom, reproducible on any engine /

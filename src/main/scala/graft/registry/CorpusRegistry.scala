@@ -89,6 +89,10 @@ object CorpusRegistry {
   val TokenBudget = 800L
   val NShards = 16
 
+  /** Packing binding: 512-token training sequences (~9 synthetic docs
+    * per sequence — real split/fill structure at sf0.01). */
+  val PackSeqLen = 512L
+
   /** Interleave binding: upsample src1, damp src0, default in between —
     * exercises all three stride branches. */
   val InterleaveWeights: Seq[(String, Int)] = Seq("src0" -> 1, "src1" -> 3)
@@ -146,6 +150,11 @@ object CorpusRegistry {
       Corpus.tokenBudgetStaged(Tables.documents(s, d), TokenBudget)),
     "cp_shards" -> ((s, d) =>
       Corpus.shardReport(Tables.documents(s, d), NShards)),
+    // the STAGED two-phase prefix sum is registered (bounded window
+    // partitions); the oracle replays the one-window-per-shard
+    // reference semantics — CorpusSpec proves the forms identical
+    "cp_pack" -> ((s, d) =>
+      Corpus.packReport(Tables.documents(s, d), PackSeqLen, NShards)),
     // The STAGED form is registered (bounded window partitions); the
     // oracle replays the one-window reference semantics — CorpusSpec
     // proves the two forms identical.
@@ -331,6 +340,30 @@ object CorpusRegistry {
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  count(DISTINCT source) AS n_sources
          |FROM sized GROUP BY shard""".stripMargin,
+    // the one-window-per-shard reference replay of the staged packing
+    "cp_pack" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(len($ToksExpr), 0) AS BIGINT) AS n_tokens,
+         |    $MixExpr AS mb,
+         |    CAST((($MixExpr) * $NShards) // ${Corpus.MixBuckets} AS INTEGER) AS shard
+         |  FROM documents
+         |), off AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY mb ASC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tok_offset
+         |  FROM sized
+         |)
+         |SELECT doc_id, shard, n_tokens, tok_offset,
+         |  CAST(tok_offset // $PackSeqLen AS BIGINT) AS seq_first,
+         |  CAST((tok_offset + greatest(n_tokens, 1) - 1) // $PackSeqLen
+         |    AS BIGINT) AS seq_last,
+         |  CAST(tok_offset // $PackSeqLen
+         |    <> (tok_offset + greatest(n_tokens, 1) - 1) // $PackSeqLen
+         |    AS INTEGER) AS is_split
+         |FROM off""".stripMargin,
     "cp_interleave" -> {
       val strideCase = InterleaveWeights
         .map { case (src, w) =>

@@ -358,4 +358,68 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows(d2.census) == full)
     assert(d2.updatedStore.rows.count() == d1.updatedStore.rows.count())
   }
+
+  test("packReport equals the one-window in-memory reference on real data") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions.{coalesce, col, lit, size}
+    val nShards = 4
+    // independent reference: collect (mb, id, n_tokens), sort per
+    // shard, exact sequential prefix sum, spans from the scan
+    val sized = docs.select(col("doc_id"),
+        coalesce(size(graft.functions.Text.tokens(col("text"))).cast("long"),
+          lit(0L)).as("n"),
+        Corpus.mixBucket(col("doc_id")).as("mb"))
+      .as[(Long, Long, Long)].collect()
+    def reference(seqLen: Long) = sized
+      .groupBy { case (_, _, mb) => (mb * nShards / Corpus.MixBuckets).toInt }
+      .iterator.flatMap { case (shard, ds) =>
+        var off = 0L
+        ds.sortBy { case (id, _, mb) => (mb, id) }.map { case (id, n, _) =>
+          val first = off / seqLen
+          val last = (off + math.max(n, 1L) - 1L) / seqLen
+          val r = (id, shard, n, off, first, last,
+            if (first != last) 1 else 0)
+          off += n; r
+        }
+      }.toSet
+    def staged(seqLen: Long, coarse: Int) =
+      Corpus.packReport(docs, seqLen, nShards, coarse)
+        .as[(Long, Int, Long, Long, Long, Long, Int)].collect().toSet
+    // seqLen 37 forces many splits; 512 is the registered binding
+    for (seqLen <- Seq(37L, 512L); coarse <- Seq(1, 4, 1024))
+      assert(staged(seqLen, coarse) == reference(seqLen),
+        s"seqLen=$seqLen coarse=$coarse")
+    // splits actually occur at the small seqLen (the test has teeth)
+    assert(reference(37L).exists(_._7 == 1))
+  }
+
+  test("packReport split semantics: boundary crossing, zero-token point span") {
+    // one shard → the pack order is just (mixBucket, id); derive it
+    val texts = Map(
+      1L -> Seq.fill(5)("w").mkString(" "),  // 5 tokens
+      2L -> "...",                            // 0 tokens
+      3L -> Seq.fill(4)("w").mkString(" "),  // 4 tokens
+      4L -> Seq.fill(3)("w").mkString(" "))  // 3 tokens
+    val docs = texts.toSeq.map { case (i, t) => (i, t, "s") }
+      .toDF("doc_id", "text", "source")
+    val order = docs
+      .select($"doc_id", Corpus.mixBucket($"doc_id").as("mb"))
+      .as[(Long, Long)].collect().sortBy(x => (x._2, x._1)).map(_._1)
+    val sizes = Map(1L -> 5L, 2L -> 0L, 3L -> 4L, 4L -> 3L)
+    val offs = order.scanLeft(0L)((acc, id) => acc + sizes(id))
+    val byDoc = Corpus.packReport(docs, seqLen = 4L, nShards = 1)
+      .as[(Long, Int, Long, Long, Long, Long, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    order.zip(offs).foreach { case (id, off) =>
+      val (_, shard, n, o, first, last, isSplit) = byDoc(id)
+      assert(shard == 0 && n == sizes(id) && o == off, s"doc $id")
+      assert(first == off / 4 && last == (off + math.max(n, 1L) - 1) / 4)
+      assert(isSplit == (if (first != last) 1 else 0))
+      // a zero-token doc occupies a point span and never splits
+      if (n == 0L) assert(first == last && isSplit == 0)
+    }
+    // total tokens 12 over seqLen 4: docs at offsets that cross a
+    // multiple-of-4 boundary must be flagged; at least one is
+    assert(byDoc.values.exists(_._7 == 1))
+  }
 }
