@@ -35,6 +35,7 @@ object Bench {
       "ta_quality", "ta_diversity", "ta_lm_score", "ta_search", "cp_quality_gate",
       "cp_interleave", "cp_decontaminate_fuzzy", "cp_source_overlap",
       "dd_exact", "dd_exact_delta", "dd_keep_best_dedup", "dd_paragraph", "dd_paragraph_rewrite",
+      "dd_boilerplate", "cp_pack",
       "dd_minhash", "dd_simhash", "dd_semantic",
       "knn_bruteforce", "knn_ivf", "knn_graph", "knn_pq", "knn_ivfpq",
       "knn_outliers",
