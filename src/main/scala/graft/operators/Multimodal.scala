@@ -97,6 +97,31 @@ object Multimodal {
         countDistinct(col("pm")).as("n_unique"),
         sum(col("len")).as("total_bytes"))
 
+  /** Exact MEDIA dedup: the keeper map the kind census' `n_unique`
+    * column promises — every payload assigned to the smallest doc_id
+    * carrying byte-identical content, with the sniffed kind kept for
+    * per-modality accounting. [[Dedup.exact]]'s contract keyed on the
+    * BINARY payload digest (on a real media table this is image/audio
+    * dedup; the harness corpus' payload is the text's UTF-8 bytes):
+    * map-side-combined min per md5 key + join-back — no window, so a
+    * million-copy viral image is one aggregate row per map task, never
+    * a single-task partition; the join is AQE-skew-splittable. Null
+    * payloads form one group via the null-safe key, like exact dedup's
+    * null-text bucket. */
+  def payloadDedup(docs: DataFrame): DataFrame =
+    payloadDedupOf(withPayload(docs))
+
+  def payloadDedupOf(payloads: DataFrame): DataFrame = {
+    val keyed = CacheTracker.persistTracked(
+      payloads.select(col("doc_id"), sniffKind(col("payload")).as("kind"),
+        md5(col("payload")).as("fp")))
+    val keepers = keyed.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    keyed.as("d").join(keepers.as("k"), col("d.fp") <=> col("k.fp"))
+      .withColumn("is_dup", (col("d.doc_id") =!= col("keep_id")).cast("int"))
+      .select(col("d.doc_id").as("doc_id"), col("d.kind").as("kind"),
+        col("keep_id"), col("is_dup"))
+  }
+
   /** Image-magic probe for the batch decoder's routing (PNG / JPEG —
     * the two formats the JDK decodes natively). */
   private def looksLikeImage(bytes: Array[Byte]): Boolean =

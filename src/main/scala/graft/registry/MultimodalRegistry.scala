@@ -32,6 +32,11 @@ object MultimodalRegistry {
           (0 until 16).map(i => col("features")(i).as(f"f$i%02d")): _*)),
     "mm_kind_census" -> ((s, d) =>
       Multimodal.kindCensus(Tables.documents(s, d))),
+    // exact media dedup: the keeper map behind the census' n_unique —
+    // keyed on the BINARY payload digest (≡ text md5 here: the payload
+    // is the text's UTF-8 bytes), kind carried for per-modality reads
+    "mm_dedup" -> ((s, d) =>
+      Multimodal.payloadDedup(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -92,5 +97,20 @@ object MultimodalRegistry {
         |  count(DISTINCT pm) AS n_unique,
         |  CAST(sum(len) AS BIGINT) AS total_bytes
         |FROM k GROUP BY kind""".stripMargin,
+    "mm_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(text, 1, 4) = 'RIFF' THEN 'audio/riff'
+        |         WHEN substr(text, 1, 4) = '%PDF' THEN 'application/pdf'
+        |         WHEN regexp_matches(text, '^[\x09\x0a\x0d\x20-\x7e]*$')
+        |           THEN 'text/plain'
+        |         ELSE 'application/octet-stream' END AS kind,
+        |    md5(text) AS fp
+        |  FROM documents
+        |),
+        |k AS (SELECT doc_id, kind,
+        |  min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM m)
+        |SELECT doc_id, kind, keep_id,
+        |  CAST(doc_id <> keep_id AS INTEGER) AS is_dup FROM k""".stripMargin,
   )
 }

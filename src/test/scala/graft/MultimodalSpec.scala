@@ -47,6 +47,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r("text/plain") == (("text/plain", 3L, 2L, 27L)))
   }
 
+  test("payload dedup elects the min-id keeper per byte-identical payload") {
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, 1, 2)
+    val txt = "hello world".getBytes("UTF-8")
+    val payloads = Seq(
+      (5L, png), (2L, png),                                // duplicated image
+      (3L, txt), (4L, txt), (1L, "other".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val r = Multimodal.payloadDedupOf(payloads)
+      .as[(Long, String, Long, Int)].collect().map(x => x._1 -> x).toMap
+    assert(r.size == 5)
+    assert(r(2L) == ((2L, "image/png", 2L, 0)))  // min id keeps
+    assert(r(5L) == ((5L, "image/png", 2L, 1)))  // larger id is the dup
+    assert(r(3L)._4 == 0 && r(4L) == ((4L, "text/plain", 3L, 1)))
+    assert(r(1L)._4 == 0 && r(1L)._3 == 1L)      // unique content keeps itself
+    // on the documents adapter the payload is the text's UTF-8 bytes, so
+    // the keeper map must equal exact TEXT dedup's on the same corpus
+    val viaPayload = Multimodal.payloadDedup(docs)
+      .select("doc_id", "keep_id", "is_dup")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    val viaText = graft.operators.Dedup.exact(docs)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(viaPayload.sameElements(viaText))
+  }
+
   test("batched decode is batch-size- and partition-independent") {
     val a = Multimodal.features(docs.repartition(1), batchSize = 2)
       .as[(Long, Int, Array[Float])].collect().sortBy(_._1)
