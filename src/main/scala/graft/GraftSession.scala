@@ -44,8 +44,11 @@ object GraftSession {
       // default 100-field limit would kick them out of codegen.
       .config("spark.sql.codegen.maxFields", "250")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark has no type
-      // for; read as epoch-nanos long, Tables.events converts to micros.
+      // Historical events.parquet layouts carried TIMESTAMP(NANOS),
+      // which Spark has no type for; read as epoch-nanos long and let
+      // Tables.events convert to micros. (Current layouts write tz-less
+      // timestamp[us] → TIMESTAMP_NTZ; Tables.events/FileStreamSource
+      // normalize that too.)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", enableUi.toString)
     val spark = (if (rocksDbState)

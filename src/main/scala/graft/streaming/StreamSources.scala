@@ -37,7 +37,18 @@ object StreamSource {
 final case class FileStreamSource(file: String) extends StreamSource {
   def stream(spark: SparkSession): DataFrame = {
     val schema = spark.read.parquet(file).schema
-    spark.readStream.schema(schema).parquet(Streams.stageAsDir(file))
+    val raw = spark.readStream.schema(schema).parquet(Streams.stageAsDir(file))
+    // Ingest normalization, mirroring Tables.events: a tz-less
+    // timestamp[us] parquet column infers as TIMESTAMP_NTZ, which
+    // watermarks and unix_micros() reject; cast to TimestampType here
+    // (bit-identical micros under the UTC session zone) so every
+    // downstream operator sees instants regardless of how the driver's
+    // writer encoded the file.
+    schema.fields.foldLeft(raw) { (df, f) =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        df.withColumn(f.name, col(f.name).cast("timestamp"))
+      else df
+    }
   }
 }
 
