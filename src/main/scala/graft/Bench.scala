@@ -60,8 +60,16 @@ object Bench {
   val TrendQueries: Seq[String] =
     Seq("wc_wordcount", "q1_pricing_summary", "dd_minhash")
 
+  /** Timed passes for one query at one SF dir. `times` holds only the
+    * SUCCESSFUL passes; a failure is carried in `err`, never as a fake
+    * 0.0 s — round 10's four broken queries timed 0.0000 and read as
+    * the fastest rows in the file, which is exactly backwards. */
+  final case class QTimes(times: Seq[Double], err: Option[String]) {
+    def failed: Boolean = times.isEmpty
+  }
+
   private def time(spark: SparkSession, name: String, sfDir: Seq[String],
-                   n: Int): Map[String, Seq[Double]] = {
+                   n: Int): Map[String, QTimes] = {
     val fn = SparkEntry.queries(name)
     sfDir.map { d =>
       // each pass inside a cache bracket: a pass's internal persists
@@ -73,20 +81,50 @@ object Bench {
       // runs OUTSIDE the timed window (the timer stops before the
       // bracket exits), so a pass is charged for its work, not its
       // cleanup.
-      def once(): Double = {
-        var dt = 0.0
+      var err: Option[String] = None
+      def once(): Option[Double] =
         try graft.operators.CacheTracker.scoped {
+          var dt = 0.0
           val t0 = System.nanoTime()
           fn(spark, d).write.format("noop").mode("overwrite").save()
           dt = (System.nanoTime() - t0) / 1e9
+          Some(dt)
         }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name@$d failed: ${e.getMessage}") }
-        dt
-      }
+          System.err.println(s"[bench] $name@$d failed: ${e.getMessage}")
+          if (err.isEmpty)
+            err = Some(s"${e.getClass.getSimpleName}: ${
+              Option(e.getMessage).getOrElse("").linesIterator.take(1)
+                .mkString.take(160)}")
+          None
+        }
       once() // warm-up (JIT, code cache, parquet footers)
-      d -> (0 until n).map(_ => once())
+      d -> QTimes((0 until n).flatMap(_ => once()), err)
     }.toMap
+  }
+
+  /** Fixed synthetic calibration row: a constant-size in-memory
+    * hash-agg (no IO, no persists, no data dependency) timed every
+    * round so BENCH files are comparable across driver boxes — r9 vs
+    * r10 was uninterpretable because box speed and methodology changed
+    * together. `vs_prev` divides current medians by the box ratio
+    * (this round's calibration / prior round's) before flagging, which
+    * turns "environment or regression?" into arithmetic. */
+  private def calibrate(spark: SparkSession, n: Int): Seq[Double] = {
+    import org.apache.spark.sql.functions._
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 50000000L, 1, 32)
+        .select(xxhash64(col("id")).as("h"))
+        .groupBy(pmod(col("h"), lit(1024)).as("b"))
+        // bit_xor, not sum: summing 50M hashes overflows long under
+        // ANSI mode; xor is overflow-free and equally unprunable
+        .agg(count(lit(1)).as("n"), bit_xor(col("h")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm-up
+    (0 until n).map(_ => once())
   }
 
   private def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
@@ -97,12 +135,13 @@ object Bench {
   private def fmt(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
 
-  /** Prior round's per-query medians, for the regression tripwire:
+  /** Prior round's per-query medians (+ calibration median when the
+    * file carries one), for the regression tripwire:
     * SPARK_GRAFT_BENCH_PREV names the graded JSON explicitly, else the
     * highest-numbered BENCH_r*.json in the working directory. Accepts
     * either the driver's grading envelope ({"parsed":{"queries":…}})
     * or a bare compact metric line. Absent/unreadable → no block. */
-  private def prevMedians(): Option[(String, Map[String, Double])] = {
+  private def prevMedians(): Option[(String, Map[String, Double], Option[Double])] = {
     // numeric round sort: lexicographic would pick r9 over r10
     val path = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse(
       Option(new java.io.File(".").listFiles()).flatMap(
@@ -113,34 +152,50 @@ object Bench {
       try {
         import org.json4s._
         val j = jackson.JsonMethods.parse(new java.io.File(p))
-        def qs(v: JValue): Option[Map[String, Double]] = v \ "queries" match {
-          case JObject(fields) =>
-            Some(fields.collect {
-              case (k, JDouble(d)) => k -> d
-              case (k, JInt(i)) => k -> i.toDouble
-              case (k, JDecimal(d)) => k -> d.toDouble
-            }.toMap)
+        def num(v: JValue): Option[Double] = v match {
+          case JDouble(d) => Some(d)
+          case JInt(i) => Some(i.toDouble)
+          case JDecimal(d) => Some(d.toDouble)
           case _ => None
         }
-        qs(j \ "parsed").orElse(qs(j)).map(m => (new java.io.File(p).getName, m))
+        def qs(v: JValue): Option[Map[String, Double]] = v \ "queries" match {
+          case JObject(fields) =>
+            Some(fields.flatMap { case (k, jv) => num(jv).map(k -> _) }.toMap)
+          case _ => None
+        }
+        def calib(v: JValue): Option[Double] = num(v \ "calibration")
+        (qs(j \ "parsed").map(m => (m, calib(j \ "parsed")))
+          .orElse(qs(j).map(m => (m, calib(j)))))
+          .map { case (m, c) => (new java.io.File(p).getName, m, c) }
       } catch { case _: Throwable => None }
     }
   }
 
-  /** Per-query delta vs the prior round as a JSON fragment: pct change
-    * per shared query plus a `flagged` list of >25% movers — turns the
-    * "noise or regression?" judgment into data in every BENCH_r{N}. */
-  private def vsPrevJson(medians: Seq[(String, Double)]): String =
+  /** Per-query delta vs the prior round as a JSON fragment: raw pct
+    * change per shared query, a `flagged` list of >25% movers, and —
+    * when both rounds carry a calibration median — `box_ratio` (this
+    * box's calibration / prior's) plus `pct_norm`/`flagged_norm`
+    * computed on box-normalized times, so an environment slowdown
+    * stops masquerading as a code regression. */
+  private def vsPrevJson(medians: Seq[(String, Double)],
+                         calib: Double): String =
     prevMedians() match {
-      case Some((src, prev)) =>
-        val deltas = medians.flatMap { case (k, v) =>
-          prev.get(k).filter(_ > 0).map(p => (k, (v - p) / p * 100.0))
+      case Some((src, prev, prevCalib)) =>
+        def deltas(scale: Double) = medians.flatMap { case (k, v) =>
+          prev.get(k).filter(_ > 0).map(p => (k, (v / scale - p) / p * 100.0))
         }
-        val pcts = deltas.map { case (k, pct) => "\"" + k + "\":" + fmt(pct) }
-          .mkString("{", ",", "}")
-        val flagged = deltas.filter { case (_, pct) => math.abs(pct) > 25.0 }
-          .map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
-        s""","vs_prev":{"src":"$src","pct":$pcts,"flagged":$flagged}"""
+        def render(ds: Seq[(String, Double)]): (String, String) = (
+          ds.map { case (k, pct) => "\"" + k + "\":" + fmt(pct) }
+            .mkString("{", ",", "}"),
+          ds.filter { case (_, pct) => math.abs(pct) > 25.0 }
+            .map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]"))
+        val (pcts, flagged) = render(deltas(1.0))
+        val normed = prevCalib.filter(_ > 0).map { pc =>
+          val ratio = calib / pc
+          val (pn, fn) = render(deltas(ratio))
+          s""","box_ratio":${fmt(ratio)},"pct_norm":$pn,"flagged_norm":$fn"""
+        }.getOrElse("")
+        s""","vs_prev":{"src":"$src","pct":$pcts,"flagged":$flagged$normed}"""
       case None => ""
     }
 
@@ -148,27 +203,40 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val trendDir = "/root/testdata/sf0.01"
     val spark = GraftSession.local("graft-bench")
+    val calib = calibrate(spark, runs)
     val results = headliners.map { name =>
       name -> time(spark, name, Seq(sfDir), runs)(sfDir)
     }
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(median(ts)) }
+    val ok = results.filter { case (_, q) => !q.failed }
+    val failed = results.filter { case (_, q) => q.failed }
+    // queries carries ONLY successful rows — a failed query must never
+    // read as a 0.0 s (i.e. fastest) row; it is listed in `failed` and
+    // counted in n_failed instead, and excluded from total.
+    val qs = ok.map { case (k, q) => "\"" + k + "\":" + fmt(median(q.times)) }
       .mkString("{", ",", "}")
-    val stats = results.map { case (k, ts) =>
-      "\"" + k + "\":{\"median\":" + fmt(median(ts)) + ",\"min\":" + fmt(ts.min) +
-        ",\"max\":" + fmt(ts.max) + ",\"n\":" + ts.size + "}"
+    val stats = results.map { case (k, q) =>
+      val err = q.err.map(m => ",\"err\":\"" +
+        m.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("")
+      if (q.failed) "\"" + k + "\":{\"n\":0" + err + "}"
+      else "\"" + k + "\":{\"median\":" + fmt(median(q.times)) +
+        ",\"min\":" + fmt(q.times.min) + ",\"max\":" + fmt(q.times.max) +
+        ",\"n\":" + q.times.size + err + "}"
     }.mkString("{", ",", "}")
-    val total = results.map { case (_, ts) => median(ts) }.sum
+    val failedJson = failed.map { case (k, _) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = ok.map { case (_, q) => median(q.times) }.sum
     // cross-SF trend: reuse the main-SF medians, time sf0.01 fresh
     val trend =
       if (new java.io.File(trendDir).isDirectory && trendDir != sfDir) {
-        val small = TrendQueries.filter(SparkEntry.queries.contains).map { name =>
-          name -> median(time(spark, name, Seq(trendDir), 3)(trendDir))
+        val small = TrendQueries.filter(SparkEntry.queries.contains).flatMap { name =>
+          val q = time(spark, name, Seq(trendDir), 3)(trendDir)
+          if (q.failed) None else Some(name -> median(q.times))
         }
-        val mainMap = results.toMap
+        val mainMap = ok.toMap
         val smallJson = small.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
           .mkString("{", ",", "}")
         val mainJson = TrendQueries.flatMap(q => mainMap.get(q).map(ts =>
-          "\"" + q + "\":" + fmt(median(ts)))).mkString("{", ",", "}")
+          "\"" + q + "\":" + fmt(median(ts.times)))).mkString("{", ",", "}")
         s""","trend":{"$trendDir":$smallJson,"$sfDir":$mainJson}"""
       } else ""
     // Auxiliary detail (stats + trend) goes on its OWN line, printed
@@ -176,9 +244,11 @@ object Bench {
     // parses the LAST line, so the compact metric line must be final
     // and standalone (round-4 lesson: one long combined line got its
     // head truncated and the driver recorded parsed:null).
-    val vsPrev = vsPrevJson(results.map { case (k, ts) => k -> median(ts) })
-    println(s"""{"metric":"bench_detail","stats":$stats$trend$vsPrev,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val calibMedian = median(calib)
+    val vsPrev = vsPrevJson(
+      ok.map { case (k, q) => k -> median(q.times) }, calibMedian)
+    println(s"""{"metric":"bench_detail","stats":$stats$trend$vsPrev,"calibration_stats":{"median":${fmt(calibMedian)},"min":${fmt(calib.min)},"max":${fmt(calib.max)},"n":${calib.size}},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"calibration":${fmt(calibMedian)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
