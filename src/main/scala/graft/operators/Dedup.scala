@@ -36,8 +36,14 @@ object Dedup {
     * (partial min per input partition, so a hot fp contributes one row
     * per map task, not all its rows, to the exchange) and the join is
     * AQE-skew-splittable; the keeper side is at most one row per
-    * distinct fp. */
-  private def keepByMinId(keyed0: DataFrame): DataFrame = {
+    * distinct fp.
+    *
+    * `carry` names extra columns of `keyed0` to pass through beside
+    * doc_id (e.g. the sniffed payload kind in
+    * [[Multimodal.payloadDedupOf]], which delegates here so the two
+    * elections can't drift). */
+  private[operators] def keepByMinId(keyed0: DataFrame,
+                                     carry: Seq[String] = Nil): DataFrame = {
     // Persist the slim (doc_id, fp) projection: both the keeper
     // aggregate and the join-back read it, and without the persist each
     // read re-scans and re-hashes the full text column — a 2x IO tax on
@@ -50,7 +56,9 @@ object Dedup {
     // null-bucket semantics as a window partition over fp.
     keyed.as("d").join(keepers.as("k"), col("d.fp") <=> col("k.fp"))
       .withColumn("is_dup", (col("d.doc_id") =!= col("keep_id")).cast("int"))
-      .select(col("d.doc_id").as("doc_id"), col("keep_id"), col("is_dup"))
+      .select(col("d.doc_id").as("doc_id") +:
+        carry.map(c => col(s"d.$c").as(c)) :+
+        col("keep_id") :+ col("is_dup"): _*)
   }
 
   /** Exact dedup map: every doc → the smallest doc_id with identical
@@ -354,9 +362,33 @@ object Dedup {
   def ngramJaccardCandidates(docs: DataFrame, n: Int, tau: Double): DataFrame =
     prefixCandidates(shingleRows(docs, n), tau)
 
+  /** Env-gated stage attribution (SPARK_GRAFT_STAGE_DEBUG=1): persist
+    * `df`, count it, and print (tag, rows, seconds, wall-clock) — so a
+    * graded bench row's cost decomposes into candidate generation vs
+    * verification instead of being one opaque number. The count is an
+    * extra Spark job, so it runs ONLY under the env var; unset, this
+    * is the identity and the plan is untouched. */
+  private def stageCount(tag: String, df: DataFrame): DataFrame =
+    if (!sys.env.contains("SPARK_GRAFT_STAGE_DEBUG")) df
+    else {
+      val p = CacheTracker.persistTracked(df)
+      val t0 = System.nanoTime()
+      val n = p.count()
+      println(f"[stage] $tag rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f " +
+        f"at=${System.nanoTime() / 1e9}%.3f")
+      p
+    }
+
   private def prefixCandidates(ex: DataFrame, tau: Double): DataFrame = {
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val prefix = prefixOf(ex, dfreq, tau)
+    // persist the prefix: the a×b self-join below reads it twice, and
+    // its lineage (df join + per-doc rank window over every shingle
+    // row) is the most expensive subtree of candidate generation —
+    // stage-attributed at sf0.1: candidates 4.4 s of keepBestDedup's
+    // ~7 s, most of it this window computed once per join side.
+    // ~prefix-length rows per doc cached (a ~20% sliver of the
+    // shingle rows already persisted upstream).
+    val prefix = CacheTracker.persistTracked(prefixOf(ex, dfreq, tau))
     // Size-ratio prune min/max ≥ τ is lossless for J ≥ τ since J ≤ min/max.
     prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -402,14 +434,15 @@ object Dedup {
     val rb = shingleRows(bDocs, n)
     val dfreq = ra.select(col("s")).union(rb.select(col("s")))
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val cand = prefixOf(ra, dfreq, tau).as("a")
+    val cand = stageCount("ngramJaccardCross.candidates",
+      prefixOf(ra, dfreq, tau).as("a")
       .join(prefixOf(rb, dfreq, tau).as("b"), col("a.s") === col("b.s"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .filter(least(col("sz_a"), col("sz_b")).cast("double")
         / greatest(col("sz_a"), col("sz_b")) >= tau)
-      .distinct()
-    cand
+      .distinct())
+    stageCount("ngramJaccardCross.verified", cand
       .join(ra.as("ra"), col("id_a") === col("ra.doc_id"))
       .join(rb.as("rb"),
         col("id_b") === col("rb.doc_id") && col("ra.s") === col("rb.s"))
@@ -418,7 +451,7 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double")
         / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard")))
   }
 
   /** Word n-gram exact-Jaccard near-dup pairs: prefix-filtered
@@ -430,8 +463,8 @@ object Dedup {
     * SQL oracle replays the unfiltered blocking. */
   def ngramJaccard(docs: DataFrame, n: Int, tau: Double): DataFrame = {
     val ex = shingleRows(docs, n)
-    val cand = prefixCandidates(ex, tau)
-    cand
+    val cand = stageCount("ngramJaccard.candidates", prefixCandidates(ex, tau))
+    stageCount("ngramJaccard.verified", cand
       .join(ex.as("ra"), col("id_a") === col("ra.doc_id"))
       .join(ex.as("rb"),
         col("id_b") === col("rb.doc_id") && col("ra.s") === col("rb.s"))
@@ -440,7 +473,7 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double")
         / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard")))
   }
 
   /** Asymmetric CONTAINMENT near-dup pairs: C(A→B) = |A∩B| / |A| ≥ τ
@@ -1013,8 +1046,9 @@ object Dedup {
     * (doc_id, keep_id, is_dup) contract. */
   def keepBestDedup(docs: DataFrame, n: Int, tau: Double,
                     score: org.apache.spark.sql.Column): DataFrame = {
-    val ex = CacheTracker.persistTracked(exact(docs)
-      .select(col("doc_id"), col("keep_id").as("ek")))
+    val ex = stageCount("keepBestDedup.exactAssignments",
+      CacheTracker.persistTracked(exact(docs)
+        .select(col("doc_id"), col("keep_id").as("ek"))))
     val keeperDocs = docs.join(
       ex.filter(col("doc_id") === col("ek")).select(col("doc_id")), "doc_id")
     val electedBest = keepBest(keeperDocs, ngramJaccard(keeperDocs, n, tau),

@@ -111,16 +111,14 @@ object Multimodal {
   def payloadDedup(docs: DataFrame): DataFrame =
     payloadDedupOf(withPayload(docs))
 
-  def payloadDedupOf(payloads: DataFrame): DataFrame = {
-    val keyed = CacheTracker.persistTracked(
+  def payloadDedupOf(payloads: DataFrame): DataFrame =
+    // delegate to the shared election (persist + map-side min + null-
+    // safe join-back) with the sniffed kind carried through, so this
+    // and Dedup.exact can never drift in keeper/skew/null semantics
+    Dedup.keepByMinId(
       payloads.select(col("doc_id"), sniffKind(col("payload")).as("kind"),
-        md5(col("payload")).as("fp")))
-    val keepers = keyed.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
-    keyed.as("d").join(keepers.as("k"), col("d.fp") <=> col("k.fp"))
-      .withColumn("is_dup", (col("d.doc_id") =!= col("keep_id")).cast("int"))
-      .select(col("d.doc_id").as("doc_id"), col("d.kind").as("kind"),
-        col("keep_id"), col("is_dup"))
-  }
+        md5(col("payload")).as("fp")),
+      carry = Seq("kind"))
 
   /** Image-magic probe for the batch decoder's routing (PNG / JPEG —
     * the two formats the JDK decodes natively). */

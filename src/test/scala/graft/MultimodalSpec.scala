@@ -62,13 +62,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r(3L)._4 == 0 && r(4L) == ((4L, "text/plain", 3L, 1)))
     assert(r(1L)._4 == 0 && r(1L)._3 == 1L)      // unique content keeps itself
     // on the documents adapter the payload is the text's UTF-8 bytes, so
-    // the keeper map must equal exact TEXT dedup's on the same corpus
-    val viaPayload = Multimodal.payloadDedup(docs)
+    // the keeper map must equal exact TEXT dedup's on the same corpus.
+    // The corpus needs an actual duplicate (doc 4 repeats doc 2's text)
+    // — on all-distinct rows every doc is its own keeper and the check
+    // couldn't see keeper-election divergence between the operators.
+    val dupDocs = docs.union(Seq((4L, "short", "s"))
+      .toDF("doc_id", "text", "source"))
+    val viaPayload = Multimodal.payloadDedup(dupDocs)
       .select("doc_id", "keep_id", "is_dup")
       .as[(Long, Long, Int)].collect().sortBy(_._1)
-    val viaText = graft.operators.Dedup.exact(docs)
+    val viaText = graft.operators.Dedup.exact(dupDocs)
       .as[(Long, Long, Int)].collect().sortBy(_._1)
     assert(viaPayload.sameElements(viaText))
+    // and the duplicate really is non-trivial: doc 4 maps to keeper 2
+    assert(viaPayload.find(_._1 == 4L).get == ((4L, 2L, 1)))
   }
 
   test("batched decode is batch-size- and partition-independent") {
