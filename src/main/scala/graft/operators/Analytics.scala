@@ -315,6 +315,21 @@ object Analytics {
       .select(col("event_type"), col("ps")(0).as("p50"),
         col("ps")(1).as("p90"), col("ps")(2).as("p99"))
 
+  /** Fixed-width value histogram per event type — the full-distribution
+    * report percentiles summarize (latency/spend buckets, anomaly
+    * tails). One scan, one map-side-combinable aggregate on the
+    * (type, bucket) key: the distribution's SHAPE costs the same
+    * shuffle as a plain per-type count no matter how many rows feed
+    * it, and a skewed type still spreads over its buckets. Bucket =
+    * floor(value/width) (IEEE division+floor: every engine agrees
+    * bitwise); min/max per bucket ride along free (exact aggregates,
+    * no double-sum parity risk). */
+  def eventValueHistogram(events: DataFrame, width: Double = 10.0): DataFrame =
+    events.groupBy(col("event_type"),
+        floor(col("value") / lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+
   private val viewSeq = new AtomicLong(0)
 
   /** Register `df` under a fresh temp-view name and return the name.

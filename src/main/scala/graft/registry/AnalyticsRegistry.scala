@@ -23,6 +23,17 @@ object AnalyticsRegistry {
     * click-after-view gap is ~32 h, so the window genuinely prunes. */
   val FunnelWindowUs: Long = 24L * 3600L * 1000000L
 
+  /** As-of staleness bound: 8,500 days. The synthetic corpus dates
+    * orders in the TPC-H 1990s and events two decades later, so the
+    * event→last-order gap runs ~8,200-9,200 days (p50 ≈ 8,372, p90 ≈
+    * 8,817, measured at sf0.01); 8,500 sits between them, so the bound
+    * genuinely splits the stream — most matches survive, a real
+    * fraction are nulled as stale. */
+  val AsOfMaxAgeUs: Long = 8500L * 86400L * 1000000L
+
+  /** Value-histogram bucket width. */
+  val HistWidth: Double = 10.0
+
   /** DuckDB replay of [[Analytics.funnel]] for the bound FunnelSteps,
     * optionally with the conversion-window clause. */
   private def funnelSql(withinUs: Option[Long]): String = {
@@ -130,6 +141,14 @@ object AnalyticsRegistry {
       Analytics.customerYearCensus(Tables.orders(s, d), 1995, 1996)),
     "q_asof_last_order" -> ((s, d) =>
       graft.operators.AsOf.eventsLastOrder(Tables.events(s, d), Tables.orders(s, d))),
+    // the tolerance dial: same as-of carry, matches older than the
+    // staleness bound are nulled — a feature-store point-in-time
+    // read's max-age contract
+    "q_asof_tolerance" -> ((s, d) =>
+      graft.operators.AsOf.eventsLastOrderWithin(Tables.events(s, d),
+        Tables.orders(s, d), AsOfMaxAgeUs)),
+    "q_value_histogram" -> ((s, d) =>
+      Analytics.eventValueHistogram(Tables.events(s, d), HistWidth)),
     "q_part_topn_per_brand" -> ((s, d) =>
       Analytics.topPartsPerBrand(Tables.part(s, d), 3)),
     "q_events_minutely" -> ((s, d) =>
@@ -441,6 +460,33 @@ object AnalyticsRegistry {
         |FROM events e
         |ASOF LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
         |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
+    // the as-of replay + one staleness CASE: the ASOF match is
+    // tolerance-free (nearest-or-nothing), freshness only nulls it
+    "q_asof_tolerance" ->
+      s"""WITH r AS (
+         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_custkey, o_orderdate
+         |                       ORDER BY o_orderkey DESC) AS rn
+         |  FROM orders
+         |), m AS (
+         |  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+         |    r.o_orderkey, r.o_totalprice,
+         |    epoch_us(CAST(r.o_orderdate AS TIMESTAMP)) AS mt
+         |  FROM events e
+         |  ASOF LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+         |    ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+         |)
+         |SELECT event_id, user_id, ts_us,
+         |  CASE WHEN mt IS NOT NULL AND ts_us - mt <= $AsOfMaxAgeUs
+         |       THEN o_orderkey END AS last_orderkey,
+         |  CASE WHEN mt IS NOT NULL AND ts_us - mt <= $AsOfMaxAgeUs
+         |       THEN o_totalprice END AS last_totalprice
+         |FROM m""".stripMargin,
+    "q_value_histogram" ->
+      s"""SELECT event_type, CAST(floor(value / $HistWidth) AS BIGINT) AS bucket,
+         |  count(*) AS n_events,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_part_topn_per_brand" ->
       s"""WITH ranked AS (
          |  SELECT p_brand, p_partkey, p_name, p_retailprice,

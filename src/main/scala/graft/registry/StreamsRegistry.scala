@@ -19,6 +19,11 @@ object StreamsRegistry {
     // proves closed == batch sessions and timeout-based closure.
     "st_sessionize_closed" -> ((s, d) => Streams.sessionizeClosed(s, d)),
     "st_events_hourly" -> ((s, d) => Streams.eventsHourly(s, d)),
+    // streaming value histogram: stateless bucket projection + one
+    // complete-mode agg, state bounded by occupied buckets; drained ≡
+    // the batch histogram (oracle verbatim).
+    "st_histogram" -> ((s, d) =>
+      Streams.valueHistogram(s, d, AnalyticsRegistry.HistWidth)),
     "st_dedup" -> ((s, d) => Streams.dedupExact(s, d)),
     // stream-stream inner join (watermarked both sides, banded time
     // constraint = bounded buffered state); bounded run ≡ batch join
@@ -123,5 +128,7 @@ object StreamsRegistry {
     "st_lm" -> TextAnalysisRegistry.oracleSql("ta_lm_score"),
     // drained per-user step state + serving count ≡ the batch funnel
     "st_funnel" -> AnalyticsRegistry.oracleSql("q_events_funnel"),
+    // drained complete-mode histogram ≡ the batch histogram
+    "st_histogram" -> AnalyticsRegistry.oracleSql("q_value_histogram"),
   )
 }

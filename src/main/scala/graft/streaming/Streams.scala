@@ -111,6 +111,33 @@ object Streams {
     spark.table(sink)
   }
 
+  /** Streaming fixed-width value histogram ≡ batch
+    * [[graft.operators.Analytics.eventValueHistogram]]: bucket =
+    * floor(value/width) is a stateless per-row projection, so the
+    * whole operator is ONE complete-mode aggregate on the
+    * (type, bucket) key — the live distribution monitor (latency/spend
+    * buckets updating as events arrive). State is one row per occupied
+    * bucket: bounded by the value range over the width, not the
+    * stream. Drained with AvailableNow the result equals the batch
+    * histogram, so q_value_histogram's SQL is the oracle verbatim. */
+  def valueHistogram(spark: SparkSession, dir: String,
+                     width: Double): DataFrame = {
+    val stream = FileStreamSource(s"$dir/events.parquet").stream(spark)
+    val agg = stream
+      .groupBy(col("event_type"),
+        floor(col("value") / lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+    val sink = s"st_vh_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** Streaming corpus quality gate ≡ batch
     * [[graft.operators.Corpus.qualityGate]]: the gate is pure per-row
     * column math over `text` plus ONE aggregation on source, so the
