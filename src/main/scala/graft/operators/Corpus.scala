@@ -134,6 +134,35 @@ object Corpus {
     * O(|shingles| × S²) with S the source count, not a doc-scaled
     * blowup. Per-source set sizes are an S-row aggregate, broadcast
     * back onto the pair rows. */
+  /** Cross-source duplicate ATTRIBUTION: for every (duplicate source,
+    * keeper source) pair, how many docs of the first are byte-copies
+    * of a doc kept in the second — the census that turns "12% of the
+    * corpus is duplicated" into "crawl B re-serves crawl A's pages",
+    * i.e. which source to deprioritize at the crawler, not the
+    * dedup stage. [[sourceOverlap]] answers the fuzzy version at
+    * shingle granularity; this is the exact-copy ledger. Shape:
+    * [[Dedup.exact]]'s election (map-side-combined min + join-back, no
+    * windows), two slim source lookups keyed on doc ids (unique ⇒
+    * skew-free), one aggregate on the S²-bounded source-pair key. A
+    * source's self-duplication shows up as the diagonal pair. */
+  def dupAttribution(docs: DataFrame): DataFrame =
+    dupAttributionOf(docs, Dedup.exact(docs))
+
+  /** [[dupAttribution]] under ANY keeper assignment — (doc_id,
+    * keep_id, is_dup) from exact dedup, a near-dup cluster election
+    * ([[Dedup.keepBest]]), or a composed order — so one report shape
+    * covers every dedup granularity the engine runs. */
+  def dupAttributionOf(docs: DataFrame, assignment: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    assignment
+      .filter(col("is_dup") === 1)
+      .join(src, "doc_id")
+      .join(src.select(col("doc_id").as("keep_id"),
+        col("source").as("keeper_source")), "keep_id")
+      .groupBy(col("source").as("dup_source"), col("keeper_source"))
+      .agg(count(lit(1)).as("n_dups"))
+  }
+
   def sourceOverlap(docs: DataFrame, n: Int): DataFrame =
     overlapCensus(sourceOverlapStore(docs, n))
 

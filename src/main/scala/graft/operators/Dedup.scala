@@ -461,8 +461,30 @@ object Dedup {
     * intersection needs every shingle). Identical output to blocking
     * on all shingles — prefix filtering is lossless for J ≥ τ — so the
     * SQL oracle replays the unfiltered blocking. */
-  def ngramJaccard(docs: DataFrame, n: Int, tau: Double): DataFrame = {
-    val ex = shingleRows(docs, n)
+  def ngramJaccard(docs: DataFrame, n: Int, tau: Double): DataFrame =
+    jaccardOver(shingleRows(docs, n), tau)
+
+  /** Exact-Jaccard pairs over ARBITRARY (doc_id, s) item rows — the
+    * same lossless SSJoin pipeline as [[ngramJaccard]] with the item
+    * extraction decoupled from text: callers bring any set-valued
+    * feature (byte-frame fingerprints for media payloads —
+    * [[Multimodal.payloadNearDup]] — URL path segments, AST node
+    * hashes) and get the identical candidate-bounded near-dup pairs.
+    * Rows are deduplicated and sized here (one doc_id-keyed aggregate;
+    * doc_id is unique ⇒ well distributed), then the df-rarest prefix
+    * blocking + exact verification run unchanged. */
+  def jaccardPairsOf(items: DataFrame, tau: Double): DataFrame = {
+    val d = items.select(col("doc_id"), col("s")).distinct()
+    val sz = d.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    jaccardOver(
+      CacheTracker.persistTracked(
+        d.join(sz, "doc_id").select(col("doc_id"), col("sz"), col("s"))),
+      tau)
+  }
+
+  /** Shared candidate + verify tail of the Jaccard family: `ex` is the
+    * persisted (doc_id, sz, s) item-row frame. */
+  private def jaccardOver(ex: DataFrame, tau: Double): DataFrame = {
     val cand = stageCount("ngramJaccard.candidates", prefixCandidates(ex, tau))
     stageCount("ngramJaccard.verified", cand
       .join(ex.as("ra"), col("id_a") === col("ra.doc_id"))

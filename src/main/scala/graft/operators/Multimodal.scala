@@ -120,6 +120,30 @@ object Multimodal {
         md5(col("payload")).as("fp")),
       carry = Seq("kind"))
 
+  /** MEDIA near-dup pairs: exact Jaccard ≥ τ over each payload's SET
+    * of frame fingerprints (the stride-sliced byte windows of
+    * [[framesOf]]) — the binary-payload analog of word-shingle
+    * near-dup: re-encoded-header copies, trailing-byte variants, and
+    * concatenated media share most byte frames while their whole-file
+    * md5s differ, which is exactly what [[payloadDedup]] can't see.
+    * Delegates to [[Dedup.jaccardPairsOf]], so the blocking discipline
+    * is the SAME lossless df-rarest SSJoin prefix as text near-dup —
+    * a ubiquitous frame (zero blocks, shared container headers) has
+    * maximal df and never becomes a blocking key: no hot bucket,
+    * never all-pairs, candidates bounded by prefix-bucket occupancy.
+    * Frame rows are one no-shuffle explode per payload; stride > 0
+    * keeps the per-payload row count bounded by its byte length. */
+  def payloadNearDup(docs: DataFrame, tau: Double = 0.5,
+                     frameLen: Int = 64, stride: Int = 48): DataFrame =
+    payloadNearDupOf(withPayload(docs), tau, frameLen, stride)
+
+  def payloadNearDupOf(payloads: DataFrame, tau: Double = 0.5,
+                       frameLen: Int = 64, stride: Int = 48): DataFrame =
+    Dedup.jaccardPairsOf(
+      framesOf(payloads, frameLen, stride)
+        .select(col("doc_id"), col("frame_md5").as("s")),
+      tau)
+
   /** Image-magic probe for the batch decoder's routing (PNG / JPEG —
     * the two formats the JDK decodes natively). */
   private def looksLikeImage(bytes: Array[Byte]): Boolean =

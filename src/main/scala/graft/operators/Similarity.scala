@@ -516,6 +516,62 @@ object Similarity {
     rankTopK(scored, k).withColumnRenamed("cos_sim", "approx_sim")
   }
 
+  /** The persisted composed IVF+PQ index: `indexed` = (vec_id, cell,
+    * codes) rows — 4 bytes of PQ codes plus a cell id per vector, the
+    * RAM-resident billion-scale layout (bucketed on `cell` in a
+    * deployment so probe shortlists read pre-partitioned) — plus the
+    * two 1-row quantizer frames. Build once ([[ivfPqIndex]]: ONE
+    * corpus scan, both quantizers broadcast onto it), serve every
+    * query batch from it — [[knnIvfPq]] re-assigns and re-encodes the
+    * whole corpus per call. */
+  final case class IvfPqIndex(indexed: DataFrame, centroids: DataFrame,
+                              seeds: DataFrame)
+
+  /** Build [[IvfPqIndex]] state: cell argmax + code argmin as sibling
+    * per-row projections of the same scan (the [[knnIvfPq]] build
+    * stage, persisted). */
+  def ivfPqIndex(embeddings: DataFrame, centroidMod: Int = 37,
+                 m: Int = PqM, kSub: Int = PqKSub,
+                 seedMod: Int = PqSeedMod): IvfPqIndex = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val cents = seedCentroids(e, centroidMod)
+    val seeds = pqSeeds(e, kSub, seedMod)
+    val indexed = e
+      .crossJoin(broadcast(codebook(cents)))
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"),
+        get(Exprs.nearestCells(col("v"), col("cids"), col("units"), 1), lit(0))
+          .as("cell"),
+        Exprs.pqEncode(unitOf(col("v")), col("seeds"), m).as("codes"))
+    IvfPqIndex(indexed, cents, seeds)
+  }
+
+  /** [[knnIvfPq]] over a PREBUILT [[IvfPqIndex]] — the serving shape
+    * (mirror of [[knnIvfIndexed]]/[[knnPqIndexed]]): per query batch
+    * only the probe LUTs + probe cells are computed against the two
+    * broadcast quantizer frames; the corpus-side (cell, codes) table
+    * is the persisted index. `m` MUST match the index build. */
+  def knnIvfPqIndexed(index: IvfPqIndex, probes: DataFrame, k: Int,
+                      nProbe: Int = 2, m: Int = PqM,
+                      maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame = {
+    val p0 = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val probeCells = p0
+      .crossJoin(broadcast(codebook(index.centroids)))
+      .crossJoin(broadcast(index.seeds))
+      .select(col("probe_id"),
+        Exprs.pqLut(unitOf(col("pv")), col("seeds"), m).as("lut"),
+        explode(Exprs.nearestCells(col("pv"), col("cids"), col("units"), nProbe))
+          .as("pcell"))
+    val pj = if (fitsBroadcast(p0, maxBroadcastProbes)) broadcast(probeCells)
+             else probeCells
+    val scored = pj
+      .join(index.indexed,
+        col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        Exprs.pqAdc(col("lut"), col("codes")).as("cos_sim"))
+    rankTopK(scored, k).withColumnRenamed("cos_sim", "approx_sim")
+  }
+
   /** The persisted IVF index: `assigned` = (vec_id, v, vnrm, cell)
     * rows (write bucketed on `cell` via Sinks.writeBucketed so probe
     * searches read cells pre-partitioned), `centroids` = the (cid, cv)

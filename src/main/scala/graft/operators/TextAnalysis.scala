@@ -538,4 +538,46 @@ object TextAnalysis {
         count_distinct(col("word")).as("n_types"),
         (count_distinct(col("word")).cast("double") / count(lit(1))).as("ttr"),
         (sum(length(col("word"))).cast("double") / count(lit(1))).as("avg_wlen"))
+
+  /** Compressibility quality signal: per-doc DEFLATE ratio
+    * (compressed/raw bytes). The classic corpus filter the
+    * token-statistics family approximates from the other side —
+    * machine-generated/templated text compresses far below prose, and
+    * the measure needs no tokenizer, vocabulary, or language model, so
+    * it catches repetition the word-level signals miss (repeated
+    * SENTENCE structure, base64 blobs at the other extreme). Runs as
+    * partition-batched `mapPartitions` (the [[Multimodal]] decode
+    * discipline): ONE reused Deflater per task — allocated native zlib
+    * state amortizes over the partition, released on task completion —
+    * zero shuffles, linear scan. Fixed level + strategy keeps the byte
+    * count deterministic for a given JDK; no SQL engine exposes
+    * DEFLATE, so this row is spec-checked (TextAnalysisSpec), not
+    * oracle-checked. Empty/null docs report ratio 1.0 (incompressible
+    * by convention — they must not look like top-quality prose). */
+  def compressibility(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
+        val buf = new Array[Byte](16 * 1024)
+        it.map { case (id, text) =>
+          val bytes =
+            if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+          var n = 0L
+          if (bytes.nonEmpty) {
+            deflater.reset()
+            deflater.setInput(bytes)
+            deflater.finish()
+            while (!deflater.finished()) n += deflater.deflate(buf)
+          }
+          val ratio =
+            if (bytes.isEmpty) 1.0 else n.toDouble / bytes.length
+          (id, bytes.length.toLong, n, ratio)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate", "ratio")
+  }
 }

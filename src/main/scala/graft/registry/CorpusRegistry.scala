@@ -127,6 +127,18 @@ object CorpusRegistry {
     }),
     "cp_source_overlap" -> ((s, d) =>
       Corpus.sourceOverlap(Tables.documents(s, d), OverlapN)),
+    // duplicate ledger between sources: which source re-serves whose
+    // pages. Bound at NEAR-dup granularity (Jaccard clusters' min-id
+    // keeper) because the graded corpus has zero exact byte-copies —
+    // the exact form (dupAttribution) would grade on an empty result.
+    "cp_dup_attribution" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val comp = graft.operators.Dedup.clusters(
+        graft.operators.Dedup.ngramJaccard(docs, 3, DedupRegistry.JaccardTau))
+      Corpus.dupAttributionOf(docs,
+        comp.select(col("doc_id"), col("cluster_id").as("keep_id"),
+          (col("doc_id") =!= col("cluster_id")).cast("int").as("is_dup")))
+    }),
     // incremental maintenance ≡ the full census over the grown corpus
     // (spec-proven), so the oracle replays the full-corpus SQL; the
     // store is built from the mod-3 "old" split, the delta ingests
@@ -234,6 +246,31 @@ object CorpusRegistry {
          |  min(eval_id) AS first_eval_id
          |FROM j GROUP BY doc_id""".stripMargin,
     "cp_source_overlap" -> SourceOverlapSql,
+    // the dd_clusters closure (shared Jaccard CTEs + recursive
+    // min-label reach) with the two source lookups + pair-key count
+    "cp_dup_attribution" ->
+      s"""WITH RECURSIVE ${DedupRegistry.JaccardCtes}, pairs AS (
+         |  SELECT id_a, id_b FROM cand
+         |  WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter)
+         |    >= ${DedupRegistry.JaccardTau}
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+         |), comp AS (
+         |  SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id
+         |)
+         |SELECT d.source AS dup_source, kk.source AS keeper_source,
+         |  count(*) AS n_dups
+         |FROM comp c
+         |JOIN documents d ON d.doc_id = c.doc_id
+         |JOIN documents kk ON kk.doc_id = c.keep_id
+         |WHERE c.doc_id <> c.keep_id
+         |GROUP BY 1, 2""".stripMargin,
     // the delta-maintained census over old+delta == the full census
     // over the whole table: the full SQL is the oracle verbatim
     "cp_source_overlap_delta" -> SourceOverlapSql,

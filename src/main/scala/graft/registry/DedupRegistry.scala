@@ -61,7 +61,8 @@ object DedupRegistry {
        |  HAVING CAST(least(sz_a, sz_b) AS DOUBLE) / greatest(sz_a, sz_b) >= $JaccardTau
        |)""".stripMargin
 
-  private val JaccardCtes = jaccardCtes("documents")
+  // shared with CorpusRegistry's near-dup attribution oracle
+  private[registry] val JaccardCtes = jaccardCtes("documents")
 
   /** dd_keep_best's full-run SQL — shared verbatim by the delta row
     * (delta ≡ full: the election is content-determined). */

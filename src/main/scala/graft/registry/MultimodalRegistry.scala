@@ -37,7 +37,16 @@ object MultimodalRegistry {
     // is the text's UTF-8 bytes), kind carried for per-modality reads
     "mm_dedup" -> ((s, d) =>
       Multimodal.payloadDedup(Tables.documents(s, d))),
+    // frame-fingerprint near-dup: Jaccard >= tau over each payload's
+    // byte-frame set via the shared lossless SSJoin pipeline; the
+    // oracle replays frames + the unfiltered set join (prefix blocking
+    // is lossless, so blocking-free SQL is the same answer)
+    "mm_payload_neardup" -> ((s, d) =>
+      Multimodal.payloadNearDup(Tables.documents(s, d), NearDupTau)),
   )
+
+  /** mm_payload_neardup threshold. */
+  val NearDupTau: Double = 0.5
 
   def oracleSql: Map[String, String] = Map(
     "mm_metadata" ->
@@ -97,6 +106,31 @@ object MultimodalRegistry {
         |  count(DISTINCT pm) AS n_unique,
         |  CAST(sum(len) AS BIGINT) AS total_bytes
         |FROM k GROUP BY kind""".stripMargin,
+    "mm_payload_neardup" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN length(text) >= 64
+         |         THEN (length(text) - 64) // 48 + 1 ELSE 0 END AS nf
+         |  FROM documents
+         |), f0 AS (
+         |  SELECT doc_id,
+         |    md5(substr(text, CAST(unnest(range(nf)) * 48 + 1 AS INTEGER), 64)) AS s
+         |  FROM n WHERE nf > 0
+         |), f AS (
+         |  SELECT DISTINCT doc_id, s FROM f0
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS sz FROM f GROUP BY doc_id
+         |), ins AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+         |FROM ins
+         |JOIN sz sa ON sa.doc_id = id_a
+         |JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $NearDupTau""".stripMargin,
     "mm_dedup" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -114,6 +114,16 @@ object SimilarityRegistry {
         Similarity.IvfIndex(s.read.parquet(paths.head), s.read.parquet(paths(1))),
         probes(s, d), K, NProbe)
     }),
+    "knn_ivfpq_served" -> ((s, d) => {
+      val (paths, _) = ServingIndexes.once("ivfpq", d) {
+        val idx = Similarity.ivfPqIndex(Tables.embeddings(s, d), CentroidMod)
+        (Seq(idx.indexed, idx.centroids, idx.seeds), 0L)
+      }
+      Similarity.knnIvfPqIndexed(
+        Similarity.IvfPqIndex(s.read.parquet(paths.head),
+          s.read.parquet(paths(1)), s.read.parquet(paths(2))),
+        probes(s, d), K, NProbe)
+    }),
     "knn_pq_served" -> ((s, d) => {
       val (paths, _) = ServingIndexes.once("pq", d) {
         val idx = Similarity.pqIndex(Tables.embeddings(s, d))
@@ -505,6 +515,7 @@ object SimilarityRegistry {
    base ++ Map(
      "knn_lsh_served" -> base("knn_lsh"),
      "knn_ivf_served" -> base("knn_ivf"),
-     "knn_pq_served" -> base("knn_pq"))
+     "knn_pq_served" -> base("knn_pq"),
+     "knn_ivfpq_served" -> base("knn_ivfpq"))
   }
 }

@@ -51,6 +51,11 @@ object TextAnalysisRegistry {
     "ta_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "ta_diversity" -> ((s, d) => TextAnalysis.diversity(Tables.documents(s, d))),
     "ta_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
+    // DEFLATE compression-ratio quality signal; no SQL engine exposes
+    // DEFLATE, so no oracle — TextAnalysisSpec pins ordering/edge
+    // behavior and partition invariance.
+    "ta_compressibility" -> ((s, d) =>
+      TextAnalysis.compressibility(Tables.documents(s, d))),
     // LM serving path: score against a PREBUILT model table (trained
     // once per corpus dir, outside the bench timer) — the train-once /
     // score-many production shape; same-corpus scoring is in-vocab

@@ -195,4 +195,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(served.collect().map(_.toSeq).toSet == fresh && fresh.nonEmpty)
     spark.sql("DROP TABLE IF EXISTS search_index_rt")
   }
+
+  test("compressibility: templated text compresses below prose; edges pinned") {
+    import spark.implicits._
+    val prose = "The quick brown fox jumps over the lazy dog while seventeen " +
+      "musicians rehearse an entirely different arrangement nearby, and the " +
+      "weather keeps shifting between drizzle and sudden bright sunshine."
+    val docs = Seq(
+      (1L, prose),
+      (2L, "spam spam spam " * 40),       // templated: deep repetition
+      (3L, ""),                            // empty
+      (4L, null.asInstanceOf[String]),     // null
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.compressibility(docs)
+      .as[(Long, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L)._2 == prose.getBytes("UTF-8").length.toLong)
+    // the repetition gap: templated text compresses at least 3x harder
+    assert(r(2L)._4 * 3 < r(1L)._4,
+      s"expected templated << prose, got ${r(2L)._4} vs ${r(1L)._4}")
+    assert(r(1L)._4 > 0.0 && r(1L)._4 < 1.5) // sane prose ratio
+    // empty and null are incompressible by convention, never top-quality
+    assert(r(3L) == ((3L, 0L, 0L, 1.0)) && r(4L) == ((4L, 0L, 0L, 1.0)))
+    // deterministic and partition-independent (one Deflater per task)
+    val a = TextAnalysis.compressibility(docs.repartition(1))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val b = TextAnalysis.compressibility(docs.repartition(3))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }
