@@ -30,20 +30,22 @@ object Bench {
       "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
       "q18_large_orders", "q_setops_census",
       "q13_cust_distribution", "q19_disjunctive_revenue",
-      "q_events_sessionize", "q_asof_last_order", "q_range_join",
-      "q_retention", "q_events_funnel",
-      "ta_quality", "ta_diversity", "ta_lm_score", "ta_search", "cp_quality_gate",
+      "q_events_sessionize", "q_asof_last_order", "q_asof_tolerance",
+      "q_range_join", "q_retention", "q_events_funnel", "q_value_histogram",
+      "ta_quality", "ta_diversity", "ta_lm_score", "ta_search",
+      "ta_compressibility", "cp_quality_gate",
       "cp_interleave", "cp_decontaminate_fuzzy", "cp_source_overlap",
+      "cp_dup_attribution",
       "dd_exact", "dd_exact_delta", "dd_keep_best_dedup", "dd_paragraph", "dd_paragraph_rewrite",
       "dd_boilerplate", "cp_pack",
-      "dd_minhash", "dd_simhash", "dd_semantic",
+      "dd_minhash", "dd_simhash", "dd_semantic", "mm_payload_neardup",
       "knn_bruteforce", "knn_ivf", "knn_graph", "knn_pq", "knn_ivfpq",
       "knn_outliers",
       // serving paths: the index builds once in the warm-up pass
       // (ServingIndexes memoizes per corpus dir), so these rows time
       // the per-query cost the indexed operators exist for
       "ta_search_served", "ta_search_batch", "ta_lm_score_served",
-      "knn_lsh_served", "knn_ivf_served", "knn_pq_served",
+      "knn_lsh_served", "knn_ivf_served", "knn_pq_served", "knn_ivfpq_served",
     ).filter(SparkEntry.queries.contains)
     sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
