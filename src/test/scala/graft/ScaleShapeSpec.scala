@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Analytics, Corpus, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Scale-shape checks: transformations that exist purely for cluster
@@ -291,5 +291,38 @@ class ScaleShapeSpec extends AnyFunSuite {
         !plan.contains("BroadcastNestedLoopJoin"),
         s"blocking degenerated to a nested loop:\n$plan")
     }
+  }
+
+  test("value histogram is one scan + one aggregate exchange; tolerance as-of adds none") {
+    val hist = Analytics.eventValueHistogram(Tables.events(spark, d))
+    val hPlan = hist.queryExecution.executedPlan.toString
+    def count(plan: String, needle: String): Int =
+      plan.sliding(needle.length).count(_ == needle)
+    // distribution shape for the price of a per-type count: partial agg
+    // before the single (type, bucket) exchange, two-column scan
+    assert(count(hPlan, "FileScan") == 1 && count(hPlan, "Exchange") == 1,
+      s"histogram re-grew a stage:\n$hPlan")
+    assert(!hPlan.contains("Join") && !hPlan.contains("Window"), hPlan)
+    assert(hPlan.contains("ReadSchema: struct<event_type:string,value:double>"),
+      s"histogram reads more than its two columns:\n$hPlan")
+    // staleness must ride the as-of's one data shuffle: the tolerance
+    // form pays exactly the exchanges of the plain form, none extra
+    val events = Tables.events(spark, d)
+    val orders = Tables.orders(spark, d)
+    val plainEx = count(graft.operators.AsOf.eventsLastOrder(events, orders)
+      .queryExecution.executedPlan.toString, "Exchange")
+    val tolEx = count(
+      graft.operators.AsOf.eventsLastOrderWithin(events, orders, 1L)
+        .queryExecution.executedPlan.toString, "Exchange")
+    assert(tolEx == plainEx,
+      s"tolerance added an exchange: $tolEx vs $plainEx")
+  }
+
+  test("media near-dup reuses SSJoin blocking: equi-joins only, no nested loop") {
+    val df = Multimodal.payloadNearDup(Tables.documents(spark, d), 0.5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"frame blocking degenerated to a nested loop:\n$plan")
   }
 }
