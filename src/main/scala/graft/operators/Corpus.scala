@@ -122,6 +122,33 @@ object Corpus {
       .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("max_jaccard"),
         min(col("eval_id")).as("first_eval_id"))
 
+  /** The PRE-TRAINING contamination dashboard: per training source,
+    * total docs, docs flagged by the exact-shingle pass, docs flagged
+    * by the fuzzy (Jaccard ≥ τ) pass, and docs flagged by either — the
+    * one report an eval-hygiene review reads before a run, composing
+    * [[decontaminate]] and [[decontaminateFuzzy]] over ONE train/eval
+    * split. Both passes emit per-doc hit frames (eval-sized blocking,
+    * corpus never self-joins); the report adds two id-keyed left
+    * joins (unique key — skew-free) and one aggregate on the
+    * S-bounded source key. Flag columns are 0/1 sums, so every count
+    * is integer-exact on any engine. */
+  def contaminationReport(train: DataFrame, evalDocs: DataFrame,
+                          exactN: Int, fuzzyN: Int, tau: Double): DataFrame = {
+    val ex = decontaminate(train, evalDocs, exactN)
+      .select(col("doc_id"), lit(1).as("ex"))
+    val fz = decontaminateFuzzy(train, evalDocs, fuzzyN, tau)
+      .select(col("doc_id"), lit(1).as("fz"))
+    train.select(col("doc_id"), col("source"))
+      .join(ex, Seq("doc_id"), "left")
+      .join(fz, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("ex"), lit(0))).as("n_exact_hits"),
+        sum(coalesce(col("fz"), lit(0))).as("n_fuzzy_hits"),
+        sum(when(coalesce(col("ex"), lit(0)) === 1 ||
+          coalesce(col("fz"), lit(0)) === 1, 1).otherwise(0)).as("n_flagged"))
+  }
+
   /** Cross-source shingle-overlap census: for every source pair, how
     * many distinct word n-gram shingles they share and the Jaccard of
     * their shingle sets — the corpus-curation signal for "these two

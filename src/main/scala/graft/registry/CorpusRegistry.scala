@@ -125,6 +125,15 @@ object CorpusRegistry {
         docs.filter(col("doc_id") % FuzzyEvalMod =!= 0),
         docs.filter(col("doc_id") % FuzzyEvalMod === 0), FuzzyN, FuzzyTau)
     }),
+    // the composed contamination dashboard over the fuzzy split (one
+    // split for both passes so the report is coherent per doc)
+    "cp_contamination_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.contaminationReport(
+        docs.filter(col("doc_id") % FuzzyEvalMod =!= 0),
+        docs.filter(col("doc_id") % FuzzyEvalMod === 0),
+        DecontamN, FuzzyN, FuzzyTau)
+    }),
     "cp_source_overlap" -> ((s, d) =>
       Corpus.sourceOverlap(Tables.documents(s, d), OverlapN)),
     // duplicate ledger between sources: which source re-serves whose
@@ -245,6 +254,48 @@ object CorpusRegistry {
          |SELECT doc_id, count(*) AS n_matches, max(jac) AS max_jaccard,
          |  min(eval_id) AS first_eval_id
          |FROM j GROUP BY doc_id""".stripMargin,
+    // both passes' hit CTEs on the one fuzzy split, reduced to
+    // DISTINCT flagged-doc sets, then two left joins + the source agg
+    "cp_contamination_report" ->
+      s"""WITH sh4 AS (
+         |  SELECT doc_id, unnest(sh) AS s FROM (
+         |    SELECT doc_id, $Sh4 AS sh
+         |    FROM (SELECT doc_id, $ToksExpr AS toks FROM documents))
+         |), exhits AS (
+         |  SELECT DISTINCT tr.doc_id
+         |  FROM (SELECT doc_id, s FROM sh4 WHERE doc_id % $FuzzyEvalMod <> 0) tr
+         |  JOIN (SELECT doc_id, s FROM sh4 WHERE doc_id % $FuzzyEvalMod = 0) ev
+         |    USING (s)
+         |), sh3 AS (
+         |  SELECT doc_id, sh FROM (
+         |    SELECT doc_id, ${shN(FuzzyN)} AS sh
+         |    FROM (SELECT doc_id, $ToksExpr AS toks FROM documents))
+         |  WHERE len(sh) > 0
+         |), tr3 AS (
+         |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh3
+         |  WHERE doc_id % $FuzzyEvalMod <> 0
+         |), ev3 AS (
+         |  SELECT doc_id AS eval_id, len(sh) AS sz_b, unnest(sh) AS s FROM sh3
+         |  WHERE doc_id % $FuzzyEvalMod = 0
+         |), p AS (
+         |  SELECT tr3.doc_id, eval_id, sz, sz_b, count(*) AS inter
+         |  FROM tr3 JOIN ev3 USING (s) GROUP BY 1, 2, 3, 4
+         |), fzhits AS (
+         |  SELECT DISTINCT doc_id FROM p
+         |  WHERE CAST(inter AS DOUBLE) / (sz + sz_b - inter) >= $FuzzyTau
+         |)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_exact_hits,
+         |  CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_fuzzy_hits,
+         |  CAST(sum(CASE WHEN e.doc_id IS NOT NULL OR f.doc_id IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         |FROM (SELECT doc_id, source FROM documents
+         |      WHERE doc_id % $FuzzyEvalMod <> 0) d
+         |LEFT JOIN exhits e ON e.doc_id = d.doc_id
+         |LEFT JOIN fzhits f ON f.doc_id = d.doc_id
+         |GROUP BY 1""".stripMargin,
     "cp_source_overlap" -> SourceOverlapSql,
     // the dd_clusters closure (shared Jaccard CTEs + recursive
     // min-label reach) with the two source lookups + pair-key count
