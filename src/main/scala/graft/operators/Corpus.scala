@@ -149,6 +149,43 @@ object Corpus {
           coalesce(col("fz"), lit(0)) === 1, 1).otherwise(0)).as("n_flagged"))
   }
 
+  /** Min-id near-dup keeper assignment in the COMPOSED exact-first
+    * order (the [[Dedup.keepBestDedup]] survival shape with the id
+    * election): exact dedup collapses byte copies BEFORE any near-dup
+    * pair forms (pair output is quadratic in copy multiplicity — 100
+    * byte-copies of one page are 4,950 forced J=1 pairs), the Jaccard
+    * pipeline + min-label closure run over exact KEEPERS only, and the
+    * final map composes doc → exact keeper → that keeper's cluster
+    * label. Composed ≡ the raw clusters-over-all-docs assignment:
+    * byte copies share text, hence shingle sets, hence J=1 edges to
+    * everything their keeper matches, so the raw component's min id IS
+    * the keeper component's min id (Round11OpsSpec proves it on a
+    * mixed fixture). Output is [[Dedup.exact]]'s (doc_id, keep_id,
+    * is_dup) contract; docs in no pair and no copy group keep
+    * themselves. */
+  def nearDupAssignment(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    // carry a has-shingles flag: a doc with < n tokens has NO shingle
+    // set, so the raw pipeline (and the oracle replaying it) can never
+    // pair it — not even with its byte copies. The composition must
+    // leave such docs as self-keepers or it would claim dups the
+    // Jaccard semantics never emit (one per-row projection; stays in
+    // the same scan as exact's fingerprint).
+    val flagged = docs.withColumn("has_sh",
+      size(Text.shingles(Text.tokens(col("text")), n)) > 0)
+    val ex = CacheTracker.persistTracked(Dedup.exact(flagged)
+      .join(flagged.select(col("doc_id"), col("has_sh")), "doc_id")
+      .select(col("doc_id"), col("keep_id").as("ek"), col("has_sh")))
+    val keeperDocs = docs.join(
+      ex.filter(col("doc_id") === col("ek")).select(col("doc_id")), "doc_id")
+    val comp = Dedup.clusters(Dedup.ngramJaccard(keeperDocs, n, tau))
+      .select(col("doc_id").as("ek"), col("cluster_id"))
+    ex.join(comp, Seq("ek"), "left")
+      .select(col("doc_id"),
+        when(col("has_sh"), coalesce(col("cluster_id"), col("ek")))
+          .otherwise(col("doc_id")).as("keep_id"))
+      .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("int"))
+  }
+
   /** Cross-source shingle-overlap census: for every source pair, how
     * many distinct word n-gram shingles they share and the Jaccard of
     * their shingle sets — the corpus-curation signal for "these two

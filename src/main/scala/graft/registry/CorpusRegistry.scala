@@ -140,13 +140,17 @@ object CorpusRegistry {
     // pages. Bound at NEAR-dup granularity (Jaccard clusters' min-id
     // keeper) because the graded corpus has zero exact byte-copies —
     // the exact form (dupAttribution) would grade on an empty result.
+    // COMPOSED exact-first (the dd_keep_best_dedup survival order):
+    // byte copies collapse before any pair forms — near-dup pair
+    // output is quadratic in copy multiplicity — and composed ≡ raw
+    // because byte copies share text, hence shingle sets, hence
+    // J=1 pairs: the cluster min-label over keepers equals the raw
+    // min-label over all copies (10× all-dup probe: 117 s raw vs the
+    // keeper-sized run; same oracle either way).
     "cp_dup_attribution" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val comp = graft.operators.Dedup.clusters(
-        graft.operators.Dedup.ngramJaccard(docs, 3, DedupRegistry.JaccardTau))
       Corpus.dupAttributionOf(docs,
-        comp.select(col("doc_id"), col("cluster_id").as("keep_id"),
-          (col("doc_id") =!= col("cluster_id")).cast("int").as("is_dup")))
+        Corpus.nearDupAssignment(docs, 3, DedupRegistry.JaccardTau))
     }),
     // incremental maintenance ≡ the full census over the grown corpus
     // (spec-proven), so the oracle replays the full-corpus SQL; the

@@ -110,6 +110,38 @@ class Round11OpsSpec extends AnyFunSuite {
       ("web", "books") -> 1L))
   }
 
+  test("composed exact-first near-dup assignment == raw clusters over all docs") {
+    // byte copies of a long doc (1,2), a near-dup variant (3), an
+    // unrelated doc (4), SHORT byte copies with no shingles (5,6 —
+    // the raw pipeline can never pair them, so composed must leave
+    // them as self-keepers), and a null (7)
+    // letters-only DISTINCT tokens (digits are token separators, so
+    // "tok1..tok40" would all collapse to the same shingle)
+    def word(i: Int) = "abcdefghijklmnopqrstuvwxyz"(i % 26).toString * (i / 26 + 2)
+    val body = (1 to 40).map(word).mkString(" ")
+    val variant = (1 to 40).map(i => if (i == 40) "changedword" else word(i))
+      .mkString(" ")
+    val docs = Seq(
+      (1L, body), (2L, body), (3L, variant),
+      (4L, "wholly unrelated words that share nothing with the others " * 3),
+      (5L, "ab"), (6L, "ab"), (7L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val (composed, raw) = Dedup.cached {
+      val c = Corpus.nearDupAssignment(docs, 3, 0.8)
+        .as[(Long, Long, Int)].collect().map(x => x._1 -> x._2).toMap
+      val r = Dedup.clusters(Dedup.ngramJaccard(docs, 3, 0.8))
+        .as[(Long, Long)].collect().toMap
+      (c, r)
+    }
+    // composed must equal raw everywhere raw assigns, self elsewhere
+    (1L to 7L).foreach { id =>
+      assert(composed(id) == raw.getOrElse(id, id),
+        s"doc $id: composed ${composed(id)} vs raw ${raw.getOrElse(id, id)}")
+    }
+    // and the fixture is non-trivial: 1-2-3 really cluster, shorts don't
+    assert(composed(2L) == 1L && composed(3L) == 1L && composed(6L) == 6L)
+  }
+
   test("knnIvfPqIndexed over parquet round-trip == knnIvfPq") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = Similarity.probeEvery(emb, 50)
