@@ -534,16 +534,50 @@ object Similarity {
                  m: Int = PqM, kSub: Int = PqKSub,
                  seedMod: Int = PqSeedMod): IvfPqIndex = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    val cents = seedCentroids(e, centroidMod)
-    val seeds = pqSeeds(e, kSub, seedMod)
+    ivfPqIndexWith(embeddings, seedCentroids(e, centroidMod),
+      pqSeeds(e, kSub, seedMod), m)
+  }
+
+  /** Incremental (delta) maintenance for the COMPOSED index —
+    * [[ivfDelta]] and [[pqDelta]] in one per-row projection: delta
+    * vectors take their cell argmax AND their PQ codes under the
+    * STORE's two frozen quantizers (no rescan, no retrain, zero
+    * shuffles on the delta side) and append; re-ingested ids replace
+    * their rows. Both quantizers stay fixed between rebuilds — the
+    * served-index contract — so the grown table equals a fresh
+    * [[ivfPqIndex]] build over the union with the same quantizers
+    * (Round11OpsSpec), and the full knn_ivfpq replay with old-side
+    * predicates on BOTH quantizers is the oracle. */
+  def ivfPqDelta(index: IvfPqIndex, delta: DataFrame,
+                 m: Int = PqM): IvfPqIndex = {
+    // no distinct: anti join is insensitive to build-side duplicates
+    // (see ivfDelta)
+    val dIds = delta.select(col("vec_id"))
+    val kept = index.indexed.join(dIds, Seq("vec_id"), "left_anti")
+    val d = delta.select(col("vec_id"), col("embedding").as("v"))
+      .crossJoin(broadcast(codebook(index.centroids)))
+      .crossJoin(broadcast(index.seeds))
+      .select(col("vec_id"),
+        get(Exprs.nearestCells(col("v"), col("cids"), col("units"), 1), lit(0))
+          .as("cell"),
+        Exprs.pqEncode(unitOf(col("v")), col("seeds"), m).as("codes"))
+    IvfPqIndex(kept.union(d), index.centroids, index.seeds)
+  }
+
+  /** [[ivfPqIndex]] with CALLER-SUPPLIED quantizers — the fresh-build
+    * form a grown index must equal (assignment and encoding under
+    * fixed quantizers are pure per-row functions). */
+  def ivfPqIndexWith(embeddings: DataFrame, centroids: DataFrame,
+                     seeds: DataFrame, m: Int = PqM): IvfPqIndex = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
     val indexed = e
-      .crossJoin(broadcast(codebook(cents)))
+      .crossJoin(broadcast(codebook(centroids)))
       .crossJoin(broadcast(seeds))
       .select(col("vec_id"),
         get(Exprs.nearestCells(col("v"), col("cids"), col("units"), 1), lit(0))
           .as("cell"),
         Exprs.pqEncode(unitOf(col("v")), col("seeds"), m).as("codes"))
-    IvfPqIndex(indexed, cents, seeds)
+    IvfPqIndex(indexed, centroids, seeds)
   }
 
   /** [[knnIvfPq]] over a PREBUILT [[IvfPqIndex]] — the serving shape

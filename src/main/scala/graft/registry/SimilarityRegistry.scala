@@ -91,6 +91,19 @@ object SimilarityRegistry {
     // quantizers deterministic, so the oracle replays the composition.
     "knn_ivfpq" -> ((s, d) =>
       Similarity.knnIvfPq(Tables.embeddings(s, d), probes(s, d), K)),
+    // incremental maintenance for the composed index: delta vectors
+    // take cell + codes under the STORE's two frozen quantizers in one
+    // per-row projection and append; grown ≡ fresh same-quantizer
+    // build (spec), oracle = the composed replay with old-side
+    // predicates on BOTH quantizer CTEs
+    "knn_ivfpq_delta" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val c = org.apache.spark.sql.functions.col("vec_id")
+      val grown = Similarity.ivfPqDelta(
+        Similarity.ivfPqIndex(emb.filter(c % DeltaMod =!= 0), CentroidMod),
+        emb.filter(c % DeltaMod === 0))
+      Similarity.knnIvfPqIndexed(grown, probes(s, d), K, NProbe)
+    }),
     // --- serving paths: the query against a PREBUILT index -------
     // Each *_served binding materializes its index ONCE per corpus dir
     // (ServingIndexes; the bench warm-up pays the build) and times only
@@ -441,7 +454,27 @@ object SimilarityRegistry {
     // IVF assignment CTEs (as in knn_ivf) + PQ code CTEs (as in
     // knn_pq), joined on the cell: candidates come from the probe's
     // nProbe cells, scores from the code LUT sum.
-    "knn_ivfpq" -> {
+    "knn_ivfpq" -> ivfpqSql(""),
+    // the composed replay with BOTH quantizers pinned to the old side
+    // (the index predates the delta; centroids AND seeds stay fixed
+    // between rebuilds) — assignment, codes and probes span the corpus
+    "knn_ivfpq_delta" -> ivfpqSql(s" AND vec_id % $DeltaMod <> 0"),
+   )
+   // the serving paths return the build paths' exact results (same
+   // deterministic blocking over a parquet round-trip), so they share
+   // the sibling oracles verbatim
+   base ++ Map(
+     "knn_lsh_served" -> base("knn_lsh"),
+     "knn_ivf_served" -> base("knn_ivf"),
+     "knn_pq_served" -> base("knn_pq"),
+     "knn_ivfpq_served" -> base("knn_ivfpq"))
+  }
+
+  /** knn_ivfpq's replay, parameterized by an extra predicate applied
+    * to BOTH quantizer CTEs (centroid codebook and PQ seed list) so
+    * the delta row can pin the whole composed quantizer to the old
+    * side. */
+  private def ivfpqSql(qPred: String): String = {
       val M = Similarity.PqM
       val Sub = 64 / M
       s"""WITH e AS (
@@ -451,7 +484,7 @@ object SimilarityRegistry {
          |), cents AS (
          |  SELECT vec_id AS cid,
          |    list_transform(v, x -> x / ${nrm("v")}) AS unit
-         |  FROM e WHERE vec_id % $CentroidMod = 0
+         |  FROM e WHERE vec_id % $CentroidMod = 0$qPred
          |), scored_cells AS (
          |  SELECT e.vec_id, c.cid,
          |    ${VectorSql.dot("e.v", "c.unit")} AS d
@@ -470,7 +503,7 @@ object SimilarityRegistry {
          |    FROM scored_cells WHERE vec_id % $ProbeMod = 0) WHERE rn <= $NProbe
          |), cb AS (
          |  SELECT list(u ORDER BY vec_id) AS seeds FROM (
-         |    SELECT vec_id, u FROM u WHERE vec_id % ${Similarity.PqSeedMod} = 0
+         |    SELECT vec_id, u FROM u WHERE vec_id % ${Similarity.PqSeedMod} = 0$qPred
          |    ORDER BY vec_id LIMIT ${Similarity.PqKSub})
          |), dls AS (
          |  SELECT vec_id,
@@ -507,15 +540,5 @@ object SimilarityRegistry {
          |)
          |SELECT probe_id, neighbor_id, approx_sim, rnk
          |FROM ranked WHERE rnk <= $K""".stripMargin
-    },
-   )
-   // the serving paths return the build paths' exact results (same
-   // deterministic blocking over a parquet round-trip), so they share
-   // the sibling oracles verbatim
-   base ++ Map(
-     "knn_lsh_served" -> base("knn_lsh"),
-     "knn_ivf_served" -> base("knn_ivf"),
-     "knn_pq_served" -> base("knn_pq"),
-     "knn_ivfpq_served" -> base("knn_ivfpq"))
   }
 }

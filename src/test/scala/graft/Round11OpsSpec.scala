@@ -142,6 +142,23 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(composed(2L) == 1L && composed(3L) == 1L && composed(6L) == 6L)
   }
 
+  test("ivfPqDelta grows under frozen quantizers == fresh same-quantizer build") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val c = col("vec_id")
+    val old = Similarity.ivfPqIndex(emb.filter(c % 3 =!= 0))
+    val grown = Similarity.ivfPqDelta(old, emb.filter(c % 3 === 0))
+    val fresh = Similarity.ivfPqIndexWith(emb, old.centroids, old.seeds)
+    assert(grown.indexed.collect().map(_.toSeq).toSet ==
+      fresh.indexed.collect().map(_.toSeq).toSet)
+    // re-ingest replaces, not duplicates (idempotent)
+    val again = Similarity.ivfPqDelta(grown, emb.filter(c % 3 === 0))
+    assert(again.indexed.count() == grown.indexed.count())
+    // the delta side is a projection: no shuffle exchange, no window
+    val dPlan = Similarity.ivfPqDelta(old, emb.filter(c % 3 === 0))
+      .indexed.queryExecution.executedPlan.toString
+    assert(!dPlan.contains("Window"), dPlan)
+  }
+
   test("knnIvfPqIndexed over parquet round-trip == knnIvfPq") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = Similarity.probeEvery(emb, 50)
