@@ -110,6 +110,31 @@ class Round11OpsSpec extends AnyFunSuite {
       ("web", "books") -> 1L))
   }
 
+  test("contamination report: flagged = union of passes; empty eval = all zeros") {
+    val evalDoc = "the quick brown fox jumps over the lazy dog again and again"
+    val train = Seq(
+      (1L, evalDoc, "web"),                       // near-copy: fuzzy + exact hit
+      (2L, "shares the quick brown fox shingle but nothing else beyond",
+        "web"),                                   // exact (1-shingle) hit only
+      (3L, "completely disjoint text with zero witness material here", "books"),
+    ).toDF("doc_id", "text", "source")
+    val ev = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val r = Dedup.cached {
+      Corpus.contaminationReport(train, ev, 4, 3, 0.8)
+        .as[(String, Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    }
+    assert(r("web") == (("web", 2L, 2L, 1L, 2L))) // 2 docs, 2 exact, 1 fuzzy, 2 flagged
+    assert(r("books") == (("books", 1L, 0L, 0L, 0L)))
+    // empty eval set: every source reports zeros, no throw
+    val z = Dedup.cached {
+      Corpus.contaminationReport(train,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), 4, 3, 0.8)
+        .as[(String, Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    }
+    assert(z("web") == (("web", 2L, 0L, 0L, 0L)) &&
+      z("books") == (("books", 1L, 0L, 0L, 0L)))
+  }
+
   test("composed exact-first near-dup assignment == raw clusters over all docs") {
     // byte copies of a long doc (1,2), a near-dup variant (3), an
     // unrelated doc (4), SHORT byte copies with no shingles (5,6 —
