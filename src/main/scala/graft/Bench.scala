@@ -101,6 +101,9 @@ object Bench {
           None
         }
       once() // warm-up (JIT, code cache, parquet footers)
+      // a warm-up-only hiccup (e.g. a first-touch index build race)
+      // must not stamp an err onto n clean timed passes
+      err = None
       d -> QTimes((0 until n).flatMap(_ => once()), err)
     }.toMap
   }
@@ -216,9 +219,22 @@ object Bench {
     // counted in n_failed instead, and excluded from total.
     val qs = ok.map { case (k, q) => "\"" + k + "\":" + fmt(median(q.times)) }
       .mkString("{", ",", "}")
+    // full JSON string escape (Verify.scala's rule): backslash, quote,
+    // and ALL control chars — Spark analysis errors embed plan
+    // fragments with tabs/newlines, and one raw control char would
+    // invalidate the whole bench_detail line exactly when a failure
+    // needs diagnosing
+    def jsonEscape(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val stats = results.map { case (k, q) =>
-      val err = q.err.map(m => ",\"err\":\"" +
-        m.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("")
+      val err = q.err.map(m => ",\"err\":\"" + jsonEscape(m) + "\"").getOrElse("")
       if (q.failed) "\"" + k + "\":{\"n\":0" + err + "}"
       else "\"" + k + "\":{\"median\":" + fmt(median(q.times)) +
         ",\"min\":" + fmt(q.times.min) + ",\"max\":" + fmt(q.times.max) +

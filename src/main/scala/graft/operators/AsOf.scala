@@ -21,8 +21,32 @@ object AsOf {
     *
     * Right rows are first deduplicated to one per (key, time) with a
     * deterministic tie-break (max orderkey), so the as-of match is
-    * well-defined on both engines. Output times are epoch micros. */
-  def eventsLastOrder(events: DataFrame, orders: DataFrame): DataFrame = {
+    * well-defined on both engines. Output times are epoch micros.
+    *
+    * The unbounded case of [[eventsLastOrderWithin]] (any finite gap
+    * clears a Long.MaxValue staleness bound — gaps are micros-scale
+    * differences, nowhere near overflow — and an unmatched row nulls
+    * either way), so the two forms share one union-and-carry body and
+    * cannot drift (Round11OpsSpec pins the equivalence). */
+  def eventsLastOrder(events: DataFrame, orders: DataFrame): DataFrame =
+    eventsLastOrderWithin(events, orders, Long.MaxValue)
+
+  /** As-of join with a MAX-STALENESS tolerance: the match is the most
+    * recent right row at-or-before the left time, AND it must be no
+    * older than `maxAgeUs` — else the left row matches nothing (a
+    * point-in-time feature join where a year-old price is as good as
+    * no price; every feature-store as-of read has this dial).
+    *
+    * The scalable union-and-carry shape rather than a per-key loop:
+    * one shuffle on the key, linear window state, no pair explosion —
+    * with the matched right TIME carried beside its attributes so
+    * staleness is one per-row comparison after the window; the carry
+    * itself stays tolerance-free (the nearest match is either
+    * in-window or the row has no match: a farther one can't be
+    * nearer). NULLing both output attributes on a stale match keeps
+    * the left-join contract (every event emits exactly one row). */
+  def eventsLastOrderWithin(events: DataFrame, orders: DataFrame,
+                            maxAgeUs: Long): DataFrame = {
     // one order per (custkey, date): the latest orderkey wins
     val byKeyTime = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
       .orderBy(col("o_orderkey").desc)
@@ -40,48 +64,6 @@ object AsOf {
         lit(null).cast("long").as("r_orderkey"),
         lit(null).cast("double").as("r_totalprice"))
     // right rows sort before left rows at equal t → ties match (>= asof)
-    val w = Window.partitionBy(col("k"))
-      .orderBy(col("t").asc, col("side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rights.unionByName(lefts)
-      .withColumn("last_orderkey", last(col("r_orderkey"), ignoreNulls = true).over(w))
-      .withColumn("last_totalprice", last(col("r_totalprice"), ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
-      .select(col("event_id"), col("k").as("user_id"), col("t").as("ts_us"),
-        col("last_orderkey"), col("last_totalprice"))
-  }
-
-  /** As-of join with a MAX-STALENESS tolerance: the match is the most
-    * recent right row at-or-before the left time, AND it must be no
-    * older than `maxAgeUs` — else the left row matches nothing (a
-    * point-in-time feature join where a year-old price is as good as
-    * no price; every feature-store as-of read has this dial).
-    *
-    * Same union-and-carry shape as [[eventsLastOrder]] — one shuffle
-    * on the key, linear window state — with the matched right TIME
-    * carried beside its attributes so staleness is one per-row
-    * comparison after the window; the carry itself stays tolerance-
-    * free (the nearest match is either in-window or the row has no
-    * match: a farther one can't be nearer). NULLing both output
-    * attributes on a stale match keeps the left-join contract (every
-    * event emits exactly one row). */
-  def eventsLastOrderWithin(events: DataFrame, orders: DataFrame,
-                            maxAgeUs: Long): DataFrame = {
-    val byKeyTime = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
-      .orderBy(col("o_orderkey").desc)
-    val rights = orders
-      .withColumn("rn", row_number().over(byKeyTime))
-      .filter(col("rn") === 1)
-      .select(col("o_custkey").as("k"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("t"), // NTZ→UTC instant
-        lit(0).as("side"), lit(null).cast("long").as("event_id"),
-        col("o_orderkey").as("r_orderkey"),
-        col("o_totalprice").as("r_totalprice"))
-    val lefts = events
-      .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
-        lit(1).as("side"), col("event_id"),
-        lit(null).cast("long").as("r_orderkey"),
-        lit(null).cast("double").as("r_totalprice"))
     val w = Window.partitionBy(col("k"))
       .orderBy(col("t").asc, col("side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

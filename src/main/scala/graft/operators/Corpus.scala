@@ -164,16 +164,17 @@ object Corpus {
     * is_dup) contract; docs in no pair and no copy group keep
     * themselves. */
   def nearDupAssignment(docs: DataFrame, n: Int, tau: Double): DataFrame = {
-    // carry a has-shingles flag: a doc with < n tokens has NO shingle
-    // set, so the raw pipeline (and the oracle replaying it) can never
-    // pair it — not even with its byte copies. The composition must
-    // leave such docs as self-keepers or it would claim dups the
-    // Jaccard semantics never emit (one per-row projection; stays in
-    // the same scan as exact's fingerprint).
-    val flagged = docs.withColumn("has_sh",
-      size(Text.shingles(Text.tokens(col("text")), n)) > 0)
-    val ex = CacheTracker.persistTracked(Dedup.exact(flagged)
-      .join(flagged.select(col("doc_id"), col("has_sh")), "doc_id")
+    // carry a has-shingles flag THROUGH the election (keepByMinId's
+    // carry parameter), so the flag and the fingerprint are sibling
+    // projections of ONE corpus scan: a doc with < n tokens has NO
+    // shingle set, so the raw pipeline (and the oracle replaying it)
+    // can never pair it — not even with its byte copies. The
+    // composition must leave such docs as self-keepers or it would
+    // claim dups the Jaccard semantics never emit.
+    val ex = CacheTracker.persistTracked(Dedup.keepByMinId(
+      docs.select(col("doc_id"), md5(col("text")).as("fp"),
+        (size(Text.shingles(Text.tokens(col("text")), n)) > 0).as("has_sh")),
+      carry = Seq("has_sh"))
       .select(col("doc_id"), col("keep_id").as("ek"), col("has_sh")))
     val keeperDocs = docs.join(
       ex.filter(col("doc_id") === col("ek")).select(col("doc_id")), "doc_id")
@@ -186,18 +187,6 @@ object Corpus {
       .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("int"))
   }
 
-  /** Cross-source shingle-overlap census: for every source pair, how
-    * many distinct word n-gram shingles they share and the Jaccard of
-    * their shingle sets — the corpus-curation signal for "these two
-    * crawls/dumps substantially duplicate each other" BEFORE paying
-    * for doc-level dedup between them. Shape: one (source, shingle)
-    * distinct projection (shuffle on the pair key), then a shingle-key
-    * self-join whose per-key occupancy is bounded by the number of
-    * SOURCES (each shingle appears once per source after the
-    * distinct), never by corpus size — so pair volume is
-    * O(|shingles| × S²) with S the source count, not a doc-scaled
-    * blowup. Per-source set sizes are an S-row aggregate, broadcast
-    * back onto the pair rows. */
   /** Cross-source duplicate ATTRIBUTION: for every (duplicate source,
     * keeper source) pair, how many docs of the first are byte-copies
     * of a doc kept in the second — the census that turns "12% of the
@@ -227,6 +216,18 @@ object Corpus {
       .agg(count(lit(1)).as("n_dups"))
   }
 
+  /** Cross-source shingle-overlap census: for every source pair, how
+    * many distinct word n-gram shingles they share and the Jaccard of
+    * their shingle sets — the corpus-curation signal for "these two
+    * crawls/dumps substantially duplicate each other" BEFORE paying
+    * for doc-level dedup between them. Shape: one (source, shingle)
+    * distinct projection (shuffle on the pair key), then a shingle-key
+    * self-join whose per-key occupancy is bounded by the number of
+    * SOURCES (each shingle appears once per source after the
+    * distinct), never by corpus size — so pair volume is
+    * O(|shingles| × S²) with S the source count, not a doc-scaled
+    * blowup. Per-source set sizes are an S-row aggregate, broadcast
+    * back onto the pair rows. */
   def sourceOverlap(docs: DataFrame, n: Int): DataFrame =
     overlapCensus(sourceOverlapStore(docs, n))
 

@@ -486,35 +486,13 @@ object Similarity {
   def knnIvfPq(embeddings: DataFrame, probes: DataFrame, k: Int,
                centroidMod: Int = 37, nProbe: Int = 2,
                m: Int = PqM, kSub: Int = PqKSub, seedMod: Int = PqSeedMod,
-               maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    val cents = seedCentroids(e, centroidMod)
-    val seeds = pqSeeds(e, kSub, seedMod)
-    // one scan: cell + codes as sibling projections of the same row
-    val indexed = e
-      .crossJoin(broadcast(codebook(cents)))
-      .crossJoin(broadcast(seeds))
-      .select(col("vec_id"),
-        get(Exprs.nearestCells(col("v"), col("cids"), col("units"), 1), lit(0))
-          .as("cell"),
-        Exprs.pqEncode(unitOf(col("v")), col("seeds"), m).as("codes"))
-    val p0 = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val probeCells = p0
-      .crossJoin(broadcast(codebook(cents)))
-      .crossJoin(broadcast(seeds))
-      .select(col("probe_id"),
-        Exprs.pqLut(unitOf(col("pv")), col("seeds"), m).as("lut"),
-        explode(Exprs.nearestCells(col("pv"), col("cids"), col("units"), nProbe))
-          .as("pcell"))
-    val pj = if (fitsBroadcast(p0, maxBroadcastProbes)) broadcast(probeCells)
-             else probeCells
-    val scored = pj
-      .join(indexed,
-        col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        Exprs.pqAdc(col("lut"), col("codes")).as("cos_sim"))
-    rankTopK(scored, k).withColumnRenamed("cos_sim", "approx_sim")
-  }
+               maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame =
+    // the one-shot path IS build + serve composed: the same indexed
+    // projection ([[ivfPqIndexWith]]) and the same probe LUT/cell +
+    // ADC tail ([[knnIvfPqIndexed]]) — one definition each, so the
+    // build, served, and delta paths cannot de-synchronize
+    knnIvfPqIndexed(ivfPqIndex(embeddings, centroidMod, m, kSub, seedMod),
+      probes, k, nProbe, m, maxBroadcastProbes)
 
   /** The persisted composed IVF+PQ index: `indexed` = (vec_id, cell,
     * codes) rows — 4 bytes of PQ codes plus a cell id per vector, the

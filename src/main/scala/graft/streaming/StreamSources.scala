@@ -38,15 +38,23 @@ final case class FileStreamSource(file: String) extends StreamSource {
   def stream(spark: SparkSession): DataFrame = {
     val schema = spark.read.parquet(file).schema
     val raw = spark.readStream.schema(schema).parquet(Streams.stageAsDir(file))
-    // Ingest normalization, mirroring Tables.events: a tz-less
-    // timestamp[us] parquet column infers as TIMESTAMP_NTZ, which
-    // watermarks and unix_micros() reject; cast to TimestampType here
-    // (bit-identical micros under the UTC session zone) so every
-    // downstream operator sees instants regardless of how the driver's
-    // writer encoded the file.
+    // Ingest normalization, mirroring Tables.events' FULL contract
+    // (ParquetIngestContractSpec): any TIMESTAMP_NTZ column (tz-less
+    // timestamp[us], which watermarks and unix_micros() reject) casts
+    // to TimestampType — bit-identical micros under the UTC session
+    // zone — and a LongType `ts` (how TIMESTAMP(NANOS) reads under
+    // legacy.parquet.nanosAsLong) truncates to micros. New streaming
+    // operators can rely on instants whatever the driver's writer
+    // encoded; the per-callsite LongType branches in older Streams
+    // operators remain as harmless no-ops behind this.
     schema.fields.foldLeft(raw) { (df, f) =>
       if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
         df.withColumn(f.name, col(f.name).cast("timestamp"))
+      else if (f.name == "ts" &&
+               f.dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
       else df
     }
   }

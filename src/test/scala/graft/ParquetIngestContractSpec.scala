@@ -112,4 +112,15 @@ class ParquetIngestContractSpec extends AnyFunSuite {
     val got = spark.table(sink).as[Long].collect()
     assert(got.toSeq == Seq(expectMicros))
   }
+
+  test("streaming source normalizes epoch-nanos long ts to instant micros") {
+    import spark.implicits._
+    val dir = tmpDir()
+    writeEvents(Seq((1L, expectMicros * 1000L + 42L)).toDF("user_id", "ts"), dir)
+    val part = Files.list(dir.resolve("events.parquet")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    val stream = FileStreamSource(part).stream(spark)
+    assert(stream.schema("ts").dataType == TimestampType)
+    assert(stream.select(unix_micros(col("ts"))).isStreaming)
+  }
 }
