@@ -848,4 +848,23 @@ object Analytics {
         max(col("ts_us")).as("session_end_us"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Session-LENGTH distribution — the engagement report the session
+    * table exists for (how long do visits last, how much happens in
+    * them), as a fixed-width histogram over session duration:
+    * dur_bucket = duration div (bucketMinutes of micros), session and
+    * event counts per bucket. Composes [[sessionize]] (one user-keyed
+    * shuffle + staged windows) with ONE map-side-combinable aggregate
+    * on the bucket key; all-integer micro arithmetic, so the histogram
+    * is bit-exact on any engine, and a skewed duration mix spreads
+    * over buckets rather than hot-keying. */
+  def sessionStats(events: DataFrame, gapMinutes: Int,
+                   bucketMinutes: Int): DataFrame =
+    sessionize(events, gapMinutes)
+      .select(expr(s"(session_end_us - session_start_us) div " +
+        s"${bucketMinutes * 60L * 1000000L}").as("dur_bucket"),
+        col("n_events"))
+      .groupBy(col("dur_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events_total"))
 }

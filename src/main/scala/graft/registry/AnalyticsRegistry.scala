@@ -34,6 +34,9 @@ object AnalyticsRegistry {
   /** Value-histogram bucket width. */
   val HistWidth: Double = 10.0
 
+  /** Session-length histogram bucket width (minutes). */
+  val SessionBucketMin: Int = 5
+
   /** DuckDB replay of [[Analytics.funnel]] for the bound FunnelSteps,
     * optionally with the conversion-window clause. */
   private def funnelSql(withinUs: Option[Long]): String = {
@@ -169,6 +172,10 @@ object AnalyticsRegistry {
       Analytics.eventsJsonAgg(Tables.events(s, d))),
     "q_events_sessionize" -> ((s, d) =>
       Analytics.sessionize(Tables.events(s, d), 30)),
+    // session-length histogram: the sessionizer composed with one
+    // bucket-keyed aggregate (5-minute buckets)
+    "q_session_stats" -> ((s, d) =>
+      Analytics.sessionStats(Tables.events(s, d), 30, SessionBucketMin)),
     // purchase-cohort retention: day granularity so the synthetic
     // corpus yields a real multi-cohort matrix (week-level cohorts
     // collapse — every user is active in week 1)
@@ -563,28 +570,42 @@ object AnalyticsRegistry {
          |  ${davgSql("CAST(json_extract_string(props, 'k') AS INTEGER)")} AS avg_k
          |FROM events
          |GROUP BY event_type""".stripMargin,
-    "q_events_sessionize" ->
-      s"""WITH t AS (
-         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
-         |                            ORDER BY ts ASC, event_id ASC) AS prev_us
-         |  FROM events
-         |), flagged AS (
-         |  SELECT user_id, event_id, ts_us,
-         |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
-         |         THEN 1 ELSE 0 END AS new_session
-         |  FROM t
-         |), numbered AS (
-         |  SELECT user_id, ts_us,
-         |    CAST(sum(new_session) OVER (PARTITION BY user_id
-         |      ORDER BY ts_us ASC, event_id ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-         |  FROM flagged
+    "q_events_sessionize" -> SessionizeSql,
+    // the sessionize CTE + one integer-division bucket aggregate
+    "q_session_stats" ->
+      s"""WITH s AS (
+         |$SessionizeSql
          |)
-         |SELECT user_id, session_id,
-         |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
-         |  count(*) AS n_events
-         |FROM numbered
-         |GROUP BY user_id, session_id""".stripMargin,
+         |SELECT (session_end_us - session_start_us)
+         |    // ${SessionBucketMin * 60L * 1000000L} AS dur_bucket,
+         |  count(*) AS n_sessions,
+         |  CAST(sum(n_events) AS BIGINT) AS n_events_total
+         |FROM s GROUP BY 1""".stripMargin,
   )
+
+  /** The gap-sessionizer replay, shared by q_events_sessionize and the
+    * composed q_session_stats oracle. */
+  private val SessionizeSql: String =
+    s"""WITH t AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |                            ORDER BY ts ASC, event_id ASC) AS prev_us
+       |  FROM events
+       |), flagged AS (
+       |  SELECT user_id, event_id, ts_us,
+       |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM t
+       |), numbered AS (
+       |  SELECT user_id, ts_us,
+       |    CAST(sum(new_session) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us ASC, event_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flagged
+       |)
+       |SELECT user_id, session_id,
+       |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+       |  count(*) AS n_events
+       |FROM numbered
+       |GROUP BY user_id, session_id""".stripMargin
 }
