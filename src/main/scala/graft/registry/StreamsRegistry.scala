@@ -67,6 +67,12 @@ object StreamsRegistry {
     // query; drained ≡ batch q_events_funnel (oracle verbatim).
     "st_funnel" -> ((s, d) =>
       Streams.funnel(s, d, AnalyticsRegistry.FunnelSteps)),
+    // ingest-time contamination screening: each micro-batch screened
+    // against the static eval set (per-doc results are batch-local),
+    // drained ≡ the batch fuzzy pass (oracle verbatim).
+    "st_contamination" -> ((s, d) =>
+      Streams.contaminationScreen(s, d, CorpusRegistry.FuzzyN,
+        CorpusRegistry.FuzzyTau, CorpusRegistry.FuzzyEvalMod)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -130,5 +136,7 @@ object StreamsRegistry {
     "st_funnel" -> AnalyticsRegistry.oracleSql("q_events_funnel"),
     // drained complete-mode histogram ≡ the batch histogram
     "st_histogram" -> AnalyticsRegistry.oracleSql("q_value_histogram"),
+    // drained per-batch screening ≡ the batch fuzzy decontamination
+    "st_contamination" -> CorpusRegistry.oracleSql("cp_decontaminate_fuzzy"),
   )
 }

@@ -594,6 +594,48 @@ object Streams {
     spark.read.parquet(outDir).distinct()
   }
 
+  /** Streaming INGEST-TIME contamination screening — fuzzy benchmark
+    * decontamination run where it belongs in production: on the ingest
+    * stream, before a document ever reaches the corpus. The eval set
+    * is fixed and the check is per-train-doc, so each micro-batch is
+    * screened independently with the batch operator
+    * ([[graft.operators.Corpus.decontaminateFuzzy]]: two-table
+    * lossless SSJoin blocking — per-batch df order differs from the
+    * full corpus' but losslessness needs no particular order, and
+    * verification is the exact Jaccard) inside foreachBatch, hits
+    * appended to a parquet sink. Per-doc aggregates are complete
+    * within the doc's one batch, so a bounded drain emits exactly the
+    * batch screening of the whole train side — its SQL is the oracle
+    * verbatim. Each batch's internal persists release at batch end
+    * (scoped bracket). */
+  def contaminationFromStream(docs: DataFrame, evalDocs: DataFrame,
+                              outDir: String, n: Int, tau: Double): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.CacheTracker.scoped {
+          graft.operators.Corpus.decontaminateFuzzy(batch, evalDocs, n, tau)
+            .write.mode("append").parquet(outDir)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** File-source binding of [[contaminationFromStream]]: the mod-split
+    * eval set is the static side, the train side streams. */
+  def contaminationScreen(spark: SparkSession, dir: String, n: Int,
+                          tau: Double, evalMod: Int): DataFrame = {
+    val evalDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % evalMod === 0)
+    val stream = FileStreamSource(s"$dir/documents.parquet").stream(spark)
+      .filter(col("doc_id") % evalMod =!= 0)
+    val outDir = TempDirs.create("graft_contam")
+    contaminationFromStream(stream, evalDocs, outDir, n, tau)
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming ANN serving — the online half of a similarity service:
     * PROBE vectors arrive as a stream and each micro-batch is answered
     * against the static indexed corpus with the bounded brute-force

@@ -135,6 +135,45 @@ class Round11OpsSpec extends AnyFunSuite {
       z("books") == (("books", 1L, 0L, 0L, 0L)))
   }
 
+  test("streaming contamination screening across batches == batch fuzzy pass") {
+    val evalDoc = "the quick brown fox jumps over the lazy dog again and again"
+    val near = "the quick brown fox jumps over the lazy dog again and AGAIN yes"
+    val trainRows = Seq(
+      (1L, near), (2L, "unrelated text with zero overlap whatsoever here"),
+      (3L, evalDoc), (4L, "more filler prose that matches nothing at all"),
+    )
+    val evalDocs = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    // stage the train side as TWO parquet files and drain one file per
+    // micro-batch, so the screening really crosses batch boundaries
+    val dir = java.nio.file.Files.createTempDirectory("graft_contam_spec")
+    trainRows.grouped(2).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$dir/part$i")
+    }
+    val files = java.nio.file.Files.walk(dir).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+    val staged = java.nio.file.Files.createTempDirectory("graft_contam_in")
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(f),
+        staged.resolve(s"f$i.parquet"))
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(staged.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val out = java.nio.file.Files.createTempDirectory("graft_contam_out").toString
+    graft.streaming.Streams.contaminationFromStream(
+      stream, evalDocs, out, 3, 0.8)
+    val streamed = spark.read.parquet(out)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val batch = Dedup.cached {
+      Corpus.decontaminateFuzzy(trainRows.toDF("doc_id", "text"), evalDocs,
+        3, 0.8).as[(Long, Long, Double, Long)].collect().toSet
+    }
+    assert(streamed == batch && batch.nonEmpty)
+    assert(batch.map(_._1) == Set(1L, 3L)) // the near-copy and the verbatim copy
+  }
+
   test("composed exact-first near-dup assignment == raw clusters over all docs") {
     // byte copies of a long doc (1,2), a near-dup variant (3), an
     // unrelated doc (4), SHORT byte copies with no shingles (5,6 —
