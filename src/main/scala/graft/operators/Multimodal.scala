@@ -192,14 +192,73 @@ object Multimodal {
       case scala.util.control.NonFatal(_) => None
     }
 
+  /** RIFF/WAVE magic probe for the batch decoder's audio routing. */
+  private def looksLikeWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** REAL audio decode via `javax.sound.sampled` (ships in the JDK,
+    * like imageio): WAV/PCM bytes → decoded samples → 16-bin absolute-
+    * amplitude histogram, L1-normalized over the sample count — the
+    * same 16-float feature contract as images and the byte stand-in.
+    * Integer bin math on the raw sample magnitude (16-bit frames read
+    * as little/big-endian per the format header; 8-bit as unsigned
+    * offset-128, the WAV convention), so the histogram is
+    * deterministic for a given file. None for RIFF bytes that don't
+    * parse as audio — the caller falls back to the byte histogram. */
+  private[operators] def decodeWav(bytes: Array[Byte]): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 8 && bits != 16) None
+        else {
+          val data = in.readAllBytes()
+          val hist = new Array[Int](16)
+          var n = 0L
+          if (bits == 8) {
+            // 8-bit WAV is unsigned, midpoint 128
+            var i = 0
+            while (i < data.length) {
+              val amp = math.abs((data(i) & 0xFF) - 128) // 0..128
+              hist(math.min(amp * 16 / 129, 15)) += 1
+              i += 1; n += 1
+            }
+          } else {
+            val big = fmt.isBigEndian
+            var i = 0
+            while (i + 1 < data.length) {
+              val lo = if (big) data(i + 1) else data(i)
+              val hi = if (big) data(i) else data(i + 1)
+              val s = (hi << 8) | (lo & 0xFF) // signed 16-bit
+              val amp = math.abs(s.toLong)    // 0..32768
+              hist(math.min((amp * 16 / 32769).toInt, 15)) += 1
+              i += 2; n += 1
+            }
+          }
+          if (n == 0) None else Some(hist.map(_.toFloat / n.toFloat))
+        }
+      } finally in.close()
+    } catch {
+      // same NonFatal rule as decodeImage: a crafted RIFF header must
+      // fall back to the byte histogram, not kill the decode job
+      case scala.util.control.NonFatal(_) => None
+    }
+
   /** Batch decoder: image payloads decode for REAL ([[decodeImage]] —
-    * r9 upgrade); every other kind, and image-magic bytes that don't
-    * decode, take the deterministic byte-histogram stand-in
-    * ([[decodeBatchStub]] — the one declared stub left: audio/video
-    * decoders aren't in the JDK). */
+    * r9) and WAV/PCM audio decodes for REAL ([[decodeWav]] — r11, also
+    * JDK-native); every other kind, and image/audio-magic bytes that
+    * don't decode, take the deterministic byte-histogram stand-in
+    * ([[decodeBatchStub]] — the declared stub now covers only video
+    * and non-WAV audio containers, which the JDK has no decoder for). */
   def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Int, Array[Float])] =
     batch.map { case (id, bytes) =>
-      (if (looksLikeImage(bytes)) decodeImage(bytes) else None) match {
+      (if (looksLikeImage(bytes)) decodeImage(bytes)
+       else if (looksLikeWav(bytes)) decodeWav(bytes)
+       else None) match {
         case Some(h) => (id, bytes.length, h)
         case None => decodeBatchStub(Seq((id, bytes))).head
       }

@@ -80,6 +80,46 @@ class BinaryPayloadSpec extends AnyFunSuite {
         Multimodal.decodeBatchStub(Seq((3L, text))).head._3.toSeq))
   }
 
+  test("a real WAV's samples decode into the feature vector via javax.sound") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // 16-bit mono PCM, 64 frames: half the samples silent (amplitude
+    // 0 -> bin 0), half at full negative swing (-32768 -> bin 15) —
+    // written through the actual WAV encoder so featuresOf exercises
+    // the real javax.sound decode path
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(pcm.putShort)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm.array()), fmt, samples.length)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val halfLoud = wav(Array.fill(32)(0.toShort) ++
+      Array.fill(32)(Short.MinValue))
+    val quiet = wav(Array.fill(16)(100.toShort)) // tiny amplitude -> bin 0
+    val t = Seq((1L, halfLoud), (2L, quiet)).toDF("doc_id", "payload")
+    // sniffed as RIFF audio, decoded as real samples
+    assert(Multimodal.metadataOf(t).select("doc_id", "kind")
+      .as[(Long, String)].collect().toMap.apply(1L) == "audio/riff")
+    val feats = Multimodal.featuresOf(t)
+      .as[(Long, Int, Seq[Float])].collect().map(r => r._1 -> r).toMap
+    val (_, n1, h1) = feats(1L)
+    assert(n1 == halfLoud.length && h1(0) == 0.5f && h1(15) == 0.5f
+      && h1.sum == 1.0f)
+    val (_, _, h2) = feats(2L)
+    assert(h2(0) == 1.0f && h2.sum == 1.0f)
+    // and a RIFF header that is NOT decodable audio falls back to the
+    // byte histogram instead of failing the job
+    val fake = ("RIFF1234WAVEgarbage" + "x" * 40).getBytes("UTF-8")
+    val fb = Multimodal.featuresOf(Seq((3L, fake)).toDF("doc_id", "payload"))
+      .as[(Long, Int, Seq[Float])].collect().head
+    assert(fb._3 == Multimodal.decodeBatchStub(Seq((3L, fake))).head._3.toSeq)
+  }
+
   test("frames and features run on binary payloads with exact lengths") {
     import spark.implicits._
     val t = binaryTable()
