@@ -849,6 +849,37 @@ object Analytics {
         count(lit(1)).as("n_events"))
   }
 
+  /** Count-spike anomaly report: per (event_type, minute) event counts
+    * whose z-score against the type's own per-minute distribution
+    * clears `z` — volume-spike detection over the event stream (the
+    * ops question behind every rate alarm). Two map-side-combinable
+    * aggregates: minute counts (the q_events_minutely shuffle one
+    * granularity down), then per-type sufficient statistics
+    * (k, Σn, Σn²) — all exact longs, so mean/variance/z are
+    * fixed-order IEEE expressions over exact integers and the report
+    * is bit-equal on any engine. The S-bounded stats side broadcasts
+    * back onto the minute rows. Zero-variance types (every minute
+    * identical) are excluded — a z-score is undefined there, and 0/0
+    * must not surface as NaN rows. */
+  def eventAnomalies(events: DataFrame, z: Double = 3.0): DataFrame = {
+    val perMin = events.groupBy(col("event_type"),
+        date_format(date_trunc("minute", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("minute"))
+      .agg(count(lit(1)).as("n"))
+    val stats = perMin.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+    perMin.join(stats, "event_type")
+      .withColumn("mean", col("s").cast("double") / col("k"))
+      .withColumn("varr",
+        (col("ss").cast("double") - col("s").cast("double") * col("s")
+          / col("k")) / col("k"))
+      .filter(col("varr") > 0)
+      .withColumn("zscore", (col("n") - col("mean")) / sqrt(col("varr")))
+      .filter(abs(col("zscore")) >= z)
+      .select(col("event_type"), col("minute"), col("n"), col("zscore"))
+  }
+
   /** Session-LENGTH distribution — the engagement report the session
     * table exists for (how long do visits last, how much happens in
     * them), as a fixed-width histogram over session duration:

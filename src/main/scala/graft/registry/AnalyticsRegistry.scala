@@ -37,6 +37,9 @@ object AnalyticsRegistry {
   /** Session-length histogram bucket width (minutes). */
   val SessionBucketMin: Int = 5
 
+  /** Anomaly-report z-score threshold. */
+  val AnomalyZ: Double = 3.0
+
   /** DuckDB replay of [[Analytics.funnel]] for the bound FunnelSteps,
     * optionally with the conversion-window clause. */
   private def funnelSql(withinUs: Option[Long]): String = {
@@ -176,6 +179,10 @@ object AnalyticsRegistry {
     // bucket-keyed aggregate (5-minute buckets)
     "q_session_stats" -> ((s, d) =>
       Analytics.sessionStats(Tables.events(s, d), 30, SessionBucketMin)),
+    // volume-spike detection: per-minute counts z-scored against each
+    // type's own distribution (exact-integer sufficient statistics)
+    "q_events_anomaly" -> ((s, d) =>
+      Analytics.eventAnomalies(Tables.events(s, d), AnomalyZ)),
     // purchase-cohort retention: day granularity so the synthetic
     // corpus yields a real multi-cohort matrix (week-level cohorts
     // collapse — every user is active in week 1)
@@ -570,6 +577,28 @@ object AnalyticsRegistry {
          |  ${davgSql("CAST(json_extract_string(props, 'k') AS INTEGER)")} AS avg_k
          |FROM events
          |GROUP BY event_type""".stripMargin,
+    // minute counts -> exact-integer (k, s, ss) per type -> the same
+    // fixed-order double expressions; zero-variance types excluded
+    "q_events_anomaly" ->
+      s"""WITH pm AS (
+         |  SELECT event_type,
+         |    strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1, 2
+         |), st AS (
+         |  SELECT event_type, count(*) AS k,
+         |    CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss
+         |  FROM pm GROUP BY 1
+         |), j AS (
+         |  SELECT pm.event_type, pm.minute, pm.n,
+         |    CAST(s AS DOUBLE) / k AS mean,
+         |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / k) / k AS varr
+         |  FROM pm JOIN st USING (event_type)
+         |)
+         |SELECT event_type, minute, n,
+         |  (n - mean) / sqrt(varr) AS zscore
+         |FROM j
+         |WHERE varr > 0 AND abs((n - mean) / sqrt(varr)) >= $AnomalyZ""".stripMargin,
     "q_events_sessionize" -> SessionizeSql,
     // the sessionize CTE + one integer-division bucket aggregate
     "q_session_stats" ->
