@@ -32,7 +32,7 @@ object Bench {
       "q13_cust_distribution", "q19_disjunctive_revenue",
       "q_events_sessionize", "q_asof_last_order", "q_asof_tolerance",
       "q_range_join", "q_retention", "q_events_funnel", "q_value_histogram",
-      "q_session_stats",
+      "q_session_stats", "q_events_anomaly",
       "ta_quality", "ta_diversity", "ta_lm_score", "ta_search",
       "ta_compressibility", "cp_quality_gate",
       "cp_interleave", "cp_decontaminate_fuzzy", "cp_source_overlap",
