@@ -40,7 +40,8 @@ object Bench {
       "dd_exact", "dd_exact_delta", "dd_keep_best_dedup", "dd_paragraph", "dd_paragraph_rewrite",
       "dd_boilerplate", "cp_pack",
       "dd_minhash", "dd_simhash", "dd_semantic", "mm_payload_neardup",
-      "knn_bruteforce", "knn_ivf", "knn_graph", "knn_pq", "knn_ivfpq",
+      "knn_bruteforce", "knn_ivf", "knn_graph", "knn_pagerank",
+      "knn_pq", "knn_ivfpq",
       "knn_outliers",
       // serving paths: the index builds once in the warm-up pass
       // (ServingIndexes memoizes per corpus dir), so these rows time

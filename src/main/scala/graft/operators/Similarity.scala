@@ -727,6 +727,49 @@ object Similarity {
     rankTopK(scored, k).withColumnRenamed("probe_id", "vec_id")
   }
 
+  /** PageRank over the kNN GRAPH — graph centrality as a data-curation
+    * signal: a document whose neighbors' neighbors keep pointing back
+    * at it is a hub of its semantic region (the representative to keep
+    * or upsample), while rank sinks are isolates. Runs a FIXED number
+    * of power iterations (deterministic, oracle-replayable — unlike
+    * run-to-convergence) of the standard damped update
+    * p' = (1−d)/N + d·Σ_in p/outdeg over [[knnGraph]]'s edges.
+    *
+    * Scale shape: the edge list is k·N rows (bounded by construction);
+    * each iteration is one edge-keyed join + one map-side-combinable
+    * sum per node — no windows, no driver loops over data (the
+    * iteration count is a constant, not data-dependent). Inflow sums
+    * use [[Num.dsum]]'s DECIMAL(38,6) accumulation, so the result is
+    * partition-order independent and bit-equal to the oracle's
+    * unrolled replay. Dangling nodes (no out-edges) keep the standard
+    * no-redistribution treatment: their mass exits the system and the
+    * teleport term keeps every rank positive. */
+  def knnPagerank(embeddings: DataFrame, k: Int, iters: Int = 3,
+                  damping: Double = 0.85): DataFrame = {
+    val edges = CacheTracker.persistTracked(
+      knnGraph(embeddings, k).select(col("vec_id").as("src"),
+        col("neighbor_id").as("dst")))
+    val nodes = embeddings.select(col("vec_id"))
+    val nTotal = nodes.agg(count(lit(1)).as("N"))
+    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var p = nodes.crossJoin(broadcast(nTotal))
+      .select(col("vec_id"), (lit(1.0) / col("N")).as("p"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(p.select(col("vec_id").as("src"), col("p")), "src")
+        .join(outd, "src")
+        .select(col("dst").as("vec_id"), (col("p") / col("outdeg")).as("c"))
+      val inflow = contrib.groupBy(col("vec_id"))
+        .agg(graft.functions.Num.dsum(col("c")).as("inflow"))
+      p = nodes.crossJoin(broadcast(nTotal))
+        .join(inflow, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(1.0 - damping) / col("N") +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("p"))
+    }
+    p.select(col("vec_id"), col("p").as("pagerank"))
+  }
+
   /** ANN via multi-table random-hyperplane LSH: `nTables` independent
     * hash tables of `planesPerTable` sign bits each; a probe's
     * candidate set is the union of its buckets across tables

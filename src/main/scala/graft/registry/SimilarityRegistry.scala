@@ -25,6 +25,10 @@ object SimilarityRegistry {
     * queue, bounded so the sort stays a TakeOrdered heap. */
   val OutlierK = 25
 
+  /** knn_pagerank power iterations (fixed count: deterministic and
+    * oracle-unrollable, unlike run-to-convergence). */
+  val PagerankIters = 3
+
   private val Dot = VectorSql.dot("p.pv", "e.v")
   private def nrm(expr: String) = VectorSql.nrm(expr)
 
@@ -66,6 +70,11 @@ object SimilarityRegistry {
     // style graph construction); deterministic planes → full oracle.
     "knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d), K)),
+    // graph centrality over the kNN graph: fixed damped power
+    // iterations, DECIMAL-exact inflow sums — the representative-
+    // selection signal for semantic regions
+    "knn_pagerank" -> ((s, d) =>
+      Similarity.knnPagerank(Tables.embeddings(s, d), K, PagerankIters)),
     // The ANN quality report: recall@k of lsh/ivf vs brute force on
     // the same probes — all three paths are deterministic, so the
     // oracle replays the whole report (counts divide exactly).
@@ -348,24 +357,13 @@ object SimilarityRegistry {
     // The graph oracle is the LSH oracle without the probe filter:
     // bucketed self-join, exact cosine, per-vector rank.
     "knn_graph" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |), bucketed AS (
-         |${VectorSql.lshBucketed(nTables = 4, planesPerTable = 6, dim = 64)}
-         |), cand AS (
-         |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
-         |    ${VectorSql.cos("a.v", "b.v")} AS cos_sim
-         |  FROM bucketed a
-         |  JOIN bucketed b
-         |    ON b.tbl = a.tbl AND b.bucket = a.bucket AND b.vec_id <> a.vec_id
-         |), ranked AS (
-         |  SELECT vec_id, neighbor_id, cos_sim,
-         |    row_number() OVER (PARTITION BY vec_id
-         |                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
-         |  FROM cand
-         |)
+      s"""WITH $GraphCtes
          |SELECT vec_id, neighbor_id, cos_sim, rnk
          |FROM ranked WHERE rnk <= $K""".stripMargin,
+    // the graph CTEs -> edge list, then `PagerankIters` unrolled
+    // damped power iterations with DECIMAL(38,6)-exact inflow sums —
+    // the same fixed-order double expressions the Spark loop runs
+    "knn_pagerank" -> pagerankSql(PagerankIters),
     // Replays all three ANN paths (brute force + LSH blocking + IVF
     // assignment — the same CTE chains as their own oracles) and
     // reduces each to the (algo, recall) report row.
@@ -468,6 +466,63 @@ object SimilarityRegistry {
      "knn_ivf_served" -> base("knn_ivf"),
      "knn_pq_served" -> base("knn_pq"),
      "knn_ivfpq_served" -> base("knn_ivfpq"))
+  }
+
+  /** The kNN-graph CTE chain (LSH bucketed self-join → exact cosine →
+    * per-vector rank), shared by knn_graph and knn_pagerank. */
+  private lazy val GraphCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), bucketed AS (
+       |${VectorSql.lshBucketed(nTables = 4, planesPerTable = 6, dim = 64)}
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+       |    ${VectorSql.cos("a.v", "b.v")} AS cos_sim
+       |  FROM bucketed a
+       |  JOIN bucketed b
+       |    ON b.tbl = a.tbl AND b.bucket = a.bucket AND b.vec_id <> a.vec_id
+       |), ranked AS (
+       |  SELECT vec_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+       |  FROM cand
+       |)""".stripMargin
+
+  /** knn_pagerank's replay: the graph edges + `iters` unrolled damped
+    * power iterations. Every double expression mirrors the Spark
+    * loop's spelling exactly — teleport = (1−0.85) computed in double
+    * on both engines, inflow summed in DECIMAL(38,6) then cast back —
+    * so the ranks are bit-equal despite `iters` chained float ops. */
+  private def pagerankSql(iters: Int): String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    val one = "CAST(1 AS DOUBLE)"
+    val its = (1 to iters).map { i =>
+      s""", c$i AS (
+         |  SELECT g.dst AS vec_id, p.p / o.outdeg AS c
+         |  FROM ge g
+         |  JOIN p${i - 1} p ON p.vec_id = g.src
+         |  JOIN outd o ON o.src = g.src
+         |), s$i AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CAST((c) AS DECIMAL(38,6))) AS DOUBLE) AS inflow
+         |  FROM c$i GROUP BY 1
+         |), p$i AS (
+         |  SELECT e.vec_id,
+         |    ($one - $d) / nn.N + $d * COALESCE(s$i.inflow, $one - $one) AS p
+         |  FROM e CROSS JOIN nn LEFT JOIN s$i USING (vec_id)
+         |)""".stripMargin
+    }.mkString
+    s"""WITH $GraphCtes, ge AS (
+       |  SELECT vec_id AS src, neighbor_id AS dst
+       |  FROM ranked WHERE rnk <= $K
+       |), nn AS (
+       |  SELECT count(*) AS N FROM e
+       |), outd AS (
+       |  SELECT src, count(*) AS outdeg FROM ge GROUP BY 1
+       |), p0 AS (
+       |  SELECT vec_id, $one / N AS p FROM e CROSS JOIN nn
+       |)$its
+       |SELECT vec_id, p AS pagerank FROM p$iters""".stripMargin
   }
 
   /** knn_ivfpq's replay, parameterized by an extra predicate applied

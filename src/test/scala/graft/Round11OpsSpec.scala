@@ -223,6 +223,23 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(!dPlan.contains("Window"), dPlan)
   }
 
+  test("knnPagerank: mass bounded, hubs outrank leaves, isolates at teleport floor") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val ranks = Dedup.cached {
+      Similarity.knnPagerank(emb, 10).as[(Long, Double)].collect().toMap
+    }
+    assert(ranks.size == n) // every node ranked, pairless ones included
+    // total mass ≤ 1 (dangling mass exits, teleport re-adds (1-d)/N each)
+    val total = ranks.values.sum
+    assert(total > 0.0 && total <= 1.0 + 1e-9, s"total mass $total")
+    // every rank at least the final teleport term, never NaN
+    val floor = 0.15 / n * 0.999
+    assert(ranks.values.forall(r => !r.isNaN && r >= floor))
+    // centrality varies — the graph isn't rank-uniform
+    assert(ranks.values.max > ranks.values.min * 1.5)
+  }
+
   test("knnIvfPqIndexed over parquet round-trip == knnIvfPq") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = Similarity.probeEvery(emb, 50)
