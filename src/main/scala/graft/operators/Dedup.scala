@@ -1291,6 +1291,25 @@ object Dedup {
     * [[semanticKeepers]]'s tail) — pair-graph-sized, never a corpus
     * rescan; a new pair may legally merge two existing components,
     * which is why keepers recompute from pairs, not incrementally. */
+  /** Incremental LSH-bucket STORE maintenance alone (no pair
+    * emission) — the E-family serving-index delta for the LSH path:
+    * the hyperplanes are data-independent constants, so a delta's
+    * bucket rows are a pure per-row projection appended to the store
+    * (re-ingest replaces via the anti join) and the grown store is
+    * definitionally identical to a fresh build over the union — which
+    * is why knn_lsh_delta shares knn_lsh's oracle verbatim, with no
+    * old-side predicate at all. */
+  def embeddingLshStoreDelta(store: EmbeddingLshStore, delta: DataFrame,
+                             nTables: Int = 6, planesPerTable: Int = 4,
+                             dim: Int = 64): EmbeddingLshStore = {
+    val dBucketed = Similarity.lshBucketed(
+      delta.select(col("vec_id"), col("embedding").as("v")),
+      nTables, planesPerTable, dim)
+    val dIds = delta.select(col("vec_id")).distinct()
+    EmbeddingLshStore(
+      store.bucketed.join(dIds, Seq("vec_id"), "left_anti").union(dBucketed))
+  }
+
   def embeddingNearDupLshDelta(store: EmbeddingLshStore, delta: DataFrame,
                                tau: Double, nTables: Int = 6,
                                planesPerTable: Int = 4,
@@ -1298,9 +1317,8 @@ object Dedup {
     val dBucketed = Similarity.lshBucketed(
       delta.select(col("vec_id"), col("embedding").as("v")),
       nTables, planesPerTable, dim)
-    val dIds = delta.select(col("vec_id")).distinct()
-    val cleanStore = store.bucketed.join(dIds, Seq("vec_id"), "left_anti")
-    val all = cleanStore.union(dBucketed)
+    val all = embeddingLshStoreDelta(store, delta, nTables, planesPerTable,
+      dim).bucketed
     // delta side x all sides; cosine is symmetric, so normalizing the
     // orientation to id_a < id_b keeps the full run's pair convention
     // (a delta-delta pair matching twice dedups in the distinct).

@@ -120,6 +120,20 @@ object SimilarityRegistry {
     // the indexed operators exist for. Results are identical to the
     // build-path siblings (same deterministic blocking), so each reuses
     // its sibling's oracle SQL verbatim.
+    // LSH index maintenance: planes are data-independent constants,
+    // so the delta's bucket rows are a stateless per-row projection
+    // appended to the store (grown ≡ fresh by definition) — the
+    // simplest member of the delta family, sharing knn_lsh's oracle
+    // verbatim with NO old-side predicate
+    "knn_lsh_delta" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val c = org.apache.spark.sql.functions.col("vec_id")
+      val grown = graft.operators.Dedup.embeddingLshStoreDelta(
+        graft.operators.Dedup.embeddingLshStore(
+          emb.filter(c % DeltaMod =!= 0), nTables = 4, planesPerTable = 6),
+        emb.filter(c % DeltaMod === 0), nTables = 4, planesPerTable = 6)
+      Similarity.knnLshIndexed(grown.bucketed, probes(s, d), K)
+    }),
     "knn_lsh_served" -> ((s, d) => {
       val (paths, _) = ServingIndexes.once("lsh", d) {
         (Seq(graft.operators.Dedup.embeddingLshStore(Tables.embeddings(s, d),
@@ -463,6 +477,9 @@ object SimilarityRegistry {
    // the sibling oracles verbatim
    base ++ Map(
      "knn_lsh_served" -> base("knn_lsh"),
+     // grown ≡ fresh by definition (constant planes): same oracle,
+     // no old-side predicate
+     "knn_lsh_delta" -> base("knn_lsh"),
      "knn_ivf_served" -> base("knn_ivf"),
      "knn_pq_served" -> base("knn_pq"),
      "knn_ivfpq_served" -> base("knn_ivfpq"))
