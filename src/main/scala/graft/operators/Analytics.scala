@@ -862,10 +862,14 @@ object Analytics {
     * identical) are excluded — a z-score is undefined there, and 0/0
     * must not surface as NaN rows. */
   def eventAnomalies(events: DataFrame, z: Double = 3.0): DataFrame = {
-    val perMin = events.groupBy(col("event_type"),
+    // persisted: both the stats aggregate and the join's left side
+    // read the minute counts — without it the events scan and the
+    // (type, minute) shuffle run twice per query
+    val perMin = graft.operators.CacheTracker.persistTracked(
+      events.groupBy(col("event_type"),
         date_format(date_trunc("minute", col("ts")),
           "yyyy-MM-dd HH:mm:ss").as("minute"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val stats = perMin.groupBy(col("event_type"))
       .agg(count(lit(1)).as("k"), sum(col("n")).as("s"),
         sum(col("n") * col("n")).as("ss"))

@@ -1301,10 +1301,19 @@ object Dedup {
     * old-side predicate at all. */
   def embeddingLshStoreDelta(store: EmbeddingLshStore, delta: DataFrame,
                              nTables: Int = 6, planesPerTable: Int = 4,
-                             dim: Int = 64): EmbeddingLshStore = {
-    val dBucketed = Similarity.lshBucketed(
+                             dim: Int = 64): EmbeddingLshStore =
+    storeWithBucketedDelta(store, delta, Similarity.lshBucketed(
       delta.select(col("vec_id"), col("embedding").as("v")),
-      nTables, planesPerTable, dim)
+      nTables, planesPerTable, dim))
+
+  /** Shared store-append tail: ONE definition of "anti-join the
+    * delta's ids out, append its bucket rows", consumed by both the
+    * serving-index delta above and the pair-emitting near-dup delta
+    * below (which needs the bucketed delta for its candidate join, so
+    * the projection is built once and passed in). */
+  private def storeWithBucketedDelta(store: EmbeddingLshStore,
+                                     delta: DataFrame,
+                                     dBucketed: DataFrame): EmbeddingLshStore = {
     val dIds = delta.select(col("vec_id")).distinct()
     EmbeddingLshStore(
       store.bucketed.join(dIds, Seq("vec_id"), "left_anti").union(dBucketed))
@@ -1317,8 +1326,7 @@ object Dedup {
     val dBucketed = Similarity.lshBucketed(
       delta.select(col("vec_id"), col("embedding").as("v")),
       nTables, planesPerTable, dim)
-    val all = embeddingLshStoreDelta(store, delta, nTables, planesPerTable,
-      dim).bucketed
+    val all = storeWithBucketedDelta(store, delta, dBucketed).bucketed
     // delta side x all sides; cosine is symmetric, so normalizing the
     // orientation to id_a < id_b keeps the full run's pair convention
     // (a delta-delta pair matching twice dedups in the distinct).

@@ -214,7 +214,15 @@ object Multimodal {
       try {
         val fmt = in.getFormat
         val bits = fmt.getSampleSizeInBits
-        if (bits != 8 && bits != 16) None
+        // LINEAR PCM only: a mu-law/A-law WAV also parses with 8-bit
+        // samples, but its bytes are companded — treating them as
+        // linear would report a silent clip as full-scale loud. Those
+        // fall back to the byte stand-in like any undecodable kind.
+        val enc = fmt.getEncoding
+        val linear =
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if (!linear || (bits != 8 && bits != 16)) None
         else {
           val data = in.readAllBytes()
           val hist = new Array[Int](16)

@@ -738,36 +738,49 @@ object Similarity {
     * Scale shape: the edge list is k·N rows (bounded by construction);
     * each iteration is one edge-keyed join + one map-side-combinable
     * sum per node — no windows, no driver loops over data (the
-    * iteration count is a constant, not data-dependent). Inflow sums
-    * use [[Num.dsum]]'s DECIMAL(38,6) accumulation, so the result is
-    * partition-order independent and bit-equal to the oracle's
-    * unrolled replay. Dangling nodes (no out-edges) keep the standard
-    * no-redistribution treatment: their mass exits the system and the
-    * teleport term keeps every rank positive. */
+    * iteration count is a constant, not data-dependent). The iteration
+    * runs in N-SCALED rank space (r = N·p, r₀ = 1, update
+    * r' = (1−d) + d·Σ r/outdeg): values stay O(1) regardless of
+    * corpus size, so the 1e-6 contribution quantization keeps ~1e-6
+    * RELATIVE precision at any N — iterating raw p = 1/N would
+    * quantize every per-edge contribution (~1/(N·outdeg)) to zero by
+    * N ≈ 10⁶, exactly the corpus sizes this exists for. Contributions
+    * quantize by FLOOR(c·10⁶) into exact long sums — floor of a
+    * double is pure IEEE, identical bits on every engine, where a
+    * double→decimal cast's midpoint rounding is implementation-
+    * sensitive — making the result partition-order independent and
+    * bit-equal to the oracle's unrolled replay; the final p = r/N is
+    * one per-row division. Dangling nodes (no out-edges) keep the
+    * standard no-redistribution treatment: their mass exits the
+    * system and the teleport term keeps every rank positive. */
   def knnPagerank(embeddings: DataFrame, k: Int, iters: Int = 3,
                   damping: Double = 0.85): DataFrame = {
     val edges = CacheTracker.persistTracked(
       knnGraph(embeddings, k).select(col("vec_id").as("src"),
         col("neighbor_id").as("dst")))
-    val nodes = embeddings.select(col("vec_id"))
-    val nTotal = nodes.agg(count(lit(1)).as("N"))
+    // both reused every iteration: persist the slim id frame and the
+    // 1-row count so the unrolled plan reads a cached scan instead of
+    // re-counting the corpus iters+1 times
+    val nodes = CacheTracker.persistTracked(embeddings.select(col("vec_id")))
+    val nTotal = CacheTracker.persistTracked(
+      nodes.agg(count(lit(1)).as("N")))
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    var p = nodes.crossJoin(broadcast(nTotal))
-      .select(col("vec_id"), (lit(1.0) / col("N")).as("p"))
+    var r = nodes.select(col("vec_id"), lit(1.0).as("r"))
     for (_ <- 1 to iters) {
       val contrib = edges
-        .join(p.select(col("vec_id").as("src"), col("p")), "src")
+        .join(r.select(col("vec_id").as("src"), col("r")), "src")
         .join(outd, "src")
-        .select(col("dst").as("vec_id"), (col("p") / col("outdeg")).as("c"))
+        .select(col("dst").as("vec_id"),
+          floor(col("r") / col("outdeg") * lit(1000000.0)).cast("long").as("c"))
       val inflow = contrib.groupBy(col("vec_id"))
-        .agg(graft.functions.Num.dsum(col("c")).as("inflow"))
-      p = nodes.crossJoin(broadcast(nTotal))
-        .join(inflow, Seq("vec_id"), "left")
+        .agg((sum(col("c")).cast("double") / lit(1000000.0)).as("inflow"))
+      r = nodes.join(inflow, Seq("vec_id"), "left")
         .select(col("vec_id"),
-          (lit(1.0 - damping) / col("N") +
-            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("p"))
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
     }
-    p.select(col("vec_id"), col("p").as("pagerank"))
+    r.crossJoin(broadcast(nTotal))
+      .select(col("vec_id"), (col("r") / col("N")).as("pagerank"))
   }
 
   /** ANN via multi-table random-hyperplane LSH: `nTables` independent

@@ -506,27 +506,33 @@ object SimilarityRegistry {
        |)""".stripMargin
 
   /** knn_pagerank's replay: the graph edges + `iters` unrolled damped
-    * power iterations. Every double expression mirrors the Spark
-    * loop's spelling exactly — teleport = (1−0.85) computed in double
-    * on both engines, inflow summed in DECIMAL(38,6) then cast back —
-    * so the ranks are bit-equal despite `iters` chained float ops. */
+    * power iterations in the same N-SCALED rank space as the Spark
+    * loop (r₀ = 1, r' = (1−d) + d·Σ r/outdeg, final p = r/N — O(1)
+    * values keep the 1e-6 quantization at ~1e-6 relative precision at
+    * any N). Every double expression mirrors the Spark spelling
+    * exactly — teleport = (1−0.85) computed in double on both
+    * engines, contributions FLOOR(c·10⁶)-quantized into exact BIGINT
+    * sums (floor of a double is pure IEEE on both engines; a
+    * double→decimal cast's midpoint rounding is not) — so the ranks
+    * are bit-equal despite `iters` chained float generations. */
   private def pagerankSql(iters: Int): String = {
     val d = "CAST(0.85 AS DOUBLE)"
     val one = "CAST(1 AS DOUBLE)"
     val its = (1 to iters).map { i =>
       s""", c$i AS (
-         |  SELECT g.dst AS vec_id, p.p / o.outdeg AS c
+         |  SELECT g.dst AS vec_id,
+         |    CAST(floor(p.r / o.outdeg * 1000000.0) AS BIGINT) AS c
          |  FROM ge g
-         |  JOIN p${i - 1} p ON p.vec_id = g.src
+         |  JOIN r${i - 1} p ON p.vec_id = g.src
          |  JOIN outd o ON o.src = g.src
          |), s$i AS (
          |  SELECT vec_id,
-         |    CAST(sum(CAST((c) AS DECIMAL(38,6))) AS DOUBLE) AS inflow
+         |    CAST(sum(c) AS DOUBLE) / 1000000.0 AS inflow
          |  FROM c$i GROUP BY 1
-         |), p$i AS (
+         |), r$i AS (
          |  SELECT e.vec_id,
-         |    ($one - $d) / nn.N + $d * COALESCE(s$i.inflow, $one - $one) AS p
-         |  FROM e CROSS JOIN nn LEFT JOIN s$i USING (vec_id)
+         |    ($one - $d) + $d * COALESCE(s$i.inflow, $one - $one) AS r
+         |  FROM e LEFT JOIN s$i USING (vec_id)
          |)""".stripMargin
     }.mkString
     s"""WITH $GraphCtes, ge AS (
@@ -536,10 +542,10 @@ object SimilarityRegistry {
        |  SELECT count(*) AS N FROM e
        |), outd AS (
        |  SELECT src, count(*) AS outdeg FROM ge GROUP BY 1
-       |), p0 AS (
-       |  SELECT vec_id, $one / N AS p FROM e CROSS JOIN nn
+       |), r0 AS (
+       |  SELECT vec_id, $one AS r FROM e
        |)$its
-       |SELECT vec_id, p AS pagerank FROM p$iters""".stripMargin
+       |SELECT vec_id, r / N AS pagerank FROM r$iters CROSS JOIN nn""".stripMargin
   }
 
   /** knn_ivfpq's replay, parameterized by an extra predicate applied

@@ -112,6 +112,34 @@ class BinaryPayloadSpec extends AnyFunSuite {
       && h1.sum == 1.0f)
     val (_, _, h2) = feats(2L)
     assert(h2(0) == 1.0f && h2.sum == 1.0f)
+    // 8-bit unsigned PCM (the WAV convention for 8-bit): midpoint 128
+    // is silence -> bin 0; 0x00 is full negative swing -> bin 15
+    val fmt8 = new AudioFormat(8000f, 8, 1, false, false)
+    val pcm8 = Array.fill(16)(128.toByte) ++ Array.fill(16)(0.toByte)
+    val in8 = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm8), fmt8, pcm8.length)
+    val baos8 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in8, AudioFileFormat.Type.WAVE, baos8)
+    val h8 = Multimodal.featuresOf(
+      Seq((4L, baos8.toByteArray)).toDF("doc_id", "payload"))
+      .as[(Long, Int, Seq[Float])].collect().head._3
+    assert(h8(0) == 0.5f && h8(15) == 0.5f && h8.sum == 1.0f)
+    // a mu-law WAV parses with 8-bit samples but its bytes are
+    // COMPANDED — it must take the byte stand-in, not read as linear
+    // PCM (mu-law silence would otherwise report full-scale loud)
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val ulawIn = AudioSystem.getAudioInputStream(ulawFmt,
+      new AudioInputStream(new java.io.ByteArrayInputStream(
+        Array.fill(64)(0.toByte)), new AudioFormat(8000f, 16, 1, true, false),
+        32))
+    val baosU = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulawIn, AudioFileFormat.Type.WAVE, baosU)
+    val ulaw = baosU.toByteArray
+    val hU = Multimodal.featuresOf(
+      Seq((5L, ulaw)).toDF("doc_id", "payload"))
+      .as[(Long, Int, Seq[Float])].collect().head._3
+    assert(hU == Multimodal.decodeBatchStub(Seq((5L, ulaw))).head._3.toSeq)
     // and a RIFF header that is NOT decodable audio falls back to the
     // byte histogram instead of failing the job
     val fake = ("RIFF1234WAVEgarbage" + "x" * 40).getBytes("UTF-8")

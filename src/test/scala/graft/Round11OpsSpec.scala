@@ -230,9 +230,10 @@ class Round11OpsSpec extends AnyFunSuite {
       Similarity.knnPagerank(emb, 10).as[(Long, Double)].collect().toMap
     }
     assert(ranks.size == n) // every node ranked, pairless ones included
-    // total mass ≤ 1 (dangling mass exits, teleport re-adds (1-d)/N each)
+    // total mass ≤ 1 strictly: dangling mass exits, and the FLOOR
+    // quantization of contributions can only lose mass, never add
     val total = ranks.values.sum
-    assert(total > 0.0 && total <= 1.0 + 1e-9, s"total mass $total")
+    assert(total > 0.0 && total <= 1.0 + 1e-12, s"total mass $total")
     // every rank at least the final teleport term, never NaN
     val floor = 0.15 / n * 0.999
     assert(ranks.values.forall(r => !r.isNaN && r >= floor))
