@@ -1017,6 +1017,30 @@ object Dedup {
       .withColumn("is_dup", (col("vec_id") =!= col("cluster_id")).cast("int"))
   }
 
+  /** Semantic keeper election by CENTRALITY — the SemDeDup ending a
+    * curation pipeline actually wants: within each embedding near-dup
+    * cluster keep the vector the kNN GRAPH keeps pointing back at
+    * (its region's hub — usually the canonical version), not the one
+    * with the smallest id. Composes [[embeddingNearDupLsh]] pairs →
+    * [[clusters]] closure → [[keepBest]]'s two-aggregate election
+    * with [[Similarity.knnPagerank]] as the score, quantized to a
+    * long at 1e-9 (floor of a double — bit-identical on every
+    * engine, and rank gaps at equal centrality are far below 1e-9
+    * only for genuinely tied vectors, which the min-id tie-break then
+    * orders deterministically). Output is [[exact]]'s (vec_id,
+    * keep_id, is_dup) contract on vector ids. */
+  def semanticKeepersBest(embeddings: DataFrame, tau: Double, k: Int,
+                          nTables: Int = 6, planesPerTable: Int = 4,
+                          dim: Int = 64): DataFrame = {
+    val ranks = Similarity.knnPagerank(embeddings, k)
+      .select(col("vec_id").as("doc_id"),
+        floor(col("pagerank") * lit(1000000000.0)).cast("long").as("s9"))
+    val pairs = embeddingNearDupLsh(embeddings, tau, nTables, planesPerTable,
+      dim).select(col("id_a"), col("id_b"))
+    keepBest(ranks, pairs, col("s9"))
+      .select(col("doc_id").as("vec_id"), col("keep_id"), col("is_dup"))
+  }
+
   /** Keeper election by QUALITY, not by id — the policy a production
     * pipeline actually runs on near-dup clusters: of the N near-copies
     * of a page, keep the BEST one (longest / highest-scoring — usually

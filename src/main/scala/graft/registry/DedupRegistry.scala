@@ -187,6 +187,11 @@ object DedupRegistry {
     // literals + recursive closure + left join).
     "dd_semantic" -> ((s, d) =>
       Dedup.semanticKeepers(Tables.embeddings(s, d), CosineTau)),
+    // SemDeDup with CENTRALITY election: within each semantic cluster
+    // keep the kNN-graph pagerank hub, not the min id
+    "dd_semantic_best" -> ((s, d) =>
+      Dedup.semanticKeepersBest(Tables.embeddings(s, d), CosineTau,
+        SimilarityRegistry.K)),
     // The composed production order: EXACT dedup first, MinHash over
     // the keepers only. Near-dup pair output is quadratic in exact-copy
     // multiplicity by definition (100 copies of one doc = 4,950 true
@@ -596,5 +601,46 @@ object DedupRegistry {
          |  CAST(emb.vec_id <> coalesce(comp.cluster_id, emb.vec_id) AS INTEGER)
          |    AS is_dup
          |FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.vec_id""".stripMargin,
+    // dd_semantic's cluster CTEs + the pagerank replay nested as its
+    // own scoped WITH (inner names shadow the outer e/bucketed) + the
+    // keepBest two-stage election with the floor-quantized rank score
+    "dd_semantic_best" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), bucketed AS (
+         |${VectorSql.lshBucketed(nTables = 6, planesPerTable = 4, dim = 64)}
+         |), pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE $Dot / (${nrm("a")} * ${nrm("b")}) >= $CosineTau
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT re.id, e2.dst FROM reach re JOIN edges e2 ON e2.src = re.r
+         |), comp AS (
+         |  SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
+         |), ranks AS (
+         |${SimilarityRegistry.pagerankSql(SimilarityRegistry.PagerankIters)}
+         |), assigned AS (
+         |  SELECT r9.vec_id,
+         |    CAST(floor(r9.pagerank * 1000000000.0) AS BIGINT) AS s9,
+         |    COALESCE(comp.cluster_id, r9.vec_id) AS cluster_id
+         |  FROM ranks r9 LEFT JOIN comp ON comp.vec_id = r9.vec_id
+         |), best AS (
+         |  SELECT cluster_id, max(s9) AS best FROM assigned GROUP BY 1
+         |), keepers AS (
+         |  SELECT a.cluster_id, min(a.vec_id) AS keep_id
+         |  FROM assigned a JOIN best b
+         |    ON b.cluster_id = a.cluster_id AND a.s9 = b.best
+         |  GROUP BY 1
+         |)
+         |SELECT a.vec_id, k.keep_id,
+         |  CAST(a.vec_id <> k.keep_id AS INTEGER) AS is_dup
+         |FROM assigned a JOIN keepers k ON k.cluster_id = a.cluster_id""".stripMargin,
   )
 }

@@ -515,7 +515,8 @@ object SimilarityRegistry {
     * sums (floor of a double is pure IEEE on both engines; a
     * double→decimal cast's midpoint rounding is not) — so the ranks
     * are bit-equal despite `iters` chained float generations. */
-  private def pagerankSql(iters: Int): String = {
+  // shared with DedupRegistry's dd_semantic_best oracle
+  private[registry] def pagerankSql(iters: Int): String = {
     val d = "CAST(0.85 AS DOUBLE)"
     val one = "CAST(1 AS DOUBLE)"
     val its = (1 to iters).map { i =>
