@@ -39,7 +39,8 @@ object Bench {
       "cp_dup_attribution",
       "dd_exact", "dd_exact_delta", "dd_keep_best_dedup", "dd_paragraph", "dd_paragraph_rewrite",
       "dd_boilerplate", "cp_pack",
-      "dd_minhash", "dd_simhash", "dd_semantic", "mm_payload_neardup",
+      "dd_minhash", "dd_simhash", "dd_semantic", "dd_semantic_best",
+      "mm_payload_neardup",
       "knn_bruteforce", "knn_ivf", "knn_graph", "knn_pagerank",
       "knn_pq", "knn_ivfpq",
       "knn_outliers",
