@@ -24,6 +24,11 @@ object StreamsRegistry {
     // the batch histogram (oracle verbatim).
     "st_histogram" -> ((s, d) =>
       Streams.valueHistogram(s, d, AnalyticsRegistry.HistWidth)),
+    // streaming rate alarm: minute counts as complete-mode state, the
+    // z-score report as the post-drain serving query; drained ≡ the
+    // batch anomaly pass (oracle verbatim).
+    "st_anomaly" -> ((s, d) =>
+      Streams.eventAnomalies(s, d, AnalyticsRegistry.AnomalyZ)),
     "st_dedup" -> ((s, d) => Streams.dedupExact(s, d)),
     // stream-stream inner join (watermarked both sides, banded time
     // constraint = bounded buffered state); bounded run ≡ batch join
@@ -138,5 +143,7 @@ object StreamsRegistry {
     "st_histogram" -> AnalyticsRegistry.oracleSql("q_value_histogram"),
     // drained per-batch screening ≡ the batch fuzzy decontamination
     "st_contamination" -> CorpusRegistry.oracleSql("cp_decontaminate_fuzzy"),
+    // drained minute counts + the serving query ≡ the batch anomalies
+    "st_anomaly" -> AnalyticsRegistry.oracleSql("q_events_anomaly"),
   )
 }

@@ -138,6 +138,54 @@ object Streams {
     spark.table(sink)
   }
 
+  /** Streaming volume-spike anomaly detection ≡ batch
+    * [[graft.operators.Analytics.eventAnomalies]]: the per-(type,
+    * minute) counts maintain as ONE complete-mode aggregate (state
+    * bounded by occupied minutes — the same state the histogram/hourly
+    * rows carry), and the z-score stage runs as the POST-DRAIN serving
+    * query over the drained count table (st_funnel's pattern: state in
+    * the stream, the report as a query over it) — the live rate-alarm
+    * shape: counts update per batch, the alarm query reads them on
+    * demand. Drained, counts equal the batch minute counts, so the
+    * report equals the batch anomaly pass and its SQL is the oracle
+    * verbatim. */
+  def eventAnomalies(spark: SparkSession, dir: String,
+                     z: Double): DataFrame = {
+    val stream = FileStreamSource(s"$dir/events.parquet").stream(spark)
+    val perMin = stream.groupBy(col("event_type"),
+        date_format(date_trunc("minute", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("minute"))
+      .agg(count(lit(1)).as("n"))
+    val sink = s"st_an_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = perMin.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the serving query: per-type exact-integer sufficient statistics
+    // + the fixed-order z expression over the drained counts — the
+    // identical tail as the batch operator. The counts land in a
+    // parquet table first (the production shape — alarm queries read
+    // a maintained counts table; it also sidesteps the memory-sink
+    // view's self-join attribute conflict)
+    val outDir = TempDirs.create("graft_st_anomaly")
+    spark.table(sink).write.mode("overwrite").parquet(outDir)
+    val counts = spark.read.parquet(outDir)
+    val stats = counts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+    counts.join(stats, "event_type")
+      .withColumn("mean", col("s").cast("double") / col("k"))
+      .withColumn("varr",
+        (col("ss").cast("double") - col("s").cast("double") * col("s")
+          / col("k")) / col("k"))
+      .filter(col("varr") > 0)
+      .withColumn("zscore", (col("n") - col("mean")) / sqrt(col("varr")))
+      .filter(abs(col("zscore")) >= z)
+      .select(col("event_type"), col("minute"), col("n"), col("zscore"))
+  }
+
   /** Streaming corpus quality gate ≡ batch
     * [[graft.operators.Corpus.qualityGate]]: the gate is pure per-row
     * column math over `text` plus ONE aggregation on source, so the
