@@ -214,15 +214,21 @@ object Multimodal {
       try {
         val fmt = in.getFormat
         val bits = fmt.getSampleSizeInBits
-        // LINEAR PCM only: a mu-law/A-law WAV also parses with 8-bit
-        // samples, but its bytes are companded — treating them as
-        // linear would report a silent clip as full-scale loud. Those
-        // fall back to the byte stand-in like any undecodable kind.
+        // LINEAR PCM only, with encoding TIED to bit depth — the WAV
+        // conventions the decode branches below hardcode: 8-bit is
+        // unsigned midpoint-128, 16-bit is signed two's-complement. A
+        // mu-law/A-law WAV also parses with 8-bit samples, but its
+        // bytes are companded — treating them as linear would report a
+        // silent clip as full-scale loud — and a hypothetical 16-bit
+        // PCM_UNSIGNED (or 8-bit PCM_SIGNED) stream would be misread
+        // the same way, so those fall back to the byte stand-in too.
         val enc = fmt.getEncoding
         val linear =
-          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
-        if (!linear || (bits != 8 && bits != 16)) None
+          (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+            bits == 8) ||
+          (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            bits == 16)
+        if (!linear) None
         else {
           val data = in.readAllBytes()
           val hist = new Array[Int](16)

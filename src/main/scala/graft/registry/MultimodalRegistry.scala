@@ -7,9 +7,11 @@ import graft.operators.Multimodal
 import graft.sources.Tables
 
 /** F-family bindings. The oracle works on `text` directly: the payload
-  * is its UTF-8 encoding and the corpus is pure ASCII (verified), so
-  * byte offsets == char offsets and DuckDB's VARCHAR md5/substr see
-  * the identical bytes Spark's BINARY ops see. The PNG/JPEG magic
+  * is its UTF-8 encoding and the corpus is pure ASCII (verified, and
+  * GATED: MultimodalSpec's ASCII gate fails loudly on a driver data
+  * regen introducing any multi-byte character), so byte offsets ==
+  * char offsets and DuckDB's VARCHAR md5/substr see the identical
+  * bytes Spark's BINARY ops see. The PNG/JPEG magic
   * branches of the sniffer cannot fire on ASCII input, so the oracle
   * CASE carries only the branches reachable in this corpus — same
   * output, every row. mm_features unrolls its feature vector into

@@ -71,8 +71,10 @@ object SimilarityRegistry {
     "knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d), K)),
     // graph centrality over the kNN graph: fixed damped power
-    // iterations, DECIMAL-exact inflow sums — the representative-
-    // selection signal for semantic regions
+    // iterations, floor-quantized exact BIGINT inflow sums (each
+    // contribution floored at 1e-6 into a long — see knnPagerank's
+    // docstring for why floor-of-double beats a decimal cast) — the
+    // representative-selection signal for semantic regions
     "knn_pagerank" -> ((s, d) =>
       Similarity.knnPagerank(Tables.embeddings(s, d), K, PagerankIters)),
     // The ANN quality report: recall@k of lsh/ivf vs brute force on

@@ -655,21 +655,34 @@ object Streams {
     * within the doc's one batch, so a bounded drain emits exactly the
     * batch screening of the whole train side — its SQL is the oracle
     * verbatim. Each batch's internal persists release at batch end
-    * (scoped bracket). */
+    * (scoped bracket). IDEMPOTENT under foreachBatch's at-least-once
+    * contract: each micro-batch OVERWRITES its own `batch=<id>`
+    * subdirectory (the [[searchIndexFromStream]] pattern) instead of
+    * appending to a shared sink, so a retried batch (task/driver
+    * retry, or a re-drain from a fresh checkpoint) rewrites its own
+    * hit rows rather than double-appending them — the drained ≡ batch
+    * equivalence the oracle relies on survives retries. Readers drop
+    * the batchId partition column (layout, not screening data). */
   def contaminationFromStream(docs: DataFrame, evalDocs: DataFrame,
                               outDir: String, n: Int, tau: Double): Unit = {
     val q = docs.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.CacheTracker.scoped {
           graft.operators.Corpus.decontaminateFuzzy(batch, evalDocs, n, tau)
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         }
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
   }
+
+  /** The screening columns of [[graft.operators.Corpus.decontaminateFuzzy]]
+    * — what readers of a contamination sink select (dropping the
+    * `batch` partition column the idempotent layout adds). */
+  private val ContaminationCols =
+    Seq("doc_id", "n_matches", "max_jaccard", "first_eval_id")
 
   /** File-source binding of [[contaminationFromStream]]: the mod-split
     * eval set is the static side, the train side streams. */
@@ -682,6 +695,7 @@ object Streams {
     val outDir = TempDirs.create("graft_contam")
     contaminationFromStream(stream, evalDocs, outDir, n, tau)
     spark.read.parquet(outDir)
+      .select(ContaminationCols.map(col): _*)
   }
 
   /** Streaming ANN serving — the online half of a similarity service:

@@ -91,4 +91,29 @@ class MultimodalSpec extends AnyFunSuite {
     // L1 normalization: histogram sums to ~1
     assert(math.abs(a.head._3.sum - 1f) < 1e-5)
   }
+
+  // The F-family oracles slice `documents.text` with CHARACTER-indexed
+  // substr()/length()/ord() while the Spark side frames UTF-8 BYTES —
+  // equivalent only while the corpus is pure ASCII (one byte per char).
+  // This gate makes that assumption fail LOUDLY on a driver data regen
+  // that introduces any multi-byte character, instead of surfacing as
+  // an unexplained mm_* hash mismatch (the failure mode the round-10
+  // parquet-encoding regen showed is possible). octet_length == char
+  // length under UTF-8 ⇔ every char is one byte ⇔ ASCII.
+  test("GATE: documents.text is pure ASCII (F-family byte==char oracle assumption)") {
+    import org.apache.spark.sql.functions.{col, length, octet_length}
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val dir = s"/root/testdata/$sf/documents.parquet"
+      if (new java.io.File(dir).exists()) {
+        val nonAscii = spark.read.parquet(dir)
+          .filter(col("text").isNotNull &&
+            octet_length(col("text")) =!= length(col("text"))).count()
+        assert(nonAscii == 0L,
+          s"$sf documents.text has $nonAscii non-ASCII rows: the " +
+            "MultimodalRegistry oracles' char-indexed substr/length/ord " +
+            "no longer equal the Spark side's byte framing — rewrite " +
+            "those oracles over encode(text) BLOB byte offsets")
+      }
+    }
+  }
 }

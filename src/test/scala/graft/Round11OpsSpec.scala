@@ -165,6 +165,7 @@ class Round11OpsSpec extends AnyFunSuite {
     graft.streaming.Streams.contaminationFromStream(
       stream, evalDocs, out, 3, 0.8)
     val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_matches", "max_jaccard", "first_eval_id")
       .as[(Long, Long, Double, Long)].collect().toSet
     val batch = Dedup.cached {
       Corpus.decontaminateFuzzy(trainRows.toDF("doc_id", "text"), evalDocs,
