@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, Text, Vec}
@@ -340,10 +340,16 @@ object Dedup {
     * and both sides of the verification join re-read them. Also the
     * SHINGLE STORE the streaming verify joins candidates against
     * ([[graft.streaming.Streams.minhashVerified]]): at corpus scale
-    * this is a maintained table, not a per-run projection. */
-  private[graft] def shingleRows(docs: DataFrame, n: Int): DataFrame =
+    * this is a maintained table, not a per-run projection.
+    * `tokenizer` is the §5 unsegmented-script opt-in: the default is
+    * the reference-parity `Text.tokens`; a CJK-heavy corpus passes
+    * `Text.cjkTokens` so Han/kana/Hangul runs shingle over character
+    * bigrams instead of one giant run token (CjkPipelineSpec grades
+    * the switch end-to-end). */
+  private[graft] def shingleRows(docs: DataFrame, n: Int,
+      tokenizer: Column => Column = Text.tokens): DataFrame =
     CacheTracker.persistTracked(docs
-      .select(col("doc_id"), Text.shingles(Text.tokens(col("text")), n).as("sh"))
+      .select(col("doc_id"), Text.shingles(tokenizer(col("text")), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s")))
 
@@ -460,9 +466,14 @@ object Dedup {
     * prefix join only witnesses prefix-shingle overlap; the true
     * intersection needs every shingle). Identical output to blocking
     * on all shingles — prefix filtering is lossless for J ≥ τ — so the
-    * SQL oracle replays the unfiltered blocking. */
-  def ngramJaccard(docs: DataFrame, n: Int, tau: Double): DataFrame =
-    jaccardOver(shingleRows(docs, n), tau)
+    * SQL oracle replays the unfiltered blocking. `tokenizer` is the §5
+    * unsegmented-script opt-in (default: reference-parity
+    * `Text.tokens`; pass `Text.cjkTokens` for a CJK-heavy corpus —
+    * losslessness is tokenizer-independent, it only needs each doc's
+    * shingle SET). */
+  def ngramJaccard(docs: DataFrame, n: Int, tau: Double,
+      tokenizer: Column => Column = Text.tokens): DataFrame =
+    jaccardOver(shingleRows(docs, n, tokenizer), tau)
 
   /** Exact-Jaccard pairs over ARBITRARY (doc_id, s) item rows — the
     * same lossless SSJoin pipeline as [[ngramJaccard]] with the item

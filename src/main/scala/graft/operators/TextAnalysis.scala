@@ -294,9 +294,14 @@ object TextAnalysis {
     * ([[graft.plans.TokenStatsKernels.sumSqTokenCounts]]), which
     * replaces the (doc, word) count-aggregate spelling that exchanged
     * every token row twice for a per-doc scalar. Integer sums + one
-    * IEEE division per output column keep the oracle bit-exact. */
-  def diversity(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    * IEEE division per output column keep the oracle bit-exact.
+    * `tokenizer` is the §5 unsegmented-script opt-in (default:
+    * reference-parity `Text.tokens`; a CJK-heavy corpus passes
+    * `Text.cjkTokens` so TTR/Simpson read character bigrams instead
+    * of one giant run token — CjkPipelineSpec pins both readings). */
+  def diversity(docs: DataFrame,
+      tokenizer: Column => Column = Text.tokens): DataFrame =
+    docs.select(col("doc_id"), tokenizer(col("text")).as("toks"))
       .select(col("doc_id"),
         // null text → null toks → null sizes/kernel: count as zero
         // tokens (the oracle's left-join-coalesce does the same)
