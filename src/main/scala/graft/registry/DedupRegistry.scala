@@ -5,9 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Dedup
 import graft.sources.Tables
 
-/** D-family bindings. dd_minhash / dd_simhash have no oracle (DuckDB
-  * has no xxhash64), so they are rows-checked by the driver and
-  * exactness-checked by DedupSpec instead (SURVEY §2).
+/** D-family bindings. Since r12 the hash-sketch family (dd_minhash,
+  * dd_simhash and their delta/composed forms) is ORACLE-checked too:
+  * DuckDB has no xxhash64 built-in, but xxHash64 is a fixed public
+  * algorithm, so [[XxSql]] replays it as SQL integer arithmetic —
+  * DedupSpec remains the semantic spec, the oracle now pins the
+  * bits.
   */
 object DedupRegistry {
 
@@ -31,10 +34,9 @@ object DedupRegistry {
   /** Boilerplate report size. */
   val BoilerplateK = 20
 
-  /** DuckDB spelling of Text.shingles(Text.tokens(text), 3). */
-  private val Sh3 =
-    """list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
-      |    i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3])))""".stripMargin
+  /** DuckDB spelling of Text.shingles(Text.tokens(text), 3) — shared
+    * with the XxSql MinHash replay via TextSql. */
+  private val Sh3 = TextSql.Sh3Expr
   import TextSql.ToksExpr
 
   private val Dot =
@@ -211,8 +213,9 @@ object DedupRegistry {
     }),
     // Incremental MinHash: every verified pair touching the delta,
     // band-joined against the persisted banded-signature + shingle
-    // store — no full-corpus re-run. No SQL oracle (xxhash64);
-    // DeltaDedupSpec proves delta-mode ≡ the restricted full run.
+    // store — no full-corpus re-run. Oracle (r12): the XxSql full-run
+    // replay restricted to delta-touching pairs — exactly the
+    // contract DeltaDedupSpec proves delta-mode emits.
     "dd_minhash_delta" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val c = org.apache.spark.sql.functions.col("doc_id")
@@ -222,8 +225,8 @@ object DedupRegistry {
     }),
     // Incremental SimHash: every Hamming ≤ 3 pair touching the delta,
     // band-joined against the persisted (doc_id, simhash) sketch
-    // store. No SQL oracle (xxhash64); DeltaDedupSpec proves
-    // delta-mode ≡ the restricted full run.
+    // store. Oracle (r12): the XxSql full-run replay restricted to
+    // delta-touching pairs (DeltaDedupSpec proves the contract).
     "dd_simhash_delta" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val c = org.apache.spark.sql.functions.col("doc_id")
@@ -642,5 +645,33 @@ object DedupRegistry {
          |SELECT a.vec_id, k.keep_id,
          |  CAST(a.vec_id <> k.keep_id AS INTEGER) AS is_dup
          |FROM assigned a JOIN keepers k ON k.cluster_id = a.cluster_id""".stripMargin,
+
+    // === r12 sketch-family oracle promotion (XxSql): xxhash64 is a
+    // fixed public algorithm, so the MinHash/SimHash pipelines replay
+    // as DuckDB integer arithmetic — the r4 knn_lsh/knn_ivf flip,
+    // finished for the hash-sketch family. Validated bit-for-bit
+    // against XXH64 (string/int/long vectors incl. the 32-byte stripe
+    // path) and hash-exact on jaccard/hamming at sf0.01 and sf0.1.
+    "dd_minhash" -> XxSql.minhashPairs("documents", JaccardTau),
+    // delta ≡ the full run restricted to pairs touching the delta
+    // (the contract minhashLshDelta emits, DeltaDedupSpec-proven)
+    "dd_minhash_delta" -> XxSql.minhashPairs("documents", JaccardTau,
+      s"AND (i.id_a % $DeltaMod = 0 OR i.id_b % $DeltaMod = 0)"),
+    // the composed order: the pair pipeline over exact-dedup keepers
+    // only (keeper = min doc_id of each md5(text) group; PARTITION BY
+    // groups NULL fps together, matching exact()'s null-safe join)
+    "dd_minhash_dedup" -> XxSql.minhashPairs(
+      """(SELECT d.doc_id, d.text FROM documents d
+        |   JOIN (SELECT doc_id FROM (
+        |           SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS k
+        |           FROM documents)
+        |         WHERE doc_id = k) kk ON kk.doc_id = d.doc_id) src""".stripMargin,
+      JaccardTau),
+    "dd_simhash" -> XxSql.simhashPairs("documents", SimHashMaxDist),
+    "dd_simhash_delta" -> XxSql.simhashPairs("documents", SimHashMaxDist,
+      s"AND (id_a % $DeltaMod = 0 OR id_b % $DeltaMod = 0)"),
   )
+
+  /** dd_simhash blocking bound (4-band pigeonhole ⇒ exact ≤ 3). */
+  val SimHashMaxDist = 3
 }

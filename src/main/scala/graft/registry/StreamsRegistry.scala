@@ -34,13 +34,15 @@ object StreamsRegistry {
     // constraint = bounded buffered state); bounded run ≡ batch join
     "st_event_pairs" -> ((s, d) => Streams.eventPairs(s, d)),
     // incremental MinHash near-dup candidates (per-row signatures +
-    // stateful capped buckets); no SQL oracle (xxhash64) — StreamsSpec
-    // proves cross-batch pairing, unrelated isolation, and the cap
+    // stateful capped buckets); oracle-checked since r12 (the XxSql
+    // xxhash64 replay of the batch banding — a bounded drain emits
+    // exactly its intra-bucket pairs) — StreamsSpec still proves
+    // cross-batch pairing, unrelated isolation, and the cap
     "st_minhash_cand" -> ((s, d) => Streams.minhashCandidates(s, d)),
     // candidates → exact-Jaccard verify against the persisted shingle
     // store (per-micro-batch foreachBatch join): the complete streaming
-    // near-dup pipeline. No SQL oracle (candidate set is xxhash64-
-    // derived); StreamsSpec proves ≡ batch dd_minhash output.
+    // near-dup pipeline. Oracle-checked since r12: drained ≡ batch
+    // dd_minhash (spec-proven), so its replay holds verbatim.
     "st_minhash_verified" -> ((s, d) => Streams.minhashVerified(s, d)),
     // streaming quality gate: the H-family gate's projection+agg chain
     // unchanged over a document stream (complete mode); drained ≡ the
@@ -145,5 +147,13 @@ object StreamsRegistry {
     "st_contamination" -> CorpusRegistry.oracleSql("cp_decontaminate_fuzzy"),
     // drained minute counts + the serving query ≡ the batch anomalies
     "st_anomaly" -> AnalyticsRegistry.oracleSql("q_events_anomaly"),
+    // r12 sketch-family oracle promotion (XxSql xxhash64 replay): a
+    // bounded drain of the stateful bucket stream emits exactly the
+    // batch banding's intra-bucket pairs (no cap/TTL eviction fires
+    // on the graded corpus; cross-batch pairing is StreamsSpec-proven)
+    "st_minhash_cand" -> XxSql.minhashCandidates("documents"),
+    // the complete streaming pipeline drains to the batch dd_minhash
+    // pair set (spec-proven), so its replay is the oracle verbatim
+    "st_minhash_verified" -> DedupRegistry.oracleSql("dd_minhash"),
   )
 }

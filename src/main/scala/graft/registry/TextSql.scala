@@ -14,6 +14,14 @@ private[registry] object TextSql {
   val ToksExpr: String =
     "list_filter(list_transform(regexp_split_to_array(text, '[^\\p{L}]+'), w -> lower(w)), w -> w <> '')"
 
+  /** DuckDB spelling of Text.shingles(Text.tokens(text), 3) over a
+    * `toks` list column — shared by the D-family Jaccard oracles and
+    * the XxSql MinHash replay (one source of truth, same reason as
+    * ToksExpr). */
+  val Sh3Expr: String =
+    """list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
+      |    i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3])))""".stripMargin
+
   def sqlList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
