@@ -11,8 +11,13 @@ import org.apache.spark.sql.functions._
   *
   *   sbt "runMain graft.ScaleProbe 50 dd_paragraph,cp_quality_gate"
   *
-  * Not part of the graded surface; embeddings pass through unscaled
-  * so vector-family bindings still resolve if named.
+  * Not part of the graded surface. The EMBEDDINGS table scales too
+  * (r12, for the E-family capstone probes): `mult` offset-id copies
+  * with a DETERMINISTIC per-copy perturbation — copy i shifts
+  * dimension (i mod dim) by i·1e-4 — the r8 embedding-probe recipe:
+  * copies stay near-identical (the near-dup worst case: every copy
+  * pairs inside its LSH bucket) without the exact ties of bit-equal
+  * vectors degenerating kNN ranking.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -35,8 +40,20 @@ object ScaleProbe {
         docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * maxId)))
       .reduce(_ union _)
     big.write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
-    spark.read.parquet(s"$src/embeddings.parquet")
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxVecRow = emb.agg(max(col("vec_id"))).head()
+    val maxVec = (if (maxVecRow.isNullAt(0)) -1L else maxVecRow.getLong(0)) + 1L
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val bigEmb = (0 until mult).map { i =>
+      val shifted =
+        if (i == 0) emb
+        else emb.withColumn("embedding",
+          transform(col("embedding"), (x, j) =>
+            when(j === lit(i % dim), x + lit((i * 1e-4).toFloat))
+              .otherwise(x)))
+      shifted.withColumn("vec_id", col("vec_id") + lit(i.toLong * maxVec))
+    }.reduce(_ union _)
+    bigEmb.write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
     val n = spark.read.parquet(s"$out/documents.parquet").count()
     println(s"""{"probe_docs":$n,"mult":$mult}""")
     queries.filter(SparkEntry.queries.contains).foreach { q =>

@@ -285,6 +285,26 @@ object Similarity {
       .limit(topK)
   }
 
+  /** IVF index HEALTH census (r12) — the report an index-maintenance
+    * pipeline reads between rebuilds: per cell, how many vectors the
+    * zero-shuffle argmax assignment landed there and that cell's share
+    * of the corpus. Skewed cells are the probe-latency tail (an
+    * nProbe=K query pays the K chosen cells' occupancy) and the
+    * rebuild trigger (delta appends concentrate where the data
+    * drifts, [[ivfDelta]] never rebalances). Cost: the same
+    * scan-side assignment every IVF row uses + ONE map-side-combined
+    * aggregate on the S-bounded cell key; the share divides by the
+    * assigned total (one IEEE division per cell row — engine-exact).
+    * Output: (cell, n_vectors, share). */
+  def ivfCensus(embeddings: DataFrame, centroidMod: Int = 37): DataFrame = {
+    val counts = ivfAssigned(embeddings, centroidMod)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    val total = counts.agg(sum(col("n_vectors")).as("tot"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cell"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("tot")).as("share"))
+  }
+
   /** Lloyd's k-means refinement of the deterministic seed codebook.
     * Each iteration is (a) the zero-shuffle argmax assignment above and
     * (b) ONE agg shuffle on the cell id computing per-cell element

@@ -48,6 +48,12 @@ object SimilarityRegistry {
       Similarity.knnIvf(Tables.embeddings(s, d), probes(s, d), K)),
     "knn_outliers" -> ((s, d) =>
       Similarity.outliers(Tables.embeddings(s, d), CentroidMod, OutlierK)),
+    // IVF index HEALTH census (r12): per-cell occupancy + corpus
+    // share over the zero-shuffle argmax assignment — the skew report
+    // an index-maintenance pipeline reads between rebuilds (deltas
+    // append under a frozen codebook and never rebalance)
+    "knn_ivf_census" -> ((s, d) =>
+      Similarity.ivfCensus(Tables.embeddings(s, d), CentroidMod)),
     // incremental index maintenance: the delta's vectors assigned
     // under the STORE's codebook and appended (no rescan, no
     // retrain); queried over the grown index — ≡ a fresh build over
@@ -288,6 +294,32 @@ object SimilarityRegistry {
          |)
          |SELECT probe_id, neighbor_id, cos_sim, rnk
          |FROM ranked WHERE rnk <= $K""".stripMargin,
+    // the census over the same argmax assignment: per-cell counts +
+    // one IEEE share division (DuckDB's sum() widens to HUGEINT; the
+    // double division yields the identical IEEE result)
+    "knn_ivf_census" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(v, x -> x / ${VectorSql.nrm("v")}) AS unit
+         |  FROM e WHERE vec_id % $CentroidMod = 0
+         |), scored_cells AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${VectorSql.dot("e.v", "c.unit")} AS d
+         |  FROM e CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY d DESC, cid ASC) AS rn
+         |    FROM scored_cells) WHERE rn = 1
+         |), counts AS (
+         |  SELECT cell, count(*) AS n_vectors FROM assigned GROUP BY cell
+         |), tot AS (SELECT sum(n_vectors) AS tot FROM counts)
+         |SELECT cell, n_vectors,
+         |  CAST(n_vectors AS DOUBLE) / tot AS share
+         |FROM counts, tot""".stripMargin,
     // IVF: replay the seed codebook (every CentroidMod-th vector,
     // L2-normalized exactly like the Spark codebook), assign each
     // vector to its argmax cell by dot(v, unit) with the kernel's

@@ -29,6 +29,10 @@ object StreamsRegistry {
     // batch anomaly pass (oracle verbatim).
     "st_anomaly" -> ((s, d) =>
       Streams.eventAnomalies(s, d, AnalyticsRegistry.AnomalyZ)),
+    // streaming media-kind census (r12, the F-family's live form):
+    // complete-mode (kind, content-md5) ledger + the census as the
+    // post-drain serving query; drained ≡ batch mm_kind_census
+    "st_mm_census" -> ((s, d) => Streams.mmKindCensus(s, d)),
     "st_dedup" -> ((s, d) => Streams.dedupExact(s, d)),
     // stream-stream inner join (watermarked both sides, banded time
     // constraint = bounded buffered state); bounded run ≡ batch join
@@ -147,6 +151,8 @@ object StreamsRegistry {
     "st_contamination" -> CorpusRegistry.oracleSql("cp_decontaminate_fuzzy"),
     // drained minute counts + the serving query ≡ the batch anomalies
     "st_anomaly" -> AnalyticsRegistry.oracleSql("q_events_anomaly"),
+    // drained content ledger + the serving query ≡ the batch census
+    "st_mm_census" -> MultimodalRegistry.oracleSql("mm_kind_census"),
     // r12 sketch-family oracle promotion (XxSql xxhash64 replay): a
     // bounded drain of the stateful bucket stream emits exactly the
     // batch banding's intra-bucket pairs (no cap/TTL eviction fires

@@ -642,6 +642,44 @@ object Streams {
     spark.read.parquet(outDir).distinct()
   }
 
+  /** Streaming MEDIA-kind census (r12, the F-family's live form) ≡
+    * batch [[graft.operators.Multimodal.kindCensus]]: the per-kind
+    * payload/dedup/byte-volume dashboard a media ingest keeps current.
+    * Streaming aggregations can't chain (the batch census'
+    * count(DISTINCT pm) is a second aggregation level), so the stream
+    * maintains the CONTENT LEDGER — one complete-mode row per
+    * (kind, payload md5) with its occurrence count and byte length,
+    * exactly the table a media store's dedup keeps anyway — and the
+    * census report runs as the POST-DRAIN serving query over it
+    * (st_anomaly's state-plus-serving-query pattern). State is
+    * bounded by DISTINCT content, not stream length: re-ingested
+    * bytes fold into their ledger row. Drained ≡ the batch census,
+    * so mm_kind_census's SQL is the oracle verbatim. */
+  def mmKindCensus(spark: SparkSession, dir: String): DataFrame = {
+    val stream = FileStreamSource(s"$dir/documents.parquet").stream(spark)
+    val mm = graft.operators.Multimodal
+    val ledger = mm.withPayload(stream)
+      .select(mm.sniffKind(col("payload")).as("kind"),
+        md5(col("payload")).as("pm"),
+        octet_length(col("payload")).cast("long").as("len"))
+      .groupBy(col("kind"), col("pm"))
+      .agg(count(lit(1)).as("n"), min(col("len")).as("len"))
+    val sink = s"st_mm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = ledger.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the serving query: ledger → census (len rides the ledger row —
+    // byte-identical content has one length — so total_bytes = Σ n·len)
+    spark.table(sink)
+      .groupBy(col("kind"))
+      .agg(sum(col("n")).as("n_payloads"),
+        count(lit(1)).as("n_unique"),
+        sum(col("n") * col("len")).as("total_bytes"))
+  }
+
   /** Streaming INGEST-TIME contamination screening — fuzzy benchmark
     * decontamination run where it belongs in production: on the ingest
     * stream, before a document ever reaches the corpus. The eval set
