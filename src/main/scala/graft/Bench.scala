@@ -43,7 +43,7 @@ object Bench {
       "mm_payload_neardup",
       "knn_bruteforce", "knn_ivf", "knn_graph", "knn_pagerank",
       "knn_pq", "knn_ivfpq",
-      "knn_outliers",
+      "knn_outliers", "knn_ivf_census",
       // serving paths: the index builds once in the warm-up pass
       // (ServingIndexes memoizes per corpus dir), so these rows time
       // the per-query cost the indexed operators exist for

@@ -297,8 +297,13 @@ object Similarity {
     * assigned total (one IEEE division per cell row — engine-exact).
     * Output: (cell, n_vectors, share). */
   def ivfCensus(embeddings: DataFrame, centroidMod: Int = 37): DataFrame = {
-    val counts = ivfAssigned(embeddings, centroidMod)
-      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    // persist the S-bounded counts: the share's total is derived FROM
+    // them, so without the persist both sides of the cross join
+    // re-run the whole assignment scan (plan-verified — the corpus
+    // was scanned twice for one tiny aggregate)
+    val counts = CacheTracker.persistTracked(
+      ivfAssigned(embeddings, centroidMod)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors")))
     val total = counts.agg(sum(col("n_vectors")).as("tot"))
     counts.crossJoin(broadcast(total))
       .select(col("cell"), col("n_vectors"),
