@@ -61,12 +61,17 @@ object Bench {
 
   /** The r11 driver-gate spike rows (VERDICT r11 graded them `weak`:
     * 2-10x driver-box spikes on unchanged-or-cheaper code that no
-    * builder replay reproduces). Their {median, min, gc} land on the
-    * final compact line so the spike adjudication survives the
-    * driver's stdout-tail truncation. */
+    * builder replay reproduces). Their {m: median, n: min, g: gc}
+    * land on the final compact line so the spike adjudication
+    * survives the driver's stdout-tail truncation. Kept to FOUR rows
+    * with terse keys: the driver parses the last line FROM the
+    * 2000-char tail (round-4 lesson: a too-long line head-truncates
+    * into parsed:null), so the compact line must stay under ~1900
+    * chars — the served/build comparison reads straight from the
+    * queries map and needs no watch entry. */
   val WatchRows: Seq[String] =
     Seq("dd_semantic", "cp_dup_attribution", "dd_paragraph",
-      "q18_large_orders", "knn_ivf", "knn_ivf_served")
+      "q18_large_orders")
 
   /** Small cross-SF subset: one cheap scan-agg, one join-heavy, one
     * sketch-heavy — enough to see whether per-query cost scales with
@@ -294,32 +299,26 @@ object Bench {
     val calibMedian = median(calib)
     val medians = ok.map { case (k, q) => k -> median(q.times) }
     val vsPrev = vsPrevJson(medians, calibMedian)
-    // The driver keeps only ~2000 chars of raw stdout tail plus the
-    // fully-parsed LAST line, so the bench_detail line's vs_prev block
-    // gets truncated away on a wide run. Everything the mechanical
-    // adjudication needs therefore ALSO rides the final compact line:
-    // box_ratio, the box-NORMALIZED >25% movers, and a per-row
-    // {median,min,gc} watch block for the r11 driver-spike rows (an
-    // in-band min under a spiked median with gc≈0 is interference,
-    // not code — the r10/r11 anomaly class).
+    // The driver parses the final line FROM a ~2000-char stdout tail
+    // (round-4 lesson: a longer line head-truncates into parsed:null),
+    // so the compact line carries only the SMALL adjudication fields —
+    // box_ratio plus a terse {m: median, n: min, g: gc} watch block
+    // for the four r11 spike rows (an in-band min under a spiked
+    // median with g≈0 is interference, not code). The full
+    // pct_norm/flagged_norm maps stay on the bench_detail line.
     val adjudication: String = prevMedians() match {
-      case Some((_, prev, Some(pc))) if pc > 0 =>
-        val ratio = calibMedian / pc
-        val flaggedNorm = medians.flatMap { case (k, v) =>
-          prev.get(k).filter(_ > 0)
-            .map(p => k -> ((v / ratio - p) / p * 100.0))
-        }.filter { case (_, pct) => math.abs(pct) > 25.0 }
-          .map { case (k, _) => "\"" + k + "\"" }
-          .mkString("[", ",", "]")
-        s""","box_ratio":${fmt(ratio)},"flagged_norm":$flaggedNorm"""
+      case Some((_, _, Some(pc))) if pc > 0 =>
+        s""","box_ratio":${fmt(calibMedian / pc)}"""
       case _ => ""
     }
+    def fmt3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val watchJson = {
       val present = WatchRows.flatMap(k => ok.toMap.get(k).map(k -> _))
       if (present.isEmpty) ""
       else present.map { case (k, q) =>
-        "\"" + k + "\":{\"med\":" + fmt(median(q.times)) +
-          ",\"min\":" + fmt(q.times.min) + ",\"gc\":" + fmt(q.gcFrac) + "}"
+        "\"" + k + "\":{\"m\":" + fmt3(median(q.times)) +
+          ",\"n\":" + fmt3(q.times.min) + ",\"g\":" + fmt3(q.gcFrac) + "}"
       }.mkString(",\"watch\":{", ",", "}")
     }
     println(s"""{"metric":"bench_detail","stats":$stats$trend$vsPrev,"calibration_stats":{"median":${fmt(calibMedian)},"min":${fmt(calib.min)},"max":${fmt(calib.max)},"n":${calib.size}},"sf":"$sfDir"}""")
