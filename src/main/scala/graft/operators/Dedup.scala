@@ -341,6 +341,22 @@ object Dedup {
     * SHINGLE STORE the streaming verify joins candidates against
     * ([[graft.streaming.Streams.minhashVerified]]): at corpus scale
     * this is a maintained table, not a per-run projection.
+    *
+    * `s` is the shingle's xxhash64 (8-byte long), NOT the string
+    * (r12): every downstream exchange and sort — the df aggregate,
+    * the df join, the per-doc rank window, the prefix self-join, both
+    * verification joins — keys on `s`, and an n-word shingle string
+    * averages ~4n bytes where the hash is a fixed 8 with radix-fast
+    * comparisons (stage-attributed at sf0.1: the prefix subtree fell
+    * ~2.0→~1.2 s, verification ~1.2→~0.8 s). Jaccard/containment
+    * values are hash-invariant: |∩|/|∪| over hashed sets equals the
+    * string-set value unless two DISTINCT shingles of a paired doc
+    * collide in 64 bits (~|sh|²/2⁶⁴ per doc — vanishing at any
+    * corpus size; the MinHash kernel already rests on the same
+    * xxhash64, and ShingleHashSpec pins collision-freedom plus
+    * hashed ≡ string-pipeline pair results at test SF). `sz` is the
+    * STRING-distinct set size, computed before hashing.
+    *
     * `tokenizer` is the §5 unsegmented-script opt-in: the default is
     * the reference-parity `Text.tokens`; a CJK-heavy corpus passes
     * `Text.cjkTokens` so Han/kana/Hangul runs shingle over character
@@ -351,7 +367,8 @@ object Dedup {
     CacheTracker.persistTracked(docs
       .select(col("doc_id"), Text.shingles(tokenizer(col("text")), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s")))
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(transform(col("sh"), x => xxhash64(x))).as("s")))
 
   /** Prefix-filtered candidate pairs (SSJoin/PPJoin prefix filtering):
     * order each doc's shingles by global document frequency ascending
@@ -394,7 +411,8 @@ object Dedup {
     // ~7 s, most of it this window computed once per join side.
     // ~prefix-length rows per doc cached (a ~20% sliver of the
     // shingle rows already persisted upstream).
-    val prefix = CacheTracker.persistTracked(prefixOf(ex, dfreq, tau))
+    val prefix = stageCount("prefixCandidates.prefix",
+      CacheTracker.persistTracked(prefixOf(ex, dfreq, tau)))
     // Size-ratio prune min/max ≥ τ is lossless for J ≥ τ since J ≤ min/max.
     prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
