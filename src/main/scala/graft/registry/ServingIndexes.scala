@@ -65,7 +65,14 @@ object ServingIndexes {
         val (frames, payload) = build
         val paths = frames.zipWithIndex.map { case (df, i) =>
           val path = graft.sources.Sinks.TempDirs.create(s"graft_idx_${kind}_$i")
-          df.write.mode("overwrite").parquet(path)
+          // bound the file count: the builder frames arrive at the
+          // session's shuffle parallelism (32 map-sized files), and a
+          // served read pays footer+open per file per QUERY — the
+          // wrong side of the build-once/read-many trade. 8 files
+          // keeps the read parallel on the test box while cutting
+          // per-query open overhead 4x; a deployment sizes this by
+          // index bytes (writeBucketed's bucket count).
+          df.coalesce(8).write.mode("overwrite").parquet(path)
           path
         }
         (paths, payload)
