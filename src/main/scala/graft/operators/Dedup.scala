@@ -991,7 +991,10 @@ object Dedup {
       // next round is a deterministic function of unchanged inputs.
       // sum(changed) is NULL on an empty label frame (no pairs at
       // all) — converged.
+      val tCk = System.nanoTime()
       val next = doubled.localCheckpoint(false)
+      if (sys.env.contains("SPARK_GRAFT_CLUSTERS_DEBUG"))
+        println(f"clusters round=$iter ckpt_call sec=${(System.nanoTime() - tCk) / 1e9}%.3f")
       val t0 = System.nanoTime()
       val changedRow = next.agg(sum(col("changed"))).head()
       done = changedRow.isNullAt(0) || changedRow.getLong(0) == 0L
@@ -1418,5 +1421,136 @@ object Dedup {
           .as("cos_sim"))
       .distinct() // same pair from several tables: cosine is deterministic
       .filter(col("cos_sim") >= tau)
+  }
+
+  /** Persisted state for INCREMENTAL semantic dedup: the LSH bucket
+    * store (pair generation) plus the corpus's full (vec_id,
+    * cluster_id) keeper ASSIGNMENT — the table downstream filtering
+    * reads anyway, so maintaining it IS the product, not extra state.
+    * Bucketed/persisted on disk between ingests like every other
+    * `*Store` (StoreRoundTripSpec's layout contract). */
+  final case class SemanticStore(lsh: EmbeddingLshStore,
+                                 assignment: DataFrame)
+
+  /** Build [[SemanticStore]] state for an initial corpus. */
+  def semanticStore(embeddings: DataFrame, tau: Double,
+                    nTables: Int = 6, planesPerTable: Int = 4,
+                    dim: Int = 64): SemanticStore =
+    SemanticStore(
+      embeddingLshStore(embeddings, nTables, planesPerTable, dim),
+      semanticKeepers(embeddings, tau, nTables, planesPerTable, dim)
+        .select(col("vec_id"), col("cluster_id")))
+
+  /** Result of an incremental semantic pass: the UPDATED full keeper
+    * assignment (≡ [[semanticKeepers]] over store ∪ delta — exact,
+    * not approximate) and the store for the next ingest. */
+  final case class SemanticDelta(assignment: DataFrame,
+                                 updatedStore: SemanticStore)
+
+  /** Incremental SEMANTIC dedup — the keeper-assignment delta the
+    * pair-level [[embeddingNearDupLshDelta]] stops short of. EXACT:
+    * min-id component labels COMPOSE. The only new edges touch the
+    * delta (blocking and cosine are per-row/per-pair deterministic,
+    * so old–old pairs cannot form), and every stored label is already
+    * its component's min id; projecting each new pair's endpoints to
+    * quotient nodes (stored label for old vectors, own id for delta
+    * ones) and closing over THAT graph yields min(merged labels) =
+    * min vec_id of the merged component — exactly the full run's
+    * answer, including the legal-merge case the pair-delta scaladoc
+    * warns about (a delta vector bridging two stored clusters: both
+    * labels join one quotient component and every member remaps).
+    *
+    * Scale shape: the closure runs on the QUOTIENT graph — nodes are
+    * bounded by delta-touching labels, never the corpus — as a
+    * path-compressed union-find on the driver (the quotient is the
+    * same driver-memory size class as the broadcast it feeds; see the
+    * inline rationale), and the resulting remap is delta-sized, so it
+    * BROADCASTS onto the stored assignment: the store-side update is
+    * a map-only pass (no shuffle), which is the entire point of
+    * maintaining the assignment instead of re-closing the full pair
+    * graph per ingest.
+    * Idempotent under re-ingest like the other deltas: the delta's
+    * ids are anti-joined out of both store sides first. */
+  def semanticKeepersDelta(store: SemanticStore, delta: DataFrame,
+                           tau: Double, nTables: Int = 6,
+                           planesPerTable: Int = 4,
+                           dim: Int = 64): SemanticDelta = {
+    val dIds = delta.select(col("vec_id")).distinct()
+    // EAGER checkpoints, not lazy persists: the store tail and the
+    // LSH pair join are each read more than once below (quotient
+    // projection + final remap join), and a lazily cached input races
+    // its own second branch inside one job — materializing each ONCE
+    // pins the pass to one store-tail and one pair-join evaluation.
+    val storedAsg = store.assignment.join(dIds, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val ed = embeddingNearDupLshDelta(store.lsh, delta, tau, nTables,
+      planesPerTable, dim)
+    val dPairs = ed.pairs.select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    // quotient edges: endpoints projected through the stored labels
+    // (delta ids are absent from storedAsg and label themselves)
+    val la = storedAsg.select(col("vec_id").as("id_a"),
+      col("cluster_id").as("la"))
+    val lb = storedAsg.select(col("vec_id").as("id_b"),
+      col("cluster_id").as("lb"))
+    val quotient = dPairs
+      .join(la, Seq("id_a"), "left").join(lb, Seq("id_b"), "left")
+      .select(coalesce(col("la"), col("id_a")).as("id_a"),
+        coalesce(col("lb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    // Quotient closure on the DRIVER (union-find), not [[clusters]]:
+    // the remap below is BROADCAST — the operator already commits to
+    // the quotient being driver-memory-sized (it is ingest-bounded:
+    // ≤ one edge per delta pair, nodes ≤ 2× that; never the corpus) —
+    // so collecting the edge list is the same size class as the
+    // broadcast it feeds, and a path-compressed union-find closes a
+    // multi-million-edge quotient in seconds with ZERO per-round
+    // Spark jobs. The distributed loop was also measured pathological
+    // here: [[clusters]] over the tiny join-derived frame paid an
+    // exponentially growing per-round localCheckpoint planning tax
+    // (0.7→2→6→15 s/round at sf0.1; the same loop over the corpus
+    // pair graph is 0.1 s/round — probed r12), so the driver closure
+    // is both the honest size-class AND 10× faster end-to-end.
+    val quotientEdges = quotient.collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    quotientEdges.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keysIterator.foreach { n =>
+      val r = find(n)
+      val m = minOf.getOrElse(r, Long.MaxValue)
+      if (n < m) minOf(r) = n
+    }
+    // only the labels that actually moved ride the broadcast
+    val moved = parent.keysIterator
+      .map(n => (n, minOf(find(n)))).filter { case (n, m) => m != n }.toSeq
+    val sp = delta.sparkSession
+    import sp.implicits._
+    val remap = broadcast(moved.toDF("node", "merged"))
+    val storedNew = storedAsg
+      .join(remap, storedAsg("cluster_id") === remap("node"), "left")
+      .select(storedAsg("vec_id"),
+        coalesce(col("merged"), storedAsg("cluster_id")).as("cluster_id"))
+    val deltaNew = dIds
+      .join(remap, dIds("vec_id") === remap("node"), "left")
+      .select(dIds("vec_id"),
+        coalesce(col("merged"), dIds("vec_id")).as("cluster_id"))
+    val assignment = storedNew.union(deltaNew)
+      .withColumn("is_dup",
+        (col("vec_id") =!= col("cluster_id")).cast("int"))
+    SemanticDelta(assignment,
+      SemanticStore(ed.updatedStore,
+        assignment.select(col("vec_id"), col("cluster_id"))))
   }
 }

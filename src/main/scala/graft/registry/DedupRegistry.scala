@@ -246,6 +246,20 @@ object DedupRegistry {
         Dedup.embeddingLshStore(emb.filter(c % DeltaMod =!= 0)),
         emb.filter(c % DeltaMod === 0), CosineTau).pairs
     }),
+    // Incremental SEMANTIC dedup (r12, completes the D-family's
+    // delta symmetry — semantic was the one family whose KEEPER
+    // assignment had no incremental form): delta pairs from the LSH
+    // store, quotient-graph closure over delta-touching LABELS only,
+    // broadcast remap onto the stored assignment. Min-id labels
+    // compose, so delta ≡ full EXACTLY (cluster merges included) and
+    // dd_semantic's oracle holds verbatim over the union.
+    "dd_semantic_delta" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val c = org.apache.spark.sql.functions.col("vec_id")
+      Dedup.semanticKeepersDelta(
+        Dedup.semanticStore(emb.filter(c % DeltaMod =!= 0), CosineTau),
+        emb.filter(c % DeltaMod === 0), CosineTau).assignment
+    }),
     "dd_minhash_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val keepers = Dedup.exact(docs)
@@ -254,6 +268,36 @@ object DedupRegistry {
       Dedup.minhashLsh(docs.join(keepers, "doc_id"))
     }),
   )
+
+  /** LSH pair oracle + the dd_clusters recursive closure + a left
+    * join back to every vector (unpaired vectors keep themselves) —
+    * shared verbatim by dd_semantic and dd_semantic_delta. */
+  private lazy val SemanticSql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), bucketed AS (
+       |${VectorSql.lshBucketed(nTables = 6, planesPerTable = 4, dim = 64)}
+       |), pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE $Dot / (${nrm("a")} * ${nrm("b")}) >= $CosineTau
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT re.id, e2.dst FROM reach re JOIN edges e2 ON e2.src = re.r
+       |), comp AS (
+       |  SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
+       |)
+       |SELECT emb.vec_id,
+       |  coalesce(comp.cluster_id, emb.vec_id) AS cluster_id,
+       |  CAST(emb.vec_id <> coalesce(comp.cluster_id, emb.vec_id) AS INTEGER)
+       |    AS is_dup
+       |FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.vec_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dd_exact" ->
@@ -578,32 +622,12 @@ object DedupRegistry {
          |WHERE id_a % $DeltaMod = 0 OR id_b % $DeltaMod = 0""".stripMargin,
     // LSH pair oracle + the dd_clusters recursive closure + a left
     // join back to every vector: unpaired vectors keep themselves.
-    "dd_semantic" ->
-      s"""WITH RECURSIVE e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |), bucketed AS (
-         |${VectorSql.lshBucketed(nTables = 6, planesPerTable = 4, dim = 64)}
-         |), pairs AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM bucketed a JOIN bucketed b
-         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |  WHERE $Dot / (${nrm("a")} * ${nrm("b")}) >= $CosineTau
-         |), edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT id_b AS src, id_a AS dst FROM pairs
-         |), reach(id, r) AS (
-         |  SELECT DISTINCT src, src FROM edges
-         |  UNION
-         |  SELECT re.id, e2.dst FROM reach re JOIN edges e2 ON e2.src = re.r
-         |), comp AS (
-         |  SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
-         |)
-         |SELECT emb.vec_id,
-         |  coalesce(comp.cluster_id, emb.vec_id) AS cluster_id,
-         |  CAST(emb.vec_id <> coalesce(comp.cluster_id, emb.vec_id) AS INTEGER)
-         |    AS is_dup
-         |FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.vec_id""".stripMargin,
+    "dd_semantic" -> SemanticSql,
+    // Delta ≡ full for the keeper assignment (min-id labels compose
+    // through the quotient closure — semanticKeepersDelta scaladoc),
+    // so the incremental row shares the full run's oracle VERBATIM,
+    // with no restriction clause at all.
+    "dd_semantic_delta" -> SemanticSql,
     // dd_semantic's cluster CTEs + the pagerank replay nested as its
     // own scoped WITH (inner names shadow the outer e/bucketed) + the
     // keepBest two-stage election with the floor-quantized rank score

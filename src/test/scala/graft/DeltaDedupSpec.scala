@@ -375,6 +375,57 @@ class DeltaDedupSpec extends AnyFunSuite {
     assert(r3.updatedStore.bucketed.count() == r.updatedStore.bucketed.count())
   }
 
+  test("semanticKeepersDelta: delta assignment equals the full rescan") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tau = 0.35
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    val full = asn(Dedup.semanticKeepers(emb, tau))
+    val r = Dedup.semanticKeepersDelta(Dedup.semanticStore(old, tau), delta, tau)
+    assert(asn(r.assignment) == full)
+    assert(full.exists(_._3 == 1)) // the fixture has real dups
+
+    // two sequential ingests land on the same final assignment
+    val d1 = delta.filter(col("vec_id") % 2 === 0)
+    val d2 = delta.filter(col("vec_id") % 2 =!= 0)
+    val r1 = Dedup.semanticKeepersDelta(Dedup.semanticStore(old, tau), d1, tau)
+    val r2 = Dedup.semanticKeepersDelta(r1.updatedStore, d2, tau)
+    assert(asn(r2.assignment) == full)
+
+    // re-ingest idempotence: replaying the same delta changes nothing
+    val r3 = Dedup.semanticKeepersDelta(r.updatedStore, delta, tau)
+    assert(asn(r3.assignment) == full)
+  }
+
+  test("semanticKeepersDelta merges two stored clusters through a bridging delta vector") {
+    val dim = 64
+    def v(f: Int => Float): Array[Float] = Array.tabulate(dim)(f)
+    val a = v(i => if (i < 8) 1f else 0f)           // cluster A direction
+    val b = v(i => if (i >= 8 && i < 16) 1f else 0f) // orthogonal cluster B
+    val w = v(i => if (i < 16) 1f else 0f)          // bridges both (cos ≈ 0.71)
+    val old = Seq((10L, a), (11L, a), (20L, b), (21L, b))
+      .toDF("vec_id", "embedding")
+    val delta = Seq((5L, w)).toDF("vec_id", "embedding")
+    val all = Seq((10L, a), (11L, a), (20L, b), (21L, b), (5L, w))
+      .toDF("vec_id", "embedding")
+    val tau = 0.35
+    // the fixture must actually exercise the merge: the full run is one
+    // component whose min id is the DELTA vector (both stored labels move)
+    val full = asn(Dedup.semanticKeepers(all, tau))
+    assert(full == Set((5L, 5L, 0), (10L, 5L, 1), (11L, 5L, 1),
+      (20L, 5L, 1), (21L, 5L, 1)))
+    val store = Dedup.semanticStore(old, tau)
+    // before the bridge: two separate stored clusters
+    assert(stor2(store.assignment) ==
+      Set(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    val r = Dedup.semanticKeepersDelta(store, delta, tau)
+    assert(asn(r.assignment) == full)
+  }
+
+  private def stor2(df: DataFrame): Set[(Long, Long)] =
+    df.as[(Long, Long)].collect().toSet
+
   test("Dedup.cached releases every persist the bracket's operators took") {
     // a corpus no other test uses: CacheManager dedupes cache entries
     // by canonical plan, so reusing another test's data would make the
