@@ -79,21 +79,30 @@ object Corpus {
   /** Benchmark decontamination: training docs sharing at least one
     * word `n`-gram with any eval-set doc. The classic pre-training
     * hygiene pass (eval answers leaking into training data). Shape:
-    * both sides explode to (doc, shingle) rows and equi-join on the
-    * shingle — an eval set is orders of magnitude smaller than the
-    * corpus, so Spark broadcasts its shingle table and the pass is one
-    * scan of the training side with NO shuffle of the corpus (AQE
-    * decides; an oversized eval side degrades to a shuffle equi-join,
-    * never a cross product). Output per contaminated doc: how many
-    * (shingle, eval doc) witnesses, and the smallest witnessing eval
-    * doc id. */
+    * the EVAL side first aggregates to an S-keyed digest — one row
+    * per distinct shingle carrying its eval-occurrence count and min
+    * eval id — so the train-side equi-join has a UNIQUE right key:
+    * no per-key group buffering (the r12 50× probe OOM'd a sort-merge
+    * join buffering a hot shingle's multiplied eval group) and the
+    * join emits one row per TRAIN occurrence, never the
+    * (train × eval) occurrence product. n_witnesses = Σ n_eval over
+    * the doc's matched occurrences ≡ the product count, exactly. An
+    * eval digest is orders of magnitude smaller than the corpus, so
+    * Spark broadcasts it and the pass is one scan of the training
+    * side with NO shuffle of the corpus (AQE decides; an oversized
+    * eval side degrades to a shuffle equi-join, never a cross
+    * product). Output per contaminated doc: how many (shingle, eval
+    * doc) witnesses, and the smallest witnessing eval doc id. */
   def decontaminate(train: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
     def sh(df: DataFrame, idAs: String) = df.select(
       col("doc_id").as(idAs),
       explode(Text.shingles(Text.tokens(col("text")), n)).as("s"))
-    sh(train, "doc_id").join(sh(evalDocs, "eval_id"), "s")
+    val evalDigest = sh(evalDocs, "eval_id").groupBy(col("s"))
+      .agg(count(lit(1)).as("n_eval"), min(col("eval_id")).as("min_eval"))
+    sh(train, "doc_id").join(evalDigest, "s")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_witnesses"), min(col("eval_id")).as("first_eval_id"))
+      .agg(sum(col("n_eval")).as("n_witnesses"),
+        min(col("min_eval")).as("first_eval_id"))
   }
 
   /** FUZZY benchmark decontamination: training docs whose word
@@ -127,20 +136,34 @@ object Corpus {
     * by the fuzzy (Jaccard ≥ τ) pass, and docs flagged by either — the
     * one report an eval-hygiene review reads before a run, composing
     * [[decontaminate]] and [[decontaminateFuzzy]] over ONE train/eval
-    * split. Both passes emit per-doc hit frames (eval-sized blocking,
-    * corpus never self-joins); the report adds two id-keyed left
-    * joins (unique key — skew-free) and one aggregate on the
-    * S-bounded source key. Flag columns are 0/1 sums, so every count
-    * is integer-exact on any engine. */
+    * split. Screening runs over the train side's EXACT KEEPERS only
+    * (r12 — the composed survival order the 50× all-duplicate probe
+    * forced on cp_dup_attribution in r11 and on this row in r12,
+    * where the raw fuzzy pair stage OOM'd): a doc's flags are a
+    * function of its TEXT alone, so byte copies inherit their
+    * keeper's flags through the exact assignment — composed ≡ raw,
+    * bit-for-bit, while the fuzzy candidate stage sees each distinct
+    * text once whatever the copy multiplicity. Both passes emit
+    * per-doc hit frames (eval-sized blocking, corpus never
+    * self-joins); the report maps flags back with id-keyed joins
+    * (unique keys — skew-free; the keeper-side frames are
+    * keeper-bounded) and one aggregate on the S-bounded source key.
+    * Flag columns are 0/1 sums, so every count is integer-exact on
+    * any engine. */
   def contaminationReport(train: DataFrame, evalDocs: DataFrame,
                           exactN: Int, fuzzyN: Int, tau: Double): DataFrame = {
-    val ex = decontaminate(train, evalDocs, exactN)
-      .select(col("doc_id"), lit(1).as("ex"))
-    val fz = decontaminateFuzzy(train, evalDocs, fuzzyN, tau)
-      .select(col("doc_id"), lit(1).as("fz"))
+    val asg = CacheTracker.persistTracked(Dedup.exact(train)
+      .select(col("doc_id"), col("keep_id")))
+    val keepers = train.join(
+      asg.filter(col("doc_id") === col("keep_id")).select("doc_id"), "doc_id")
+    val ex = decontaminate(keepers, evalDocs, exactN)
+      .select(col("doc_id").as("keep_id"), lit(1).as("ex"))
+    val fz = decontaminateFuzzy(keepers, evalDocs, fuzzyN, tau)
+      .select(col("doc_id").as("keep_id"), lit(1).as("fz"))
     train.select(col("doc_id"), col("source"))
-      .join(ex, Seq("doc_id"), "left")
-      .join(fz, Seq("doc_id"), "left")
+      .join(asg, Seq("doc_id"))
+      .join(ex, Seq("keep_id"), "left")
+      .join(fz, Seq("keep_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("ex"), lit(0))).as("n_exact_hits"),

@@ -135,6 +135,29 @@ class Round11OpsSpec extends AnyFunSuite {
       z("books") == (("books", 1L, 0L, 0L, 0L)))
   }
 
+  test("contamination report: byte copies inherit their keeper's flags (composed ≡ raw)") {
+    // r12: the report screens exact KEEPERS only (the 50× probe OOM'd
+    // the raw fuzzy pair stage on copy multiplicity); flags are
+    // text-determined, so every copy must still be counted — including
+    // a CROSS-SOURCE copy whose keeper lives in another source.
+    val evalDoc = "the quick brown fox jumps over the lazy dog again and again"
+    val clean = "completely disjoint text with zero witness material here"
+    val train = Seq(
+      (1L, evalDoc, "web"),
+      (11L, evalDoc, "web"),  // byte copy of the contaminated doc
+      (21L, evalDoc, "books"), // cross-source byte copy
+      (3L, clean, "books"),
+      (13L, clean, "books"),  // byte copy of a clean doc
+    ).toDF("doc_id", "text", "source")
+    val ev = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val r = Dedup.cached {
+      Corpus.contaminationReport(train, ev, 4, 3, 0.8)
+        .as[(String, Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    }
+    assert(r("web") == (("web", 2L, 2L, 2L, 2L)))
+    assert(r("books") == (("books", 3L, 1L, 1L, 1L)))
+  }
+
   test("streaming contamination screening across batches == batch fuzzy pass") {
     val evalDoc = "the quick brown fox jumps over the lazy dog again and again"
     val near = "the quick brown fox jumps over the lazy dog again and AGAIN yes"
