@@ -84,6 +84,13 @@ object StreamsRegistry {
     "st_contamination" -> ((s, d) =>
       Streams.contaminationScreen(s, d, CorpusRegistry.FuzzyN,
         CorpusRegistry.FuzzyTau, CorpusRegistry.FuzzyEvalMod)),
+    // streaming semantic-dedup maintenance (r12): one EXACT
+    // incremental pass (semanticKeepersDelta) per embedding
+    // micro-batch against the persisted LSH + assignment store;
+    // drained ≡ batch dd_semantic (min-id labels compose under any
+    // batching), so its SQL is the oracle verbatim.
+    "st_semantic" -> ((s, d) =>
+      Streams.semanticServe(s, d, DedupRegistry.CosineTau)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -161,5 +168,7 @@ object StreamsRegistry {
     // the complete streaming pipeline drains to the batch dd_minhash
     // pair set (spec-proven), so its replay is the oracle verbatim
     "st_minhash_verified" -> DedupRegistry.oracleSql("dd_minhash"),
+    // drained incremental semantic store ≡ the batch keeper map
+    "st_semantic" -> DedupRegistry.oracleSql("dd_semantic"),
   )
 }

@@ -995,4 +995,103 @@ object Streams {
       .agg(max(col("session_end_us")).as("session_end_us"),
         max(col("n_events")).as("n_events"))
   }
+
+  /** Source-agnostic SEMANTIC-store maintenance core: drain any
+    * embedding stream through the EXACT incremental pass
+    * ([[graft.operators.Dedup.semanticKeepersDelta]]) against the
+    * store grown by all prior batches, returning the final store.
+    * foreachBatch serializes micro-batches, so the sequential-state
+    * handoff is safe by construction, and the RESULT is
+    * batch-split-independent (min-id labels compose —
+    * DeltaDedupSpec's sequential-ingest equivalence), so a drained
+    * run equals the one-shot batch keeper map whatever the batching.
+    * Both store frames are eagerly checkpointed per batch, so state
+    * lineage stays flat across an unbounded run instead of chaining
+    * one anti-join + union per ingest. Re-ingested vectors are
+    * replaced, not doubled (the delta's anti-join), which is what
+    * makes an at-least-once replay of a batch a no-op. */
+  private[streaming] def semanticMaintainFromStream(stream: DataFrame,
+      store0: graft.operators.Dedup.SemanticStore,
+      tau: Double): graft.operators.Dedup.SemanticStore = {
+    var store = store0
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        store = semanticBatchStep(store, batch.toDF(), tau)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    store
+  }
+
+  /** One micro-batch of semantic-store maintenance: the exact
+    * incremental pass, result frames eagerly checkpointed so the
+    * cross-batch state's lineage stays flat. Factored out so the
+    * multi-batch spec drives the REAL step across genuine
+    * processAllAvailable micro-batches. */
+  private[graft] def semanticBatchStep(
+      store: graft.operators.Dedup.SemanticStore, batch: DataFrame,
+      tau: Double): graft.operators.Dedup.SemanticStore = {
+    val u = graft.operators.Dedup.semanticKeepersDelta(store,
+      batch.select(col("vec_id"), col("embedding")), tau).updatedStore
+    graft.operators.Dedup.SemanticStore(
+      graft.operators.Dedup.EmbeddingLshStore(
+        u.lsh.bucketed.localCheckpoint(true)),
+      u.assignment.localCheckpoint(true))
+  }
+
+  /** Streaming SEMANTIC-dedup maintenance + serving ≡ batch
+    * [[graft.operators.Dedup.semanticKeepers]] — the D-family's live
+    * ingest shape: an embedding stream keeps the semantic keeper
+    * ASSIGNMENT (the table downstream corpus filtering reads) and the
+    * LSH bucket store current, one exact incremental pass per
+    * micro-batch. Drained with AvailableNow the assignment is
+    * definitionally the batch run's, so dd_semantic's SQL is the
+    * oracle verbatim. Temp-store form (CI harness binding). */
+  def semanticServe(spark: SparkSession, dir: String,
+                    tau: Double): DataFrame =
+    semanticServe(spark, dir, tau, TempDirs.create("graft_st_semantic"))
+
+  /** [[semanticServe]] with a CALLER-SUPPLIED store path — the
+    * production entry point. `storeDir` holds `assignment` and `lsh`
+    * parquet tables that survive the session and seed the next drain
+    * (a later ingest grows the SAME store — the whole point of the
+    * incremental pass). Durability follows [[searchServe]]'s staged
+    * contract: the drain is computed against the live store,
+    * materialized into `.staging` siblings, and swapped in only after
+    * both writes succeed, so a drain that fails mid-way leaves the
+    * previous store fully intact and serveable; the unprotected
+    * window is the two directory renames, not the drain. */
+  def semanticServe(spark: SparkSession, dir: String, tau: Double,
+                    storeDir: String): DataFrame = {
+    val stream = FileStreamSource(s"$dir/embeddings.parquet").stream(spark)
+    val (asgLive, lshLive) = (s"$storeDir/assignment", s"$storeDir/lsh")
+    // bootstrap: the live store when present, else an EMPTY store with
+    // the exact pipeline schemas (semanticStore over a zero-row slice
+    // — the closure on no pairs is the empty assignment)
+    val store0 =
+      if (new java.io.File(asgLive).isDirectory)
+        graft.operators.Dedup.SemanticStore(
+          graft.operators.Dedup.EmbeddingLshStore(
+            spark.read.parquet(lshLive)),
+          spark.read.parquet(asgLive))
+      else graft.operators.Dedup.semanticStore(
+        spark.read.parquet(s"$dir/embeddings.parquet").limit(0), tau)
+    val store = semanticMaintainFromStream(stream, store0, tau)
+    val (stageA, stageL) = (s"$asgLive.staging", s"$lshLive.staging")
+    Seq(stageA, stageL).foreach { p =>
+      scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively(); ()
+    }
+    store.assignment.write.mode("overwrite").parquet(stageA)
+    store.lsh.bucketed.write.mode("overwrite").parquet(stageL)
+    Seq((stageA, asgLive), (stageL, lshLive)).foreach { case (stage, live) =>
+      scala.reflect.io.Directory(new java.io.File(live)).deleteRecursively()
+      java.nio.file.Files.move(java.nio.file.Paths.get(stage),
+        java.nio.file.Paths.get(live)); ()
+    }
+    spark.read.parquet(asgLive)
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") =!= col("cluster_id")).cast("int").as("is_dup"))
+  }
 }

@@ -167,6 +167,63 @@ class StreamsSpec extends AnyFunSuite {
     scala.reflect.io.Directory(new java.io.File(root.toString)).deleteRecursively()
   }
 
+  test("semantic store maintained across micro-batches == batch semanticKeepers") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val tau = graft.registry.DedupRegistry.CosineTau
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    var store = graft.operators.Dedup.semanticStore(emb.limit(0), tau)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        store = Streams.semanticBatchStep(store, batch.toDF(), tau)
+        ()
+      }
+      .start()
+    try {
+      input.addData(b1.toSeq)
+      q.processAllAvailable() // batch 1 bootstraps the empty store
+      input.addData(b2.toSeq) // batch 2 merges against batch 1's state
+      q.processAllAvailable()
+    } finally q.stop()
+    def asn(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("vec_id"), col("cluster_id"))
+        .as[(Long, Long)].collect().toSet
+    val batchRun = asn(graft.operators.Dedup.semanticKeepers(emb, tau))
+    assert(asn(store.assignment) == batchRun && batchRun.nonEmpty)
+  }
+
+  test("semanticServe: durable store, drained == batch, idempotent re-drain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tau = graft.registry.DedupRegistry.CosineTau
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("sts_semantic").toString
+    def asn(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.as[(Long, Long, Int)].collect().toSet
+    val batchRun = asn(graft.operators.Dedup.semanticKeepers(emb, tau))
+    val served = asn(Streams.semanticServe(spark, dir, tau, storeDir))
+    assert(served == batchRun && batchRun.nonEmpty)
+    // the store is DURABLE at the caller's path: the assignment table
+    // re-serves without a stream or rebuild
+    val reServed = spark.read.parquet(s"$storeDir/assignment")
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") =!= col("cluster_id")).cast("int").as("is_dup"))
+    assert(asn(reServed) == batchRun)
+    // re-draining the same source against the LIVE store re-ingests
+    // every vector through the idempotent delta: same assignment
+    val reDrained = asn(Streams.semanticServe(spark, dir, tau, storeDir))
+    assert(reDrained == batchRun)
+    scala.reflect.io.Directory(new java.io.File(storeDir)).deleteRecursively()
+  }
+
   test("lm model built from per-batch counts across batches == batch lmScore") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
