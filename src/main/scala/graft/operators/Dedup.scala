@@ -1423,6 +1423,34 @@ object Dedup {
       .filter(col("cos_sim") >= tau)
   }
 
+  /** Cluster-size CENSUS over any near-dup pair source — the "how
+    * much will dedup shrink this corpus" dashboard a curation review
+    * reads before committing to a pass: one row per distinct
+    * component size with the cluster and doc counts at that size
+    * (dedup removes n_docs − n_clusters docs per row; the size
+    * distribution's tail is the boilerplate signal). Docs in no pair
+    * report as the size-1 row. Shape: the [[clusters]] closure
+    * (bounded by pair-touching nodes), one map-side-combined count
+    * per cluster_id, one aggregate on the size key (at most one row
+    * per distinct size survives to the exchange per map task), and a
+    * left-anti join on the unique doc_id for the singleton count —
+    * no windows, nothing corpus-quadratic. */
+  def clusterCensus(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = CacheTracker.persistTracked(clusters(pairs))
+    val sizes = comp.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val multi = sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+    val singles = docs.select(col("doc_id"))
+      .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit(1L).as("cluster_size"), col("n").as("n_clusters"),
+        col("n").as("n_docs"))
+      .filter(col("n_clusters") > 0)
+    multi.union(singles)
+  }
+
   /** Persisted state for INCREMENTAL semantic dedup: the LSH bucket
     * store (pair generation) plus the corpus's full (vec_id,
     * cluster_id) keeper ASSIGNMENT — the table downstream filtering

@@ -154,6 +154,14 @@ object DedupRegistry {
     // by ClustersSpec + DedupSpec).
     "dd_clusters" -> ((s, d) =>
       Dedup.clusters(Dedup.ngramJaccard(Tables.documents(s, d), 3, JaccardTau))),
+    // Cluster-size census over the Jaccard pairs (r12): the
+    // "dedup-rate forecast" dashboard — n_docs − n_clusters per row
+    // is the removable mass; the closure is oracle-replayed and the
+    // histogram is two exact-integer aggregates on top.
+    "dd_cluster_census" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusterCensus(docs, Dedup.ngramJaccard(docs, 3, JaccardTau))
+    }),
     // keeper election by QUALITY over the Jaccard clusters: keep the
     // longest member (n_chars; min doc_id among ties), every doc
     // assigned — the production keeper policy, exact's contract
@@ -532,6 +540,38 @@ object DedupRegistry {
          |)
          |SELECT id AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY id""".stripMargin,
+    // the dd_clusters closure + the size histogram: per-cluster
+    // counts, one row per distinct size, singletons via NOT EXISTS —
+    // all exact-integer aggregates
+    "dd_cluster_census" ->
+      s"""WITH RECURSIVE $JaccardCtes, pairs AS (
+         |  SELECT id_a, id_b FROM cand
+         |  WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= $JaccardTau
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+         |), compm AS (
+         |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+         |), sizes AS (
+         |  SELECT cluster_id, count(*) AS cluster_size FROM compm GROUP BY 1
+         |), multi AS (
+         |  SELECT cluster_size, count(*) AS n_clusters,
+         |    CAST(sum(cluster_size) AS BIGINT) AS n_docs
+         |  FROM sizes GROUP BY 1
+         |), sing AS (
+         |  SELECT count(*) AS n FROM documents d
+         |  WHERE NOT EXISTS (SELECT 1 FROM compm c WHERE c.doc_id = d.doc_id)
+         |)
+         |SELECT cluster_size, n_clusters, n_docs FROM multi
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS cluster_size, n AS n_clusters,
+         |  n AS n_docs FROM sing
+         |WHERE n > 0""".stripMargin,
     // the dd_clusters closure + a two-stage election: per-cluster max
     // score, then min doc_id among the tied rows — the same bounded
     // aggregates the Spark side runs (null scores coalesce to

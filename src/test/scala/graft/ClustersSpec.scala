@@ -31,6 +31,22 @@ class ClustersSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("clusterCensus: size histogram with singleton row, hand-computed") {
+    // components: {1,2,3,4} (size 4), {10,11} and {20,21} (size 2);
+    // docs 30,31,32 in no pair → singleton row (1, 3, 3)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+    val docs = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L, 30L, 31L, 32L))
+      .map(i => (i, s"text $i", "s")).toDF("doc_id", "text", "source")
+    val got = Dedup.clusterCensus(docs, pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((4L, 1L, 4L), (2L, 2L, 4L), (1L, 3L, 3L)))
+    // no singletons → no size-1 row
+    val all = docs.filter($"doc_id" <= 21L)
+    val got2 = Dedup.clusterCensus(all, pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == Set((4L, 1L, 4L), (2L, 2L, 4L)))
+  }
+
   test("random graphs match union-find") {
     val rnd = new scala.util.Random(7L)
     val pairs = Seq.fill(200) {
