@@ -426,6 +426,18 @@ class DeltaDedupSpec extends AnyFunSuite {
   private def stor2(df: DataFrame): Set[(Long, Long)] =
     df.as[(Long, Long)].collect().toSet
 
+  test("semanticKeepersDelta: an empty delta leaves the assignment unchanged") {
+    val dim = 64
+    def v(f: Int => Float): Array[Float] = Array.tabulate(dim)(f)
+    val a = v(i => if (i < 8) 1f else 0f)
+    val old = Seq((10L, a), (11L, a)).toDF("vec_id", "embedding")
+    val store = Dedup.semanticStore(old, 0.35)
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val r = Dedup.semanticKeepersDelta(store, empty, 0.35)
+    assert(asn(r.assignment) == Set((10L, 10L, 0), (11L, 10L, 1)))
+    assert(stor2(r.updatedStore.assignment) == Set(10L -> 10L, 11L -> 10L))
+  }
+
   test("Dedup.cached releases every persist the bracket's operators took") {
     // a corpus no other test uses: CacheManager dedupes cache entries
     // by canonical plan, so reusing another test's data would make the
