@@ -114,12 +114,22 @@ object Bench {
       // bracket exits), so a pass is charged for its work, not its
       // cleanup.
       var err: Option[String] = None
+      // GC is sampled INSIDE the timed window (r12 review finding):
+      // the pass timer stops before the cache bracket's blocking
+      // unpersists run, so sampling gc across the whole pass loop
+      // charged cleanup-provoked collections to a denominator that
+      // excludes their wall — inflating `g` into a fake "heap
+      // pressure" verdict for cache-heavy queries. Numerator and
+      // denominator now cover the identical region.
+      var gcMs = 0L
       def once(): Option[Double] =
         try graft.operators.CacheTracker.scoped {
           var dt = 0.0
+          val g0 = gcMillis()
           val t0 = System.nanoTime()
           fn(spark, d).write.format("noop").mode("overwrite").save()
           dt = (System.nanoTime() - t0) / 1e9
+          gcMs += gcMillis() - g0
           Some(dt)
         }
         catch { case e: Throwable =>
@@ -132,13 +142,13 @@ object Bench {
         }
       once() // warm-up (JIT, code cache, parquet footers)
       // a warm-up-only hiccup (e.g. a first-touch index build race)
-      // must not stamp an err onto n clean timed passes
+      // must not stamp an err onto n clean timed passes — and the
+      // warm-up's GC must not ride the timed passes' fraction
       err = None
-      val gc0 = gcMillis()
+      gcMs = 0L
       val times = (0 until n).flatMap(_ => once())
-      val gcSec = (gcMillis() - gc0) / 1000.0
       val wall = times.sum
-      d -> QTimes(times, err, if (wall > 0) gcSec / wall else 0.0)
+      d -> QTimes(times, err, if (wall > 0) gcMs / 1000.0 / wall else 0.0)
     }.toMap
   }
 
@@ -217,8 +227,9 @@ object Bench {
     * computed on box-normalized times, so an environment slowdown
     * stops masquerading as a code regression. */
   private def vsPrevJson(medians: Seq[(String, Double)],
-                         calib: Double): String =
-    prevMedians() match {
+                         calib: Double,
+                         prevData: Option[(String, Map[String, Double], Option[Double])]): String =
+    prevData match {
       case Some((src, prev, prevCalib)) =>
         def deltas(scale: Double) = medians.flatMap { case (k, v) =>
           prev.get(k).filter(_ > 0).map(p => (k, (v / scale - p) / p * 100.0))
@@ -298,7 +309,10 @@ object Bench {
     // head truncated and the driver recorded parsed:null).
     val calibMedian = median(calib)
     val medians = ok.map { case (k, q) => k -> median(q.times) }
-    val vsPrev = vsPrevJson(medians, calibMedian)
+    // parsed ONCE (r12 review finding): both the vs_prev fragment and
+    // the compact line's box_ratio read the same prior-round data
+    val prevData = prevMedians()
+    val vsPrev = vsPrevJson(medians, calibMedian, prevData)
     // The driver parses the final line FROM a ~2000-char stdout tail
     // (round-4 lesson: a longer line head-truncates into parsed:null),
     // so the compact line carries only the SMALL adjudication fields —
@@ -306,7 +320,7 @@ object Bench {
     // for the four r11 spike rows (an in-band min under a spiked
     // median with g≈0 is interference, not code). The full
     // pct_norm/flagged_norm maps stay on the bench_detail line.
-    val adjudication: String = prevMedians() match {
+    val adjudication: String = prevData match {
       case Some((_, _, Some(pc))) if pc > 0 =>
         s""","box_ratio":${fmt(calibMedian / pc)}"""
       case _ => ""

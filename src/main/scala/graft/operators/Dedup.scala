@@ -1497,8 +1497,19 @@ object Dedup {
     * a map-only pass (no shuffle), which is the entire point of
     * maintaining the assignment instead of re-closing the full pair
     * graph per ingest.
-    * Idempotent under re-ingest like the other deltas: the delta's
-    * ids are anti-joined out of both store sides first. */
+    * Idempotent under SAME-BYTES re-ingest like the other deltas
+    * (the at-least-once replay a streaming drain needs): the delta's
+    * ids are anti-joined out of both store sides first, the replayed
+    * pairs re-form, and every label is already minimal. An embedding
+    * UPDATE (same vec_id, different vector) is OUT of this contract —
+    * labels the removed version earned stay on its old cluster mates
+    * (the store keeps no per-pair provenance to retract them), the
+    * same sticky-store semantics every delta family here has (a
+    * changed TEXT re-ingest leaves exactDelta's stored keepers in
+    * place too). Updates are a remove+add: rebuild the touched
+    * clusters with the batch pass, or treat ids as immutable and
+    * mint a new id per content version (the content-addressed ingest
+    * shape). */
   def semanticKeepersDelta(store: SemanticStore, delta: DataFrame,
                            tau: Double, nTables: Int = 6,
                            planesPerTable: Int = 4,

@@ -18,10 +18,17 @@ object Streams {
 
   /** The file streaming source requires a directory; the corpus ships
     * as single parquet files in a read-only tree. Stage a per-table
-    * directory of symlinks under /tmp (cheap, no copy). */
+    * directory of symlinks under /tmp (cheap, no copy). A
+    * Spark-written parquet DIRECTORY (part files — e.g. a ScaleProbe
+    * corpus) is already a valid file-source dir and passes through:
+    * symlinking a directory inside the staging dir reads as ZERO
+    * files and the drain silently yields an empty result (r12 probe
+    * finding — the G-family rows returned empty on any
+    * directory-shaped corpus before this branch). */
   private[streaming] def stageAsDir(file: String): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(file)
+    if (Files.isDirectory(src)) return file
     val dir = Paths.get("/tmp/graft_stream",
       Integer.toHexString(file.hashCode), src.getFileName.toString)
     Files.createDirectories(dir)
@@ -672,11 +679,15 @@ object Streams {
       .start()
     q.awaitTermination()
     // the serving query: ledger → census (len rides the ledger row —
-    // byte-identical content has one length — so total_bytes = Σ n·len)
+    // byte-identical content has one length — so total_bytes = Σ n·len).
+    // n_unique counts NON-NULL pm rows: the batch census'
+    // countDistinct(pm) skips the null-payload group, so the ledger's
+    // (kind, NULL) row must not count as a distinct payload (it still
+    // counts in n_payloads, exactly like batch count(1)).
     spark.table(sink)
       .groupBy(col("kind"))
       .agg(sum(col("n")).as("n_payloads"),
-        count(lit(1)).as("n_unique"),
+        count(col("pm")).as("n_unique"),
         sum(col("n") * col("len")).as("total_bytes"))
   }
 
@@ -697,23 +708,34 @@ object Streams {
     * contract: each micro-batch OVERWRITES its own `batch=<id>`
     * subdirectory (the [[searchIndexFromStream]] pattern) instead of
     * appending to a shared sink, so a retried batch (task/driver
-    * retry, or a re-drain from a fresh checkpoint) rewrites its own
-    * hit rows rather than double-appending them — the drained ≡ batch
-    * equivalence the oracle relies on survives retries. Readers drop
-    * the batchId partition column (layout, not screening data). */
+    * retry) rewrites its own hit rows rather than double-appending
+    * them — the drained ≡ batch equivalence the oracle relies on
+    * survives retries. A full RE-DRAIN from a fresh checkpoint
+    * additionally gets [[searchServe]]'s staged-swap (r12, review
+    * finding): a re-drain may batch the source DIFFERENTLY (file
+    * compaction, a changed maxFilesPerTrigger), leaving stale
+    * higher-numbered `batch=N` dirs from the prior run to
+    * double-count — so each drain lands in a `.staging` sibling and
+    * replaces the live batch dirs only on success, which also means
+    * a failed re-drain leaves the previous screening intact. Readers
+    * drop the batchId partition column (layout, not screening
+    * data). */
   def contaminationFromStream(docs: DataFrame, evalDocs: DataFrame,
                               outDir: String, n: Int, tau: Double): Unit = {
+    val stage = s"$outDir.staging"
+    scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
     val q = docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.CacheTracker.scoped {
           graft.operators.Corpus.decontaminateFuzzy(batch, evalDocs, n, tau)
-            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+            .write.mode("overwrite").parquet(s"$stage/batch=$batchId")
         }
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    promoteStaged(stage, outDir)
   }
 
   /** The screening columns of [[graft.operators.Corpus.decontaminateFuzzy]]
@@ -1007,9 +1029,13 @@ object Streams {
     * run equals the one-shot batch keeper map whatever the batching.
     * Both store frames are eagerly checkpointed per batch, so state
     * lineage stays flat across an unbounded run instead of chaining
-    * one anti-join + union per ingest. Re-ingested vectors are
-    * replaced, not doubled (the delta's anti-join), which is what
-    * makes an at-least-once replay of a batch a no-op. */
+    * one anti-join + union per ingest. SAME-BYTES re-ingested
+    * vectors are replaced, not doubled (the delta's anti-join),
+    * which is what makes an at-least-once replay of a batch a
+    * no-op; an embedding UPDATE under a reused vec_id is out of the
+    * delta contract (see [[graft.operators.Dedup.semanticKeepersDelta]]
+    * — sticky-store semantics; mint a new id per content version or
+    * rebuild). */
   private[streaming] def semanticMaintainFromStream(stream: DataFrame,
       store0: graft.operators.Dedup.SemanticStore,
       tau: Double): graft.operators.Dedup.SemanticStore = {
