@@ -1451,6 +1451,26 @@ object Dedup {
     multi.union(singles)
   }
 
+  /** [[clusterCensus]] over a COMPLETE keeper assignment (every doc →
+    * its cluster keeper, self-keepers included — [[exact]]'s contract,
+    * e.g. [[graft.operators.Corpus.nearDupAssignment]]'s output): the
+    * histogram collapses to two map-side-combined aggregates with the
+    * singleton rows falling out of the size-1 groups naturally. The
+    * composed exact-first assignment makes this the duplication-proof
+    * census shape: the 10× all-duplicate probe ran the raw
+    * pairs-over-all-docs form in 175 s (the documented
+    * quadratic-in-multiplicity pair price) and this form in seconds —
+    * same report (byte copies share shingle sets, so they join their
+    * keeper's cluster either way; the no-shingle-copy guard keeps the
+    * one divergent case self-kept — the nearDupAssignment
+    * equivalence, spec-pinned there). */
+  def clusterCensusOf(assignment: DataFrame): DataFrame =
+    assignment.groupBy(col("keep_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+
   /** Persisted state for INCREMENTAL semantic dedup: the LSH bucket
     * store (pair generation) plus the corpus's full (vec_id,
     * cluster_id) keeper ASSIGNMENT — the table downstream filtering

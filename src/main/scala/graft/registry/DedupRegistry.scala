@@ -154,14 +154,17 @@ object DedupRegistry {
     // by ClustersSpec + DedupSpec).
     "dd_clusters" -> ((s, d) =>
       Dedup.clusters(Dedup.ngramJaccard(Tables.documents(s, d), 3, JaccardTau))),
-    // Cluster-size census over the Jaccard pairs (r12): the
-    // "dedup-rate forecast" dashboard — n_docs − n_clusters per row
-    // is the removable mass; the closure is oracle-replayed and the
-    // histogram is two exact-integer aggregates on top.
-    "dd_cluster_census" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.clusterCensus(docs, Dedup.ngramJaccard(docs, 3, JaccardTau))
-    }),
+    // Cluster-size census over the Jaccard near-dup clusters (r12):
+    // the "dedup-rate forecast" dashboard — n_docs − n_clusters per
+    // row is the removable mass. Runs over the COMPOSED exact-first
+    // assignment (nearDupAssignment — composed ≡ raw, spec-pinned
+    // there), so a duplication-heavy corpus can't quadratic the pair
+    // stage (10× probe: raw 175 s → composed seconds); the oracle
+    // replays the RAW closure + histogram, which the composition
+    // equals.
+    "dd_cluster_census" -> ((s, d) =>
+      Dedup.clusterCensusOf(graft.operators.Corpus.nearDupAssignment(
+        Tables.documents(s, d), 3, JaccardTau))),
     // keeper election by QUALITY over the Jaccard clusters: keep the
     // longest member (n_chars; min doc_id among ties), every doc
     // assigned — the production keeper policy, exact's contract

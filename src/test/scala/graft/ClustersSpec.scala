@@ -47,6 +47,29 @@ class ClustersSpec extends AnyFunSuite {
     assert(got2 == Set((4L, 1L, 4L), (2L, 2L, 4L)))
   }
 
+  test("clusterCensusOf over the composed assignment == raw pair census, copies included") {
+    // byte copies + a near-dup pair + no-shingle docs: the composed
+    // exact-first assignment must produce the identical histogram the
+    // raw pairs-over-all-docs form reports
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "s"),
+      (2L, "the quick brown fox jumps over the lazy dog", "s"), // byte copy
+      (3L, "the quick brown fox jumps over the lazy dog today", "s"), // near-dup
+      (4L, "completely different text about something else entirely", "s"),
+      (5L, "ab", "s"), // < n tokens: no shingles, can never pair
+      (6L, "ab", "s"), // byte copy of a no-shingle doc (the guard case)
+    ).toDF("doc_id", "text", "source")
+    val tau = 0.5
+    def census(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.as[(Long, Long, Long)].collect().toSet
+    val raw = census(Dedup.clusterCensus(docs, Dedup.ngramJaccard(docs, 3, tau)))
+    val composed = census(Dedup.clusterCensusOf(
+      graft.operators.Corpus.nearDupAssignment(docs, 3, tau)))
+    assert(composed == raw)
+    assert(raw.exists(_._1 == 3L)) // the {1,2,3} cluster
+    assert(raw.contains((1L, 3L, 3L))) // docs 4, 5, 6 all self-kept
+  }
+
   test("random graphs match union-find") {
     val rnd = new scala.util.Random(7L)
     val pairs = Seq.fill(200) {
