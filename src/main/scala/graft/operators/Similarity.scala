@@ -107,6 +107,35 @@ object Similarity {
     knnBruteForceImpl(embeddings, probes, k, maxBroadcastProbes,
       maxProbeShards)._1
 
+  /** FILTERED exact kNN — the filtered-search shape every production
+    * vector store needs ("nearest neighbors WHERE <attribute
+    * predicate>"), in its per-probe form: top-k cosine among corpus
+    * vectors sharing the probe's `label` (same-class search; self
+    * excluded). The predicate is an EQUI-JOIN KEY, not a post-filter:
+    * both sides hash-partition on label and only same-class pairs are
+    * ever scored, so selectivity cuts scoring work proportionally —
+    * a filter applied AFTER brute-force scoring would pay the full
+    * |probes|×|corpus| pair loop and then discard (1 − 1/|classes|)
+    * of it — and on a label-partitioned corpus layout the scan prunes
+    * to the classes present in the probe frame (Sinks' partitioned
+    * write). Per-class skew is AQE-split like any hash join; ranking
+    * is the same bounded [[Exprs.topK]] aggregate as every kNN path
+    * (no window — a hot class cannot single-task). Deterministic
+    * rank: cosine desc, neighbor id asc. */
+  def knnFiltered(embeddings: DataFrame, probes: DataFrame,
+                  k: Int): DataFrame = {
+    val e = embeddings.select(col("label"), col("vec_id"),
+      col("embedding").as("v"), Vec.norm(col("embedding")).as("vnrm"))
+    val p = probes.select(col("label"), col("vec_id").as("probe_id"),
+      col("embedding").as("pv"), Vec.norm(col("embedding")).as("pnrm"))
+    val scored = p.join(e, Seq("label"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (Vec.dot(col("pv"), col("v")) / (col("pnrm") * col("vnrm")))
+          .as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
   /** [[knnBruteForce]] with a BOUNDED cache contract: runs `consume`
     * on the result frame and unpersists the probe cache the over-cap
     * sharded path pinned before returning. Long-lived sessions issuing

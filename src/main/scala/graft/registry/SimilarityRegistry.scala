@@ -42,6 +42,11 @@ object SimilarityRegistry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce" -> ((s, d) =>
       Similarity.knnBruteForce(Tables.embeddings(s, d), probes(s, d), K)),
+    // FILTERED search (r12): per-probe top-k among SAME-LABEL corpus
+    // vectors — the attribute predicate as an equi-join key, never a
+    // post-scoring filter.
+    "knn_filtered" -> ((s, d) =>
+      Similarity.knnFiltered(Tables.embeddings(s, d), probes(s, d), K)),
     "knn_lsh" -> ((s, d) =>
       Similarity.knnLsh(Tables.embeddings(s, d), probes(s, d), K)),
     "knn_ivf" -> ((s, d) =>
@@ -237,6 +242,26 @@ object SimilarityRegistry {
          |  SELECT p.probe_id, e.vec_id AS neighbor_id,
          |    $Dot / (${nrm("p.pv")} * ${nrm("e.v")}) AS cos_sim
          |  FROM p JOIN e ON e.vec_id <> p.probe_id
+         |), ranked AS (
+         |  SELECT probe_id, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM scored
+         |)
+         |SELECT probe_id, neighbor_id, cos_sim, rnk
+         |FROM ranked WHERE rnk <= $K""".stripMargin,
+    // the brute-force replay with the label-equality predicate in the
+    // scoring join — the filtered-search contract verbatim
+    "knn_filtered" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), p AS (
+         |  SELECT vec_id AS probe_id, label, v AS pv FROM e
+         |  WHERE vec_id % $ProbeMod = 0
+         |), scored AS (
+         |  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         |    $Dot / (${nrm("p.pv")} * ${nrm("e.v")}) AS cos_sim
+         |  FROM p JOIN e ON e.label = p.label AND e.vec_id <> p.probe_id
          |), ranked AS (
          |  SELECT probe_id, neighbor_id, cos_sim,
          |    row_number() OVER (PARTITION BY probe_id

@@ -27,6 +27,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(3L) == Seq(4L, 5L) || r(3L).head == 4L)
   }
 
+  test("knnFiltered: neighbors share the probe's label, ranked like brute force in-class") {
+    import org.apache.spark.sql.functions.col
+    val probes = Similarity.probeEvery(vecs, 3) // ids 0 (label 0) and 3 (label 1)
+    val r = Similarity.knnFiltered(vecs, probes, k = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    val labelOf = vecs.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    assert(r.nonEmpty)
+    // the filter contract: every neighbor is in the probe's class
+    assert(r.forall { case (p, nb, _, _) => labelOf(p) == labelOf(nb) })
+    val byProbe = r.groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    assert(byProbe(0L) == Seq(1L, 2L)) // in-class ranking = brute force
+    assert(byProbe(3L) == Seq(4L))     // label 1 has ONE other member —
+                                       // a cross-class near vector can't leak in
+    // equals brute force run per label-restricted corpus
+    val perClass = labelOf.values.toSeq.distinct.flatMap { lb =>
+      val sub = vecs.filter(col("label") === lb)
+      Similarity.knnBruteForce(sub, Similarity.probeEvery(sub, 3), k = 2)
+        .as[(Long, Long, Double, Int)].collect()
+    }.toSet
+    assert(r.toSet == perClass)
+  }
+
   test("PQ encode/LUT/ADC == a plain-Scala product quantizer on fuzzed vectors") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(7)
