@@ -397,6 +397,49 @@ object Similarity {
       nProbe, maxBroadcastProbes)
   }
 
+  /** FILTERED IVF — [[knnFiltered]]'s scale path: the attribute
+    * predicate rides the INDEX search. Cells come from the full-corpus
+    * codebook (the index is shared across predicates — a per-predicate
+    * index would be a new build per filter value); the filter joins as
+    * an extra equality on the cell-candidate join, so only same-label
+    * vectors inside the probed cells are ever scored. Per-probe work
+    * is bounded by (cell occupancy ∩ class) — strictly below the
+    * unfiltered IVF's — and on a (label)-bucketed or
+    * (label, cell)-partitioned layout the scan prunes before the
+    * join. Same recall/nProbe trade as [[knnIvf]]; returned scores
+    * exact; rank deterministic (cos desc, id asc). */
+  def knnIvfFiltered(embeddings: DataFrame, probes: DataFrame, k: Int,
+                     centroidMod: Int = 37, nProbe: Int = 2,
+                     maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+    val cents = seedCentroids(e, centroidMod)
+    // assignment with the attribute carried beside the cell: one scan,
+    // the same zero-shuffle broadcast-argmax projection as assignCells
+    val assigned = embeddings
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .crossJoin(broadcast(codebook(cents)))
+      .select(col("vec_id"), col("label"), col("v"),
+        get(Exprs.nearestCells(col("v"), col("cids"), col("units"), 1),
+          lit(0)).as("cell"),
+        Vec.norm(col("v")).as("vnrm"))
+    val p = probes.select(col("vec_id").as("probe_id"),
+      col("label").as("plabel"), col("embedding").as("pv"),
+      Vec.norm(col("embedding")).as("pnrm"))
+    val probeCells = p.crossJoin(broadcast(codebook(cents)))
+      .select(col("probe_id"), col("plabel"), col("pv"), col("pnrm"),
+        explode(Exprs.nearestCells(col("pv"), col("cids"), col("units"),
+          nProbe)).as("pcell"))
+    val pj = if (fitsBroadcast(p, maxBroadcastProbes)) broadcast(probeCells)
+             else probeCells
+    val scored = pj.join(assigned,
+        col("cell") === col("pcell") && col("label") === col("plabel") &&
+          col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (Vec.dot(col("pv"), col("v")) / (col("pnrm") * col("vnrm")))
+          .as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
   /** PQ defaults: 8 subspaces over the 64-dim embeddings × 16
     * centroids each → 8 4-bit codes (4 BYTES per vector, vs 256 bytes
     * of floats) — the memory-compact code representation that keeps a

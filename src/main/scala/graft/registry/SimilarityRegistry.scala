@@ -47,6 +47,12 @@ object SimilarityRegistry {
     // post-scoring filter.
     "knn_filtered" -> ((s, d) =>
       Similarity.knnFiltered(Tables.embeddings(s, d), probes(s, d), K)),
+    // the filtered query's SCALE path: the predicate rides the IVF
+    // cell-candidate join (full-corpus codebook — the index is shared
+    // across predicates).
+    "knn_ivf_filtered" -> ((s, d) =>
+      Similarity.knnIvfFiltered(Tables.embeddings(s, d), probes(s, d), K,
+        CentroidMod, NProbe)),
     "knn_lsh" -> ((s, d) =>
       Similarity.knnLsh(Tables.embeddings(s, d), probes(s, d), K)),
     "knn_ivf" -> ((s, d) =>
@@ -267,6 +273,46 @@ object SimilarityRegistry {
          |    row_number() OVER (PARTITION BY probe_id
          |                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
          |  FROM scored
+         |)
+         |SELECT probe_id, neighbor_id, cos_sim, rnk
+         |FROM ranked WHERE rnk <= $K""".stripMargin,
+    // knn_ivf's replay with the label equality on the candidate join —
+    // the filtered-IVF contract verbatim
+    "knn_ivf_filtered" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(v, x -> x / ${VectorSql.nrm("v")}) AS unit
+         |  FROM e WHERE vec_id % $CentroidMod = 0
+         |), scored_cells AS (
+         |  SELECT e.vec_id, e.label, e.v, c.cid,
+         |    ${VectorSql.dot("e.v", "c.unit")} AS d
+         |  FROM e CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT vec_id, label, v, cid AS cell FROM (
+         |    SELECT vec_id, label, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY d DESC, cid ASC) AS rn
+         |    FROM scored_cells) WHERE rn = 1
+         |), probe_cells AS (
+         |  SELECT vec_id AS probe_id, label AS plabel, v AS pv, cid AS pcell FROM (
+         |    SELECT vec_id, label, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY d DESC, cid ASC) AS rn
+         |    FROM scored_cells WHERE vec_id % $ProbeMod = 0) WHERE rn <= $NProbe
+         |), cand AS (
+         |  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         |    ${VectorSql.cos("p.pv", "e.v")} AS cos_sim
+         |  FROM probe_cells p
+         |  JOIN (SELECT vec_id, label, v, cell FROM assigned) e
+         |    ON e.cell = p.pcell AND e.label = p.plabel
+         |   AND e.vec_id <> p.probe_id
+         |), ranked AS (
+         |  SELECT probe_id, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM cand
          |)
          |SELECT probe_id, neighbor_id, cos_sim, rnk
          |FROM ranked WHERE rnk <= $K""".stripMargin,

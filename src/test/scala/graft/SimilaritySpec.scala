@@ -51,6 +51,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.toSet == perClass)
   }
 
+  test("knnIvfFiltered: neighbors share the probe's label and cells") {
+    val probes = Similarity.probeEvery(vecs, 3)
+    val r = Similarity.knnIvfFiltered(vecs, probes, k = 2,
+        centroidMod = 3, nProbe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    val labelOf = vecs.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    assert(r.nonEmpty)
+    assert(r.forall { case (p, nb, _, _) => labelOf(p) == labelOf(nb) })
+    // the filtered result is a SUBSET of the exact filtered answer's
+    // pair set restricted to probed cells — on this fixture cell
+    // coverage is total, so it equals knnFiltered outright
+    val exact = Similarity.knnFiltered(vecs, probes, k = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(r.toSet == exact)
+  }
+
   test("PQ encode/LUT/ADC == a plain-Scala product quantizer on fuzzed vectors") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(7)
