@@ -41,7 +41,8 @@ object Bench {
       "dd_boilerplate", "cp_pack",
       "dd_minhash", "dd_simhash", "dd_semantic", "dd_semantic_best",
       "mm_payload_neardup",
-      "knn_bruteforce", "knn_ivf", "knn_graph", "knn_pagerank",
+      "knn_bruteforce", "knn_ivf", "knn_filtered", "knn_ivf_filtered",
+      "knn_graph", "knn_pagerank",
       "knn_pq", "knn_ivfpq",
       "knn_outliers", "knn_ivf_census",
       // serving paths: the index builds once in the warm-up pass

@@ -451,7 +451,13 @@ class DeltaDedupSpec extends AnyFunSuite {
       112L -> "cached bracket corpus delta text one",
     )
     val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.size
+    // track the bracket's NEW entry ids, not the global count: the
+    // async ContextCleaner may reclaim earlier tests' orphaned
+    // cache/checkpoint RDDs mid-test, deflating a raw size compare
+    // (observed flaky after the r12 semantic-delta tests joined the
+    // suite); id-set deltas are immune to concurrent removals of
+    // other tests' garbage.
+    val beforeIds = sc.getPersistentRDDs.keySet
     Dedup.cached {
       assert(Dedup.exact(docsDF(mine)).count() == mine.size)
       assert(Dedup.minhashLsh(docsDF(mine)).count() >= 1)
@@ -459,8 +465,10 @@ class DeltaDedupSpec extends AnyFunSuite {
         Dedup.keeperStore(docsDF(mine.filter(_._1 < 100))),
         docsDF(mine.filter(_._1 >= 100)))
       assert(r.assignment.count() == 2)
-      assert(sc.getPersistentRDDs.size > before) // persists were live inside
+      // persists were live inside
+      assert((sc.getPersistentRDDs.keySet -- beforeIds).nonEmpty)
     }
-    assert(sc.getPersistentRDDs.size == before) // and all released on exit
+    // and all released on exit
+    assert((sc.getPersistentRDDs.keySet -- beforeIds).isEmpty)
   }
 }
