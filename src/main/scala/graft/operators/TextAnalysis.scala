@@ -172,6 +172,20 @@ object TextAnalysis {
       .withColumn("matched", (col("pred_lang") === col("lang")).cast("int"))
   }
 
+  /** Declared-vs-detected LANGUAGE agreement census — the label-QA
+    * dashboard over [[langId]]: one row per (declared, predicted)
+    * language pair with its doc count — the confusion matrix that
+    * tells a curation pipeline whether the corpus's `lang` labels can
+    * be trusted before they route documents (off-diagonal mass =
+    * mislabeled or misdetected docs to re-screen; a whole off-diagonal
+    * CELL lighting up is a systematic labeler bug, not noise). One
+    * map-side-combined exact-integer aggregate on the |langs|²-bounded
+    * key on top of the one-walk stop-hits kernel — the census costs
+    * the same scan ta_langid already pays. */
+  def langCensus(docs: DataFrame): DataFrame =
+    langId(docs).groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Characteristic character bigrams per language (all exactly two
     * letters, so the alternation count is engine-independent: every
     * match consumes two chars regardless of which branch won). Tiny on

@@ -42,6 +42,11 @@ object TextAnalysisRegistry {
     "ta_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "ta_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "ta_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    // declared-vs-detected agreement census (r12): the label-QA
+    // confusion matrix on the langs²-bounded key — same scan as
+    // ta_langid, exact-integer counts.
+    "ta_lang_census" -> ((s, d) =>
+      TextAnalysis.langCensus(Tables.documents(s, d))),
     "ta_langid_ngram" -> ((s, d) => TextAnalysis.langIdNgram(Tables.documents(s, d))),
     "ta_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "ta_word_stats" -> ((s, d) => TextAnalysis.wordStats(Tables.documents(s, d))),
@@ -160,6 +165,17 @@ object TextAnalysisRegistry {
            |  $PredLangCase AS pred_lang,
            |  CAST(($PredLangCase) = lang AS INTEGER) AS matched
            |FROM voted""".stripMargin,
+      // ta_langid's vote + argmax replay, aggregated to the confusion
+      // matrix — exact integer counts on the langs² key
+      "ta_lang_census" ->
+        s"""WITH voted AS (
+           |  SELECT doc_id, lang, $voteCols
+           |  FROM (SELECT doc_id, lang, $ToksExpr AS toks FROM documents)
+           |), pred AS (
+           |  SELECT lang, $PredLangCase AS pred_lang FROM voted
+           |)
+           |SELECT lang, pred_lang, count(*) AS n_docs
+           |FROM pred GROUP BY 1, 2""".stripMargin,
       "ta_langid_ngram" -> {
         val langs = TextAnalysis.BigramsByLang.map(_._1)
         val gramCols = TextAnalysis.BigramsByLang.map { case (l, bs) =>

@@ -11,6 +11,18 @@ class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.get
   import spark.implicits._
 
+  test("langCensus: cells sum to the corpus, diagonal equals langId's matched sum") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val census = TextAnalysis.langCensus(docs)
+      .as[(String, String, Long)].collect()
+    assert(census.map(_._3).sum == docs.count())
+    val diagonal = census.filter(c => c._1 == c._2).map(_._3).sum
+    val matched = TextAnalysis.langId(docs)
+      .agg(sum(col("matched"))).head().getLong(0)
+    assert(diagonal == matched && matched > 0)
+  }
+
   test("co-occurrence caps a high-vocab doc at its top-V frequent tokens") {
     def L(k: Int) = ('a' + k).toChar
     // one pathological doc: 200 singleton tokens + 6 dominant tokens
