@@ -195,6 +195,17 @@ object DedupRegistry {
     "dd_keep_best_dedup" -> ((s, d) =>
       Dedup.keepBestDedup(Tables.documents(s, d), 3, JaccardTau,
         org.apache.spark.sql.functions.col("n_chars"))),
+    // Semantic cluster-size census (r12): dd_cluster_census's
+    // embedding-side sibling — the SemDeDup shrink forecast. The
+    // keeper map assigns EVERY vector (self-keepers included), so the
+    // census is clusterCensusOf verbatim over the relabeled
+    // assignment; no composition needed (embedding pairs are not
+    // byte-copy-quadratic — near-identical vectors are the semantics).
+    "dd_semantic_census" -> ((s, d) =>
+      Dedup.clusterCensusOf(
+        Dedup.semanticKeepers(Tables.embeddings(s, d), CosineTau)
+          .select(org.apache.spark.sql.functions.col("cluster_id")
+            .as("keep_id")))),
     // End-to-end semantic dedup: LSH cosine pairs → components →
     // keeper map for every vector. Both stages' oracles compose (plane
     // literals + recursive closure + left join).
@@ -671,6 +682,17 @@ object DedupRegistry {
     // so the incremental row shares the full run's oracle VERBATIM,
     // with no restriction clause at all.
     "dd_semantic_delta" -> SemanticSql,
+    // the full keeper-map replay aggregated to the size histogram
+    // (every vector assigned ⇒ singletons are the size-1 groups)
+    "dd_semantic_census" ->
+      s"""WITH asg AS (
+         |$SemanticSql
+         |), sizes AS (
+         |  SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY 1
+         |)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY 1""".stripMargin,
     // dd_semantic's cluster CTEs + the pagerank replay nested as its
     // own scoped WITH (inner names shadow the outer e/bucketed) + the
     // keepBest two-stage election with the floor-quantized rank score
