@@ -76,12 +76,21 @@ object Similarity {
     * |corpus| evaluations — pays one dot product instead of three
     * (cosine recomputes both operand norms per pair). Bit-identical to
     * [[Vec.cosine]]: the same expressions, evaluated once per row
-    * instead of once per pair (oracle parity untouched). */
-  private def scoreAgainst(p: DataFrame, e: DataFrame): DataFrame =
-    p.join(e, col("vec_id") =!= col("probe_id"))
+    * instead of once per pair (oracle parity untouched). This is the
+    * ONE canonical scoring projection — filtered search adds
+    * `joinKeys` equalities (corpus `k` = probe `p_k`) to the join
+    * condition rather than re-spelling the projection, so the hot
+    * loop can never diverge between the filtered and unfiltered
+    * paths. */
+  private def scoreAgainst(p: DataFrame, e: DataFrame,
+                           joinKeys: Seq[String] = Nil): DataFrame = {
+    val cond = joinKeys.map(kk => col(kk) === col(s"p_$kk"))
+      .foldLeft(col("vec_id") =!= col("probe_id"))(_ && _)
+    p.join(e, cond)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         (Vec.dot(col("pv"), col("v")) / (col("pnrm") * col("vnrm")))
           .as("cos_sim"))
+  }
 
   /** Exact top-k cosine neighbors for every probe vector. `probes` is
     * any (vec_id, embedding) frame (see [[probeEvery]]); self-matches
@@ -126,14 +135,10 @@ object Similarity {
                   k: Int): DataFrame = {
     val e = embeddings.select(col("label"), col("vec_id"),
       col("embedding").as("v"), Vec.norm(col("embedding")).as("vnrm"))
-    val p = probes.select(col("label"), col("vec_id").as("probe_id"),
+    val p = probes.select(col("label").as("p_label"),
+      col("vec_id").as("probe_id"),
       col("embedding").as("pv"), Vec.norm(col("embedding")).as("pnrm"))
-    val scored = p.join(e, Seq("label"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        (Vec.dot(col("pv"), col("v")) / (col("pnrm") * col("vnrm")))
-          .as("cos_sim"))
-    rankTopK(scored, k)
+    rankTopK(scoreAgainst(p, e, joinKeys = Seq("label")), k)
   }
 
   /** [[knnBruteForce]] with a BOUNDED cache contract: runs `consume`
@@ -278,11 +283,12 @@ object Similarity {
     * → per-row argmax expression. No Exchange between the scan and the
     * assignment (asserted by ScaleShapeSpec) and no n x n_centroids
     * row materialization — the shape that survives 100x scale. */
-  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+  private def assignCells(e: DataFrame, cents: DataFrame,
+                          carry: Seq[String] = Nil): DataFrame =
     e.crossJoin(broadcast(codebook(cents)))
-      .select(col("vec_id"), col("v"),
+      .select(col("vec_id") +: carry.map(col) :+ col("v") :+
         get(Exprs.nearestCells(col("v"), col("cids"), col("units"), 1), lit(0))
-          .as("cell"))
+          .as("cell"): _*)
 
   private[graft] def ivfAssigned(embeddings: DataFrame,
                                  centroidMod: Int): DataFrame = {
@@ -413,31 +419,16 @@ object Similarity {
                      maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
     val cents = seedCentroids(e, centroidMod)
-    // assignment with the attribute carried beside the cell: one scan,
-    // the same zero-shuffle broadcast-argmax projection as assignCells
-    val assigned = embeddings
-      .select(col("vec_id"), col("label"), col("embedding").as("v"))
-      .crossJoin(broadcast(codebook(cents)))
-      .select(col("vec_id"), col("label"), col("v"),
-        get(Exprs.nearestCells(col("v"), col("cids"), col("units"), 1),
-          lit(0)).as("cell"),
-        Vec.norm(col("v")).as("vnrm"))
-    val p = probes.select(col("vec_id").as("probe_id"),
-      col("label").as("plabel"), col("embedding").as("pv"),
-      Vec.norm(col("embedding")).as("pnrm"))
-    val probeCells = p.crossJoin(broadcast(codebook(cents)))
-      .select(col("probe_id"), col("plabel"), col("pv"), col("pnrm"),
-        explode(Exprs.nearestCells(col("pv"), col("cids"), col("units"),
-          nProbe)).as("pcell"))
-    val pj = if (fitsBroadcast(p, maxBroadcastProbes)) broadcast(probeCells)
-             else probeCells
-    val scored = pj.join(assigned,
-        col("cell") === col("pcell") && col("label") === col("plabel") &&
-          col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        (Vec.dot(col("pv"), col("v")) / (col("pnrm") * col("vnrm")))
-          .as("cos_sim"))
-    rankTopK(scored, k)
+    // the shared argmax assignment with the attribute CARRIED beside
+    // the cell (one scan), then the shared candidate/scoring core
+    // with the label equality joined in
+    val assigned = assignCells(
+      embeddings.select(col("vec_id"), col("label"),
+        col("embedding").as("v")),
+      cents, carry = Seq("label"))
+      .withColumn("vnrm", Vec.norm(col("v")))
+    knnIvfAssigned(assigned, cents, probes, k, nProbe, maxBroadcastProbes,
+      joinKeys = Seq("label"))
   }
 
   /** PQ defaults: 8 subspaces over the 64-dim embeddings × 16
@@ -750,24 +741,38 @@ object Similarity {
       assignCells(e, cents).withColumn("vnrm", Vec.norm(col("v"))),
       cents, probes, k, nProbe, maxBroadcastProbes)
 
+  /** Shared IVF candidate/scoring core. `joinKeys` are optional
+    * attribute equalities (assigned `k` = probe `p_k`) for FILTERED
+    * search — one core, so the cell explode, broadcast-guard policy
+    * and scoring projection cannot diverge between the filtered and
+    * unfiltered paths. The codebook frame is built ONCE and shared by
+    * both crossJoins (its broadcast exchange is also plan-deduped at
+    * execution). */
   private def knnIvfAssigned(assigned: DataFrame, cents: DataFrame,
                              probes: DataFrame, k: Int, nProbe: Int,
-                             maxBroadcastProbes: Long): DataFrame = {
-    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
-      Vec.norm(col("embedding")).as("pnrm"))
+                             maxBroadcastProbes: Long,
+                             joinKeys: Seq[String] = Nil): DataFrame = {
+    val cb = broadcast(codebook(cents))
+    val p = probes.select(
+      Seq(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        Vec.norm(col("embedding")).as("pnrm")) ++
+        joinKeys.map(kk => col(kk).as(s"p_$kk")): _*)
     val probeCells = p
-      .crossJoin(broadcast(codebook(cents)))
-      .select(col("probe_id"), col("pv"), col("pnrm"),
+      .crossJoin(cb)
+      .select(Seq(col("probe_id"), col("pv"), col("pnrm")) ++
+        joinKeys.map(kk => col(s"p_$kk")) :+
         explode(Exprs.nearestCells(col("pv"), col("cids"), col("units"), nProbe))
-          .as("pcell"))
+          .as("pcell"): _*)
     // guard on the raw probe frame (cheap count); broadcast the
     // nProbe-expanded cell frame only if it fits. Over the cap the
     // cell key carries an ordinary shuffle equi-join instead.
     val pj = if (fitsBroadcast(p, maxBroadcastProbes)) broadcast(probeCells)
              else probeCells
+    val cond = joinKeys.map(kk => col(kk) === col(s"p_$kk"))
+      .foldLeft(col("cell") === col("pcell") &&
+        col("vec_id") =!= col("probe_id"))(_ && _)
     val scored = pj
-      .join(assigned,
-        col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .join(assigned, cond)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         (Vec.dot(col("pv"), col("v")) / (col("pnrm") * col("vnrm")))
           .as("cos_sim"))
