@@ -1049,6 +1049,51 @@ object Dedup {
       .withColumn("is_dup", (col("vec_id") =!= col("cluster_id")).cast("int"))
   }
 
+  /** The COMPOSED exact-first order for SEMANTIC dedup —
+    * [[keepBestDedup]]'s embedding-side sibling and the shape that
+    * survives a re-crawl-duplicated corpus: byte-identical documents
+    * produce byte-identical embeddings, and [[semanticKeepers]]'s LSH
+    * pair stage is quadratic in exact-copy multiplicity (100 copies of
+    * one page = 4,950 cosine-1 pairs that teach the closure nothing),
+    * so exact-vector dedup must shed the copies BEFORE any pair forms.
+    * Order: group byte-identical vectors (min-id rep — [[exact]]'s
+    * election on the embedding value itself, null-safe, no hash
+    * collision risk), run the full LSH → cosine → closure pipeline
+    * over DISTINCT vectors only, compose member → rep → cluster.
+    *
+    * LOSSLESS by construction, so composed ≡ raw EXACTLY and
+    * dd_semantic's oracle holds verbatim: bucket membership and cosine
+    * are value-determined (identical vectors share every LSH bucket
+    * and score cosine 1 ≥ τ), so contracting each identical group to
+    * its rep preserves the pair graph's component partition; and
+    * min-id labels compose — each group's min IS its rep, so the
+    * component min over reps equals the min over all members
+    * (spec-proven composed ≡ raw on a copy-heavy corpus,
+    * Round13OpsSpec). Work: one map-side-combined min per distinct
+    * vector + one AQE-skew-splittable join-back (the [[keepByMinId]]
+    * shape on the vector value), then a pair stage linear in emitted
+    * DISTINCT-vector pairs — copy multiplicity never reaches it. */
+  def semanticKeepersDedup(embeddings: DataFrame, tau: Double,
+                           nTables: Int = 6, planesPerTable: Int = 4,
+                           dim: Int = 64): DataFrame = {
+    // persist the slim (vec_id, embedding) projection: the rep
+    // aggregate and the join-back both read it (keepByMinId's trick)
+    val keyed = CacheTracker.persistTracked(
+      embeddings.select(col("vec_id"), col("embedding")))
+    val reps = keyed.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("rep_id"))
+    val repKeepers = semanticKeepers(
+      reps.select(col("rep_id").as("vec_id"), col("embedding")),
+      tau, nTables, planesPerTable, dim)
+      .select(col("vec_id").as("rep_id"), col("cluster_id"))
+    keyed.as("d").join(reps.as("k"),
+        col("d.embedding") <=> col("k.embedding"))
+      .select(col("d.vec_id").as("vec_id"), col("rep_id"))
+      .join(repKeepers, Seq("rep_id"))
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") =!= col("cluster_id")).cast("int").as("is_dup"))
+  }
+
   /** Semantic keeper election by CENTRALITY — the SemDeDup ending a
     * curation pipeline actually wants: within each embedding near-dup
     * cluster keep the vector the kNN GRAPH keeps pointing back at
@@ -1471,6 +1516,15 @@ object Dedup {
       .agg(count(lit(1)).as("n_clusters"),
         sum(col("cluster_size")).as("n_docs"))
 
+  /** Driver-closure guard for [[semanticKeepersDelta]]: above this
+    * many DISTINCT quotient edges the union-find's collect is refused
+    * and the pass closes the quotient with the distributed
+    * [[clusters]] loop instead. 4M edges ≈ a few hundred MB of Row
+    * overhead on the driver — far above any ingest-bounded quotient
+    * seen in practice, far below a heap-threatening collect. */
+  private[graft] def QuotientEdgeCap: Int =
+    sys.props.get("graft.quotient.edge.cap").map(_.toInt).getOrElse(4000000)
+
   /** Persisted state for INCREMENTAL semantic dedup: the LSH bucket
     * store (pair generation) plus the corpus's full (vec_id,
     * cluster_id) keeper ASSIGNMENT — the table downstream filtering
@@ -1552,11 +1606,20 @@ object Dedup {
       col("cluster_id").as("la"))
     val lb = storedAsg.select(col("vec_id").as("id_b"),
       col("cluster_id").as("lb"))
+    // DISTINCT before the closure: projected quotient edges collapse
+    // heavily exactly when the delta is duplicate-dense (every member
+    // of a stored cluster pairing with one delta vector projects to
+    // the SAME (label, delta-id) edge), which is also the case where
+    // raw pair count is quadratic in the ingest — dedup in the
+    // executors so the driver only ever sees the quotient's true edge
+    // set (r12 advice: an all-duplicate micro-batch must not OOM the
+    // driver through an un-deduped collect).
     val quotient = dPairs
       .join(la, Seq("id_a"), "left").join(lb, Seq("id_b"), "left")
       .select(coalesce(col("la"), col("id_a")).as("id_a"),
         coalesce(col("lb"), col("id_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
+      .distinct()
     // Quotient closure on the DRIVER (union-find), not [[clusters]]:
     // the remap below is BROADCAST — the operator already commits to
     // the quotient being driver-memory-sized (it is ingest-bounded:
@@ -1570,33 +1633,53 @@ object Dedup {
     // (0.7→2→6→15 s/round at sf0.1; the same loop over the corpus
     // pair graph is 0.1 s/round — probed r12), so the driver closure
     // is both the honest size-class AND 10× faster end-to-end.
-    val quotientEdges = quotient.collect()
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent(r) != r) r = parent(r)
-      var c = x
-      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
-    quotientEdges.foreach { row =>
-      val a = row.getLong(0); val b = row.getLong(1)
-      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) parent(ra) = rb
-    }
-    val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
-    parent.keysIterator.foreach { n =>
-      val r = find(n)
-      val m = minOf.getOrElse(r, Long.MaxValue)
-      if (n < m) minOf(r) = n
-    }
-    // only the labels that actually moved ride the broadcast
-    val moved = parent.keysIterator
-      .map(n => (n, minOf(find(n)))).filter { case (n, m) => m != n }.toSeq
-    val sp = delta.sparkSession
-    import sp.implicits._
-    val remap = broadcast(moved.toDF("node", "merged"))
+    // counted cap (r12 advice): the driver closure's size argument is
+    // "ingest-bounded quotient ≈ the broadcast it feeds" — true for
+    // every sane micro-batch, but a pathological ingest could still
+    // exceed driver heap, so the collect is capped. limit(cap+1)
+    // either returns the FULL (distinct) edge set (≤ cap — the common
+    // case, closed in driver memory with zero per-round Spark jobs)
+    // or proves the quotient oversized, in which case the pass falls
+    // back to the distributed [[clusters]] closure over the eagerly
+    // checkpointed quotient and a plain (non-broadcast) remap join —
+    // slower, never wrong, and logged.
+    val quotientEdges = quotient.limit(QuotientEdgeCap + 1).collect()
+    val remap =
+      if (quotientEdges.length <= QuotientEdgeCap) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        quotientEdges.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(ra) = rb
+        }
+        val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+        parent.keysIterator.foreach { n =>
+          val r = find(n)
+          val m = minOf.getOrElse(r, Long.MaxValue)
+          if (n < m) minOf(r) = n
+        }
+        // only the labels that actually moved ride the broadcast
+        val moved = parent.keysIterator
+          .map(n => (n, minOf(find(n)))).filter { case (n, m) => m != n }.toSeq
+        val sp = delta.sparkSession
+        import sp.implicits._
+        broadcast(moved.toDF("node", "merged"))
+      } else {
+        System.err.println(s"[graft] semanticKeepersDelta: quotient " +
+          s"exceeds $QuotientEdgeCap distinct edges; falling back to the " +
+          "distributed closure (driver union-find skipped)")
+        clusters(quotient.localCheckpoint(true))
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("node"), col("cluster_id").as("merged"))
+      }
     val storedNew = storedAsg
       .join(remap, storedAsg("cluster_id") === remap("node"), "left")
       .select(storedAsg("vec_id"),

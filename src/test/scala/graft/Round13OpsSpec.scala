@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Round-13: the composed exact-first SEMANTIC order
+  * ([[Dedup.semanticKeepersDedup]]) and the delta pass's
+  * capped-collect / distributed-closure fallback.
+  *
+  * The load-bearing claim is LOSSLESSNESS: composed ≡ raw must hold
+  * frame-for-frame, because dd_semantic_dedup ships with dd_semantic's
+  * oracle SQL verbatim. The proof obligations are (a) the real-corpus
+  * equivalence, (b) the copy-heavy corpus where the exact stage
+  * actually sheds work (the quadratic-exposure case the operator
+  * exists for), and (c) the census composition the registry relies on.
+  */
+class Round13OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val tau = 0.35
+
+  private def asn(df: DataFrame): Set[(Long, Long, Int)] =
+    df.select(col("vec_id"), col("cluster_id"), col("is_dup"))
+      .as[(Long, Long, Int)].collect().toSet
+
+  test("semanticKeepersDedup == semanticKeepers on the real corpus") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val raw = asn(Dedup.semanticKeepers(emb, tau))
+    val composed = asn(Dedup.semanticKeepersDedup(emb, tau))
+    assert(composed == raw)
+    assert(raw.exists(_._3 == 1)) // the fixture has real near-dups
+  }
+
+  test("composed == raw on a copy-heavy corpus, copies collapse before the pair stage") {
+    val dim = 64
+    def v(f: Int => Float): Array[Float] = Array.tabulate(dim)(f)
+    val a = v(i => if (i < 8) 1f else 0f)
+    val b = v(i => if (i >= 8 && i < 16) 1f else 0f) // orthogonal to a
+    val w = v(i => if (i < 16) 1f else 0f)           // bridges a and b
+    // 25 byte copies of each direction + one bridge + one singleton:
+    // the raw pair stage pays ~25^2 cosine-1 pairs per group, the
+    // composed pair stage sees exactly 4 distinct vectors.
+    val s = v(i => if (i >= 32) 1f else 0f)
+    val rows =
+      (0 until 25).map(i => (100L + i, a)) ++
+      (0 until 25).map(i => (200L + i, b)) ++
+      Seq((7L, w), (900L, s))
+    val emb = rows.toDF("vec_id", "embedding")
+    val raw = asn(Dedup.semanticKeepers(emb, tau))
+    val composed = asn(Dedup.semanticKeepersDedup(emb, tau))
+    assert(composed == raw)
+    // the bridge unions everything except the singleton; min id = 7
+    assert(composed == (rows.map(_._1).toSet - 900L)
+      .map(id => (id, 7L, if (id == 7L) 0 else 1)) + ((900L, 900L, 0)))
+    // census composes identically (the registry's dd_semantic_census path)
+    val cenRaw = Dedup.clusterCensusOf(
+      Dedup.semanticKeepers(emb, tau).select(col("cluster_id").as("keep_id")))
+      .as[(Long, Long, Long)].collect().toSet
+    val cenComposed = Dedup.clusterCensusOf(
+      Dedup.semanticKeepersDedup(emb, tau).select(col("cluster_id").as("keep_id")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cenComposed == cenRaw && cenRaw == Set((51L, 1L, 51L), (1L, 1L, 1L)))
+  }
+
+  test("semanticKeepersDelta: duplicate-dense delta is exact (distinct'd quotient)") {
+    val dim = 64
+    def v(f: Int => Float): Array[Float] = Array.tabulate(dim)(f)
+    val a = v(i => if (i < 8) 1f else 0f)
+    val old = Seq((10L, a), (11L, a)).toDF("vec_id", "embedding")
+    // an ALL-DUPLICATE ingest: 20 byte copies of the stored direction —
+    // every (copy, stored-member) pair projects onto ONE quotient edge
+    val delta = (0 until 20).map(i => (500L + i, a)).toDF("vec_id", "embedding")
+    val all = old.union(delta)
+    val full = asn(Dedup.semanticKeepers(all, tau))
+    val r = Dedup.semanticKeepersDelta(Dedup.semanticStore(old, tau), delta, tau)
+    assert(asn(r.assignment) == full)
+  }
+
+  test("semanticKeepersDelta: distributed-closure fallback == driver union-find") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    val full = asn(Dedup.semanticKeepers(emb, tau))
+    // force the capped collect to refuse: every quotient closes
+    // through the distributed clusters() path instead
+    System.setProperty("graft.quotient.edge.cap", "-1")
+    try {
+      assert(Dedup.QuotientEdgeCap == -1)
+      val r = Dedup.semanticKeepersDelta(Dedup.semanticStore(old, tau),
+        delta, tau)
+      assert(asn(r.assignment) == full)
+    } finally System.clearProperty("graft.quotient.edge.cap")
+  }
+}
