@@ -154,8 +154,12 @@ object Corpus {
                           exactN: Int, fuzzyN: Int, tau: Double): DataFrame = {
     val asg = CacheTracker.persistTracked(Dedup.exact(train)
       .select(col("doc_id"), col("keep_id")))
-    val keepers = train.join(
-      asg.filter(col("doc_id") === col("keep_id")).select("doc_id"), "doc_id")
+    // persisted alongside asg (r12 advice): both screening passes
+    // consume this train-side join, and without the persist each pass
+    // re-scans the corpus and re-runs the keeper join — a 2x IO tax on
+    // the one frame both passes share.
+    val keepers = CacheTracker.persistTracked(train.join(
+      asg.filter(col("doc_id") === col("keep_id")).select("doc_id"), "doc_id"))
     val ex = decontaminate(keepers, evalDocs, exactN)
       .select(col("doc_id").as("keep_id"), lit(1).as("ex"))
     val fz = decontaminateFuzzy(keepers, evalDocs, fuzzyN, tau)

@@ -39,9 +39,23 @@ object Similarity {
 
   /** Every `mod`-th corpus vector as a probe frame — the benchmark's
     * deterministic probe derivation. Any frame with (vec_id, embedding)
-    * columns works as a probe set; this is just one way to make one. */
+    * columns works as a probe set for the unfiltered paths; the
+    * FILTERED paths ([[knnFiltered]], [[knnIvfFiltered]]) additionally
+    * require a `label` column on both sides (the predicate is a join
+    * key — validated up front there). This derivation keeps every
+    * source column, so it satisfies both. */
   def probeEvery(embeddings: DataFrame, mod: Int): DataFrame =
     embeddings.filter(col("vec_id") % mod === 0)
+
+  /** Up-front schema check for the filtered paths (r12 advice): the
+    * predicate column is a JOIN KEY, and its absence otherwise
+    * surfaces as a late AnalysisException from deep inside the
+    * scoring join instead of a readable contract error. */
+  private def requireLabel(df: DataFrame, side: String, op: String): Unit =
+    require(df.columns.contains("label"),
+      s"$op: the filtered kNN paths treat the predicate as an equi-join " +
+        s"key, so the $side frame must carry a 'label' column beside " +
+        s"(vec_id, embedding); got [${df.columns.mkString(", ")}]")
 
   /** Broadcasting the probe side is an optimization that only holds
     * while the probe set is driver-sized; a probe frame that grows with
@@ -133,6 +147,8 @@ object Similarity {
     * rank: cosine desc, neighbor id asc. */
   def knnFiltered(embeddings: DataFrame, probes: DataFrame,
                   k: Int): DataFrame = {
+    requireLabel(embeddings, "corpus", "knnFiltered")
+    requireLabel(probes, "probe", "knnFiltered")
     val e = embeddings.select(col("label"), col("vec_id"),
       col("embedding").as("v"), Vec.norm(col("embedding")).as("vnrm"))
     val p = probes.select(col("label").as("p_label"),
@@ -417,6 +433,8 @@ object Similarity {
   def knnIvfFiltered(embeddings: DataFrame, probes: DataFrame, k: Int,
                      centroidMod: Int = 37, nProbe: Int = 2,
                      maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame = {
+    requireLabel(embeddings, "corpus", "knnIvfFiltered")
+    requireLabel(probes, "probe", "knnIvfFiltered")
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
     val cents = seedCentroids(e, centroidMod)
     // the shared argmax assignment with the attribute CARRIED beside

@@ -1079,44 +1079,93 @@ object Streams {
                     tau: Double): DataFrame =
     semanticServe(spark, dir, tau, TempDirs.create("graft_st_semantic"))
 
+  /** Resolve the LIVE semantic store tables under `storeDir`:
+    * (assignment path, lsh path) — or None when no COMPLETE store
+    * exists. r13 layout: a `CURRENT` pointer file names a versioned
+    * subdir (`v00001/…`) holding BOTH tables; a pointer naming a
+    * half-written or deleted version is REJECTED (both tables must
+    * exist — the r12 advice scenario where a crash left an assignment
+    * beside a stale/deleted lsh store can no longer be trusted into a
+    * drain). The pre-r13 flat layout (`storeDir/assignment` +
+    * `storeDir/lsh`) is accepted read-only — also only when both
+    * halves exist — and is superseded by the first versioned write. */
+  private[graft] def semanticStorePaths(storeDir: String): Option[(String, String)] = {
+    def complete(asg: String, lsh: String): Option[(String, String)] =
+      if (new java.io.File(asg).isDirectory && new java.io.File(lsh).isDirectory)
+        Some((asg, lsh))
+      else None
+    val pointer = new java.io.File(storeDir, "CURRENT")
+    val versioned =
+      if (pointer.isFile) {
+        val v = java.nio.file.Files.readString(pointer.toPath).trim
+        complete(s"$storeDir/$v/assignment", s"$storeDir/$v/lsh")
+      } else None
+    versioned.orElse(complete(s"$storeDir/assignment", s"$storeDir/lsh"))
+  }
+
   /** [[semanticServe]] with a CALLER-SUPPLIED store path — the
     * production entry point. `storeDir` holds `assignment` and `lsh`
     * parquet tables that survive the session and seed the next drain
     * (a later ingest grows the SAME store — the whole point of the
-    * incremental pass). Durability follows [[searchServe]]'s staged
-    * contract: the drain is computed against the live store,
-    * materialized into `.staging` siblings, and swapped in only after
-    * both writes succeed, so a drain that fails mid-way leaves the
-    * previous store fully intact and serveable; the unprotected
-    * window is the two directory renames, not the drain. */
+    * incremental pass). Durability (r13, closing the r12 advice gap —
+    * the old two-rename swap could crash between renames and leave a
+    * new assignment beside a stale lsh store): each drain writes BOTH
+    * tables into a fresh versioned subdir, then promotes it with ONE
+    * atomic pointer move (`CURRENT.tmp` → `CURRENT`,
+    * StandardCopyOption.ATOMIC_MOVE). Every failure point leaves the
+    * prior store fully live: a crash mid-write orphans an unreferenced
+    * version dir (reclaimed by the next successful drain's cleanup),
+    * and the bootstrap refuses any version missing either table. */
   def semanticServe(spark: SparkSession, dir: String, tau: Double,
                     storeDir: String): DataFrame = {
     val stream = FileStreamSource(s"$dir/embeddings.parquet").stream(spark)
-    val (asgLive, lshLive) = (s"$storeDir/assignment", s"$storeDir/lsh")
-    // bootstrap: the live store when present, else an EMPTY store with
-    // the exact pipeline schemas (semanticStore over a zero-row slice
-    // — the closure on no pairs is the empty assignment)
-    val store0 =
-      if (new java.io.File(asgLive).isDirectory)
+    // bootstrap: the live store when present AND complete, else an
+    // EMPTY store with the exact pipeline schemas (semanticStore over
+    // a zero-row slice — the closure on no pairs is the empty
+    // assignment)
+    val store0 = semanticStorePaths(storeDir) match {
+      case Some((asg, lsh)) =>
         graft.operators.Dedup.SemanticStore(
-          graft.operators.Dedup.EmbeddingLshStore(
-            spark.read.parquet(lshLive)),
-          spark.read.parquet(asgLive))
-      else graft.operators.Dedup.semanticStore(
+          graft.operators.Dedup.EmbeddingLshStore(spark.read.parquet(lsh)),
+          spark.read.parquet(asg))
+      case None => graft.operators.Dedup.semanticStore(
         spark.read.parquet(s"$dir/embeddings.parquet").limit(0), tau)
+    }
     val store = semanticMaintainFromStream(stream, store0, tau)
-    val (stageA, stageL) = (s"$asgLive.staging", s"$lshLive.staging")
-    Seq(stageA, stageL).foreach { p =>
-      scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively(); ()
+    // next version = max existing + 1 (orphans from crashed drains
+    // count, so a retry never reuses a half-written dir)
+    val root = new java.io.File(storeDir)
+    root.mkdirs()
+    val VDir = "v(\\d{5})".r
+    val nextN = Option(root.listFiles()).getOrElse(Array.empty)
+      .collect { case f if f.isDirectory => f.getName }
+      .collect { case VDir(n) => n.toInt }
+      .maxOption.getOrElse(0) + 1
+    val vName = f"v$nextN%05d"
+    store.assignment.write.mode("overwrite")
+      .parquet(s"$storeDir/$vName/assignment")
+    store.lsh.bucketed.write.mode("overwrite")
+      .parquet(s"$storeDir/$vName/lsh")
+    // the SINGLE atomic promotion: readers see the old pointer or the
+    // new one, never a torn store
+    val tmp = java.nio.file.Paths.get(storeDir, "CURRENT.tmp")
+    java.nio.file.Files.writeString(tmp, vName)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(storeDir, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // best-effort cleanup AFTER promotion: superseded versions, the
+    // pre-r13 flat tables, and any stale staging leftovers
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val stale = f.getName match {
+        case VDir(n) => n.toInt != nextN
+        case "assignment" | "lsh" | "assignment.staging" | "lsh.staging" => true
+        case _ => false
+      }
+      if (stale && f.isDirectory) {
+        scala.reflect.io.Directory(f).deleteRecursively(); ()
+      }
     }
-    store.assignment.write.mode("overwrite").parquet(stageA)
-    store.lsh.bucketed.write.mode("overwrite").parquet(stageL)
-    Seq((stageA, asgLive), (stageL, lshLive)).foreach { case (stage, live) =>
-      scala.reflect.io.Directory(new java.io.File(live)).deleteRecursively()
-      java.nio.file.Files.move(java.nio.file.Paths.get(stage),
-        java.nio.file.Paths.get(live)); ()
-    }
-    spark.read.parquet(asgLive)
+    spark.read.parquet(s"$storeDir/$vName/assignment")
       .select(col("vec_id"), col("cluster_id"),
         (col("vec_id") =!= col("cluster_id")).cast("int").as("is_dup"))
   }

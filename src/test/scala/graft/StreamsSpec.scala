@@ -212,8 +212,11 @@ class StreamsSpec extends AnyFunSuite {
     val served = asn(Streams.semanticServe(spark, dir, tau, storeDir))
     assert(served == batchRun && batchRun.nonEmpty)
     // the store is DURABLE at the caller's path: the assignment table
-    // re-serves without a stream or rebuild
-    val reServed = spark.read.parquet(s"$storeDir/assignment")
+    // re-serves without a stream or rebuild, resolved through the
+    // versioned CURRENT pointer (r13 layout)
+    val (asgPath, lshPath) = Streams.semanticStorePaths(storeDir).get
+    assert(new java.io.File(lshPath).isDirectory)
+    val reServed = spark.read.parquet(asgPath)
       .select(col("vec_id"), col("cluster_id"),
         (col("vec_id") =!= col("cluster_id")).cast("int").as("is_dup"))
     assert(asn(reServed) == batchRun)
@@ -221,6 +224,22 @@ class StreamsSpec extends AnyFunSuite {
     // every vector through the idempotent delta: same assignment
     val reDrained = asn(Streams.semanticServe(spark, dir, tau, storeDir))
     assert(reDrained == batchRun)
+    // a TORN store must not bootstrap (the r12 advice scenario: a
+    // crash between table writes) — delete the live version's lsh
+    // half and the resolver refuses the whole version...
+    val (_, lshPath2) = Streams.semanticStorePaths(storeDir).get
+    scala.reflect.io.Directory(new java.io.File(lshPath2)).deleteRecursively()
+    assert(Streams.semanticStorePaths(storeDir).isEmpty)
+    // ...and the next drain recovers: bootstraps empty, re-ingests,
+    // promotes a fresh COMPLETE version behind the atomic pointer
+    val recovered = asn(Streams.semanticServe(spark, dir, tau, storeDir))
+    assert(recovered == batchRun)
+    val (asgPath3, lshPath3) = Streams.semanticStorePaths(storeDir).get
+    assert(new java.io.File(lshPath3).isDirectory)
+    assert(asn(spark.read.parquet(asgPath3)
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") =!= col("cluster_id")).cast("int").as("is_dup")))
+      == batchRun)
     scala.reflect.io.Directory(new java.io.File(storeDir)).deleteRecursively()
   }
 
