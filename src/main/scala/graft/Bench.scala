@@ -40,8 +40,15 @@ object Bench {
       "dd_exact", "dd_exact_delta", "dd_keep_best_dedup", "dd_paragraph", "dd_paragraph_rewrite",
       "dd_boilerplate", "cp_pack",
       "dd_minhash", "dd_simhash", "dd_semantic", "dd_semantic_best",
+      // r13: the composed exact-first semantic order and the
+      // (store-memoized) incremental pass — the delta row's store
+      // builds once in the warm-up like every *_served index
+      "dd_semantic_dedup", "dd_semantic_delta",
       "mm_payload_neardup",
-      "knn_bruteforce", "knn_ivf", "knn_filtered", "knn_ivf_filtered",
+      // knn_lsh BUILD row (r13, VERDICT item #3): its served sibling
+      // was benched but the build was not, leaving the LSH family's
+      // served<build claim resting on builder-local numbers
+      "knn_bruteforce", "knn_lsh", "knn_ivf", "knn_filtered", "knn_ivf_filtered",
       "knn_graph", "knn_pagerank",
       "knn_pq", "knn_ivfpq",
       "knn_outliers", "knn_ivf_census",
@@ -177,6 +184,32 @@ object Bench {
     (0 until n).map(_ => once())
   }
 
+  /** SECOND calibration row (r13, VERDICT item #4): a fixed 32-task
+    * NO-OP stage — pure scheduling/launch overhead, no compute, no IO.
+    * The CPU-bound calibration above normalizes compute-dominated
+    * rows, but a short scheduling-dominated row (a sub-second query is
+    * mostly task launch + exchange setup) scales with the box's
+    * scheduling floor, not its ALU throughput — so when boxes differ,
+    * dividing a 0.3 s row by the CPU ratio over- or under-flags it
+    * (the builder's own §6 caveat on flagged_norm). `vs_prev`
+    * normalizes rows whose PRIOR median is scheduling-dominated by
+    * this row's ratio instead. */
+  private def calibrateSched(spark: SparkSession, n: Int): Seq[Double] = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 32L, 1, 32).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm-up
+    (0 until n).map(_ => once())
+  }
+
+  /** A prior-round row counts as scheduling-dominated when its median
+    * sat under this many scheduling floors — below that, wall time is
+    * task launch + exchange setup, not compute, and the CPU ratio is
+    * the wrong normalizer for it. */
+  val SchedDominatedFloors: Double = 5.0
+
   private def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
 
   /** 4-decimal (0.1 ms) rendering keeps the driver-parsed line short.
@@ -191,7 +224,12 @@ object Bench {
     * highest-numbered BENCH_r*.json in the working directory. Accepts
     * either the driver's grading envelope ({"parsed":{"queries":…}})
     * or a bare compact metric line. Absent/unreadable → no block. */
-  private def prevMedians(): Option[(String, Map[String, Double], Option[Double])] = {
+  private final case class PrevBench(src: String,
+                                     medians: Map[String, Double],
+                                     calib: Option[Double],
+                                     sched: Option[Double])
+
+  private def prevMedians(): Option[PrevBench] = {
     // numeric round sort: lexicographic would pick r9 over r10
     val path = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse(
       Option(new java.io.File(".").listFiles()).flatMap(
@@ -213,10 +251,10 @@ object Bench {
             Some(fields.flatMap { case (k, jv) => num(jv).map(k -> _) }.toMap)
           case _ => None
         }
-        def calib(v: JValue): Option[Double] = num(v \ "calibration")
-        (qs(j \ "parsed").map(m => (m, calib(j \ "parsed")))
-          .orElse(qs(j).map(m => (m, calib(j)))))
-          .map { case (m, c) => (new java.io.File(p).getName, m, c) }
+        def build(v: JValue): Option[PrevBench] = qs(v).map(m =>
+          PrevBench(new java.io.File(p).getName, m,
+            num(v \ "calibration"), num(v \ "calibration_sched")))
+        build(j \ "parsed").orElse(build(j))
       } catch { case _: Throwable => None }
     }
   }
@@ -226,25 +264,48 @@ object Bench {
     * when both rounds carry a calibration median — `box_ratio` (this
     * box's calibration / prior's) plus `pct_norm`/`flagged_norm`
     * computed on box-normalized times, so an environment slowdown
-    * stops masquerading as a code regression. */
+    * stops masquerading as a code regression. r13: when both rounds
+    * ALSO carry the scheduling-floor calibration, a row whose PRIOR
+    * median was scheduling-dominated (< [[SchedDominatedFloors]] ×
+    * the prior floor) normalizes by the FLOOR ratio instead of the
+    * CPU ratio — short rows scale with task-launch overhead, not ALU
+    * throughput, and CPU-normalizing them over-flags exactly when
+    * box_ratio ≠ 1 (the §6 caveat this closes). `sched_ratio` and the
+    * per-row choice ride the detail line via `norm_by_sched`. */
   private def vsPrevJson(medians: Seq[(String, Double)],
-                         calib: Double,
-                         prevData: Option[(String, Map[String, Double], Option[Double])]): String =
+                         calib: Double, sched: Double,
+                         prevData: Option[PrevBench]): String =
     prevData match {
-      case Some((src, prev, prevCalib)) =>
-        def deltas(scale: Double) = medians.flatMap { case (k, v) =>
-          prev.get(k).filter(_ > 0).map(p => (k, (v / scale - p) / p * 100.0))
+      case Some(PrevBench(src, prev, prevCalib, prevSched)) =>
+        def deltas(scaleOf: String => Double) = medians.flatMap { case (k, v) =>
+          prev.get(k).filter(_ > 0)
+            .map(p => (k, (v / scaleOf(k) - p) / p * 100.0))
         }
         def render(ds: Seq[(String, Double)]): (String, String) = (
           ds.map { case (k, pct) => "\"" + k + "\":" + fmt(pct) }
             .mkString("{", ",", "}"),
           ds.filter { case (_, pct) => math.abs(pct) > 25.0 }
             .map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]"))
-        val (pcts, flagged) = render(deltas(1.0))
+        val (pcts, flagged) = render(deltas(_ => 1.0))
         val normed = prevCalib.filter(_ > 0).map { pc =>
-          val ratio = calib / pc
-          val (pn, fn) = render(deltas(ratio))
-          s""","box_ratio":${fmt(ratio)},"pct_norm":$pn,"flagged_norm":$fn"""
+          val cpuRatio = calib / pc
+          // rows whose prior median sat under the scheduling-dominance
+          // cut normalize by the floor ratio (when both rounds have it)
+          val schedInfo = prevSched.filter(_ > 0).filter(_ => sched > 0)
+            .map(ps => (sched / ps, ps))
+          def scaleOf(k: String): Double = schedInfo match {
+            case Some((sRatio, ps))
+              if prev.get(k).exists(_ < SchedDominatedFloors * ps) => sRatio
+            case _ => cpuRatio
+          }
+          val (pn, fn) = render(deltas(scaleOf))
+          val schedJson = schedInfo.map { case (sRatio, ps) =>
+            val bySched = medians.flatMap { case (k, _) =>
+              prev.get(k).filter(_ < SchedDominatedFloors * ps).map(_ => k)
+            }.map("\"" + _ + "\"").mkString("[", ",", "]")
+            s""","sched_ratio":${fmt(sRatio)},"norm_by_sched":$bySched"""
+          }.getOrElse("")
+          s""","box_ratio":${fmt(cpuRatio)}$schedJson,"pct_norm":$pn,"flagged_norm":$fn"""
         }.getOrElse("")
         s""","vs_prev":{"src":"$src","pct":$pcts,"flagged":$flagged$normed}"""
       case None => ""
@@ -255,6 +316,7 @@ object Bench {
     val trendDir = "/root/testdata/sf0.01"
     val spark = GraftSession.local("graft-bench")
     val calib = calibrate(spark, runs)
+    val sched = calibrateSched(spark, runs)
     val results = headliners.map { name =>
       name -> time(spark, name, Seq(sfDir), runs)(sfDir)
     }
@@ -309,11 +371,12 @@ object Bench {
     // and standalone (round-4 lesson: one long combined line got its
     // head truncated and the driver recorded parsed:null).
     val calibMedian = median(calib)
+    val schedMedian = median(sched)
     val medians = ok.map { case (k, q) => k -> median(q.times) }
     // parsed ONCE (r12 review finding): both the vs_prev fragment and
     // the compact line's box_ratio read the same prior-round data
     val prevData = prevMedians()
-    val vsPrev = vsPrevJson(medians, calibMedian, prevData)
+    val vsPrev = vsPrevJson(medians, calibMedian, schedMedian, prevData)
     // The driver parses the final line FROM a ~2000-char stdout tail
     // (round-4 lesson: a longer line head-truncates into parsed:null),
     // so the compact line carries only the SMALL adjudication fields —
@@ -322,8 +385,10 @@ object Bench {
     // median with g≈0 is interference, not code). The full
     // pct_norm/flagged_norm maps stay on the bench_detail line.
     val adjudication: String = prevData match {
-      case Some((_, _, Some(pc))) if pc > 0 =>
-        s""","box_ratio":${fmt(calibMedian / pc)}"""
+      case Some(PrevBench(_, _, Some(pc), ps)) if pc > 0 =>
+        val sr = ps.filter(_ > 0).filter(_ => schedMedian > 0)
+          .map(p => s""","sched_ratio":${fmt(schedMedian / p)}""").getOrElse("")
+        s""","box_ratio":${fmt(calibMedian / pc)}$sr"""
       case _ => ""
     }
     def fmt3(d: Double): String =
@@ -336,8 +401,8 @@ object Bench {
           ",\"n\":" + fmt3(q.times.min) + ",\"g\":" + fmt3(q.gcFrac) + "}"
       }.mkString(",\"watch\":{", ",", "}")
     }
-    println(s"""{"metric":"bench_detail","stats":$stats$trend$vsPrev,"calibration_stats":{"median":${fmt(calibMedian)},"min":${fmt(calib.min)},"max":${fmt(calib.max)},"n":${calib.size}},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"calibration":${fmt(calibMedian)}$adjudication$watchJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"bench_detail","stats":$stats$trend$vsPrev,"calibration_stats":{"median":${fmt(calibMedian)},"min":${fmt(calib.min)},"max":${fmt(calib.max)},"n":${calib.size}},"calibration_sched_stats":{"median":${fmt(schedMedian)},"min":${fmt(sched.min)},"max":${fmt(sched.max)},"n":${sched.size}},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"calibration":${fmt(calibMedian)},"calibration_sched":${fmt(schedMedian)}$adjudication$watchJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
