@@ -361,14 +361,31 @@ object Similarity {
         (col("n_vectors").cast("double") / col("tot")).as("share"))
   }
 
+  /** Mean-update quantizer for Lloyd's: per-element contributions are
+    * floored at 1e-6 into longs, so the per-cell sums are EXACT
+    * integer arithmetic — order- and partitioning-independent — and
+    * the whole training loop replays as unrolled SQL on any engine
+    * (the knn_pagerank trick applied to k-means; r13, promoting
+    * knn_ivf_trained from spec-only to an oracle row). Headroom: each
+    * |element| ≤ ~1 → |quantum| ≤ 1e6, so the long sum holds ~9e12
+    * members per cell before overflow — beyond any real cell. The
+    * 1e-6 centroid resolution is far below the cosine gaps the
+    * assignment argmax discriminates. */
+  private val LloydQ = 1000000.0
+
   /** Lloyd's k-means refinement of the deterministic seed codebook.
     * Each iteration is (a) the zero-shuffle argmax assignment above and
     * (b) ONE agg shuffle on the cell id computing per-cell element
-    * means — unrolled into `dim` scalar avg aggregates (map-side
-    * combinable; no row explosion). Seeds, tie-breaks and float math
-    * are deterministic, so the trained codebook is reproducible across
-    * runs and partitionings. Empty cells keep their previous centroid
-    * (standard Lloyd's degeneracy handling, id-stable). */
+    * means — unrolled into `dim` scalar sum aggregates (map-side
+    * combinable; no row explosion), each sum floor-quantized at
+    * [[LloydQ]] into exact longs and divided back out as ONE double
+    * multiply + divide per element. Seeds and tie-breaks were always
+    * deterministic; the quantized sums make the ARITHMETIC exact too
+    * (a parallel double mean depends on partial-sum order), so the
+    * trained codebook is bit-reproducible across runs, partitionings
+    * and engines — DuckDB replays the identical 3 iterations. Empty
+    * cells keep their previous centroid (standard Lloyd's degeneracy
+    * handling, id-stable). */
   private[graft] def trainCentroids(e: DataFrame, centroidMod: Int,
                                     iters: Int, dim: Int): DataFrame = {
     var cents = seedCentroids(e, centroidMod)
@@ -376,10 +393,13 @@ object Similarity {
     (0 until iters).foreach { _ =>
       val means = assignCells(e, cents)
         .groupBy(col("cell"))
-        .agg(avg(col("v")(0)).as("m0"),
-          (1 until dim).map(i => avg(col("v")(i)).as(s"m$i")): _*)
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i =>
+            sum(floor(col("v")(i).cast("double") * lit(LloydQ))).as(s"s$i")): _*)
         .select(col("cell").as("cid"),
-          array((0 until dim).map(i => col(s"m$i")): _*).as("cv"))
+          array((0 until dim).map(i =>
+            col(s"s$i").cast("double")
+              / (col("n").cast("double") * lit(LloydQ))): _*).as("cv"))
       cents = cents.as("old")
         .join(means.as("new"), col("old.cid") === col("new.cid"), "left")
         .select(col("old.cid").as("cid"),

@@ -237,8 +237,93 @@ object SimilarityRegistry {
          |FROM ranked WHERE rnk <= $K""".stripMargin
   }
 
+  /** knn_ivf's replay under the Lloyd's-TRAINED codebook (r13 oracle
+    * promotion — this row was spec-only while the mean updates were
+    * parallel double sums, which no serial engine can replay): the
+    * three training iterations unroll as CTE chains — argmax
+    * assignment under the previous codebook (knn_ivf's d DESC, cid
+    * ASC spelling), then per-(cell, element) QUANTIZED means: each
+    * contribution floored at 1e-6 into a BIGINT, summed exactly
+    * (order-free integer arithmetic — Spark's long sum ≡ DuckDB's
+    * HUGEINT sum at these magnitudes), divided back out as ONE double
+    * multiply + divide, reassembled in element order, empty cells
+    * keeping the previous centroid via the same LEFT JOIN + coalesce.
+    * Identical arithmetic to [[graft.operators.Similarity]]'s
+    * trainCentroids; the search tail is knn_ivf's verbatim under the
+    * final codebook. */
+  private lazy val IvfTrainedSql: String = {
+    val iters = 3
+    val iterCtes = (0 until iters).map { n =>
+      s"""u$n AS (
+         |  SELECT cid, list_transform(cv, x -> x / ${nrm("cv")}) AS unit
+         |  FROM c$n
+         |), s$n AS (
+         |  SELECT e.vec_id, e.v, c.cid, ${VectorSql.dot("e.v", "c.unit")} AS d
+         |  FROM e CROSS JOIN u$n c
+         |), a$n AS (
+         |  SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY d DESC, cid ASC) AS rn
+         |    FROM s$n) WHERE rn = 1
+         |), m$n AS (
+         |  SELECT cell, i,
+         |    CAST(sum(CAST(floor(v[i + 1] * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / (CAST(count(*) AS DOUBLE) * 1000000.0) AS m
+         |  FROM a$n CROSS JOIN idx GROUP BY cell, i
+         |), g$n AS (
+         |  SELECT cell, list(m ORDER BY i) AS cv FROM m$n GROUP BY cell
+         |), c${n + 1} AS (
+         |  SELECT c.cid, coalesce(g.cv, c.cv) AS cv
+         |  FROM c$n c LEFT JOIN g$n g ON g.cell = c.cid
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), idx AS (
+       |  SELECT range AS i FROM range(64)
+       |), c0 AS (
+       |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $CentroidMod = 0
+       |),
+       |$iterCtes,
+       |uf AS (
+       |  SELECT cid, list_transform(cv, x -> x / ${nrm("cv")}) AS unit
+       |  FROM c$iters
+       |), scored_cells AS (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |    ${VectorSql.dot("e.v", "c.unit")} AS d
+       |  FROM e CROSS JOIN uf c
+       |), assigned AS (
+       |  SELECT vec_id, v, cid AS cell FROM (
+       |    SELECT vec_id, v, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY d DESC, cid ASC) AS rn
+       |    FROM scored_cells) WHERE rn = 1
+       |), probe_cells AS (
+       |  SELECT vec_id AS probe_id, v AS pv, cid AS pcell FROM (
+       |    SELECT vec_id, v, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY d DESC, cid ASC) AS rn
+       |    FROM scored_cells WHERE vec_id % $ProbeMod = 0) WHERE rn <= $NProbe
+       |), cand AS (
+       |  SELECT p.probe_id, e.vec_id AS neighbor_id,
+       |    ${VectorSql.cos("p.pv", "e.v")} AS cos_sim
+       |  FROM probe_cells p
+       |  JOIN (SELECT vec_id, v, cell FROM assigned) e
+       |    ON e.cell = p.pcell AND e.vec_id <> p.probe_id
+       |), ranked AS (
+       |  SELECT probe_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY probe_id
+       |                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+       |  FROM cand
+       |)
+       |SELECT probe_id, neighbor_id, cos_sim, rnk
+       |FROM ranked WHERE rnk <= $K""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
    val base = Map(
+    "knn_ivf_trained" -> IvfTrainedSql,
     "knn_bruteforce" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
