@@ -52,4 +52,40 @@ class SurveySyncSpec extends AnyFunSuite {
         s"no oracle but §2 declares one: " +
         s"${(actualNoOracle -- declaredNoOracle).toSeq.sorted.mkString(", ")}")
   }
+
+  /** The third leg of the sync (r13, VERDICT item #8): the driver's
+    * graded CORRECTNESS_r*.json must stay consistent with the
+    * registry. The file LAGS one round (rows added this round are
+    * graded at round end), so "every §2 key appears in the file"
+    * cannot be asserted mid-round; the monotone-safe invariants are
+    * (a) every key the driver GRADED is still a registered query —
+    * a rename or removal that orphans graded history is a red test —
+    * and (b) no oracle is silently DROPPED: a key the driver
+    * hash-matched against SQL must still carry an oracle (gaining one
+    * is the legal promotion path; losing one demotes a verified row
+    * to rows-only without anyone noticing). */
+  test("latest CORRECTNESS_r*.json keys are registered and oracles never dropped") {
+    val latest = Option(new java.io.File(".").listFiles())
+      .map(_.filter(_.getName.matches("CORRECTNESS_r\\d+\\.json"))
+        .sortBy(f => f.getName.replaceAll("\\D", "").toInt))
+      .flatMap(_.lastOption)
+    assume(latest.isDefined, "no CORRECTNESS_r*.json yet (round 1)")
+    import org.json4s._
+    val graded = jackson.JsonMethods.parse(latest.get) match {
+      case JObject(fields) => fields.toMap
+      case _ => fail(s"${latest.get.getName} is not a JSON object")
+    }
+    val unregistered = graded.keySet -- SparkEntry.queries.keySet
+    assert(unregistered.isEmpty,
+      s"${latest.get.getName} graded keys no longer registered " +
+        s"(rename/removal orphans graded history): " +
+        s"${unregistered.toSeq.sorted.mkString(", ")}")
+    val droppedOracles = graded.collect {
+      case (k, v) if (v \ "hash_match") == JBool(true) &&
+        !SparkEntry.oracleSql.contains(k) => k
+    }
+    assert(droppedOracles.isEmpty,
+      s"hash-matched in ${latest.get.getName} but oracle since removed: " +
+        s"${droppedOracles.toSeq.sorted.mkString(", ")}")
+  }
 }
