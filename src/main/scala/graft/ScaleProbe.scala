@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   * copies stay near-identical (the near-dup worst case: every copy
   * pairs inside its LSH bucket) without the exact ties of bit-equal
   * vectors degenerating kNN ranking.
+  *
+  * r13 corpus-shape toggles (each a distinct worst case):
+  *   SPARK_GRAFT_PROBE_EXACT_EMB=1  — skip the perturbation: copies
+  *     are BYTE-IDENTICAL (the re-crawl-duplicated corpus the
+  *     composed exact-first semantic order exists for; the raw pair
+  *     stage is quadratic in copy multiplicity here).
+  *   SPARK_GRAFT_PROBE_HOT_LABEL=90 — rewrite `label` so that
+  *     percentage of vectors (by vec_id mod 100) share ONE hot class:
+  *     the skew worst case for the filtered kNN paths, whose
+  *     label-keyed scoring join must AQE-split the hot partition.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -44,15 +54,25 @@ object ScaleProbe {
     val maxVecRow = emb.agg(max(col("vec_id"))).head()
     val maxVec = (if (maxVecRow.isNullAt(0)) -1L else maxVecRow.getLong(0)) + 1L
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val bigEmb = (0 until mult).map { i =>
+    val exactEmb = sys.env.get("SPARK_GRAFT_PROBE_EXACT_EMB").contains("1")
+    val hotPct = sys.env.get("SPARK_GRAFT_PROBE_HOT_LABEL").map(_.toInt)
+    val bigEmb0 = (0 until mult).map { i =>
       val shifted =
-        if (i == 0) emb
+        if (i == 0 || exactEmb) emb
         else emb.withColumn("embedding",
           transform(col("embedding"), (x, j) =>
             when(j === lit(i % dim), x + lit((i * 1e-4).toFloat))
               .otherwise(x)))
       shifted.withColumn("vec_id", col("vec_id") + lit(i.toLong * maxVec))
     }.reduce(_ union _)
+    val bigEmb = hotPct match {
+      case Some(pct) =>
+        val hot = emb.select(col("label")).limit(1).head().get(0)
+        bigEmb0.withColumn("label",
+          when(pmod(col("vec_id"), lit(100L)) < lit(pct.toLong), lit(hot))
+            .otherwise(col("label")))
+      case None => bigEmb0
+    }
     bigEmb.write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
     val n = spark.read.parquet(s"$out/documents.parquet").count()
     println(s"""{"probe_docs":$n,"mult":$mult}""")
