@@ -717,14 +717,21 @@ object Similarity {
     * [[knnIvf]] re-assigns the whole corpus per call. */
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
 
-  /** Build [[IvfIndex]] state (seed or Lloyd's-trained codebook). */
+  /** Build [[IvfIndex]] state (seed or Lloyd's-trained codebook).
+    * `carry` columns ride the assigned table beside (vec_id, v, cell)
+    * — the attribute-filtered-ANN posture: a served index that will
+    * answer FILTERED queries stores the filter attributes inline, so
+    * query time pays no corpus-sized attribute join and the one index
+    * still serves every predicate value (the codebook and assignment
+    * are attribute-blind — [[knnIvfFilteredIndexed]]). */
   def ivfIndex(embeddings: DataFrame, centroidMod: Int = 37,
                trained: Boolean = false, iters: Int = 3,
-               dim: Int = 64): IvfIndex = {
-    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+               dim: Int = 64, carry: Seq[String] = Nil): IvfIndex = {
+    val e = embeddings.select(col("vec_id") +: carry.map(col) :+
+      col("embedding").as("v"): _*)
     val cents = if (trained) trainCentroids(e, centroidMod, iters, dim)
                 else seedCentroids(e, centroidMod)
-    IvfIndex(assignCells(e, cents).withColumn("vnrm", Vec.norm(col("v"))),
+    IvfIndex(assignCells(e, cents, carry).withColumn("vnrm", Vec.norm(col("v"))),
       cents)
   }
 
@@ -771,6 +778,25 @@ object Similarity {
                     maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame =
     knnIvfAssigned(index.assigned, index.centroids, probes, k, nProbe,
       maxBroadcastProbes)
+
+  /** [[knnIvfFiltered]] over a PREBUILT label-carrying [[IvfIndex]]
+    * ([[ivfIndex]] with `carry = Seq("label")`) — the serving shape
+    * for attribute-filtered ANN: the ONE persisted index answers
+    * every predicate value (assignment and codebook are
+    * attribute-blind; the label is just a stored column that joins as
+    * an extra equality in the shared candidate/scoring core), so a
+    * new filter value never triggers a rebuild and query-time work is
+    * bounded by (cell occupancy ∩ class) exactly like the build path.
+    * On a (label)-bucketed index layout the scan prunes to the
+    * classes present in the probe batch before the join. */
+  def knnIvfFilteredIndexed(index: IvfIndex, probes: DataFrame, k: Int,
+                            nProbe: Int = 2,
+                            maxBroadcastProbes: Long = DefaultMaxBroadcastProbes): DataFrame = {
+    requireLabel(index.assigned, "index", "knnIvfFilteredIndexed")
+    requireLabel(probes, "probe", "knnIvfFilteredIndexed")
+    knnIvfAssigned(index.assigned, index.centroids, probes, k, nProbe,
+      maxBroadcastProbes, joinKeys = Seq("label"))
+  }
 
   private def knnIvfWith(e: DataFrame, cents: DataFrame, probes: DataFrame,
                          k: Int, nProbe: Int,

@@ -169,6 +169,21 @@ object SimilarityRegistry {
         Similarity.IvfIndex(s.read.parquet(paths.head), s.read.parquet(paths(1))),
         probes(s, d), K, NProbe)
     }),
+    // attribute-filtered serving (r13): the ONE persisted
+    // label-carrying IVF index answers every predicate value — the
+    // label is a stored column that joins as an extra equality in the
+    // shared scoring core, so a new filter value never rebuilds
+    // anything and the query pays (cell occupancy ∩ class) work.
+    "knn_ivf_filtered_served" -> ((s, d) => {
+      val (paths, _) = ServingIndexes.once("ivf_labeled", d) {
+        val idx = Similarity.ivfIndex(Tables.embeddings(s, d), CentroidMod,
+          carry = Seq("label"))
+        (Seq(idx.assigned, idx.centroids), 0L)
+      }
+      Similarity.knnIvfFilteredIndexed(
+        Similarity.IvfIndex(s.read.parquet(paths.head), s.read.parquet(paths(1))),
+        probes(s, d), K, NProbe)
+    }),
     "knn_ivfpq_served" -> ((s, d) => {
       val (paths, _) = ServingIndexes.once("ivfpq", d) {
         val idx = Similarity.ivfPqIndex(Tables.embeddings(s, d), CentroidMod)
@@ -671,6 +686,7 @@ object SimilarityRegistry {
      // no old-side predicate
      "knn_lsh_delta" -> base("knn_lsh"),
      "knn_ivf_served" -> base("knn_ivf"),
+     "knn_ivf_filtered_served" -> base("knn_ivf_filtered"),
      "knn_pq_served" -> base("knn_pq"),
      "knn_ivfpq_served" -> base("knn_ivfpq"))
   }

@@ -194,6 +194,32 @@ class SimilaritySpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS ivf_index_rt")
   }
 
+  test("knnIvfFilteredIndexed over a persisted labeled index == knnIvfFiltered") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = Similarity.probeEvery(emb, 50)
+    val fresh = Similarity.knnIvfFiltered(emb, probes, 10)
+      .collect().map(_.toSeq).toSet
+    // the ONE label-carrying index, round-tripped through parquet
+    // (the serving layout), answers the filtered query identically —
+    // and serves every predicate value without a rebuild
+    val idx = Similarity.ivfIndex(emb, carry = Seq("label"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_labeled_rt")
+    idx.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    idx.centroids.write.mode("overwrite").parquet(s"$dir/cents")
+    val served = Similarity.knnIvfFilteredIndexed(
+      Similarity.IvfIndex(spark.read.parquet(s"$dir/assigned"),
+        spark.read.parquet(s"$dir/cents")),
+      probes, 10).collect().map(_.toSeq).toSet
+    assert(served == fresh && fresh.nonEmpty)
+    // a label-blind index is a contract error up front, not a late
+    // AnalysisException from inside the scoring join
+    val bare = Similarity.ivfIndex(emb)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.knnIvfFilteredIndexed(bare, probes, 10)
+    }
+    assert(err.getMessage.contains("label"))
+  }
+
   test("knnPqIndexed over a persisted code table == knnPq rebuilt per call") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = Similarity.probeEvery(emb, 50)
