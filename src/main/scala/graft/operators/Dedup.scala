@@ -1078,16 +1078,22 @@ object Dedup {
                            dim: Int = 64): DataFrame = {
     // persist the slim (vec_id, embedding) projection: the rep
     // aggregate and the join-back both read it (keepByMinId's trick)
+    // xxhash64 leads every value key (the delta pass's discipline):
+    // array<float> grouping/join keys force sort-based plans, and the
+    // long prefix short-circuits the comparator — full-value equality
+    // stays in the key, so the hash only orders, never decides
     val keyed = CacheTracker.persistTracked(
-      embeddings.select(col("vec_id"), col("embedding")))
-    val reps = keyed.groupBy(col("embedding"))
+      embeddings.select(col("vec_id"), col("embedding"))
+        .withColumn("vh", xxhash64(col("embedding"))))
+    val reps = keyed.groupBy(col("vh"), col("embedding"))
       .agg(min(col("vec_id")).as("rep_id"))
     val repKeepers = semanticKeepers(
       reps.select(col("rep_id").as("vec_id"), col("embedding")),
       tau, nTables, planesPerTable, dim)
       .select(col("vec_id").as("rep_id"), col("cluster_id"))
     keyed.as("d").join(reps.as("k"),
-        col("d.embedding") <=> col("k.embedding"))
+        col("d.vh") === col("k.vh") &&
+          col("d.embedding") <=> col("k.embedding"))
       .select(col("d.vec_id").as("vec_id"), col("rep_id"))
       .join(repKeepers, Seq("rep_id"))
       .select(col("vec_id"), col("cluster_id"),
@@ -1534,14 +1540,40 @@ object Dedup {
   final case class SemanticStore(lsh: EmbeddingLshStore,
                                  assignment: DataFrame)
 
-  /** Build [[SemanticStore]] state for an initial corpus. */
+  /** Build [[SemanticStore]] state for an initial corpus.
+    *
+    * r13 store contract — REPS-ONLY LSH tier: the bucket store holds
+    * one entry per DISTINCT embedding value (its min-id rep), not one
+    * per vector, and the assignment (which keeps every vec_id) is the
+    * only corpus-sized table. This is [[semanticKeepersDedup]]'s
+    * exact-first order pushed INTO the incremental state: bucket
+    * membership and cosine are value-determined, so pairing a future
+    * delta against one rep ≡ pairing it against every byte-copy —
+    * minus the quadratic-in-multiplicity pair fan the copies would
+    * emit. The rep map (value → rep id) is derived from the store's
+    * own table-0 slice, so the persisted layout is unchanged
+    * (assignment + lsh, [[graft.streaming.Streams.semanticServe]]'s
+    * versioned-dir contract). A pre-r13 store whose lsh tier holds
+    * every vector stays CORRECT under this code — each copy just acts
+    * as a rep of the same value, emitting redundant cosine-1 edges the
+    * closure collapses — and thins to reps as ingests replace it. */
   def semanticStore(embeddings: DataFrame, tau: Double,
                     nTables: Int = 6, planesPerTable: Int = 4,
-                    dim: Int = 64): SemanticStore =
+                    dim: Int = 64): SemanticStore = {
+    // xxhash64 leads the grouping key (same discipline as the delta
+    // pass): array<float> keys force sort-based aggregation, and the
+    // long prefix lets the sort short-circuit instead of paying
+    // interpreted element-wise array compares; the full value stays
+    // in the key, so the hash only orders — it never decides equality
+    val reps = embeddings
+      .groupBy(xxhash64(col("embedding")), col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), col("embedding"))
     SemanticStore(
-      embeddingLshStore(embeddings, nTables, planesPerTable, dim),
-      semanticKeepers(embeddings, tau, nTables, planesPerTable, dim)
+      embeddingLshStore(reps, nTables, planesPerTable, dim),
+      semanticKeepersDedup(embeddings, tau, nTables, planesPerTable, dim)
         .select(col("vec_id"), col("cluster_id")))
+  }
 
   /** Result of an incremental semantic pass: the UPDATED full keeper
     * assignment (≡ [[semanticKeepers]] over store ∪ delta — exact,
@@ -1596,12 +1628,74 @@ object Dedup {
     // pins the pass to one store-tail and one pair-join evaluation.
     val storedAsg = store.assignment.join(dIds, Seq("vec_id"), "left_anti")
       .localCheckpoint(true)
-    val ed = embeddingNearDupLshDelta(store.lsh, delta, tau, nTables,
-      planesPerTable, dim)
+    // EXACT-FIRST over the batch (r13 — [[semanticKeepersDedup]]'s
+    // order pushed into the incremental pass): group the batch by
+    // embedding VALUE, route members of KNOWN values straight to the
+    // store's rep with one value join (zero pair work — the re-crawl
+    // stream's repeated page never re-enters the pair stage after its
+    // first appearance), and hand ONLY genuinely new values to the
+    // LSH pair stage. Within-batch byte copies collapse the same way
+    // (member → batch-rep edges), so an all-duplicate micro-batch's
+    // pair scoring is linear in DISTINCT batch values, never
+    // quadratic in copy multiplicity.
+    // every value key below leads with xxhash64(embedding): sort and
+    // hash comparators short-circuit on the long, so an all-distinct
+    // batch never pays interpreted 64-float array compares in a sort
+    // key (full-value equality stays in the key — the hash only
+    // ORDERS, it never decides)
+    val dv = delta.select(col("vec_id"), col("embedding"))
+      .withColumn("vh", xxhash64(col("embedding")))
+    val batchReps = dv.groupBy(col("vh"), col("embedding"))
+      .agg(min(col("vec_id")).as("brep"))
+      .localCheckpoint(true)
+    // the rep map is the store's own table-0 slice ([[semanticStore]]
+    // reps-only contract) — derived, not a third persisted table, so
+    // the serve layout is untouched. Derived BEFORE the re-ingest
+    // anti-join on purpose: a same-bytes re-ingested rep still routes
+    // its value's members (the self edge filters out below). INNER
+    // join with the batch side small → AQE converts to broadcast and
+    // the store-sized side streams past in one unsorted scan per
+    // ingest (a left-outer here forced a store-sized sort per
+    // micro-batch — measured 1.5× on a 51-batch all-distinct drain)
+    val storeReps = store.lsh.bucketed.filter(col("table") === 0)
+      .select(xxhash64(col("v")).as("vh"), col("v").as("embedding"),
+        col("vec_id").as("srep"))
+    val known = batchReps.as("b").join(storeReps.as("s"),
+        col("b.vh") === col("s.vh") &&
+          col("b.embedding") <=> col("s.embedding"))
+      .select(col("b.embedding").as("embedding"), col("brep"), col("srep"))
+      .localCheckpoint(true)
+    // the pair stage sees one id per DISTINCT value that needs it:
+    // genuinely new values (no stored rep) as their batch rep, plus
+    // known values whose stored rep is ITSELF in the delta — a
+    // re-ingested rep was anti-joined out of the assignment above, so
+    // its near-dup (non-exact) edges exist nowhere and must re-form;
+    // it re-enters under its STORED id, so the store's row set for the
+    // value is replaced in place (thin store) and the same-bytes
+    // replay converges to the identical assignment (the idempotency
+    // contract). Known values with a live stored rep skip the pair
+    // stage entirely — their cluster label survives in storedAsg and
+    // the knownEdge below reaches it with zero pair work.
+    val srepReIngested = known
+      .join(dIds.select(col("vec_id").as("srep")), Seq("srep"), "left_semi")
+      .select(col("srep").as("vec_id"), col("embedding"))
+    val newReps = batchReps
+      .join(known.select(col("brep")), Seq("brep"), "left_anti")
+      .select(col("brep").as("vec_id"), col("embedding"))
+    val ed = embeddingNearDupLshDelta(store.lsh,
+      newReps.union(srepReIngested), tau, nTables, planesPerTable, dim)
     val dPairs = ed.pairs.select(col("id_a"), col("id_b"))
       .localCheckpoint(true)
-    // quotient edges: endpoints projected through the stored labels
+    // quotient edges: LSH pairs among reps, member → batch-rep (the
+    // within-batch exact groups), batch-rep → stored-rep (the known
+    // values); endpoints projected through the stored labels
     // (delta ids are absent from storedAsg and label themselves)
+    val memberEdges = dv.as("m").join(batchReps.as("r"),
+        col("m.vh") === col("r.vh") &&
+          col("m.embedding") <=> col("r.embedding"))
+      .select(col("m.vec_id").as("id_a"), col("brep").as("id_b"))
+    val knownEdges = known
+      .select(col("brep").as("id_a"), col("srep").as("id_b"))
     val la = storedAsg.select(col("vec_id").as("id_a"),
       col("cluster_id").as("la"))
     val lb = storedAsg.select(col("vec_id").as("id_b"),
@@ -1614,7 +1708,7 @@ object Dedup {
     // executors so the driver only ever sees the quotient's true edge
     // set (r12 advice: an all-duplicate micro-batch must not OOM the
     // driver through an un-deduped collect).
-    val quotient = dPairs
+    val quotient = dPairs.union(memberEdges).union(knownEdges)
       .join(la, Seq("id_a"), "left").join(lb, Seq("id_b"), "left")
       .select(coalesce(col("la"), col("id_a")).as("id_a"),
         coalesce(col("lb"), col("id_b")).as("id_b"))
