@@ -40,10 +40,11 @@ object Bench {
       "dd_exact", "dd_exact_delta", "dd_keep_best_dedup", "dd_paragraph", "dd_paragraph_rewrite",
       "dd_boilerplate", "cp_pack",
       "dd_minhash", "dd_simhash", "dd_semantic", "dd_semantic_best",
-      // r13: the composed exact-first semantic order and the
-      // (store-memoized) incremental pass — the delta row's store
-      // builds once in the warm-up like every *_served index
-      "dd_semantic_dedup", "dd_semantic_delta",
+      // r13: the composed exact-first semantic orders (min-id and
+      // centrality) and the (store-memoized) incremental pass — the
+      // delta row's store builds once in the warm-up like every
+      // *_served index
+      "dd_semantic_dedup", "dd_semantic_best_dedup", "dd_semantic_delta",
       "mm_payload_neardup",
       // knn_lsh BUILD row (r13, VERDICT item #3): its served sibling
       // was benched but the build was not, leaving the LSH family's

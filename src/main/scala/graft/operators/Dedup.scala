@@ -1124,6 +1124,53 @@ object Dedup {
       .select(col("doc_id").as("vec_id"), col("keep_id"), col("is_dup"))
   }
 
+  /** [[semanticKeepersBest]] in the COMPOSED exact-first order — and,
+    * unlike the min-id family where composed ≡ raw exactly, here the
+    * composition CHANGES the election for the better: the kNN graph
+    * behind the centrality score is degree-capped at k, so on a
+    * duplication-heavy corpus a much-copied vector's k nearest
+    * neighbors are all its own byte-copies — the copies crowd every
+    * genuine neighbor out of the graph and vote their own value the
+    * hub, which means raw [[semanticKeepersBest]]'s "canonical
+    * version" election degrades into a popularity contest for
+    * whatever was crawled most. Composed, the graph and the pagerank
+    * run over DISTINCT embedding values only (min-id rep each), so
+    * the hub election is COPY-COUNT-INVARIANT: re-crawling a page a
+    * thousand times cannot change which version the cluster keeps.
+    * The cluster PARTITION is unchanged from the raw run — buckets
+    * and cosine are value-determined, so raw components project
+    * exactly onto rep components (copies sit with their rep either
+    * way; spec-pinned) — only the elected keeper within a cluster
+    * may differ, and only when copy multiplicity was skewing it.
+    * On a corpus with no byte-copies every vector is its own rep and
+    * composed ≡ raw frame-for-frame (also spec-pinned). Same
+    * exact-first scale posture as [[semanticKeepersDedup]]: the pair
+    * AND graph stages see distinct vectors only, so both are immune
+    * to the quadratic-in-multiplicity blowup. */
+  def semanticKeepersBestDedup(embeddings: DataFrame, tau: Double, k: Int,
+                               nTables: Int = 6, planesPerTable: Int = 4,
+                               dim: Int = 64): DataFrame = {
+    // same xxhash64-led value keys as the rest of the exact-first
+    // family: the long prefix short-circuits sort/hash comparators,
+    // full-value equality stays in the key
+    val keyed = CacheTracker.persistTracked(
+      embeddings.select(col("vec_id"), col("embedding"))
+        .withColumn("vh", xxhash64(col("embedding"))))
+    val reps = keyed.groupBy(col("vh"), col("embedding"))
+      .agg(min(col("vec_id")).as("rep_id"))
+    val repBest = semanticKeepersBest(
+      reps.select(col("rep_id").as("vec_id"), col("embedding")),
+      tau, k, nTables, planesPerTable, dim)
+      .select(col("vec_id").as("rep_id"), col("keep_id"))
+    keyed.as("d").join(reps.as("r"),
+        col("d.vh") === col("r.vh") &&
+          col("d.embedding") <=> col("r.embedding"))
+      .select(col("d.vec_id").as("vec_id"), col("rep_id"))
+      .join(repBest, Seq("rep_id"))
+      .select(col("vec_id"), col("keep_id"),
+        (col("vec_id") =!= col("keep_id")).cast("int").as("is_dup"))
+  }
+
   /** Keeper election by QUALITY, not by id — the policy a production
     * pipeline actually runs on near-dup clusters: of the N near-copies
     * of a page, keep the BEST one (longest / highest-scoring — usually

@@ -231,6 +231,17 @@ object DedupRegistry {
     "dd_semantic_best" -> ((s, d) =>
       Dedup.semanticKeepersBest(Tables.embeddings(s, d), CosineTau,
         SimilarityRegistry.K)),
+    // The composed exact-first CENTRALITY election (r13): the kNN
+    // graph and pagerank run over DISTINCT embedding values, so the
+    // hub election is copy-count-invariant — on a duplication-heavy
+    // corpus the raw row's degree-capped graph fills with byte-copy
+    // self-edges and elects the most-crawled value, not the most
+    // central one. Cluster partition ≡ raw (value-determined buckets
+    // and cosine); copy-free corpus composed ≡ raw exactly
+    // (Round13OpsSpec pins both).
+    "dd_semantic_best_dedup" -> ((s, d) =>
+      Dedup.semanticKeepersBestDedup(Tables.embeddings(s, d), CosineTau,
+        SimilarityRegistry.K)),
     // The composed production order: EXACT dedup first, MinHash over
     // the keepers only. Near-dup pair output is quadratic in exact-copy
     // multiplicity by definition (100 copies of one doc = 4,950 true
@@ -319,6 +330,47 @@ object DedupRegistry {
       Dedup.minhashLsh(docs.join(keepers, "doc_id"))
     }),
   )
+
+  /** dd_semantic_best's full CTE chain — LSH pairs → closure →
+    * nested pagerank replay → two-stage election — parameterized by
+    * the vector source so the composed dd_semantic_best_dedup oracle
+    * runs it verbatim over the exact-dedup rep slice. Ends with the
+    * `assigned`/`keepers` CTEs the caller's final SELECT joins. */
+  private def semanticBestCtes(src: String): String =
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src
+       |), bucketed AS (
+       |${VectorSql.lshBucketed(nTables = 6, planesPerTable = 4, dim = 64)}
+       |), pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE $Dot / (${nrm("a")} * ${nrm("b")}) >= $CosineTau
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT re.id, e2.dst FROM reach re JOIN edges e2 ON e2.src = re.r
+       |), comp AS (
+       |  SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
+       |), ranks AS (
+       |${SimilarityRegistry.pagerankSql(SimilarityRegistry.PagerankIters, src)}
+       |), assigned AS (
+       |  SELECT r9.vec_id,
+       |    CAST(floor(r9.pagerank * 1000000000.0) AS BIGINT) AS s9,
+       |    COALESCE(comp.cluster_id, r9.vec_id) AS cluster_id
+       |  FROM ranks r9 LEFT JOIN comp ON comp.vec_id = r9.vec_id
+       |), best AS (
+       |  SELECT cluster_id, max(s9) AS best FROM assigned GROUP BY 1
+       |), keepers AS (
+       |  SELECT a.cluster_id, min(a.vec_id) AS keep_id
+       |  FROM assigned a JOIN best b
+       |    ON b.cluster_id = a.cluster_id AND a.s9 = b.best
+       |  GROUP BY 1
+       |)""".stripMargin
 
   /** LSH pair oracle + the dd_clusters recursive closure + a left
     * join back to every vector (unpaired vectors keep themselves) —
@@ -731,43 +783,30 @@ object DedupRegistry {
     // own scoped WITH (inner names shadow the outer e/bucketed) + the
     // keepBest two-stage election with the floor-quantized rank score
     "dd_semantic_best" ->
-      s"""WITH RECURSIVE e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |), bucketed AS (
-         |${VectorSql.lshBucketed(nTables = 6, planesPerTable = 4, dim = 64)}
-         |), pairs AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM bucketed a JOIN bucketed b
-         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |  WHERE $Dot / (${nrm("a")} * ${nrm("b")}) >= $CosineTau
-         |), edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT id_b AS src, id_a AS dst FROM pairs
-         |), reach(id, r) AS (
-         |  SELECT DISTINCT src, src FROM edges
-         |  UNION
-         |  SELECT re.id, e2.dst FROM reach re JOIN edges e2 ON e2.src = re.r
-         |), comp AS (
-         |  SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
-         |), ranks AS (
-         |${SimilarityRegistry.pagerankSql(SimilarityRegistry.PagerankIters)}
-         |), assigned AS (
-         |  SELECT r9.vec_id,
-         |    CAST(floor(r9.pagerank * 1000000000.0) AS BIGINT) AS s9,
-         |    COALESCE(comp.cluster_id, r9.vec_id) AS cluster_id
-         |  FROM ranks r9 LEFT JOIN comp ON comp.vec_id = r9.vec_id
-         |), best AS (
-         |  SELECT cluster_id, max(s9) AS best FROM assigned GROUP BY 1
-         |), keepers AS (
-         |  SELECT a.cluster_id, min(a.vec_id) AS keep_id
-         |  FROM assigned a JOIN best b
-         |    ON b.cluster_id = a.cluster_id AND a.s9 = b.best
-         |  GROUP BY 1
-         |)
+      s"""WITH RECURSIVE ${semanticBestCtes("embeddings")}
          |SELECT a.vec_id, k.keep_id,
          |  CAST(a.vec_id <> k.keep_id AS INTEGER) AS is_dup
          |FROM assigned a JOIN keepers k ON k.cluster_id = a.cluster_id""".stripMargin,
+    // the composed order: the whole graph + pagerank + election
+    // replay over the exact-dedup REP slice (min vec_id per distinct
+    // embedding value — the list type groups exactly in DuckDB, no
+    // serialization), members inheriting their rep's keeper; the rep
+    // window partitions by the embedding VALUE, matching the Spark
+    // side's null-safe value join
+    "dd_semantic_best_dedup" ->
+      s"""WITH RECURSIVE rp AS (
+         |  SELECT vec_id, min(vec_id) OVER (PARTITION BY embedding) AS rep
+         |  FROM embeddings
+         |), repvecs AS (
+         |  SELECT e0.vec_id, e0.embedding FROM embeddings e0
+         |  JOIN rp ON rp.vec_id = e0.vec_id AND rp.rep = e0.vec_id
+         |), ${semanticBestCtes("repvecs")}, elected AS (
+         |  SELECT a.vec_id AS rep, k.keep_id
+         |  FROM assigned a JOIN keepers k ON k.cluster_id = a.cluster_id
+         |)
+         |SELECT rp.vec_id, el.keep_id,
+         |  CAST(rp.vec_id <> el.keep_id AS INTEGER) AS is_dup
+         |FROM rp JOIN elected el ON el.rep = rp.rep""".stripMargin,
 
     // === r12 sketch-family oracle promotion (XxSql): xxhash64 is a
     // fixed public algorithm, so the MinHash/SimHash pipelines replay

@@ -693,9 +693,14 @@ object SimilarityRegistry {
 
   /** The kNN-graph CTE chain (LSH bucketed self-join → exact cosine →
     * per-vector rank), shared by knn_graph and knn_pagerank. */
-  private lazy val GraphCtes: String =
+  private lazy val GraphCtes: String = graphCtes("embeddings")
+
+  // parameterized by the vector source so DedupRegistry's composed
+  // dd_semantic_best_dedup oracle can run the same graph + pagerank
+  // replay over the exact-dedup REP subquery instead of the raw table
+  private[registry] def graphCtes(src: String): String =
     s"""e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src
        |), bucketed AS (
        |${VectorSql.lshBucketed(nTables = 4, planesPerTable = 6, dim = 64)}
        |), cand AS (
@@ -721,8 +726,10 @@ object SimilarityRegistry {
     * sums (floor of a double is pure IEEE on both engines; a
     * double→decimal cast's midpoint rounding is not) — so the ranks
     * are bit-equal despite `iters` chained float generations. */
-  // shared with DedupRegistry's dd_semantic_best oracle
-  private[registry] def pagerankSql(iters: Int): String = {
+  // shared with DedupRegistry's dd_semantic_best oracle (and, via
+  // `src`, the composed dd_semantic_best_dedup oracle's rep slice)
+  private[registry] def pagerankSql(iters: Int,
+                                    src: String = "embeddings"): String = {
     val d = "CAST(0.85 AS DOUBLE)"
     val one = "CAST(1 AS DOUBLE)"
     val its = (1 to iters).map { i =>
@@ -742,7 +749,7 @@ object SimilarityRegistry {
          |  FROM e LEFT JOIN s$i USING (vec_id)
          |)""".stripMargin
     }.mkString
-    s"""WITH $GraphCtes, ge AS (
+    s"""WITH ${graphCtes(src)}, ge AS (
        |  SELECT vec_id AS src, neighbor_id AS dst
        |  FROM ranked WHERE rnk <= $K
        |), nn AS (
