@@ -83,9 +83,16 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      once() // warm (JIT, footers, any memoized index build)
+      // warm pass doubles as the non-empty-output gate (§6 probe
+      // discipline: st_semantic once "ran" a 10× probe in 0.98 s —
+      // because a staging bug made it return EMPTY; a probe number
+      // without a row count proves nothing)
+      val rows = SparkEntry.queries(q)(spark, out).count()
       val t = once()
-      println(f"""{"query":"$q","sec":$t%.3f}""")
+      println(f"""{"query":"$q","sec":$t%.3f,"rows":$rows}""")
+      if (rows == 0L)
+        System.err.println(s"[graft] ScaleProbe: $q returned ZERO rows — " +
+          "the timing above is not evidence of anything")
     }
     spark.stop()
   }
