@@ -314,9 +314,18 @@ object Dedup {
     * and a store equi-join — never a scan of the old corpus. The
     * store union is column-aligned, so the updated store appends only
     * the genuinely new fingerprints. */
-  def exactDelta(store: DataFrame, delta: DataFrame): DeltaDedup = {
-    val keyed = CacheTracker.persistTracked(
-      delta.select(col("doc_id"), storeFp.as("fp")))
+  def exactDelta(store: DataFrame, delta: DataFrame): DeltaDedup =
+    exactDeltaKeyed(store, delta.select(col("doc_id"), storeFp.as("fp")))
+
+  /** [[exactDelta]]'s fp-keyed core, shared with the multimodal
+    * payload delta ([[Multimodal.payloadDedupDelta]]): `keyed0` is
+    * (doc_id, fp[, carry…]) with a TOTAL fp (null sentinel applied by
+    * the caller), `carry` names extra columns to ride the assignment
+    * (e.g. the sniffed media kind). Same sticky-keeper contract and
+    * cost shape as [[exactDelta]] — the store is never rescanned. */
+  private[operators] def exactDeltaKeyed(store: DataFrame, keyed0: DataFrame,
+                                         carry: Seq[String] = Nil): DeltaDedup = {
+    val keyed = CacheTracker.persistTracked(keyed0)
     val dmin = keyed.groupBy(col("fp")).agg(min(col("doc_id")).as("dmin_id"))
     // per-fp keeper after this ingest: the store's (sticky) else the
     // delta's min. The store fingerprint is TOTAL ([[storeFp]]), so
@@ -329,8 +338,9 @@ object Dedup {
         coalesce(col("s.keep_id"), col("m.dmin_id")).as("keep_id"))
     val assignment = keyed.as("d")
       .join(merged.as("k"), col("d.fp") === col("k.fp"))
-      .select(col("d.doc_id").as("doc_id"), col("keep_id"),
-        (col("d.doc_id") =!= col("keep_id")).cast("int").as("is_dup"))
+      .select(col("d.doc_id").as("doc_id") +:
+        carry.map(c => col(s"d.$c").as(c)) :+ col("keep_id") :+
+        (col("d.doc_id") =!= col("keep_id")).cast("int").as("is_dup"): _*)
     val newFps = merged.as("m2")
       .join(store.as("s2"), col("m2.fp") === col("s2.fp"), "left_anti")
     DeltaDedup(assignment, store.union(newFps))

@@ -111,6 +111,35 @@ object Multimodal {
   def payloadDedup(docs: DataFrame): DataFrame =
     payloadDedupOf(withPayload(docs))
 
+  /** TOTAL payload fingerprint — md5 of the bytes with a null
+    * sentinel, [[Dedup.keeperStore]]'s discipline on the binary
+    * column (every store join stays a plain equi-join). */
+  private def payloadFp = coalesce(md5(col("payload")), lit("<null-payload>"))
+
+  /** The slim (fp → keep_id) keeper store for media payloads — one
+    * row per distinct payload digest, the table a growing media
+    * corpus persists between ingests ([[Dedup.keeperStore]] keyed on
+    * bytes instead of text). */
+  def payloadKeeperStore(docs: DataFrame): DataFrame =
+    withPayload(docs).select(col("doc_id"), payloadFp.as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+
+  /** INCREMENTAL exact media dedup — [[Dedup.exactDelta]]'s sticky-
+    * keeper contract on the payload digest: a new media batch assigns
+    * against the persisted [[payloadKeeperStore]] without rescanning
+    * old bytes (a 100 TB media lake never re-reads shipped shards to
+    * admit a day's crawl). Keepers sticky (a digest already stored
+    * keeps its keep_id), new digests elect the delta's min id —
+    * append-only ingests reproduce the full [[payloadDedup]] rescan
+    * exactly (spec-pinned, MultimodalSpec). The sniffed kind rides
+    * the assignment like [[payloadDedup]]'s. */
+  def payloadDedupDelta(store: DataFrame,
+                        deltaDocs: DataFrame): Dedup.DeltaDedup =
+    Dedup.exactDeltaKeyed(store,
+      withPayload(deltaDocs).select(col("doc_id"),
+        sniffKind(col("payload")).as("kind"), payloadFp.as("fp")),
+      carry = Seq("kind"))
+
   def payloadDedupOf(payloads: DataFrame): DataFrame =
     // delegate to the shared election (persist + map-side min + null-
     // safe join-back) with the sniffed kind carried through, so this

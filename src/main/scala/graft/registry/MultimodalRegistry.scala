@@ -39,6 +39,19 @@ object MultimodalRegistry {
     // is the text's UTF-8 bytes), kind carried for per-modality reads
     "mm_dedup" -> ((s, d) =>
       Multimodal.payloadDedup(Tables.documents(s, d))),
+    // INCREMENTAL exact media dedup (r13, completing the delta
+    // symmetry for the multimodal family): the delta batch assigned
+    // against the persisted payload-digest keeper store — sticky
+    // keepers, the old corpus' bytes never rescanned (same DeltaMod
+    // split as every dd_*_delta row)
+    "mm_dedup_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val c = col("doc_id")
+      Multimodal.payloadDedupDelta(
+        Multimodal.payloadKeeperStore(
+          docs.filter(c % DedupRegistry.DeltaMod =!= 0)),
+        docs.filter(c % DedupRegistry.DeltaMod === 0)).assignment
+    }),
     // frame-fingerprint near-dup: Jaccard >= tau over each payload's
     // byte-frame set via the shared lossless SSJoin pipeline; the
     // oracle replays frames + the unfiltered set join (prefix blocking
@@ -148,5 +161,33 @@ object MultimodalRegistry {
         |  min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM m)
         |SELECT doc_id, kind, keep_id,
         |  CAST(doc_id <> keep_id AS INTEGER) AS is_dup FROM k""".stripMargin,
+    // dd_exact_delta's sticky-keeper replay on the payload digest,
+    // with the sniffed kind riding the delta side (null fps group via
+    // IS NOT DISTINCT FROM ≡ the Spark side's total sentinel fp)
+    "mm_dedup_delta" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN substr(text, 1, 4) = 'RIFF' THEN 'audio/riff'
+         |         WHEN substr(text, 1, 4) = '%PDF' THEN 'application/pdf'
+         |         WHEN regexp_matches(text, '^[\\x09\\x0a\\x0d\\x20-\\x7e]*$$')
+         |           THEN 'text/plain'
+         |         ELSE 'application/octet-stream' END AS kind,
+         |    md5(text) AS fp
+         |  FROM documents
+         |), store AS (
+         |  SELECT fp, min(doc_id) AS keep_id FROM m
+         |  WHERE doc_id % ${DedupRegistry.DeltaMod} <> 0 GROUP BY fp
+         |), delta AS (
+         |  SELECT doc_id, kind, fp FROM m
+         |  WHERE doc_id % ${DedupRegistry.DeltaMod} = 0
+         |), dmin AS (
+         |  SELECT fp, min(doc_id) AS dmin_id FROM delta GROUP BY fp
+         |)
+         |SELECT d.doc_id, d.kind,
+         |  coalesce(s.keep_id, n.dmin_id) AS keep_id,
+         |  CAST(d.doc_id <> coalesce(s.keep_id, n.dmin_id) AS INTEGER) AS is_dup
+         |FROM delta d
+         |JOIN dmin n ON d.fp IS NOT DISTINCT FROM n.fp
+         |LEFT JOIN store s ON d.fp IS NOT DISTINCT FROM s.fp""".stripMargin,
   )
 }

@@ -78,6 +78,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaPayload.find(_._1 == 4L).get == ((4L, 2L, 1)))
   }
 
+  test("payload delta: sticky keepers, append-only ingest == full rescan") {
+    // store corpus: docs 1-3; append-only delta: docs 4-6, where doc 4
+    // repeats doc 2's bytes (must inherit the STORED keeper), docs 5+6
+    // duplicate each other (new digest: delta-min election), and the
+    // kind column rides the assignment
+    val delta = Seq(
+      (4L, "short", "s"), (5L, "%PDF-1.4 brand new", "s"),
+      (6L, "%PDF-1.4 brand new", "s")).toDF("doc_id", "text", "source")
+    val store = Multimodal.payloadKeeperStore(docs)
+    val r = Multimodal.payloadDedupDelta(store, delta)
+    val asg = r.assignment.as[(Long, String, Long, Int)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(asg.size == 3)
+    assert(asg(4L) == ((4L, "text/plain", 2L, 1)))        // sticky store keeper
+    assert(asg(5L) == ((5L, "application/pdf", 5L, 0)))   // delta-min keeps
+    assert(asg(6L) == ((6L, "application/pdf", 5L, 1)))
+    // append-only ingest reproduces the full rescan exactly
+    val full = Multimodal.payloadDedup(docs.union(delta))
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 4L)
+      .select("doc_id", "kind", "keep_id", "is_dup")
+      .as[(Long, String, Long, Int)].collect().map(x => x._1 -> x).toMap
+    assert(asg == full)
+    // the updated store has exactly one row per distinct digest and
+    // feeds the next ingest: a re-ingest of doc 6 is a no-op dup
+    assert(r.updatedStore.count() == 4) // 3 store digests + 1 new
+    val again = Multimodal.payloadDedupDelta(r.updatedStore,
+      Seq((6L, "%PDF-1.4 brand new", "s")).toDF("doc_id", "text", "source"))
+    assert(again.assignment.as[(Long, String, Long, Int)].collect()
+      .toSeq == Seq((6L, "application/pdf", 5L, 1)))
+    assert(again.updatedStore.count() == 4)
+  }
+
   test("batched decode is batch-size- and partition-independent") {
     val a = Multimodal.features(docs.repartition(1), batchSize = 2)
       .as[(Long, Int, Array[Float])].collect().sortBy(_._1)
