@@ -503,6 +503,40 @@ object Dedup {
       tokenizer: Column => Column = Text.tokens): DataFrame =
     jaccardOver(shingleRows(docs, n, tokenizer), tau)
 
+  /** Sketch-quality QA report (r13): recall of the MinHash+LSH
+    * banding against the EXACT n-gram Jaccard truth at the same τ —
+    * the number a curation run reads before trusting the sketch on a
+    * new corpus (banding recall is analytic, 1-(1-J^r)^b, but the
+    * corpus' Jaccard DISTRIBUTION near τ decides how much real
+    * near-dup mass sits in the sketch's miss band; this measures it).
+    * One row: n_true (exact pairs ≥ τ), n_found (banding candidates
+    * that VERIFIED ≥ τ — [[minhashLsh]]'s emitted set), n_hit (their
+    * intersection), recall = n_hit / n_true (1.0 on a corpus with no
+    * true pairs). All counts are integers and the division is one
+    * IEEE double op, so the report replays exactly in SQL; the truth
+    * side's prefix blocking is lossless for J ≥ τ, so "true" really
+    * is the unblocked all-pairs answer. Both pair frames are
+    * pair-bounded (candidate-generation invariant) and the counts are
+    * map-side-combined — the report never materializes anything the
+    * two underlying operators don't. */
+  def minhashRecallReport(docs: DataFrame, n: Int = 3, bands: Int = 16,
+                          rowsPerBand: Int = 8,
+                          tau: Double = 0.8): DataFrame = {
+    val truth = CacheTracker.persistTracked(
+      ngramJaccard(docs, n, tau).select(col("id_a"), col("id_b")))
+    val found = CacheTracker.persistTracked(
+      minhashLsh(docs, n, bands, rowsPerBand, tau)
+        .select(col("id_a"), col("id_b")))
+    val hit = truth.join(found, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_found"), col("n_hit"),
+        when(col("n_true") === 0, lit(1.0))
+          .otherwise(col("n_hit").cast("double") / col("n_true"))
+          .as("recall"))
+  }
+
   /** Exact-Jaccard pairs over ARBITRARY (doc_id, s) item rows — the
     * same lossless SSJoin pipeline as [[ngramJaccard]] with the item
     * extraction decoupled from text: callers bring any set-valued

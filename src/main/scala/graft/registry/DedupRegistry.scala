@@ -143,6 +143,15 @@ object DedupRegistry {
     "dd_boilerplate" -> ((s, d) =>
       Dedup.boilerplate(Tables.documents(s, d), SpanTokens, BoilerplateK)),
     "dd_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    // Sketch-quality QA (r13): banding recall vs the exact-Jaccard
+    // truth at the same tau — the corpus-specific number behind the
+    // analytic 1-(1-J^r)^b curve. Fully oracle-replayable: both pair
+    // sets already have exact SQL replays (XxSql + the lossless
+    // prefix-blocking truth), and the report is three counts + one
+    // IEEE division.
+    "dd_minhash_recall" -> ((s, d) =>
+      Dedup.minhashRecallReport(Tables.documents(s, d),
+        tau = JaccardTau)),
     "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dd_embedding" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), CosineTau)),
@@ -815,6 +824,29 @@ object DedupRegistry {
     // against XXH64 (string/int/long vectors incl. the 32-byte stripe
     // path) and hash-exact on jaccard/hamming at sf0.01 and sf0.1.
     "dd_minhash" -> XxSql.minhashPairs("documents", JaccardTau),
+    // truth = the lossless-blocking exact-Jaccard replay; found = the
+    // XxSql banding+verify replay (nested, macros hoisted once);
+    // three scalar counts + one IEEE double division
+    "dd_minhash_recall" ->
+      s"""${XxSql.Macros}
+         |WITH truth AS (
+         |  WITH $JaccardCtes
+         |  SELECT id_a, id_b FROM cand
+         |  WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= $JaccardTau
+         |), found AS (
+         |  ${XxSql.minhashPairsNested("documents", JaccardTau)}
+         |), hit AS (
+         |  SELECT t.id_a, t.id_b FROM truth t
+         |  JOIN found f ON f.id_a = t.id_a AND f.id_b = t.id_b
+         |)
+         |SELECT
+         |  (SELECT count(*) FROM truth) AS n_true,
+         |  (SELECT count(*) FROM found) AS n_found,
+         |  (SELECT count(*) FROM hit) AS n_hit,
+         |  CASE WHEN (SELECT count(*) FROM truth) = 0
+         |       THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST((SELECT count(*) FROM hit) AS DOUBLE)
+         |            / (SELECT count(*) FROM truth) END AS recall""".stripMargin,
     // delta ≡ the full run restricted to pairs touching the delta
     // (the contract minhashLshDelta emits, DeltaDedupSpec-proven)
     "dd_minhash_delta" -> XxSql.minhashPairs("documents", JaccardTau,

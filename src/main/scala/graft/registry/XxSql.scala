@@ -251,7 +251,15 @@ private[registry] object XxSql {
   def minhashPairs(source: String, tau: Double,
                    restrict: String = ""): String =
     s"""$Macros
-       |WITH ${minhashCtes(source)},
+       |${minhashPairsNested(source, tau, restrict)}""".stripMargin
+
+  /** [[minhashPairs]] WITHOUT the macro preamble — nestable as a CTE
+    * body (dd_minhash_recall composes it beside the exact-Jaccard
+    * truth under ONE shared macro block; DuckDB macros are top-level
+    * DDL, so a composed query must hoist them once). */
+  def minhashPairsNested(source: String, tau: Double,
+                         restrict: String = ""): String =
+    s"""WITH ${minhashCtes(source)},
        |inter AS (
        |  SELECT c.id_a, c.id_b, count(*) AS inter
        |  FROM cand c JOIN ex ra ON ra.doc_id = c.id_a

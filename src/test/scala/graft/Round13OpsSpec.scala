@@ -127,6 +127,38 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(composed.filter(r => lightIds.contains(r._1)) == composedLight)
   }
 
+  test("minhashRecallReport: found ⊆ truth, counts consistent, empty-truth = 1.0") {
+    // two near-identical docs (high Jaccard — a true pair), one
+    // unrelated doc; the banding at (16,8) catches J ≥ 0.8 pairs
+    // with near-certainty, so found == truth here and the report's
+    // invariants are checkable exactly: n_hit == n_found (the verify
+    // step guarantees every emitted pair IS a true pair) and
+    // recall = n_found / n_true
+    // letter-only words: the tokenizer splits on non-letters, so
+    // digit-suffixed words would all collapse to one shingle
+    val base = (for (a <- 'a' to 'h'; b <- 'a' to 'e') yield s"$a$b")
+      .mkString(" ")
+    val other = (for (a <- 'p' to 'w'; b <- 'p' to 't') yield s"$a$b")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, base, "s"),
+      (2L, base + " tail", "s"),
+      (3L, other, "s"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.minhashRecallReport(docs)
+      .as[(Long, Long, Long, Double)].collect().head
+    val (nTrue, nFound, nHit, recall) = r
+    assert(nTrue >= 1L)
+    assert(nHit == nFound && nFound <= nTrue)
+    assert(recall == nHit.toDouble / nTrue)
+    // a corpus with NO true pairs reports recall 1.0 (nothing missed)
+    val none = Seq((1L, base, "s"), (3L, "unrelated words only", "s"))
+      .toDF("doc_id", "text", "source")
+    val r0 = Dedup.minhashRecallReport(none)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r0 == ((0L, 0L, 0L, 1.0)))
+  }
+
   test("semanticKeepersDelta: duplicate-dense delta is exact (distinct'd quotient)") {
     val dim = 64
     def v(f: Int => Float): Array[Float] = Array.tabulate(dim)(f)
