@@ -1540,6 +1540,50 @@ object Dedup {
     EmbeddingLshDelta(pairs, EmbeddingLshStore(all))
   }
 
+  /** Hyperplane-LSH recall QA (r13, [[minhashRecallReport]]'s
+    * embedding-side sibling): recall of [[embeddingNearDupLsh]]'s
+    * bucket blocking against the EXACT cosine truth at the same τ,
+    * measured on a PROBE SLICE — an unrestricted truth is the
+    * all-pairs product the LSH exists to avoid, so like knn_recall
+    * the exact side scores probes × corpus only (linear in N, probes
+    * broadcast under the deterministic `vec_id % probeMod` slice)
+    * and the sketch side restricts to probe-touching pairs: the same
+    * population on both sides, so the ratio is a true recall. The
+    * analytic per-pair curve is 1-(1-p^r)^T with p = 1-arccos(c)/π;
+    * this measures its integral over the corpus's actual cosine
+    * distribution above τ. One row, [[minhashRecallReport]]'s exact
+    * (n_true, n_found, n_hit, recall) contract. */
+  def embeddingRecallReport(embeddings: DataFrame, probeMod: Int = 50,
+                            tau: Double, nTables: Int = 6,
+                            planesPerTable: Int = 4,
+                            dim: Int = 64): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", Vec.norm(col("v")))
+    val p = e.filter(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("p_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+    val truth = CacheTracker.persistTracked(
+      broadcast(p).join(e, col("vec_id") =!= col("p_id"))
+        .filter(Vec.dot(col("pv"), col("v"))
+          / (col("pnrm") * col("nrm")) >= tau)
+        .select(least(col("p_id"), col("vec_id")).as("id_a"),
+          greatest(col("p_id"), col("vec_id")).as("id_b"))
+        .distinct())
+    val found = CacheTracker.persistTracked(
+      embeddingNearDupLsh(embeddings, tau, nTables, planesPerTable, dim)
+        .filter(col("id_a") % probeMod === 0 ||
+          col("id_b") % probeMod === 0)
+        .select(col("id_a"), col("id_b")))
+    val hit = truth.join(found, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_found"), col("n_hit"),
+        when(col("n_true") === 0, lit(1.0))
+          .otherwise(col("n_hit").cast("double") / col("n_true"))
+          .as("recall"))
+  }
+
   /** Embedding-cosine near-dup pairs blocked by random-hyperplane LSH
     * buckets — the label-free scale path: the shuffle key is the
     * (table, bucket) sign-hash, so only intra-bucket pairs are ever

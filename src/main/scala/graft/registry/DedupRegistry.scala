@@ -152,6 +152,14 @@ object DedupRegistry {
     "dd_minhash_recall" -> ((s, d) =>
       Dedup.minhashRecallReport(Tables.documents(s, d),
         tau = JaccardTau)),
+    // The embedding-side recall QA (r13): hyperplane-LSH bucket
+    // blocking vs the exact-cosine truth on the deterministic probe
+    // slice — the unrestricted truth is the all-pairs product the LSH
+    // exists to avoid, so both sides restrict to probe-touching pairs
+    // (the knn_recall posture applied to the near-dup pair operator).
+    "dd_embedding_recall" -> ((s, d) =>
+      Dedup.embeddingRecallReport(Tables.embeddings(s, d),
+        SimilarityRegistry.ProbeMod, CosineTau)),
     "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dd_embedding" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), CosineTau)),
@@ -726,6 +734,41 @@ object DedupRegistry {
          |SELECT k0.doc_id, e.keep_id,
          |  CAST(k0.doc_id <> e.keep_id AS INTEGER) AS is_dup
          |FROM k0 JOIN elected e ON e.ek = k0.ek""".stripMargin,
+    // probe-sliced exact-cosine truth × the dd_embedding_lsh replay
+    // restricted to probe-touching pairs; same report arithmetic as
+    // dd_minhash_recall (3 counts + 1 IEEE division)
+    "dd_embedding_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), p AS (
+         |  SELECT vec_id AS p_id, v AS pv FROM e
+         |  WHERE vec_id % ${SimilarityRegistry.ProbeMod} = 0
+         |), truth AS (
+         |  SELECT DISTINCT least(p.p_id, b.vec_id) AS id_a,
+         |    greatest(p.p_id, b.vec_id) AS id_b
+         |  FROM p JOIN e b ON b.vec_id <> p.p_id
+         |  WHERE ${VectorSql.cos("p.pv", "b.v")} >= $CosineTau
+         |), bucketed AS (
+         |${VectorSql.lshBucketed(nTables = 6, planesPerTable = 4, dim = 64)}
+         |), found AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE $Dot / (${nrm("a")} * ${nrm("b")}) >= $CosineTau
+         |    AND (a.vec_id % ${SimilarityRegistry.ProbeMod} = 0
+         |         OR b.vec_id % ${SimilarityRegistry.ProbeMod} = 0)
+         |), hit AS (
+         |  SELECT t.id_a, t.id_b FROM truth t
+         |  JOIN found f ON f.id_a = t.id_a AND f.id_b = t.id_b
+         |)
+         |SELECT
+         |  (SELECT count(*) FROM truth) AS n_true,
+         |  (SELECT count(*) FROM found) AS n_found,
+         |  (SELECT count(*) FROM hit) AS n_hit,
+         |  CASE WHEN (SELECT count(*) FROM truth) = 0
+         |       THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST((SELECT count(*) FROM hit) AS DOUBLE)
+         |            / (SELECT count(*) FROM truth) END AS recall""".stripMargin,
     "dd_embedding" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

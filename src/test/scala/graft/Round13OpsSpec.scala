@@ -159,6 +159,29 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(r0 == ((0L, 0L, 0L, 1.0)))
   }
 
+  test("embeddingRecallReport: probe-sliced truth, found ⊆ truth, invariants") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val r = Dedup.embeddingRecallReport(emb, probeMod = 10, tau = tau)
+      .as[(Long, Long, Long, Double)].collect().head
+    val (nTrue, nFound, nHit, recall) = r
+    // the LSH emits only true pairs (exact cosine verify) restricted
+    // to the probe slice, and the truth covers that slice fully —
+    // so hit == found and recall is their honest ratio
+    assert(nTrue >= 1L, "fixture corpus must have probe-touching pairs")
+    assert(nHit == nFound && nFound <= nTrue)
+    assert(recall == nHit.toDouble / nTrue && recall > 0.0 && recall <= 1.0)
+    // orthogonal vectors: no true pair anywhere → recall 1.0
+    def v(f: Int => Float): Array[Float] = Array.tabulate(64)(f)
+    val ortho = Seq(
+      (10L, v(i => if (i == 0) 1f else 0f)),
+      (20L, v(i => if (i == 1) 1f else 0f)),
+      (30L, v(i => if (i == 2) 1f else 0f)))
+      .toDF("vec_id", "embedding")
+    val r0 = Dedup.embeddingRecallReport(ortho, probeMod = 10, tau = tau)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r0 == ((0L, 0L, 0L, 1.0)))
+  }
+
   test("semanticKeepersDelta: duplicate-dense delta is exact (distinct'd quotient)") {
     val dim = 64
     def v(f: Int => Float): Array[Float] = Array.tabulate(dim)(f)
