@@ -527,14 +527,7 @@ object Dedup {
     val found = CacheTracker.persistTracked(
       minhashLsh(docs, n, bands, rowsPerBand, tau)
         .select(col("id_a"), col("id_b")))
-    val hit = truth.join(found, Seq("id_a", "id_b"), "left_semi")
-    truth.agg(count(lit(1)).as("n_true"))
-      .crossJoin(found.agg(count(lit(1)).as("n_found")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-      .select(col("n_true"), col("n_found"), col("n_hit"),
-        when(col("n_true") === 0, lit(1.0))
-          .otherwise(col("n_hit").cast("double") / col("n_true"))
-          .as("recall"))
+    recallCounts(truth, found)
   }
 
   /** Exact-Jaccard pairs over ARBITRARY (doc_id, s) item rows — the
@@ -1557,23 +1550,67 @@ object Dedup {
                             tau: Double, nTables: Int = 6,
                             planesPerTable: Int = 4,
                             dim: Int = 64): DataFrame = {
+    val truth = exactProbePairs(embeddings, probeMod, tau)
+    recallCounts(truth,
+      probeTouchingLshPairs(embeddings, probeMod, tau, nTables,
+        planesPerTable, dim))
+  }
+
+  /** [[embeddingRecallReport]] swept over blocking CONFIGS — the
+    * tuning table a curation run reads to pick (nTables, planes) for
+    * a target recall on ITS corpus: one report row per config,
+    * labeled `config = "<T>x<P>"`, all sharing ONE exact-truth pass
+    * (the probes×corpus scoring is config-independent — computing it
+    * per config would multiply the only corpus-sized stage). More
+    * tables / fewer planes per table raises per-pair collision
+    * probability 1-(1-p^r)^T at linear bucketing cost — the sweep
+    * turns that analytic trade into measured corpus numbers. */
+  def embeddingRecallSweep(embeddings: DataFrame, probeMod: Int = 50,
+                           tau: Double,
+                           configs: Seq[(Int, Int)] =
+                             Seq((4, 6), (6, 4), (8, 4), (12, 3)),
+                           dim: Int = 64): DataFrame = {
+    val truth = exactProbePairs(embeddings, probeMod, tau)
+    configs.map { case (nT, pp) =>
+      recallCounts(truth,
+        probeTouchingLshPairs(embeddings, probeMod, tau, nT, pp, dim))
+        .select(lit(s"${nT}x$pp").as("config"), col("n_true"),
+          col("n_found"), col("n_hit"), col("recall"))
+    }.reduce(_ union _)
+  }
+
+  /** Exact-cosine truth on the probe slice: broadcast probes ×
+    * corpus, pair-normalized and distinct — linear in N, persisted
+    * because the count and every per-config hit join re-read it. */
+  private def exactProbePairs(embeddings: DataFrame, probeMod: Int,
+                              tau: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", Vec.norm(col("v")))
     val p = e.filter(col("vec_id") % probeMod === 0)
       .select(col("vec_id").as("p_id"), col("v").as("pv"),
         col("nrm").as("pnrm"))
-    val truth = CacheTracker.persistTracked(
+    CacheTracker.persistTracked(
       broadcast(p).join(e, col("vec_id") =!= col("p_id"))
         .filter(Vec.dot(col("pv"), col("v"))
           / (col("pnrm") * col("nrm")) >= tau)
         .select(least(col("p_id"), col("vec_id")).as("id_a"),
           greatest(col("p_id"), col("vec_id")).as("id_b"))
         .distinct())
-    val found = CacheTracker.persistTracked(
+  }
+
+  private def probeTouchingLshPairs(embeddings: DataFrame, probeMod: Int,
+                                    tau: Double, nTables: Int,
+                                    planesPerTable: Int,
+                                    dim: Int): DataFrame =
+    CacheTracker.persistTracked(
       embeddingNearDupLsh(embeddings, tau, nTables, planesPerTable, dim)
         .filter(col("id_a") % probeMod === 0 ||
           col("id_b") % probeMod === 0)
         .select(col("id_a"), col("id_b")))
+
+  /** The shared (n_true, n_found, n_hit, recall) arithmetic —
+    * [[minhashRecallReport]]'s report contract. */
+  private def recallCounts(truth: DataFrame, found: DataFrame): DataFrame = {
     val hit = truth.join(found, Seq("id_a", "id_b"), "left_semi")
     truth.agg(count(lit(1)).as("n_true"))
       .crossJoin(found.agg(count(lit(1)).as("n_found")))

@@ -160,6 +160,13 @@ object DedupRegistry {
     "dd_embedding_recall" -> ((s, d) =>
       Dedup.embeddingRecallReport(Tables.embeddings(s, d),
         SimilarityRegistry.ProbeMod, CosineTau)),
+    // The tuning sweep (r13): the same report at four blocking
+    // configs, one shared exact-truth pass — the measured version of
+    // the analytic recall/cost trade (more tables = higher collision
+    // probability at linear bucketing cost).
+    "dd_embedding_recall_sweep" -> ((s, d) =>
+      Dedup.embeddingRecallSweep(Tables.embeddings(s, d),
+        SimilarityRegistry.ProbeMod, CosineTau)),
     "dd_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "dd_embedding" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), CosineTau)),
@@ -769,6 +776,49 @@ object DedupRegistry {
          |       THEN CAST(1.0 AS DOUBLE)
          |       ELSE CAST((SELECT count(*) FROM hit) AS DOUBLE)
          |            / (SELECT count(*) FROM truth) END AS recall""".stripMargin,
+    // the same truth CTE, one (bucketed, found, hit) CTE triple per
+    // config, one UNION ALL row each — generated from the same config
+    // list the Spark side sweeps
+    "dd_embedding_recall_sweep" -> {
+      val configs = Seq((4, 6), (6, 4), (8, 4), (12, 3))
+      val perConfig = configs.map { case (t, p) =>
+        s"""bkt_${t}_$p AS (
+           |${VectorSql.lshBucketed(nTables = t, planesPerTable = p, dim = 64)}
+           |), found_${t}_$p AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM bkt_${t}_$p a JOIN bkt_${t}_$p b
+           |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |  WHERE $Dot / (${nrm("a")} * ${nrm("b")}) >= $CosineTau
+           |    AND (a.vec_id % ${SimilarityRegistry.ProbeMod} = 0
+           |         OR b.vec_id % ${SimilarityRegistry.ProbeMod} = 0)
+           |), hit_${t}_$p AS (
+           |  SELECT tt.id_a, tt.id_b FROM truth tt
+           |  JOIN found_${t}_$p f ON f.id_a = tt.id_a AND f.id_b = tt.id_b
+           |)""".stripMargin
+      }.mkString(", ")
+      val rows = configs.map { case (t, p) =>
+        s"""SELECT '${t}x$p' AS config,
+           |  (SELECT count(*) FROM truth) AS n_true,
+           |  (SELECT count(*) FROM found_${t}_$p) AS n_found,
+           |  (SELECT count(*) FROM hit_${t}_$p) AS n_hit,
+           |  CASE WHEN (SELECT count(*) FROM truth) = 0
+           |       THEN CAST(1.0 AS DOUBLE)
+           |       ELSE CAST((SELECT count(*) FROM hit_${t}_$p) AS DOUBLE)
+           |            / (SELECT count(*) FROM truth) END AS recall""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), p AS (
+         |  SELECT vec_id AS p_id, v AS pv FROM e
+         |  WHERE vec_id % ${SimilarityRegistry.ProbeMod} = 0
+         |), truth AS (
+         |  SELECT DISTINCT least(p.p_id, b.vec_id) AS id_a,
+         |    greatest(p.p_id, b.vec_id) AS id_b
+         |  FROM p JOIN e b ON b.vec_id <> p.p_id
+         |  WHERE ${VectorSql.cos("p.pv", "b.v")} >= $CosineTau
+         |), $perConfig
+         |$rows""".stripMargin
+    },
     "dd_embedding" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -182,6 +182,27 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(r0 == ((0L, 0L, 0L, 1.0)))
   }
 
+  test("embeddingRecallSweep: one row per config, shared truth, invariants") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val rows = Dedup.embeddingRecallSweep(emb, probeMod = 10, tau = tau)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSet ==
+      Set("4x6", "6x4", "8x4", "12x3") && rows.length == 4)
+    // the truth is config-independent: every row reports the same
+    // n_true, and each config's found/hit obey the report invariants
+    assert(rows.map(_._2).distinct.length == 1 && rows.head._2 >= 1L)
+    rows.foreach { case (_, nTrue, nFound, nHit, recall) =>
+      assert(nHit == nFound && nFound <= nTrue)
+      assert(recall == nHit.toDouble / nTrue)
+    }
+    // the single-config report is the sweep's 6x4 row (shared helpers
+    // — the two rows can't drift)
+    val single = Dedup.embeddingRecallReport(emb, probeMod = 10, tau = tau)
+      .as[(Long, Long, Long, Double)].collect().head
+    val swept = rows.find(_._1 == "6x4").get
+    assert(single == ((swept._2, swept._3, swept._4, swept._5)))
+  }
+
   test("semanticKeepersDelta: duplicate-dense delta is exact (distinct'd quotient)") {
     val dim = 64
     def v(f: Int => Float): Array[Float] = Array.tabulate(dim)(f)
