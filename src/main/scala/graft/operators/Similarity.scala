@@ -244,23 +244,31 @@ object Similarity {
         (col("n_hits").cast("double") / col("n_exact")).as("recall"))
   }
 
-  /** The ANN quality report as a first-class query: recall@k of the
-    * LSH and IVF paths against the exact brute-force answer on the
-    * same probes, one labeled row per algorithm. Everything inside is
+  /** The ANN quality report as a first-class query: recall@k of
+    * EVERY approximate path — LSH, IVF, PQ, IVF+PQ (the last two
+    * r13, completing the report over all four index families: the
+    * quantized scorers lose recall through CODE distortion, not
+    * candidate pruning, which is a different failure mode the report
+    * must price) — against the exact brute-force answer on the same
+    * probes, one labeled row per algorithm. Everything inside is
     * deterministic (planes, seed codebook), so an oracle replays the
     * identical report; counts divide exactly, so the recall doubles
     * are bit-stable. The operational use at corpus scale: run the
     * report on a sampled probe set after (re)building an index, and
     * alert when recall drifts below the floor your workload needs
-    * (AnnRecallSpec pins the CI floors). */
+    * (AnnRecallSpec pins the CI floors). The exact side is persisted:
+    * every recall row's hit join and count re-read it. */
   def recallReport(embeddings: DataFrame, probes: DataFrame, k: Int,
                    nTables: Int = 4, planesPerTable: Int = 6, dim: Int = 64,
                    centroidMod: Int = 37, nProbe: Int = 2): DataFrame = {
-    val exact = knnBruteForce(embeddings, probes, k)
+    val exact = graft.operators.CacheTracker.persistTracked(
+      knnBruteForce(embeddings, probes, k))
     recallRow("lsh", exact,
         knnLsh(embeddings, probes, k, nTables, planesPerTable, dim))
       .union(recallRow("ivf", exact,
         knnIvf(embeddings, probes, k, centroidMod, nProbe)))
+      .union(recallRow("pq", exact, knnPq(embeddings, probes, k)))
+      .union(recallRow("ivfpq", exact, knnIvfPq(embeddings, probes, k)))
   }
 
   /** Deterministic pseudo-random hyperplanes: a tiny splitmix-style

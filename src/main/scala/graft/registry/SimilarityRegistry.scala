@@ -649,12 +649,26 @@ object SimilarityRegistry {
          |                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
          |    FROM ivf_cand) WHERE rnk <= $K
          |)
+         |, pqa AS (
+         |${pqSql("")}
+         |), ivfpqa AS (
+         |${ivfpqSql("")}
+         |)
          |SELECT 'lsh' AS algo,
          |  CAST((SELECT count(*) FROM bf JOIN lsh USING (probe_id, neighbor_id))
          |    AS DOUBLE) / (SELECT count(*) FROM bf) AS recall
          |UNION ALL
          |SELECT 'ivf' AS algo,
          |  CAST((SELECT count(*) FROM bf JOIN ivf USING (probe_id, neighbor_id))
+         |    AS DOUBLE) / (SELECT count(*) FROM bf) AS recall
+         |UNION ALL
+         |SELECT 'pq' AS algo,
+         |  CAST((SELECT count(*) FROM bf JOIN pqa USING (probe_id, neighbor_id))
+         |    AS DOUBLE) / (SELECT count(*) FROM bf) AS recall
+         |UNION ALL
+         |SELECT 'ivfpq' AS algo,
+         |  CAST((SELECT count(*) FROM bf
+         |        JOIN ivfpqa USING (probe_id, neighbor_id))
          |    AS DOUBLE) / (SELECT count(*) FROM bf) AS recall""".stripMargin,
     // Replays the FULL PQ pipeline per-row with nested list lambdas:
     // unit vectors → id-sorted seed list → per-(vec, subspace)
