@@ -530,6 +530,45 @@ object Dedup {
     recallCounts(truth, found)
   }
 
+  /** [[minhashRecallReport]] swept over BANDING splits at a fixed
+    * signature budget (every config has bands × rowsPerBand = 128
+    * permutations — the same kernel cost, the same signature VALUES)
+    * — the banding S-curve measured: at fixed b·r, more bands of
+    * fewer rows shifts the candidate curve 1-(1-J^r)^b left (higher
+    * recall below τ, more false candidates to verify), so the sweep
+    * is the verify-cost/recall dial a curation run reads before
+    * picking its split — 16×8 (the default), 32×4, 64×2, sweeping
+    * toward the high-recall/high-verify-cost end. One exact-truth pass and ONE persisted
+    * shingle table are shared across configs; per config only the
+    * banding projection, candidate join and verify run. */
+  def minhashRecallSweep(docs: DataFrame, n: Int = 3,
+                         configs: Seq[(Int, Int)] =
+                           Seq((16, 8), (32, 4), (64, 2)),
+                         tau: Double = 0.8): DataFrame = {
+    require(configs.forall { case (b, r) => b * r == 128 },
+      s"minhashRecallSweep: every (bands, rowsPerBand) config must " +
+        s"multiply to the 128-permutation signature budget; got $configs")
+    val base = CacheTracker.persistTracked(shingleArrays(docs, n))
+    val rows = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = base.select(col("doc_id"), size(col("sh")).as("sz"))
+    val truth = CacheTracker.persistTracked(
+      ngramJaccard(docs, n, tau).select(col("id_a"), col("id_b")))
+    configs.map { case (b, r) =>
+      val banded = bandedKeys(base, b, r)
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val found = CacheTracker.persistTracked(
+        verifyCandidatesWith(cand, rows, sizes, tau)
+          .select(col("id_a"), col("id_b")))
+      recallCounts(truth, found)
+        .select(lit(s"${b}x$r").as("config"), col("n_true"),
+          col("n_found"), col("n_hit"), col("recall"))
+    }.reduce(_ union _)
+  }
+
   /** Exact-Jaccard pairs over ARBITRARY (doc_id, s) item rows — the
     * same lossless SSJoin pipeline as [[ngramJaccard]] with the item
     * extraction decoupled from text: callers bring any set-valued

@@ -48,17 +48,23 @@ object DedupRegistry {
     * and, under WITH RECURSIVE, by the clustering oracles. `source`
     * lets the composed exact-first row run the chain over its keeper
     * CTE instead of the raw table. */
-  private def jaccardCtes(source: String): String =
-    s"""sets AS (
+  /** `pfx` renames the chain's CTEs (`<pfx>sets` …) for queries that
+    * must hoist it beside other chains at ONE scope level: nesting it
+    * under a sub-WITH whose names shadow same-named OUTER CTEs
+    * miscompiles in DuckDB ("recursive CTE scan without recursive CTE
+    * node" — the binder takes the shadowing for self-reference), so
+    * the sweep oracles flatten with a prefix instead of nesting. */
+  private def jaccardCtes(source: String, pfx: String = ""): String =
+    s"""${pfx}sets AS (
        |  SELECT doc_id, $Sh3 AS sh
        |  FROM (SELECT doc_id, $ToksExpr AS toks FROM $source)
        |  WHERE len($Sh3) > 0
-       |), ex AS (
-       |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets
-       |), cand AS (
+       |), ${pfx}ex AS (
+       |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM ${pfx}sets
+       |), ${pfx}cand AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |         a.sz AS sz_a, b.sz AS sz_b, count(*) AS inter
-       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM ${pfx}ex a JOIN ${pfx}ex b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2, 3, 4
        |  HAVING CAST(least(sz_a, sz_b) AS DOUBLE) / greatest(sz_a, sz_b) >= $JaccardTau
        |)""".stripMargin
@@ -151,6 +157,13 @@ object DedupRegistry {
     // IEEE division.
     "dd_minhash_recall" -> ((s, d) =>
       Dedup.minhashRecallReport(Tables.documents(s, d),
+        tau = JaccardTau)),
+    // The banding-split sweep (r13): three splits of the fixed
+    // 128-permutation budget — the 1-(1-J^r)^b S-curve measured
+    // against the same exact truth, one shared signature/shingle
+    // pass (only banding, candidates and verify re-run per split).
+    "dd_minhash_recall_sweep" -> ((s, d) =>
+      Dedup.minhashRecallSweep(Tables.documents(s, d),
         tau = JaccardTau)),
     // The embedding-side recall QA (r13): hyperplane-LSH bucket
     // blocking vs the exact-cosine truth on the deterministic probe
@@ -741,6 +754,39 @@ object DedupRegistry {
          |SELECT k0.doc_id, e.keep_id,
          |  CAST(k0.doc_id <> e.keep_id AS INTEGER) AS is_dup
          |FROM k0 JOIN elected e ON e.ek = k0.ek""".stripMargin,
+    // the banding sweep: shared truth + ONE shared signature chain
+    // (minhashSigCtes — every split re-slices the same 128 mins),
+    // per-split (bandvals, bk, cand, found) CTEs from XxSql, same
+    // report arithmetic
+    "dd_minhash_recall_sweep" -> {
+      val configs = Seq((16, 8), (32, 4), (64, 2))
+      val per = configs.map { case (b, r) =>
+        XxSql.minhashBandConfigCtes(b, r, JaccardTau) }.mkString(", ")
+      val hits = configs.map { case (b, r) =>
+        s"""hit_${b}x$r AS (
+           |  SELECT t.id_a, t.id_b FROM truth t
+           |  JOIN found_${b}x$r f ON f.id_a = t.id_a AND f.id_b = t.id_b
+           |)""".stripMargin
+      }.mkString(", ")
+      val rows = configs.map { case (b, r) =>
+        s"""SELECT '${b}x$r' AS config,
+           |  (SELECT count(*) FROM truth) AS n_true,
+           |  (SELECT count(*) FROM found_${b}x$r) AS n_found,
+           |  (SELECT count(*) FROM hit_${b}x$r) AS n_hit,
+           |  CASE WHEN (SELECT count(*) FROM truth) = 0
+           |       THEN CAST(1.0 AS DOUBLE)
+           |       ELSE CAST((SELECT count(*) FROM hit_${b}x$r) AS DOUBLE)
+           |            / (SELECT count(*) FROM truth) END AS recall""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""${XxSql.Macros}
+         |WITH ${jaccardCtes("documents", "tr_")}, truth AS (
+         |  SELECT id_a, id_b FROM tr_cand
+         |  WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= $JaccardTau
+         |), ${XxSql.minhashSigCtes("documents")},
+         |szs AS (SELECT doc_id, any_value(sz) AS sz FROM ex GROUP BY doc_id),
+         |$per, $hits
+         |$rows""".stripMargin
+    },
     // probe-sliced exact-cosine truth × the dd_embedding_lsh replay
     // restricted to probe-touching pairs; same report arithmetic as
     // dd_minhash_recall (3 counts + 1 IEEE division)

@@ -191,16 +191,51 @@ private[registry] object XxSql {
   }
 
   /** The LSH band-key fold: Spark's `xxhash64(slice(sig, ...))` over
-    * an 8-long array folds `h = hashLong(elem, h)` from seed 42 —
-    * unrolled across staged columns over pivoted sig values s0..s7
-    * (signed). `src` yields (doc_id, band, s0..s7). */
-  private def bandKeys(src: String): String = {
-    val steps = (0 until 8).flatMap { k =>
+    * a `rowsPerBand`-long array folds `h = hashLong(elem, h)` from
+    * seed 42 — unrolled across staged columns over pivoted sig values
+    * s0..s{r-1} (signed). `src` yields (doc_id, band, s0..s{r-1}).
+    * Parameterized on r since r13 so the banding-sweep oracle can
+    * replay every split of the fixed 128-permutation budget. */
+  private def bandKeys(src: String, rowsPerBand: Int = 8): String = {
+    val steps = (0 until rowsPerBand).flatMap { k =>
       val seed = if (k == 0) "42::UBIGINT" else s"h${k - 1}"
       Seq(s"u$k" -> s"gx_uns(s$k)") ++
         hashLongSteps(s"u$k", seed, s"h$k", s"k$k")
     }
-    staged(src, steps, "doc_id, band, gx_sgn(h7) AS bkey")
+    staged(src, steps, s"doc_id, band, gx_sgn(h${rowsPerBand - 1}) AS bkey")
+  }
+
+  /** Per-config banding CTE triple over the SHARED `sig` chain
+    * (requires [[minhashSigCtes]] + a `szs` CTE in scope): bandvals /
+    * band keys / candidates / verified pairs, each suffixed
+    * `_<bands>x<rows>`. Every config re-slices the same 128
+    * signature mins — the banding sweep's whole point is that the
+    * split, not the signature, moves the candidate curve. */
+  def minhashBandConfigCtes(bands: Int, rowsPerBand: Int,
+                            tau: Double): String = {
+    val sfx = s"${bands}x$rowsPerBand"
+    val pivots = (0 until rowsPerBand)
+      .map(k => s"max(CASE WHEN i % $rowsPerBand = $k THEN v END) AS s$k")
+      .mkString(", ")
+    s"""bandvals_$sfx AS MATERIALIZED (
+       |  SELECT doc_id, (i // $rowsPerBand)::INT AS band, $pivots
+       |  FROM sig GROUP BY 1, 2
+       |), bk_$sfx AS MATERIALIZED (
+       |${bandKeys(s"SELECT * FROM bandvals_$sfx", rowsPerBand)}
+       |), cand_$sfx AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bk_$sfx a JOIN bk_$sfx b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |), found_$sfx AS (
+       |  SELECT i.id_a, i.id_b
+       |  FROM (SELECT c.id_a, c.id_b, count(*) AS inter
+       |        FROM cand_$sfx c JOIN ex ra ON ra.doc_id = c.id_a
+       |        JOIN ex rb ON rb.doc_id = c.id_b AND ra.s = rb.s
+       |        GROUP BY 1, 2) i
+       |  JOIN szs sa ON sa.doc_id = i.id_a
+       |  JOIN szs sb ON sb.doc_id = i.id_b
+       |  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= $tau
+       |)""".stripMargin
   }
 
   /** Shared CTE chain of the MinHash LSH replay over a docs relation
@@ -212,14 +247,17 @@ private[registry] object XxSql {
     * pins each stage to one evaluation (the CTEs are referenced more
     * than once; inlining re-expands the whole chain per reference).
     * Ends with `cand(id_a, id_b)` + `ex(doc_id, sz, s)` available. */
-  private def minhashCtes(source: String): String = {
+  /** The signature-side chain alone — tokenize → shingle sets →
+    * distinct-shingle XXH64 → 128 permutation mixes → per-doc mins —
+    * ending with `sig(doc_id, i, v)` and `ex(doc_id, sz, s)` in
+    * scope. Shared by the default 16×8 [[minhashCtes]] and the
+    * banding-sweep oracle (every split re-slices the SAME sig). */
+  def minhashSigCtes(source: String): String = {
     val perms = staged("SELECT unnest(range(128)) AS i",
       hashIntSteps("i::UBIGINT", "42::UBIGINT", "pseed", "p"), "i, pseed")
     val mix = staged(
       "SELECT d.s, d.h AS hval, p.i, p.pseed FROM dhash d CROSS JOIN perms p",
       hashLongSteps("hval", "pseed", "mh", "m"), "s, i, gx_sgn(mh) AS v")
-    val pivots = (0 until 8)
-      .map(k => s"max(CASE WHEN i % 8 = $k THEN v END) AS s$k").mkString(", ")
     s"""t AS (SELECT doc_id, ${TextSql.ToksExpr} AS toks FROM $source),
        |sets AS MATERIALIZED (
        |  SELECT doc_id, ${TextSql.Sh3Expr} AS sh FROM t
@@ -233,7 +271,14 @@ private[registry] object XxSql {
        |sig AS MATERIALIZED (
        |  SELECT e.doc_id, m.i, min(m.v) AS v
        |  FROM ex e JOIN mix m ON e.s = m.s GROUP BY 1, 2
-       |), bandvals AS MATERIALIZED (
+       |)""".stripMargin
+  }
+
+  private def minhashCtes(source: String): String = {
+    val pivots = (0 until 8)
+      .map(k => s"max(CASE WHEN i % 8 = $k THEN v END) AS s$k").mkString(", ")
+    s"""${minhashSigCtes(source)},
+       |bandvals AS MATERIALIZED (
        |  SELECT doc_id, (i // 8)::INT AS band, $pivots FROM sig GROUP BY 1, 2
        |), bk AS MATERIALIZED ($bandKeysSql),
        |cand AS MATERIALIZED (

@@ -182,6 +182,31 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(r0 == ((0L, 0L, 0L, 1.0)))
   }
 
+  test("minhashRecallSweep: nested splits are monotone, shared truth, invariants") {
+    // the three splits share band boundaries (2 | 4 | 8 rows), so a
+    // pair matching an 8-row band matches every nested 2/4-row
+    // sub-band too: candidates nest (modulo 64-bit hash collisions,
+    // absent here), making recall MONOTONE non-decreasing toward
+    // smaller rows-per-band — the S-curve's measured direction
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val rows = Dedup.minhashRecallSweep(docs)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSet == Set("16x8", "32x4", "64x2"))
+    assert(rows.map(_._2).distinct.length == 1 && rows.head._2 >= 1L)
+    rows.foreach { case (_, nTrue, nFound, nHit, recall) =>
+      assert(nHit == nFound && nFound <= nTrue)
+      assert(recall == nHit.toDouble / nTrue)
+    }
+    val byCfg = rows.map(r => r._1 -> r._5).toMap
+    assert(byCfg("64x2") >= byCfg("32x4") &&
+      byCfg("32x4") >= byCfg("16x8"))
+    // a non-128 budget is a contract error, not silent wrong banding
+    val err = intercept[IllegalArgumentException] {
+      Dedup.minhashRecallSweep(docs, configs = Seq((16, 4)))
+    }
+    assert(err.getMessage.contains("128"))
+  }
+
   test("embeddingRecallSweep: one row per config, shared truth, invariants") {
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val rows = Dedup.embeddingRecallSweep(emb, probeMod = 10, tau = tau)
