@@ -49,7 +49,11 @@ object Bench {
       // knn_lsh BUILD row (r13, VERDICT item #3): its served sibling
       // was benched but the build was not, leaving the LSH family's
       // served<build claim resting on builder-local numbers
-      "knn_bruteforce", "knn_lsh", "knn_ivf", "knn_filtered", "knn_ivf_filtered",
+      // knn_ivf_trained + its served row (r13): the Lloyd's build is
+      // the family's most expensive index construction, so its
+      // served<build gap is the one most worth grading
+      "knn_bruteforce", "knn_lsh", "knn_ivf", "knn_ivf_trained",
+      "knn_filtered", "knn_ivf_filtered",
       "knn_graph", "knn_pagerank",
       "knn_pq", "knn_ivfpq",
       "knn_outliers", "knn_ivf_census",
@@ -57,7 +61,8 @@ object Bench {
       // (ServingIndexes memoizes per corpus dir), so these rows time
       // the per-query cost the indexed operators exist for
       "ta_search_served", "ta_search_batch", "ta_lm_score_served",
-      "knn_lsh_served", "knn_ivf_served", "knn_ivf_filtered_served",
+      "knn_lsh_served", "knn_ivf_served", "knn_ivf_trained_served",
+      "knn_ivf_filtered_served",
       "knn_pq_served", "knn_ivfpq_served",
     ).filter(SparkEntry.queries.contains)
     sys.env.get("SPARK_GRAFT_BENCH_QUERIES")

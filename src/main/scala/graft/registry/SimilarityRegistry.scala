@@ -169,6 +169,24 @@ object SimilarityRegistry {
         Similarity.IvfIndex(s.read.parquet(paths.head), s.read.parquet(paths(1))),
         probes(s, d), K, NProbe)
     }),
+    // TRAINED-IVF serving (r13): the Lloyd's-refined codebook is the
+    // most expensive index build in the family (3 training passes
+    // over the corpus), which makes it the index MOST worth
+    // persisting — the served row reads the refined assignment +
+    // codebook back and pays only probe-side work; assignment under
+    // a fixed codebook is a pure per-row function, so served ≡ the
+    // fresh build and knn_ivf_trained's quantized-Lloyd's oracle
+    // holds verbatim.
+    "knn_ivf_trained_served" -> ((s, d) => {
+      val (paths, _) = ServingIndexes.once("ivf_trained", d) {
+        val idx = Similarity.ivfIndex(Tables.embeddings(s, d), CentroidMod,
+          trained = true)
+        (Seq(idx.assigned, idx.centroids), 0L)
+      }
+      Similarity.knnIvfIndexed(
+        Similarity.IvfIndex(s.read.parquet(paths.head), s.read.parquet(paths(1))),
+        probes(s, d), K, NProbe)
+    }),
     // attribute-filtered serving (r13): the ONE persisted
     // label-carrying IVF index answers every predicate value — the
     // label is a stored column that joins as an extra equality in the
@@ -700,6 +718,10 @@ object SimilarityRegistry {
      // no old-side predicate
      "knn_lsh_delta" -> base("knn_lsh"),
      "knn_ivf_served" -> base("knn_ivf"),
+     // assignment under the FIXED trained codebook is a pure per-row
+     // function and training is bit-reproducible (quantized Lloyd's),
+     // so served ≡ fresh and the unrolled-iterations oracle holds
+     "knn_ivf_trained_served" -> base("knn_ivf_trained"),
      "knn_ivf_filtered_served" -> base("knn_ivf_filtered"),
      "knn_pq_served" -> base("knn_pq"),
      "knn_ivfpq_served" -> base("knn_ivfpq"))

@@ -194,6 +194,26 @@ class SimilaritySpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS ivf_index_rt")
   }
 
+  test("trained IVF index round-trips: served == knnIvfTrained fresh") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = Similarity.probeEvery(emb, 50)
+    val fresh = Similarity.knnIvfTrained(emb, probes, 10)
+      .collect().map(_.toSeq).toSet
+    // the Lloyd's-refined codebook is bit-reproducible (quantized
+    // mean updates) and assignment under a fixed codebook is a pure
+    // per-row function, so the persisted trained index must answer
+    // identically to the fresh build-and-search
+    val idx = Similarity.ivfIndex(emb, trained = true)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_trained_rt")
+    idx.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    idx.centroids.write.mode("overwrite").parquet(s"$dir/cents")
+    val served = Similarity.knnIvfIndexed(
+      Similarity.IvfIndex(spark.read.parquet(s"$dir/assigned"),
+        spark.read.parquet(s"$dir/cents")),
+      probes, 10).collect().map(_.toSeq).toSet
+    assert(served == fresh && fresh.nonEmpty)
+  }
+
   test("knnIvfFilteredIndexed over a persisted labeled index == knnIvfFiltered") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = Similarity.probeEvery(emb, 50)
