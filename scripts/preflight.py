@@ -86,11 +86,17 @@ def main():
             print(r.stdout[-4000:]); print(r.stderr[-2000:])
             print("PREFLIGHT: verify run failed"); sys.exit(2)
 
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sfdir}/{t}.parquet"
-        if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    # fresh connection per oracle: a 169-query run through ONE
+    # connection accumulated enough allocator state that a late heavy
+    # XxSql replay died OOM at sf0.1 (dd_simhash_delta — passes alone);
+    # views are cheap to recreate and isolation beats residency here
+    def fresh():
+        c = duckdb.connect()
+        for t in TABLES:
+            p = f"{sfdir}/{t}.parquet"
+            if os.path.exists(p):
+                c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        return c
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     declared = sorted(d for d in os.listdir(OUT)
                       if os.path.isdir(os.path.join(OUT, d)))
@@ -106,7 +112,9 @@ def main():
             print(f"rows {name}: {len(sdf)} rows (no oracle — spec-checked)")
             continue
         try:
+            con = fresh()
             ddf = con.sql(oracle[name]).df()
+            con.close()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); fails += 1; continue
         err = compare(name, sdf, ddf)
