@@ -61,6 +61,7 @@ object Bench {
       // (ServingIndexes memoizes per corpus dir), so these rows time
       // the per-query cost the indexed operators exist for
       "ta_search_served", "ta_search_batch", "ta_lm_score_served",
+      "knn_graph_served",
       "knn_lsh_served", "knn_ivf_served", "knn_ivf_trained_served",
       "knn_ivf_filtered_served",
       "knn_pq_served", "knn_ivfpq_served",

@@ -169,6 +169,23 @@ object SimilarityRegistry {
         Similarity.IvfIndex(s.read.parquet(paths.head), s.read.parquet(paths(1))),
         probes(s, d), K, NProbe)
     }),
+    // kNN-GRAPH serving (r13): the graph is the build artifact
+    // SemDeDup-style pipelines precompute once and query repeatedly
+    // (a vector's neighborhood list); served = the persisted graph
+    // table with the probe filter evaluated in the scan's codegen
+    // stage — no bucketing, no scoring, no LSH, no shuffle at query
+    // time. (The bench's MODULO probe derivation is not a pushable
+    // predicate; a production id-list/range probe set lands in
+    // PushedFilters, and a vec_id-bucketed graph layout prunes the
+    // lookup to the touched groups.)
+    "knn_graph_served" -> ((s, d) => {
+      val (paths, _) = ServingIndexes.once("knngraph", d) {
+        (Seq(Similarity.knnGraph(Tables.embeddings(s, d), K)), 0L)
+      }
+      s.read.parquet(paths.head)
+        .filter(org.apache.spark.sql.functions.col("vec_id")
+          % ProbeMod === 0)
+    }),
     // TRAINED-IVF serving (r13): the Lloyd's-refined codebook is the
     // most expensive index build in the family (3 training passes
     // over the corpus), which makes it the index MOST worth
@@ -718,6 +735,13 @@ object SimilarityRegistry {
      // no old-side predicate
      "knn_lsh_delta" -> base("knn_lsh"),
      "knn_ivf_served" -> base("knn_ivf"),
+     // the persisted graph restricted to the probe slice — the graph
+     // content is the build row's verbatim
+     "knn_graph_served" ->
+       s"""WITH $GraphCtes
+          |SELECT vec_id, neighbor_id, cos_sim, rnk
+          |FROM ranked WHERE rnk <= $K
+          |  AND vec_id % $ProbeMod = 0""".stripMargin,
      // assignment under the FIXED trained codebook is a pure per-row
      // function and training is bit-reproducible (quantized Lloyd's),
      // so served ≡ fresh and the unrolled-iterations oracle holds
