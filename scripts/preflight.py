@@ -112,9 +112,14 @@ def main():
             print(f"rows {name}: {len(sdf)} rows (no oracle — spec-checked)")
             continue
         try:
+            # close on the exception path too (r13 advice): a failing
+            # oracle must not leak its connection's allocator state —
+            # the residency fresh-per-oracle exists to eliminate
             con = fresh()
-            ddf = con.sql(oracle[name]).df()
-            con.close()
+            try:
+                ddf = con.sql(oracle[name]).df()
+            finally:
+                con.close()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); fails += 1; continue
         err = compare(name, sdf, ddf)

