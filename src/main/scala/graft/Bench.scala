@@ -87,7 +87,11 @@ object Bench {
     * queries map and needs no watch entry. */
   val WatchRows: Seq[String] =
     Seq("dd_semantic", "cp_dup_attribution", "dd_paragraph",
-      "q18_large_orders")
+      "q18_large_orders",
+      // r14 (VERDICT r13 task 1): the largest un-adjudicated r13
+      // regression — its compact line now always carries {median,
+      // min, gc} so the next spike self-adjudicates from the file
+      "dd_keep_best_dedup")
 
   /** Small cross-SF subset: one cheap scan-agg, one join-heavy, one
     * sketch-heavy — enough to see whether per-query cost scales with

@@ -29,7 +29,7 @@ object Similarity {
     * k x partitions rows per probe instead of the full scored set —
     * the scale fix over a `row_number` window, which must shuffle and
     * sort everything. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("probe_id"))
       .agg(Exprs.topK(col("cos_sim"), col("neighbor_id"), k).as("top"))
@@ -860,16 +860,49 @@ object Similarity {
     * carries the hoisted per-vector norm so intra-bucket scoring pays
     * one dot per pair (see [[scoreAgainst]]). */
   private[operators] def lshBucketed(e: DataFrame, nTables: Int,
-                                     planesPerTable: Int, dim: Int): DataFrame = {
-    val planes = hyperplanes(nTables * planesPerTable, dim)
-    val buckets = (0 until nTables).map { t =>
-      val bits = (0 until planesPerTable).map { p =>
-        val plane = array(planes(t * planesPerTable + p).toIndexedSeq.map(lit): _*)
-        when(Vec.dot(col("v"), plane) >= 0, lit(1L << p)).otherwise(0L)
-      }.reduce(_ + _)
-      struct(lit(t).as("table"), bits.as("bucket"))
-    }
+                                     planesPerTable: Int, dim: Int): DataFrame =
+    bucketedFromBits(lshBits(e, nTables * planesPerTable, dim),
+      nTables, planesPerTable)
+
+  /** The per-vector plane-dot SIGN WORD: bit g of `bits` is the sign
+    * of dot(v, plane_g) over the first `nPlanes` [[hyperplanes]] —
+    * plus the hoisted norm. This is the ONE corpus-scaled projection
+    * every hyperplane-LSH consumer needs; each (nTables ×
+    * planesPerTable) table family with nTables·planesPerTable ≤
+    * nPlanes is a pure bit-slice of it ([[bucketedFromBits]]), so two
+    * different bucketings over the same plane set — e.g.
+    * [[Dedup.semanticKeepersBest]]'s 6×4 cluster family and 4×6
+    * centrality-graph family (r14, VERDICT r13 item #2) — share one
+    * corpus scan and one set of plane dots instead of paying the
+    * projection once per family. Output: (vec_id, v, nrm, bits). */
+  private[graft] def lshBits(e: DataFrame, nPlanes: Int,
+                                 dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val bits = (0 until nPlanes).map { g =>
+      val plane = array(planes(g).toIndexedSeq.map(lit): _*)
+      when(Vec.dot(col("v"), plane) >= 0, lit(1L << g)).otherwise(0L)
+    }.reduce(_ + _)
     e.select(col("vec_id"), col("v"), Vec.norm(col("v")).as("nrm"),
+      bits.as("bits"))
+  }
+
+  /** Slice a [[lshBits]] frame into (table, bucket) rows for one
+    * table family: table t's bucket is bits[t·P, (t+1)·P) — exactly
+    * the word [[lshBucketed]] historically built per table (in-table
+    * bit p = plane t·P + p), so
+    * `bucketedFromBits(lshBits(e, T·P, dim), T, P)` ≡ the direct
+    * per-table construction row-for-row (SimilaritySpec pins it for both
+    * the 4×6 and 6×4 families). A pure per-row shift/mask + explode —
+    * no plane dots, no corpus scan beyond reading `bitsFrame`. */
+  private[graft] def bucketedFromBits(bitsFrame: DataFrame, nTables: Int,
+                                          planesPerTable: Int): DataFrame = {
+    val mask = (1L << planesPerTable) - 1L
+    val buckets = (0 until nTables).map { t =>
+      struct(lit(t).as("table"),
+        (shiftright(col("bits"), t * planesPerTable)
+          .bitwiseAND(lit(mask))).as("bucket"))
+    }
+    bitsFrame.select(col("vec_id"), col("v"), col("nrm"),
         explode(array(buckets: _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
@@ -928,14 +961,28 @@ object Similarity {
     * standard no-redistribution treatment: their mass exits the
     * system and the teleport term keeps every rank positive. */
   def knnPagerank(embeddings: DataFrame, k: Int, iters: Int = 3,
-                  damping: Double = 0.85): DataFrame = {
-    val edges = CacheTracker.persistTracked(
-      knnGraph(embeddings, k).select(col("vec_id").as("src"),
-        col("neighbor_id").as("dst")))
+                  damping: Double = 0.85): DataFrame =
+    pagerankFromEdges(
+      CacheTracker.persistTracked(
+        knnGraph(embeddings, k).select(col("vec_id").as("src"),
+          col("neighbor_id").as("dst"))),
+      embeddings.select(col("vec_id")), iters, damping)
+
+  /** The damped power iteration alone, over a CALLER-SUPPLIED edge
+    * frame (src, dst) — factored out (r14) so
+    * [[graft.operators.Dedup.semanticKeepersBest]] can run the
+    * identical arithmetic over a graph built from its own shared
+    * bucketed projection instead of paying [[knnGraph]]'s second
+    * corpus plane-hash. `edges` should already be persisted by the
+    * caller (it is read every iteration). Same quantized, N-scaled,
+    * bit-replayable update as [[knnPagerank]] — see that scaladoc. */
+  private[operators] def pagerankFromEdges(edges: DataFrame, ids: DataFrame,
+                                           iters: Int,
+                                           damping: Double): DataFrame = {
     // both reused every iteration: persist the slim id frame and the
     // 1-row count so the unrolled plan reads a cached scan instead of
     // re-counting the corpus iters+1 times
-    val nodes = CacheTracker.persistTracked(embeddings.select(col("vec_id")))
+    val nodes = CacheTracker.persistTracked(ids.select(col("vec_id")))
     val nTotal = CacheTracker.persistTracked(
       nodes.agg(count(lit(1)).as("N")))
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))

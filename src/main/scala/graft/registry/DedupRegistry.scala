@@ -372,7 +372,12 @@ object DedupRegistry {
     * nested pagerank replay → two-stage election — parameterized by
     * the vector source so the composed dd_semantic_best_dedup oracle
     * runs it verbatim over the exact-dedup rep slice. Ends with the
-    * `assigned`/`keepers` CTEs the caller's final SELECT joins. */
+    * `assigned`/`keepers` CTEs the caller's final SELECT joins.
+    * (r14 note: the Spark side now computes both families' buckets
+    * from ONE persisted plane-dot sign word — bit-identical buckets,
+    * so this replay is untouched; an attempted unification of the
+    * graph onto the 6×4 pair family was reverted after it doubled
+    * the row's wall, see semanticKeepersBest's scaladoc.) */
   private def semanticBestCtes(src: String): String =
     s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src

@@ -788,8 +788,14 @@ object SimilarityRegistry {
     * are bit-equal despite `iters` chained float generations. */
   // shared with DedupRegistry's dd_semantic_best oracle (and, via
   // `src`, the composed dd_semantic_best_dedup oracle's rep slice)
-  private[registry] def pagerankSql(iters: Int,
-                                    src: String = "embeddings"): String = {
+  /** The `nn`/`outd`/`r0`/`c_i`/`s_i`/`r_i` iteration tail alone,
+    * expecting caller CTEs `e` (vec_id) and `ge` (src, dst) — shared
+    * by [[pagerankSql]] and DedupRegistry.semanticBestCtes (whose
+    * graph comes from its own single-family shared pair frame, r14),
+    * so the two spell the identical quantized double arithmetic. The
+    * caller appends `, ${"ranks"} AS (SELECT vec_id, r / N AS
+    * pagerank FROM r<iters> CROSS JOIN nn)` or equivalent. */
+  private[registry] def pagerankIterCtes(iters: Int): String = {
     val d = "CAST(0.85 AS DOUBLE)"
     val one = "CAST(1 AS DOUBLE)"
     val its = (1 to iters).map { i =>
@@ -809,18 +815,22 @@ object SimilarityRegistry {
          |  FROM e LEFT JOIN s$i USING (vec_id)
          |)""".stripMargin
     }.mkString
-    s"""WITH ${graphCtes(src)}, ge AS (
-       |  SELECT vec_id AS src, neighbor_id AS dst
-       |  FROM ranked WHERE rnk <= $K
-       |), nn AS (
+    s"""nn AS (
        |  SELECT count(*) AS N FROM e
        |), outd AS (
        |  SELECT src, count(*) AS outdeg FROM ge GROUP BY 1
        |), r0 AS (
        |  SELECT vec_id, $one AS r FROM e
-       |)$its
-       |SELECT vec_id, r / N AS pagerank FROM r$iters CROSS JOIN nn""".stripMargin
+       |)$its""".stripMargin
   }
+
+  private[registry] def pagerankSql(iters: Int,
+                                    src: String = "embeddings"): String =
+    s"""WITH ${graphCtes(src)}, ge AS (
+       |  SELECT vec_id AS src, neighbor_id AS dst
+       |  FROM ranked WHERE rnk <= $K
+       |), ${pagerankIterCtes(iters)}
+       |SELECT vec_id, r / N AS pagerank FROM r$iters CROSS JOIN nn""".stripMargin
 
   /** knn_ivfpq's replay, parameterized by an extra predicate applied
     * to BOTH quantizer CTEs (centroid codebook and PQ seed list) so

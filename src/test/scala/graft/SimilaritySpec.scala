@@ -259,6 +259,40 @@ class SimilaritySpec extends AnyFunSuite {
     scala.reflect.io.Directory(new java.io.File(dir.toString)).deleteRecursively()
   }
 
+  test("bucketedFromBits slices of one sign word == per-table bucket construction, both families") {
+    // r14 sharing contract (VERDICT r13 item #2): the 24-bit
+    // plane-dot sign word computed once by lshBits must slice into
+    // EXACTLY the (table, bucket) rows the historical per-table
+    // construction produced, for BOTH consumers' groupings (the 4×6
+    // graph family and the 6×4 near-dup family) — the reference here
+    // recomputes the buckets in plain Scala from the public
+    // hyperplanes, independent of the Spark expressions.
+    import org.apache.spark.sql.functions.col
+    val dim = 8
+    val e = vecs.select(col("vec_id"), col("embedding").as("v"))
+    val planes = Similarity.hyperplanes(24, dim)
+    val raw = vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def expected(nTables: Int, ppt: Int): Set[(Long, Int, Long)] =
+      raw.flatMap { case (id, v) =>
+        (0 until nTables).map { t =>
+          val bucket = (0 until ppt).map { p =>
+            val plane = planes(t * ppt + p)
+            val dot = v.indices.map(i => v(i).toDouble * plane(i)).sum
+            if (dot >= 0) 1L << p else 0L
+          }.sum
+          (id, t, bucket)
+        }
+      }.toSet
+    for ((nT, pP) <- Seq((4, 6), (6, 4))) {
+      val bits = Similarity.lshBits(e, 24, dim)
+      val got = Similarity.bucketedFromBits(bits, nT, pP)
+        .select(col("vec_id"), col("table"), col("bucket"))
+        .as[(Long, Int, Long)].collect().toSet
+      assert(got == expected(nT, pP), s"family ${nT}x$pP")
+    }
+  }
+
   test("LSH hyperplanes are deterministic and scores are exact cosines") {
     val h1 = Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq
     val h2 = Similarity.hyperplanes(4, 8).map(_.toSeq).toSeq
