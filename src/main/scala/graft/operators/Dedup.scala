@@ -578,13 +578,18 @@ object Dedup {
     * Rows are deduplicated and sized here (one doc_id-keyed aggregate;
     * doc_id is unique ⇒ well distributed), then the df-rarest prefix
     * blocking + exact verification run unchanged. */
-  def jaccardPairsOf(items: DataFrame, tau: Double): DataFrame = {
+  def jaccardPairsOf(items: DataFrame, tau: Double): DataFrame =
+    jaccardOver(CacheTracker.persistTracked(sizedItemRows(items)), tau)
+
+  /** Dedup + size arbitrary (doc_id, s) item rows into the
+    * (doc_id, sz, s) shape the Jaccard family's blocking and verify
+    * stages run on — one doc_id-keyed aggregate (unique key ⇒ well
+    * distributed). Shared by [[jaccardPairsOf]] and the generic
+    * incremental form [[itemJaccardDelta]]. */
+  private def sizedItemRows(items: DataFrame): DataFrame = {
     val d = items.select(col("doc_id"), col("s")).distinct()
     val sz = d.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    jaccardOver(
-      CacheTracker.persistTracked(
-        d.join(sz, "doc_id").select(col("doc_id"), col("sz"), col("s"))),
-      tau)
+    d.join(sz, "doc_id").select(col("doc_id"), col("sz"), col("s"))
   }
 
   /** Shared candidate + verify tail of the Jaccard family: `ex` is the
@@ -1407,13 +1412,26 @@ object Dedup {
       f"ngramJaccardDelta tau=$tau%.3f is below the store's build " +
         f"tau=${store.tau}%.3f: stored prefixes are too short for a looser " +
         "threshold (rebuild the store or query at tau >= the build tau)")
-    val dRows = CacheTracker.persistTracked(shingleRows(delta, n))
+    val (verified, rows2, prefix2) = jaccardDeltaCore(store.rows,
+      store.prefix, delta.select(col("doc_id")).distinct(),
+      CacheTracker.persistTracked(shingleRows(delta, n)), tau)
+    JaccardDelta(verified, JaccardStore(rows2, prefix2, n, tau))
+  }
+
+  /** The shared delta tail of the incremental Jaccard family —
+    * [[ngramJaccardDelta]]'s both-direction blocking + symmetric
+    * verify over ANY (doc_id, sz, s) item rows, so the media
+    * byte-frame form ([[Multimodal.payloadNearDupDelta]], r14) and
+    * the text shingle form cannot drift. Returns (verified pairs,
+    * merged rows, merged prefix). */
+  private def jaccardDeltaCore(storeRows: DataFrame, storePrefix: DataFrame,
+                               dIds: DataFrame, dRows: DataFrame,
+                               tau: Double): (DataFrame, DataFrame, DataFrame) = {
     val dPrefix = containmentPrefix(dRows, tau)
     // re-ingest idempotency (containmentDelta's rule): the delta
     // REPLACES any stored rows under its ids, never duplicates them
-    val dIds = delta.select(col("doc_id")).distinct()
-    val oldRows = store.rows.join(dIds, Seq("doc_id"), "left_anti")
-    val oldPrefix = store.prefix.join(dIds, Seq("doc_id"), "left_anti")
+    val oldRows = storeRows.join(dIds, Seq("doc_id"), "left_anti")
+    val oldPrefix = storePrefix.join(dIds, Seq("doc_id"), "left_anti")
     val allRows = CacheTracker.persistTracked(oldRows.union(dRows))
     def block(p: DataFrame, r: DataFrame) =
       p.as("a").join(r.as("b"),
@@ -1435,8 +1453,46 @@ object Dedup {
         / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    JaccardDelta(verified,
-      JaccardStore(allRows, oldPrefix.union(dPrefix), n, tau))
+    (verified, allRows, oldPrefix.union(dPrefix))
+  }
+
+  /** Persisted state for INCREMENTAL Jaccard over ARBITRARY item sets
+    * — [[JaccardStore]] with the item extraction decoupled from text
+    * ([[jaccardPairsOf]]'s relationship to [[ngramJaccard]], applied
+    * to the store): `rows` is the sized (doc_id, sz, s) item table,
+    * `prefix` the df-rarest blocking prefixes. At corpus scale both
+    * persist bucketed on `s` ([[graft.sources.Sinks.writeBucketed]])
+    * so the per-ingest candidate joins read them pre-partitioned on
+    * the join key (StoreRoundTripSpec). */
+  final case class ItemJaccardStore(rows: DataFrame, prefix: DataFrame,
+                                    tau: Double)
+
+  /** Build [[ItemJaccardStore]] state from (doc_id, s) item rows. */
+  def itemJaccardStore(items: DataFrame, tau: Double): ItemJaccardStore = {
+    val ex = sizedItemRows(items)
+    ItemJaccardStore(ex, containmentPrefix(ex, tau), tau)
+  }
+
+  /** Every verified pair touching the delta + the merged store. */
+  final case class ItemJaccardDelta(pairs: DataFrame,
+                                    updatedStore: ItemJaccardStore)
+
+  /** Incremental (delta) Jaccard over arbitrary item rows — the
+    * generic form of [[ngramJaccardDelta]] (same core, same
+    * both-direction lossless blocking, same idempotent re-ingest);
+    * stale stored prefix orderings stay lossless because ANY
+    * ⌈(1−τ)sz⌉+1 items witness J ≥ τ — df order only shapes candidate
+    * volume. */
+  def itemJaccardDelta(store: ItemJaccardStore, dItems: DataFrame,
+                       tau: Double): ItemJaccardDelta = {
+    require(tau >= store.tau,
+      f"itemJaccardDelta tau=$tau%.3f is below the store's build " +
+        f"tau=${store.tau}%.3f: stored prefixes are too short for a looser " +
+        "threshold (rebuild the store or query at tau >= the build tau)")
+    val (verified, rows2, prefix2) = jaccardDeltaCore(store.rows,
+      store.prefix, dItems.select(col("doc_id")).distinct(),
+      CacheTracker.persistTracked(sizedItemRows(dItems)), tau)
+    ItemJaccardDelta(verified, ItemJaccardStore(rows2, prefix2, tau))
   }
 
   /** The persisted state for INCREMENTAL quality keeper election:

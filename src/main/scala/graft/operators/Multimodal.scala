@@ -168,10 +168,57 @@ object Multimodal {
 
   def payloadNearDupOf(payloads: DataFrame, tau: Double = 0.5,
                        frameLen: Int = 64, stride: Int = 48): DataFrame =
-    Dedup.jaccardPairsOf(
-      framesOf(payloads, frameLen, stride)
-        .select(col("doc_id"), col("frame_md5").as("s")),
-      tau)
+    Dedup.jaccardPairsOf(frameItems(payloads, frameLen, stride), tau)
+
+  /** Each payload's byte-frame fingerprint set as (doc_id, s) item
+    * rows — the media analog of a doc's word-shingle rows, and the
+    * one projection both the batch near-dup pass and its incremental
+    * store build from. */
+  private def frameItems(payloads: DataFrame, frameLen: Int,
+                         stride: Int): DataFrame =
+    framesOf(payloads, frameLen, stride)
+      .select(col("doc_id"), col("frame_md5").as("s"))
+
+  /** Persisted state for INCREMENTAL media near-dup (r14, closing the
+    * F-family's last delta asymmetry — every text near-dup family had
+    * an incremental form, media byte-frame Jaccard did not): the
+    * frame-fingerprint store IS the shingle store with frames —
+    * [[Dedup.ItemJaccardStore]] (sized item rows + df-rarest blocking
+    * prefixes) plus the frame geometry, pinned so an ingest cannot
+    * silently slice different frames than the store holds. */
+  final case class PayloadNearDupStore(store: Dedup.ItemJaccardStore,
+                                       frameLen: Int, stride: Int)
+
+  /** Build [[PayloadNearDupStore]] state for an initial corpus. */
+  def payloadNearDupStore(docs: DataFrame, tau: Double = 0.5,
+                          frameLen: Int = 64,
+                          stride: Int = 48): PayloadNearDupStore =
+    PayloadNearDupStore(
+      Dedup.itemJaccardStore(
+        frameItems(withPayload(docs), frameLen, stride), tau),
+      frameLen, stride)
+
+  /** Every verified pair touching the delta + the merged store. */
+  final case class PayloadNearDupDelta(pairs: DataFrame,
+                                       updatedStore: PayloadNearDupStore)
+
+  /** INCREMENTAL media near-dup — [[Dedup.itemJaccardDelta]]'s
+    * both-direction lossless blocking over the persisted frame store:
+    * only the delta's payloads are sliced and fingerprinted, delta
+    * prefixes block against store ∪ delta rows AND stored prefixes
+    * block against delta rows (old-contained-in-new), re-ingest
+    * replaces the batch's stored rows (idempotent). Pair set ≡ the
+    * full [[payloadNearDup]] run restricted to delta-touching pairs
+    * (MultimodalSpec), the incremental family's standard contract —
+    * a 100 TB media lake admits a day's crawl without re-slicing
+    * shipped shards. */
+  def payloadNearDupDelta(store: PayloadNearDupStore, deltaDocs: DataFrame,
+                          tau: Double = 0.5): PayloadNearDupDelta = {
+    val d = Dedup.itemJaccardDelta(store.store,
+      frameItems(withPayload(deltaDocs), store.frameLen, store.stride), tau)
+    PayloadNearDupDelta(d.pairs,
+      PayloadNearDupStore(d.updatedStore, store.frameLen, store.stride))
+  }
 
   /** Image-magic probe for the batch decoder's routing (PNG / JPEG —
     * the two formats the JDK decodes natively). */

@@ -58,6 +58,19 @@ object MultimodalRegistry {
     // is lossless, so blocking-free SQL is the same answer)
     "mm_payload_neardup" -> ((s, d) =>
       Multimodal.payloadNearDup(Tables.documents(s, d), NearDupTau)),
+    // INCREMENTAL media near-dup (r14, the F-family's last delta
+    // asymmetry closed): delta payloads sliced + fingerprinted,
+    // both-direction blocking against the persisted frame store —
+    // pair set ≡ the full run restricted to delta-touching pairs
+    // (the incremental family's standard oracle spelling)
+    "mm_payload_neardup_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val c = col("doc_id")
+      Multimodal.payloadNearDupDelta(
+        Multimodal.payloadNearDupStore(
+          docs.filter(c % DedupRegistry.DeltaMod =!= 0), NearDupTau),
+        docs.filter(c % DedupRegistry.DeltaMod === 0), NearDupTau).pairs
+    }),
   )
 
   /** mm_payload_neardup threshold. */
@@ -146,6 +159,37 @@ object MultimodalRegistry {
          |JOIN sz sa ON sa.doc_id = id_a
          |JOIN sz sb ON sb.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $NearDupTau""".stripMargin,
+    // the full frame-Jaccard replay RESTRICTED to pairs touching the
+    // delta split — the incremental family's standard contract
+    // (blocking is lossless and verification exact, so delta ≡ full
+    // restricted; old-old pairs were emitted by the initial run)
+    "mm_payload_neardup_delta" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN length(text) >= 64
+         |         THEN (length(text) - 64) // 48 + 1 ELSE 0 END AS nf
+         |  FROM documents
+         |), f0 AS (
+         |  SELECT doc_id,
+         |    md5(substr(text, CAST(unnest(range(nf)) * 48 + 1 AS INTEGER), 64)) AS s
+         |  FROM n WHERE nf > 0
+         |), f AS (
+         |  SELECT DISTINCT doc_id, s FROM f0
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS sz FROM f GROUP BY doc_id
+         |), ins AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+         |FROM ins
+         |JOIN sz sa ON sa.doc_id = id_a
+         |JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $NearDupTau
+         |  AND (id_a % ${DedupRegistry.DeltaMod} = 0
+         |       OR id_b % ${DedupRegistry.DeltaMod} = 0)""".stripMargin,
     "mm_dedup" ->
       """WITH m AS (
         |  SELECT doc_id,

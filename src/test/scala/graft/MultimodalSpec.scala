@@ -110,6 +110,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again.updatedStore.count() == 4)
   }
 
+  test("payload near-dup delta == full run restricted to delta-touching pairs, idempotent") {
+    // frames are 64-byte windows every 48 bytes, so a doc sharing a
+    // long prefix shares its aligned frames: base (200 chars) yields
+    // frames at 0/48/96; base+tail (214) adds a 4th at 144 — J = 3/4.
+    val base = ("the quick brown fox jumps over the lazy dog again and " +
+      "again and again while the crawler records every byte it sees " +
+      "for the media near dup fixture corpus of this spec today " * 2)
+      .take(200)
+    val other = ("completely different content with no shared windows " +
+      "anywhere in the byte stream of this second store document " * 4)
+      .take(220)
+    val tailed = base + " tail-variant!"
+    val store0 = Seq((1L, base, "s"), (2L, other, "s"))
+      .toDF("doc_id", "text", "source")
+    val delta = Seq((9L, tailed, "s"), (12L, tailed, "s"))
+      .toDF("doc_id", "text", "source")
+    val tau = 0.5
+    val st = Multimodal.payloadNearDupStore(store0, tau)
+    val r = Multimodal.payloadNearDupDelta(st, delta, tau)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // delta == the full run restricted to delta-touching pairs: the
+    // cross-boundary pair (1,9), the delta-internal byte-copy (9,12),
+    // and (1,12); the store-internal non-pair (1,2) stays absent
+    val full = Multimodal.payloadNearDup(store0.union(delta), tau)
+    val fullTouching = pairSet(full)
+      .filter { case (a, b) => a >= 9L || b >= 9L }
+    assert(pairSet(r.pairs) == fullTouching)
+    assert(fullTouching == Set((1L, 9L), (1L, 12L), (9L, 12L)))
+    // jaccard values ride the pairs (the (1,9) pair shares 3 of 4)
+    import org.apache.spark.sql.functions.col
+    val j19 = r.pairs.filter(col("id_a") === 1L && col("id_b") === 9L)
+      .select("jaccard").as[Double].collect().head
+    assert(j19 == 0.75)
+    // re-ingest of doc 12 against the grown store is idempotent: its
+    // stored rows are replaced, its touching pairs re-emit identically
+    val again = Multimodal.payloadNearDupDelta(r.updatedStore,
+      Seq((12L, tailed, "s")).toDF("doc_id", "text", "source"), tau)
+    assert(pairSet(again.pairs) == Set((1L, 12L), (9L, 12L)))
+    assert(again.updatedStore.store.rows.count() ==
+      r.updatedStore.store.rows.count())
+  }
+
   test("batched decode is batch-size- and partition-independent") {
     val a = Multimodal.features(docs.repartition(1), batchSize = 2)
       .as[(Long, Int, Array[Float])].collect().sortBy(_._1)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Multimodal}
 import graft.sources.{Sinks, Tables}
 
 /** The incremental-dedup stores are maintained TABLES at corpus scale,
@@ -224,6 +224,34 @@ class StoreRoundTripSpec extends AnyFunSuite {
       inMem.updatedStore.prefix.as[(Long, String)].collect().toSet)
     dropTable("ct_rows_rt")
     dropTable("ct_prefix_rt")
+  }
+
+  test("payload near-dup frame store round-trips through s-bucketed tables") {
+    // r14: the media incremental form's store contract — the sized
+    // frame rows + blocking prefixes persist bucketed on the frame
+    // fingerprint (the candidate-join key), and a delta against the
+    // table-backed store equals the in-memory pass exactly
+    val docs = Tables.documents(spark, d)
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val tau = 0.5
+    val inMemStore = Multimodal.payloadNearDupStore(old, tau)
+    val inMem = Multimodal.payloadNearDupDelta(inMemStore, delta, tau)
+    Seq("mm_frows_rt", "mm_fprefix_rt").foreach(dropTable)
+    Sinks.writeBucketed(inMemStore.store.rows, "mm_frows_rt", "s", 8)
+    Sinks.writeBucketed(inMemStore.store.prefix, "mm_fprefix_rt", "s", 8)
+    val fromTable = Multimodal.payloadNearDupDelta(
+      Multimodal.PayloadNearDupStore(
+        graft.operators.Dedup.ItemJaccardStore(
+          spark.table("mm_frows_rt"), spark.table("mm_fprefix_rt"), tau),
+        64, 48), delta, tau)
+    def pairs(r: Multimodal.PayloadNearDupDelta) =
+      r.pairs.as[(Long, Long, Double)].collect().toSet
+    assert(pairs(fromTable) == pairs(inMem) && pairs(inMem).nonEmpty)
+    assert(fromTable.updatedStore.store.rows
+      .as[(Long, Long, String)].collect().toSet ==
+      inMem.updatedStore.store.rows.as[(Long, Long, String)].collect().toSet)
+    Seq("mm_frows_rt", "mm_fprefix_rt").foreach(dropTable)
   }
 
   test("keepBest election stores round-trip through bucketed tables") {
