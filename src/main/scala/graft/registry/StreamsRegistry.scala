@@ -2,6 +2,7 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.sources.Tables
 import graft.streaming.Streams
 
 /** G-family bindings. Both queries execute a real Structured Streaming
@@ -59,6 +60,22 @@ object StreamsRegistry {
     // against the static corpus; bounded drain ≡ batch knn_bruteforce,
     // so the batch kNN SQL is the oracle verbatim.
     "st_knn" -> ((s, d) => Streams.knnServe(s, d)),
+    // streaming ANN serving AGAINST THE PERSISTED INDEX (r14): probe
+    // micro-batches answered from the ServingIndexes-memoized IVF
+    // store (the same persisted index the batch knn_ivf_served row
+    // reads — one artifact, two consumers), probe-side work only per
+    // batch; drained ≡ batch knn_ivf_served, its SQL verbatim.
+    "st_knn_indexed" -> ((s, d) => {
+      val (paths, _) = ServingIndexes.once("ivf", d) {
+        val idx = graft.operators.Similarity.ivfIndex(
+          Tables.embeddings(s, d), SimilarityRegistry.CentroidMod)
+        (Seq(idx.assigned, idx.centroids), 0L)
+      }
+      Streams.knnIndexedServe(s, d,
+        graft.operators.Similarity.IvfIndex(
+          s.read.parquet(paths.head), s.read.parquet(paths(1))),
+        SimilarityRegistry.K, SimilarityRegistry.NProbe)
+    }),
     // streaming PII scrub: stateless append-mode projection — no state
     // store; drained ≡ the batch scrub, so its SQL is the oracle
     // verbatim.
@@ -142,6 +159,10 @@ object StreamsRegistry {
         |GROUP BY user_id, session_id""".stripMargin,
     // bounded drain ≡ the batch answer: reuse the batch kNN oracle
     "st_knn" -> SimilarityRegistry.oracleSql("knn_bruteforce"),
+    // drained ≡ batch knn_ivf_served (the index is the same persisted
+    // artifact, cell assignment is per-row deterministic) — its SQL
+    // verbatim, the G-family's standard serving contract
+    "st_knn_indexed" -> SimilarityRegistry.oracleSql("knn_ivf_served"),
     // drained complete-mode gate ≡ the batch gate: same oracle
     "st_quality_gate" -> CorpusRegistry.oracleSql("cp_quality_gate"),
     // drained stateless append scrub ≡ the batch scrub: same oracle

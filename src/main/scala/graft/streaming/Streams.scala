@@ -807,6 +807,55 @@ object Streams {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming ANN serving AGAINST THE PERSISTED INDEX (r14, VERDICT
+    * r13 item #8): [[knnFromStream]] answers by brute force against
+    * the static corpus — the correctness baseline's price, a full
+    * corpus scan per micro-batch — where a production serving tier
+    * reads the prebuilt IVF index (assigned cells + codebook, the
+    * knn_ivf_served shape) and pays PROBE-side work only: each
+    * micro-batch takes its nProbe nearest cells against the broadcast
+    * codebook and joins the cell-pruned index slice. Cell assignment
+    * under a fixed codebook is a pure per-row function and
+    * scoring/ranking is per-probe deterministic, so a bounded
+    * AvailableNow drain over a finite probe stream appends exactly
+    * the batch [[graft.operators.Similarity.knnIvfIndexed]] answer —
+    * knn_ivf_served's SQL is the oracle verbatim (StreamsSpec proves
+    * the multi-batch union). */
+  def knnIndexedFromStream(probes: DataFrame,
+                           index: graft.operators.Similarity.IvfIndex,
+                           outDir: String, k: Int, nProbe: Int): Unit = {
+    val q = probes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.knnIvfIndexed(index, batch, k, nProbe)
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** File-source binding of [[knnIndexedFromStream]], temp-sink form
+    * (the CI harness binding): every `mod`-th corpus vector plays the
+    * probe stream, answered against the CALLER's persisted IVF index
+    * frames — mirrors the batch knn_ivf_served binding exactly. */
+  def knnIndexedServe(spark: SparkSession, dir: String,
+                      index: graft.operators.Similarity.IvfIndex,
+                      k: Int, nProbe: Int, mod: Int = 50): DataFrame =
+    knnIndexedServe(spark, dir, index,
+      TempDirs.create("graft_st_knn_idx"), k, nProbe, mod)
+
+  /** [[knnIndexedFromStream]] with a CALLER-SUPPLIED parquet sink —
+    * the production entry point. */
+  def knnIndexedServe(spark: SparkSession, dir: String,
+                      index: graft.operators.Similarity.IvfIndex,
+                      outDir: String, k: Int, nProbe: Int,
+                      mod: Int): DataFrame = {
+    val probeStream = FileStreamSource(s"$dir/embeddings.parquet").stream(spark)
+      .filter(col("vec_id") % mod === 0)
+    knnIndexedFromStream(probeStream, index, outDir, k, nProbe)
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming inverted-index maintenance + serving ≡ batch
     * [[graft.operators.TextAnalysis.search]]: each document
     * micro-batch APPENDS its query-term postings — per-doc tf is a

@@ -47,6 +47,51 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming indexed knn: micro-batches served from the persisted IVF index equal batch knnIvfIndexed") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // the persisted-index round trip: build once, write, read back —
+    // the ServingIndexes shape the registry binding uses
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_st_knn_idx_spec").toString
+    val built = graft.operators.Similarity.ivfIndex(emb, 37)
+    built.assigned.write.parquet(s"$idxDir/assigned")
+    built.centroids.write.parquet(s"$idxDir/cents")
+    val index = graft.operators.Similarity.IvfIndex(
+      spark.read.parquet(s"$idxDir/assigned"),
+      spark.read.parquet(s"$idxDir/cents"))
+    val allProbes = graft.operators.Similarity.probeEvery(emb, 100)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+    assert(allProbes.length >= 4)
+    val (p1, p2) = allProbes.splitAt(allProbes.length / 2)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_st_knn_idx_out").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val probeStream = input.toDF().toDF("vec_id", "embedding")
+    val q = probeStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.knnIvfIndexed(index, batch, 10, 2)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try {
+      input.addData(p1.toSeq)
+      q.processAllAvailable()
+      input.addData(p2.toSeq) // a later batch must not disturb earlier answers
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val batch = graft.operators.Similarity
+      .knnIvfIndexed(index,
+        graft.operators.Similarity.probeEvery(emb, 100), 10, 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming PII scrub: stateless append batches union to the batch scrub") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
