@@ -45,7 +45,10 @@ object Bench {
       // delta row's store builds once in the warm-up like every
       // *_served index
       "dd_semantic_dedup", "dd_semantic_best_dedup", "dd_semantic_delta",
-      "mm_payload_neardup",
+      // r14: the media delta beside its full-run sibling (store
+      // memoized like every *_delta/served row — the timed pass is
+      // the delta against the persisted frame tables)
+      "mm_payload_neardup", "mm_payload_neardup_delta",
       // knn_lsh BUILD row (r13, VERDICT item #3): its served sibling
       // was benched but the build was not, leaving the LSH family's
       // served<build claim resting on builder-local numbers

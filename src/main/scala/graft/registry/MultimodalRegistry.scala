@@ -62,13 +62,24 @@ object MultimodalRegistry {
     // asymmetry closed): delta payloads sliced + fingerprinted,
     // both-direction blocking against the persisted frame store —
     // pair set ≡ the full run restricted to delta-touching pairs
-    // (the incremental family's standard oracle spelling)
+    // (the incremental family's standard oracle spelling). The store
+    // is ServingIndexes-MEMOIZED per corpus dir (the dd_semantic_delta
+    // lesson, r13: a delta pass presupposes a store that already
+    // exists — a per-call rebuild would grade the wrong thing), so a
+    // timed call pays the delta pass against the persisted tables.
     "mm_payload_neardup_delta" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val c = col("doc_id")
+      val (paths, _) = ServingIndexes.once("mmframes", d) {
+        val st = Multimodal.payloadNearDupStore(
+          docs.filter(c % DedupRegistry.DeltaMod =!= 0), NearDupTau)
+        (Seq(st.store.rows, st.store.prefix), 0L)
+      }
       Multimodal.payloadNearDupDelta(
-        Multimodal.payloadNearDupStore(
-          docs.filter(c % DedupRegistry.DeltaMod =!= 0), NearDupTau),
+        Multimodal.PayloadNearDupStore(
+          graft.operators.Dedup.ItemJaccardStore(
+            s.read.parquet(paths.head), s.read.parquet(paths(1)),
+            NearDupTau), 64, 48),
         docs.filter(c % DedupRegistry.DeltaMod === 0), NearDupTau).pairs
     }),
   )
