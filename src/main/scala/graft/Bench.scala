@@ -45,6 +45,9 @@ object Bench {
       // delta row's store builds once in the warm-up like every
       // *_served index
       "dd_semantic_dedup", "dd_semantic_best_dedup", "dd_semantic_delta",
+      // r14: the incremental centrality election (store memoized —
+      // the timed pass is the delta against persisted tables)
+      "dd_semantic_best_delta",
       // r14: the media delta beside its full-run sibling (store
       // memoized like every *_delta/served row — the timed pass is
       // the delta against the persisted frame tables)

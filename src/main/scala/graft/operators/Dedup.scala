@@ -1228,7 +1228,22 @@ object Dedup {
     * 16-way pair buckets exist for different recall targets). */
   def semanticKeepersBest(embeddings: DataFrame, tau: Double, k: Int,
                           nTables: Int = 6, planesPerTable: Int = 4,
-                          dim: Int = 64): DataFrame = {
+                          dim: Int = 64): DataFrame =
+    semanticBestFrames(embeddings, tau, k, nTables, planesPerTable,
+      dim).assignment
+
+  /** [[semanticKeepersBest]]'s internal frames, exposed for the
+    * incremental store build (r14): the shared plane-dot sign-word
+    * table, the kNN graph's edge list, and the final assignment —
+    * the three tables [[SemanticBestStore]] persists. One code path
+    * for the batch row and the store build, so they cannot drift. */
+  private[graft] final case class SemanticBestFrames(bits: DataFrame,
+                                                     edges: DataFrame,
+                                                     assignment: DataFrame)
+
+  private def semanticBestFrames(embeddings: DataFrame, tau: Double, k: Int,
+                                 nTables: Int, planesPerTable: Int,
+                                 dim: Int): SemanticBestFrames = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
     // 24 planes cover both families: the 6×4 cluster family and the
     // 4×6 graph family are bit-slices of one sign word
@@ -1247,7 +1262,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     // the graph family reads the SAME bits frame, graph semantics
     // unchanged from knnGraph's 4×6 construction
-    val gb = Similarity.bucketedFromBits(bits, 4, 6)
+    val gb = Similarity.bucketedFromBits(bits, GraphTables, GraphPlanes)
     val gScored = gb.as("a").join(gb.as("b"),
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") &&
@@ -1263,9 +1278,16 @@ object Dedup {
         embeddings.select(col("vec_id")), iters = 3, damping = 0.85)
       .select(col("vec_id").as("doc_id"),
         floor(col("pagerank") * lit(1000000000.0)).cast("long").as("s9"))
-    keepBest(ranks, pairs, col("s9"))
+    val assignment = keepBest(ranks, pairs, col("s9"))
       .select(col("doc_id").as("vec_id"), col("keep_id"), col("is_dup"))
+    SemanticBestFrames(bits, edges, assignment)
   }
+
+  /** The centrality graph's fixed (tables × planes) family — 4×6,
+    * [[Similarity.knnGraph]]'s default shape, sliced from the same
+    * 24-plane sign word as the 6×4 cluster family. */
+  private val GraphTables = 4
+  private val GraphPlanes = 6
 
   /** [[semanticKeepersBest]] in the COMPOSED exact-first order — and,
     * unlike the min-id family where composed ≡ raw exactly, here the
@@ -1314,6 +1336,170 @@ object Dedup {
         (col("vec_id") =!= col("keep_id")).cast("int").as("is_dup"))
   }
 
+  /** Persisted state for the INCREMENTAL centrality election (r14,
+    * closing the D-family's last delta asymmetry: the quality
+    * election has [[keepBestDelta]], the min-id semantic keeper map
+    * has [[semanticKeepersDelta]], the centrality capstone had no
+    * incremental form): the plane-dot SIGN-WORD table (one row per
+    * vector — BOTH bucket families derive from it by shift/mask, so
+    * the store never persists exploded bucket rows), the kNN graph's
+    * edge list (k·N rows), and the maintained assignment. (tau, k)
+    * are pinned — a delta at different parameters is a rebuild, not
+    * an ingest. At corpus scale: bits/assignment bucketed on vec_id,
+    * graph on src ([[graft.sources.Sinks.writeBucketed]]). */
+  final case class SemanticBestStore(bits: DataFrame, graph: DataFrame,
+                                     assignment: DataFrame,
+                                     tau: Double, k: Int)
+
+  /** Build [[SemanticBestStore]] state for an initial corpus — the
+    * same [[semanticBestFrames]] pipeline the batch row runs, so the
+    * stored frames are definitionally the batch run's. */
+  def semanticBestStore(embeddings: DataFrame, tau: Double, k: Int,
+                        nTables: Int = 6, planesPerTable: Int = 4,
+                        dim: Int = 64): SemanticBestStore = {
+    val f = semanticBestFrames(embeddings, tau, k, nTables, planesPerTable,
+      dim)
+    SemanticBestStore(f.bits, f.edges, f.assignment, tau, k)
+  }
+
+  /** The full post-ingest assignment + the grown store. */
+  final case class SemanticBestDelta(assignment: DataFrame,
+                                     updatedStore: SemanticBestStore)
+
+  /** INCREMENTAL centrality election — delta ≡ full EXACTLY, so
+    * dd_semantic_best's oracle holds verbatim. What an ingest pays
+    * vs the full rerun, stage by stage (the honest accounting — the
+    * pagerank and election stages are inherently GLOBAL and are
+    * rerun; the incremental win is everything corpus-quadratic or
+    * corpus-×-plane-shaped):
+    *
+    *  - plane dots: only the DELTA is sign-worded; the corpus reads
+    *    its stored bits back (at 100 TB this is the difference
+    *    between a parquet column scan and 24 dot products per
+    *    vector).
+    *  - cluster pairs: delta × (store ∪ delta) through the 6×4
+    *    bucket join — [[embeddingNearDupLshDelta]]'s bound; old-old
+    *    pairs never re-form. The partition updates through the
+    *    ingest-bounded quotient ([[quotientRemap]]'s union-find +
+    *    broadcast remap; min-id labels are not needed — any
+    *    canonical label induces the same GROUPING, which is all the
+    *    election reads).
+    *  - kNN graph: src-replacement maintenance — only vectors
+    *    sharing a 4×6 bucket with the delta can see a new candidate,
+    *    so exactly those (plus the delta) re-rank their top-k over
+    *    their bucket mates and everyone else's stored edges carry
+    *    over untouched; the grown edge list is row-for-row the fresh
+    *    build's (deterministic heap tie-breaks).
+    *  - pagerank + election: rerun globally — 3 edge-keyed joins
+    *    over the k·N-bounded graph plus two cluster-keyed
+    *    aggregates, all map-side-combined and corpus-LINEAR. Rank is
+    *    a global fixpoint (one new hub vector legitimately shifts
+    *    every rank), so any "incremental" shortcut here would be a
+    *    different, wrong answer; linear passes are the honest floor.
+    *
+    * Same-bytes re-ingest is idempotent (the delta's ids are
+    * anti-joined out of bits/graph/assignment and re-enter — spec);
+    * a changed-bytes re-ingest under a reused id is OUT of contract,
+    * as everywhere in the delta family (stale neighbor edges whose
+    * dst's value changed are not retracted). */
+  def semanticKeepersBestDelta(store: SemanticBestStore, delta: DataFrame,
+                               tau: Double, k: Int,
+                               nTables: Int = 6, planesPerTable: Int = 4,
+                               dim: Int = 64): SemanticBestDelta = {
+    require(tau == store.tau && k == store.k,
+      f"semanticKeepersBestDelta(tau=$tau%.3f, k=$k) must match the " +
+        f"store's build parameters (tau=${store.tau}%.3f, k=${store.k}): " +
+        "the graph and pair stages are parameter-determined — rebuild " +
+        "the store to change them")
+    require(nTables * planesPerTable == GraphTables * GraphPlanes,
+      s"semanticKeepersBestDelta: the cluster family ($nTables x " +
+        s"$planesPerTable) must span the same ${GraphTables * GraphPlanes}" +
+        "-plane sign word the graph family slices")
+    val dIds = delta.select(col("vec_id")).distinct()
+    val dBits = CacheTracker.persistTracked(Similarity.lshBits(
+      delta.select(col("vec_id"), col("embedding").as("v")),
+      nTables * planesPerTable, dim))
+    // same-bytes re-ingest contract: the delta REPLACES its stored
+    // rows in every tier before re-entering
+    val allBits = CacheTracker.persistTracked(
+      store.bits.join(dIds, Seq("vec_id"), "left_anti").union(dBits))
+    // cluster pairs: delta × all under the 6×4 family
+    val d64 = Similarity.bucketedFromBits(dBits, nTables, planesPerTable)
+    val all64 = Similarity.bucketedFromBits(allBits, nTables, planesPerTable)
+    val dPairs = d64.as("a").join(all64.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"),
+        (Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_sim"))
+      .distinct()
+      .filter(col("cos_sim") >= tau)
+      .select(col("id_a"), col("id_b"))
+    // partition update: stored labels (the elected keeper is constant
+    // within a component — any canonical label induces the same
+    // grouping) + the delta-touching quotient
+    val storedAsg = CacheTracker.persistTracked(
+      store.assignment.select(col("vec_id"), col("keep_id"))
+        .join(dIds, Seq("vec_id"), "left_anti"))
+    val la = storedAsg.select(col("vec_id").as("id_a"), col("keep_id").as("la"))
+    val lb = storedAsg.select(col("vec_id").as("id_b"), col("keep_id").as("lb"))
+    val quotient = dPairs
+      .join(la, Seq("id_a"), "left").join(lb, Seq("id_b"), "left")
+      .select(coalesce(col("la"), col("id_a")).as("id_a"),
+        coalesce(col("lb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    val remap = quotientRemap(quotient, delta.sparkSession)
+    val storedPart = storedAsg
+      .join(remap, storedAsg("keep_id") === remap("node"), "left")
+      .select(storedAsg("vec_id"),
+        coalesce(col("merged"), storedAsg("keep_id")).as("cluster_id"))
+    val deltaPart = dIds
+      .join(remap, dIds("vec_id") === remap("node"), "left")
+      .select(dIds("vec_id"),
+        coalesce(col("merged"), dIds("vec_id")).as("cluster_id"))
+    val partition = storedPart.union(deltaPart)
+    // kNN-graph maintenance: only vectors sharing a 4×6 bucket with
+    // the delta can see a new candidate — they (and the delta)
+    // re-rank; everyone else's stored edges carry over
+    val d46 = Similarity.bucketedFromBits(dBits, GraphTables, GraphPlanes)
+    val all46 = Similarity.bucketedFromBits(allBits, GraphTables, GraphPlanes)
+    val affected = CacheTracker.persistTracked(
+      all46.join(d46.select(col("table"), col("bucket")).distinct(),
+          Seq("table", "bucket"), "left_semi")
+        .select(col("vec_id")).distinct())
+    val aSide = all46.join(affected, Seq("vec_id"), "left_semi")
+    val gScored = aSide.as("a").join(all46.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("neighbor_id"),
+        (Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_sim"))
+      .distinct()
+    val newEdges = Similarity.rankTopK(gScored, k)
+      .select(col("probe_id").as("src"), col("neighbor_id").as("dst"))
+    val grown = CacheTracker.persistTracked(
+      store.graph.join(affected.select(col("vec_id").as("src")),
+          Seq("src"), "left_anti")
+        .union(newEdges))
+    // pagerank + election: global by nature, linear by construction
+    val ranks = Similarity.pagerankFromEdges(grown,
+        allBits.select(col("vec_id")), iters = 3, damping = 0.85)
+      .select(col("vec_id"),
+        floor(col("pagerank") * lit(1000000000.0)).cast("long").as("s9"))
+    val assigned = CacheTracker.persistTracked(
+      partition.join(ranks, Seq("vec_id"))
+        .select(col("vec_id").as("doc_id"), col("s9").as("score"),
+          col("cluster_id")))
+    val assignment = electMax(assigned)
+      .select(col("doc_id").as("vec_id"), col("keep_id"), col("is_dup"))
+    SemanticBestDelta(assignment,
+      SemanticBestStore(allBits, grown, assignment, tau, k))
+  }
+
   /** Keeper election by QUALITY, not by id — the policy a production
     * pipeline actually runs on near-dup clusters: of the N near-copies
     * of a page, keep the BEST one (longest / highest-scoring — usually
@@ -1341,6 +1527,18 @@ object Dedup {
         .select(col("doc_id"),
           coalesce(col("score"), lit(Long.MinValue)).as("score"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")))
+    electMax(assigned)
+  }
+
+  /** The election TAIL alone — max-score keeper (min doc_id on ties)
+    * over a caller-supplied (doc_id, score, cluster_id) frame: two
+    * map-side-combined cluster-keyed aggregates + the assignment
+    * join, no windows. Factored (r14) so [[keepBest]] and the
+    * incremental centrality election ([[semanticKeepersBestDelta]],
+    * whose partition comes from a quotient remap rather than a fresh
+    * closure) spell the identical arithmetic. `assigned` should be
+    * persisted by the caller (it is read three times). */
+  private def electMax(assigned: DataFrame): DataFrame = {
     val best = assigned.groupBy(col("cluster_id"))
       .agg(max(col("score")).as("best"))
     val keepers = assigned.join(best, "cluster_id")
@@ -1851,8 +2049,58 @@ object Dedup {
       .agg(count(lit(1)).as("n_clusters"),
         sum(col("cluster_size")).as("n_docs"))
 
-  /** Driver-closure guard for [[semanticKeepersDelta]]: above this
-    * many DISTINCT quotient edges the union-find's collect is refused
+  /** Close an ingest-bounded QUOTIENT graph with a path-compressed
+    * union-find on the driver and return the (node, merged) remap —
+    * broadcast when the edge set fits [[QuotientEdgeCap]], the
+    * distributed [[clusters]] closure otherwise (logged, never
+    * wrong). Shared by [[semanticKeepersDelta]] and
+    * [[semanticKeepersBestDelta]] — the size argument (the remap is
+    * broadcast anyway, so the operator is already committed to a
+    * driver-memory-bounded quotient) and the r12 measured rationale
+    * (the distributed loop pays an exponentially growing per-round
+    * planning tax on tiny join-derived frames) live with the code
+    * once. Only labels that actually MOVED ride the result. */
+  private def quotientRemap(quotient: DataFrame,
+                            sp: org.apache.spark.sql.SparkSession): DataFrame = {
+    val quotientEdges = quotient.limit(QuotientEdgeCap + 1).collect()
+    if (quotientEdges.length <= QuotientEdgeCap) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      quotientEdges.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(ra) = rb
+      }
+      val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+      parent.keysIterator.foreach { n =>
+        val r = find(n)
+        val m = minOf.getOrElse(r, Long.MaxValue)
+        if (n < m) minOf(r) = n
+      }
+      // only the labels that actually moved ride the broadcast
+      val moved = parent.keysIterator
+        .map(n => (n, minOf(find(n)))).filter { case (n, m) => m != n }.toSeq
+      import sp.implicits._
+      broadcast(moved.toDF("node", "merged"))
+    } else {
+      System.err.println(s"[graft] quotientRemap: quotient " +
+        s"exceeds $QuotientEdgeCap distinct edges; falling back to the " +
+        "distributed closure (driver union-find skipped)")
+      clusters(quotient.localCheckpoint(true))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("node"), col("cluster_id").as("merged"))
+    }
+  }
+
+  /** Driver-closure guard for the quotient union-find: above this
+    * many DISTINCT quotient edges the collect is refused
     * and the pass closes the quotient with the distributed
     * [[clusters]] loop instead. 4M edges ≈ a few hundred MB of Row
     * overhead on the driver — far above any ingest-bounded quotient
@@ -2080,43 +2328,7 @@ object Dedup {
     // back to the distributed [[clusters]] closure over the eagerly
     // checkpointed quotient and a plain (non-broadcast) remap join —
     // slower, never wrong, and logged.
-    val quotientEdges = quotient.limit(QuotientEdgeCap + 1).collect()
-    val remap =
-      if (quotientEdges.length <= QuotientEdgeCap) {
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent(r) != r) r = parent(r)
-          var c = x
-          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        quotientEdges.foreach { row =>
-          val a = row.getLong(0); val b = row.getLong(1)
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val ra = find(a); val rb = find(b)
-          if (ra != rb) parent(ra) = rb
-        }
-        val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
-        parent.keysIterator.foreach { n =>
-          val r = find(n)
-          val m = minOf.getOrElse(r, Long.MaxValue)
-          if (n < m) minOf(r) = n
-        }
-        // only the labels that actually moved ride the broadcast
-        val moved = parent.keysIterator
-          .map(n => (n, minOf(find(n)))).filter { case (n, m) => m != n }.toSeq
-        val sp = delta.sparkSession
-        import sp.implicits._
-        broadcast(moved.toDF("node", "merged"))
-      } else {
-        System.err.println(s"[graft] semanticKeepersDelta: quotient " +
-          s"exceeds $QuotientEdgeCap distinct edges; falling back to the " +
-          "distributed closure (driver union-find skipped)")
-        clusters(quotient.localCheckpoint(true))
-          .filter(col("doc_id") =!= col("cluster_id"))
-          .select(col("doc_id").as("node"), col("cluster_id").as("merged"))
-      }
+    val remap = quotientRemap(quotient, delta.sparkSession)
     val storedNew = storedAsg
       .join(remap, storedAsg("cluster_id") === remap("node"), "left")
       .select(storedAsg("vec_id"),

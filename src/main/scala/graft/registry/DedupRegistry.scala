@@ -366,6 +366,29 @@ object DedupRegistry {
         .select("doc_id")
       Dedup.minhashLsh(docs.join(keepers, "doc_id"))
     }),
+    // INCREMENTAL centrality election (r14, the D-family's last delta
+    // asymmetry): the delta pass against the ServingIndexes-memoized
+    // bits/graph/assignment store — delta-bounded plane dots + pairs,
+    // src-replacement graph maintenance, global (linear) pagerank +
+    // election. Delta ≡ full exactly, so dd_semantic_best's oracle
+    // holds verbatim; the memoized store means the graded number
+    // times the delta PASS, not a per-call store rebuild (the r13
+    // dd_semantic_delta discipline).
+    "dd_semantic_best_delta" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val c = org.apache.spark.sql.functions.col("vec_id")
+      val (paths, _) = ServingIndexes.once("sembest", d) {
+        val st = Dedup.semanticBestStore(emb.filter(c % DeltaMod =!= 0),
+          CosineTau, SimilarityRegistry.K)
+        (Seq(st.bits, st.graph, st.assignment), 0L)
+      }
+      Dedup.semanticKeepersBestDelta(
+        Dedup.SemanticBestStore(s.read.parquet(paths.head),
+          s.read.parquet(paths(1)), s.read.parquet(paths(2)),
+          CosineTau, SimilarityRegistry.K),
+        emb.filter(c % DeltaMod === 0), CosineTau,
+        SimilarityRegistry.K).assignment
+    }),
   )
 
   /** dd_semantic_best's full CTE chain — LSH pairs → closure →
@@ -413,6 +436,14 @@ object DedupRegistry {
        |    ON b.cluster_id = a.cluster_id AND a.s9 = b.best
        |  GROUP BY 1
        |)""".stripMargin
+
+  /** The full dd_semantic_best replay — shared verbatim by the batch
+    * row and (r14) dd_semantic_best_delta, whose delta ≡ full. */
+  private lazy val SemanticBestSql: String =
+    s"""WITH RECURSIVE ${semanticBestCtes("embeddings")}
+       |SELECT a.vec_id, k.keep_id,
+       |  CAST(a.vec_id <> k.keep_id AS INTEGER) AS is_dup
+       |FROM assigned a JOIN keepers k ON k.cluster_id = a.cluster_id""".stripMargin
 
   /** LSH pair oracle + the dd_clusters recursive closure + a left
     * join back to every vector (unpaired vectors keep themselves) —
@@ -940,11 +971,14 @@ object DedupRegistry {
     // dd_semantic's cluster CTEs + the pagerank replay nested as its
     // own scoped WITH (inner names shadow the outer e/bucketed) + the
     // keepBest two-stage election with the floor-quantized rank score
-    "dd_semantic_best" ->
-      s"""WITH RECURSIVE ${semanticBestCtes("embeddings")}
-         |SELECT a.vec_id, k.keep_id,
-         |  CAST(a.vec_id <> k.keep_id AS INTEGER) AS is_dup
-         |FROM assigned a JOIN keepers k ON k.cluster_id = a.cluster_id""".stripMargin,
+    "dd_semantic_best" -> SemanticBestSql,
+    // Delta ≡ full for the centrality election (the partition updates
+    // through the quotient remap, the graph through src-replacement
+    // maintenance, and rank + election rerun globally — every stage
+    // content-determined), so the incremental row shares the full
+    // run's oracle VERBATIM, dd_semantic_delta's relationship to
+    // dd_semantic applied to the capstone.
+    "dd_semantic_best_delta" -> SemanticBestSql,
     // the composed order: the whole graph + pagerank + election
     // replay over the exact-dedup REP slice (min vec_id per distinct
     // embedding value — the list type groups exactly in DuckDB, no

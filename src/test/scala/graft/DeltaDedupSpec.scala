@@ -426,6 +426,41 @@ class DeltaDedupSpec extends AnyFunSuite {
   private def stor2(df: DataFrame): Set[(Long, Long)] =
     df.as[(Long, Long)].collect().toSet
 
+  test("semanticKeepersBestDelta: delta assignment equals the full rerun") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tau = 0.35
+    val k = 5
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    val full = asn(Dedup.semanticKeepersBest(emb, tau, k))
+    val store = Dedup.semanticBestStore(old, tau, k)
+    val r = Dedup.semanticKeepersBestDelta(store, delta, tau, k)
+    assert(asn(r.assignment) == full)
+    assert(full.exists(_._3 == 1)) // the fixture has real dups
+
+    // two sequential ingests land on the same final assignment (the
+    // grown store's graph/bits/assignment compose across batches)
+    val d1 = delta.filter(col("vec_id") % 2 === 0)
+    val d2 = delta.filter(col("vec_id") % 2 =!= 0)
+    val r1 = Dedup.semanticKeepersBestDelta(
+      Dedup.semanticBestStore(old, tau, k), d1, tau, k)
+    val r2 = Dedup.semanticKeepersBestDelta(r1.updatedStore, d2, tau, k)
+    assert(asn(r2.assignment) == full)
+
+    // re-ingest idempotence: replaying the same delta changes nothing
+    val r3 = Dedup.semanticKeepersBestDelta(r.updatedStore, delta, tau, k)
+    assert(asn(r3.assignment) == full)
+    assert(r3.updatedStore.bits.count() == r.updatedStore.bits.count())
+    assert(r3.updatedStore.graph.count() == r.updatedStore.graph.count())
+
+    // parameter drift is a contract error, not silently wrong state
+    val err = intercept[IllegalArgumentException] {
+      Dedup.semanticKeepersBestDelta(store, delta, tau = 0.5, k)
+    }
+    assert(err.getMessage.contains("build parameters"))
+  }
+
   test("semanticKeepersDelta: a changed-bytes re-ingest leaves no stale value route in the store") {
     // r13 advice (Dedup.scala): a vec_id re-ingested with DIFFERENT
     // bytes must not keep its OLD value's bucket rows in the LSH
