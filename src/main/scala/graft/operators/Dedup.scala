@@ -1245,10 +1245,18 @@ object Dedup {
                                  nTables: Int, planesPerTable: Int,
                                  dim: Int): SemanticBestFrames = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
-    // 24 planes cover both families: the 6×4 cluster family and the
-    // 4×6 graph family are bit-slices of one sign word
+    // the sign word must span BOTH families: the nTables×planesPerTable
+    // cluster family and the fixed 4×6 graph family. With default
+    // parameters both need 24 bits; with a NARROWER cluster family
+    // (e.g. 4×4) the word still carries the graph's full 24 planes —
+    // hyperplanes are prefix-stable, so widening the word never changes
+    // an existing slice (r15, ADVICE r14: the pre-fix code computed
+    // only nTables·planesPerTable bits and the graph slice silently
+    // read sign 0 for the missing planes, collapsing graph buckets)
+    val nPlanes =
+      math.max(nTables * planesPerTable, GraphTables * GraphPlanes)
     val bits = CacheTracker.persistTracked(
-      Similarity.lshBits(e, nTables * planesPerTable, dim))
+      Similarity.lshBits(e, nPlanes, dim))
     val pb = Similarity.bucketedFromBits(bits, nTables, planesPerTable)
     val pairs = pb.as("a").join(pb.as("b"),
         col("a.table") === col("b.table") &&
@@ -1411,14 +1419,19 @@ object Dedup {
         f"store's build parameters (tau=${store.tau}%.3f, k=${store.k}): " +
         "the graph and pair stages are parameter-determined — rebuild " +
         "the store to change them")
-    require(nTables * planesPerTable == GraphTables * GraphPlanes,
-      s"semanticKeepersBestDelta: the cluster family ($nTables x " +
-        s"$planesPerTable) must span the same ${GraphTables * GraphPlanes}" +
-        "-plane sign word the graph family slices")
+    // sign-word width: same rule as the build side (max of the two
+    // families — hyperplanes are prefix-stable, so any cluster-family
+    // geometry is sound as long as BUILD and DELTA use the same
+    // parameters, which the (tau, k) pin above already makes the
+    // store's contract). r15, ADVICE r14: the pre-fix require
+    // demanded exactly 24 planes, refusing stores the build side
+    // legally produced at e.g. 8×4.
+    val nPlanes =
+      math.max(nTables * planesPerTable, GraphTables * GraphPlanes)
     val dIds = delta.select(col("vec_id")).distinct()
     val dBits = CacheTracker.persistTracked(Similarity.lshBits(
       delta.select(col("vec_id"), col("embedding").as("v")),
-      nTables * planesPerTable, dim))
+      nPlanes, dim))
     // same-bytes re-ingest contract: the delta REPLACES its stored
     // rows in every tier before re-entering
     val allBits = CacheTracker.persistTracked(

@@ -58,11 +58,11 @@ object Multimodal {
   /** Frame sampling: full `frameLen`-byte windows every `stride`
     * bytes — the shape of video frame extraction / audio windowing.
     * One explode, no shuffle; frame count bounded by payload length. */
-  def frames(docs: DataFrame, frameLen: Int = 64, stride: Int = 48): DataFrame =
+  def frames(docs: DataFrame, frameLen: Int = DefaultFrameLen, stride: Int = DefaultStride): DataFrame =
     framesOf(withPayload(docs), frameLen, stride)
 
-  def framesOf(payloads: DataFrame, frameLen: Int = 64,
-               stride: Int = 48): DataFrame = {
+  def framesOf(payloads: DataFrame, frameLen: Int = DefaultFrameLen,
+               stride: Int = DefaultStride): DataFrame = {
     val len = octet_length(col("payload"))
     val n = when(len >= frameLen,
       expr(s"CAST((octet_length(payload) - $frameLen) DIV $stride AS BIGINT) + 1"))
@@ -163,11 +163,11 @@ object Multimodal {
     * Frame rows are one no-shuffle explode per payload; stride > 0
     * keeps the per-payload row count bounded by its byte length. */
   def payloadNearDup(docs: DataFrame, tau: Double = 0.5,
-                     frameLen: Int = 64, stride: Int = 48): DataFrame =
+                     frameLen: Int = DefaultFrameLen, stride: Int = DefaultStride): DataFrame =
     payloadNearDupOf(withPayload(docs), tau, frameLen, stride)
 
   def payloadNearDupOf(payloads: DataFrame, tau: Double = 0.5,
-                       frameLen: Int = 64, stride: Int = 48): DataFrame =
+                       frameLen: Int = DefaultFrameLen, stride: Int = DefaultStride): DataFrame =
     Dedup.jaccardPairsOf(frameItems(payloads, frameLen, stride), tau)
 
   /** Each payload's byte-frame fingerprint set as (doc_id, s) item
@@ -189,10 +189,20 @@ object Multimodal {
   final case class PayloadNearDupStore(store: Dedup.ItemJaccardStore,
                                        frameLen: Int, stride: Int)
 
+  /** THE default frame geometry — one definition consumed by every
+    * frame-slicing default below AND by registry bindings that
+    * reconstruct a [[PayloadNearDupStore]] from persisted tables
+    * (r15, ADVICE r14: the mm_payload_neardup_delta binding
+    * hard-coded (64, 48) beside these defaults; changing either side
+    * would have silently desynced the persisted rows/prefixes from
+    * the geometry the delta slices with). */
+  val DefaultFrameLen: Int = 64
+  val DefaultStride: Int = 48
+
   /** Build [[PayloadNearDupStore]] state for an initial corpus. */
   def payloadNearDupStore(docs: DataFrame, tau: Double = 0.5,
-                          frameLen: Int = 64,
-                          stride: Int = 48): PayloadNearDupStore =
+                          frameLen: Int = DefaultFrameLen,
+                          stride: Int = DefaultStride): PayloadNearDupStore =
     PayloadNearDupStore(
       Dedup.itemJaccardStore(
         frameItems(withPayload(docs), frameLen, stride), tau),

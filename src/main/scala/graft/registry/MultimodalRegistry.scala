@@ -75,11 +75,16 @@ object MultimodalRegistry {
           docs.filter(c % DedupRegistry.DeltaMod =!= 0), NearDupTau)
         (Seq(st.store.rows, st.store.prefix), 0L)
       }
+      // geometry from THE named constants (r15, ADVICE r14): the
+      // reconstructed store must slice the same frames the persisted
+      // rows/prefixes were built from — payloadNearDupStore's own
+      // defaults, referenced, never repeated as literals
       Multimodal.payloadNearDupDelta(
         Multimodal.PayloadNearDupStore(
           graft.operators.Dedup.ItemJaccardStore(
             s.read.parquet(paths.head), s.read.parquet(paths(1)),
-            NearDupTau), 64, 48),
+            NearDupTau),
+          Multimodal.DefaultFrameLen, Multimodal.DefaultStride),
         docs.filter(c % DedupRegistry.DeltaMod === 0), NearDupTau).pairs
     }),
   )

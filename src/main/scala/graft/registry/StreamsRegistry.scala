@@ -71,10 +71,16 @@ object StreamsRegistry {
           Tables.embeddings(s, d), SimilarityRegistry.CentroidMod)
         (Seq(idx.assigned, idx.centroids), 0L)
       }
+      // mod passed EXPLICITLY (r15, ADVICE r14): the oracle is
+      // knn_ivf_served's SQL, which slices probes by vec_id %
+      // SimilarityRegistry.ProbeMod — relying on knnIndexedServe's
+      // default silently coinciding would desync the streamed probe
+      // set from the oracle if ProbeMod ever changed
       Streams.knnIndexedServe(s, d,
         graft.operators.Similarity.IvfIndex(
           s.read.parquet(paths.head), s.read.parquet(paths(1))),
-        SimilarityRegistry.K, SimilarityRegistry.NProbe)
+        SimilarityRegistry.K, SimilarityRegistry.NProbe,
+        SimilarityRegistry.ProbeMod)
     }),
     // streaming PII scrub: stateless append-mode projection — no state
     // store; drained ≡ the batch scrub, so its SQL is the oracle

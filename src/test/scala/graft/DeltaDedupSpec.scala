@@ -461,6 +461,39 @@ class DeltaDedupSpec extends AnyFunSuite {
     assert(err.getMessage.contains("build parameters"))
   }
 
+  test("semanticKeepersBest: cluster-family geometry never narrows the graph's sign word") {
+    // r14 ADVICE (Dedup.scala): with a cluster family totaling FEWER
+    // planes than the graph's fixed 4×6 = 24 (e.g. 4×4 = 16), the
+    // pre-fix build computed only 16 sign bits and the graph slice
+    // silently read sign 0 for planes 16-23, collapsing graph buckets.
+    // Hyperplanes are prefix-stable and the word is now max(cluster,
+    // graph) planes wide, so the stored edge list must be IDENTICAL
+    // under any cluster geometry — narrower or wider than 24.
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tau = 0.35
+    val k = 5
+    def edges(st: Dedup.SemanticBestStore): Set[(Long, Long)] =
+      st.graph.as[(Long, Long)].collect().toSet
+    val def24 = edges(Dedup.semanticBestStore(emb, tau, k)) // 6×4
+    assert(edges(Dedup.semanticBestStore(emb, tau, k,
+      nTables = 4, planesPerTable = 4)) == def24)
+    assert(edges(Dedup.semanticBestStore(emb, tau, k,
+      nTables = 8, planesPerTable = 4)) == def24)
+
+    // and a WIDER-than-24 store is accepted by its own delta (the
+    // pre-fix require demanded exactly 24 planes, refusing stores the
+    // build side legally produced): delta ≡ full at 8×4
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    val full = asn(Dedup.semanticKeepersBest(emb, tau, k,
+      nTables = 8, planesPerTable = 4))
+    val r = Dedup.semanticKeepersBestDelta(
+      Dedup.semanticBestStore(old, tau, k, nTables = 8, planesPerTable = 4),
+      delta, tau, k, nTables = 8, planesPerTable = 4)
+    assert(asn(r.assignment) == full)
+  }
+
   test("semanticKeepersDelta: a changed-bytes re-ingest leaves no stale value route in the store") {
     // r13 advice (Dedup.scala): a vec_id re-ingested with DIFFERENT
     // bytes must not keep its OLD value's bucket rows in the LSH
