@@ -1279,9 +1279,14 @@ object Dedup {
         (Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
           .as("cos_sim"))
       .distinct()
+    // edges KEEP their cosine (r15): the incremental form's graph
+    // maintenance merges stored top-k rows with fresh delta-pair
+    // scores, which needs the stored score — free here (rankTopK
+    // already carries it), and pagerank ignores extra columns
     val edges = CacheTracker.persistTracked(
       Similarity.rankTopK(gScored, k)
-        .select(col("probe_id").as("src"), col("neighbor_id").as("dst")))
+        .select(col("probe_id").as("src"), col("neighbor_id").as("dst"),
+          col("cos_sim")))
     val ranks = Similarity.pagerankFromEdges(edges,
         embeddings.select(col("vec_id")), iters = 3, damping = 0.85)
       .select(col("vec_id").as("doc_id"),
@@ -1351,7 +1356,10 @@ object Dedup {
     * incremental form): the plane-dot SIGN-WORD table (one row per
     * vector — BOTH bucket families derive from it by shift/mask, so
     * the store never persists exploded bucket rows), the kNN graph's
-    * edge list (k·N rows), and the maintained assignment. (tau, k)
+    * SCORED edge list (k·N rows of (src, dst, cos_sim) — the score is
+    * what lets an ingest merge stored top-k rows with fresh
+    * delta-pair scores instead of re-ranking whole buckets, r15), and
+    * the maintained assignment. (tau, k)
     * are pinned — a delta at different parameters is a rebuild, not
     * an ingest. At corpus scale: bits/assignment bucketed on vec_id,
     * graph on src ([[graft.sources.Sinks.writeBucketed]]). */
@@ -1392,12 +1400,15 @@ object Dedup {
     *    broadcast remap; min-id labels are not needed — any
     *    canonical label induces the same GROUPING, which is all the
     *    election reads).
-    *  - kNN graph: src-replacement maintenance — only vectors
-    *    sharing a 4×6 bucket with the delta can see a new candidate,
-    *    so exactly those (plus the delta) re-rank their top-k over
-    *    their bucket mates and everyone else's stored edges carry
-    *    over untouched; the grown edge list is row-for-row the fresh
-    *    build's (deterministic heap tie-breaks).
+    *  - kNN graph: MERGED-top-k maintenance (r15) — stored edges
+    *    carry their scores, so a non-delta vector's fresh top-k is
+    *    topK(its stored top-k ∪ its scores against DELTA bucket
+    *    mates) and only delta-touching pairs are ever scored
+    *    (delta-proportional work; the r14 bucket-membership re-rank
+    *    degenerated to a ~full-graph rebuild whenever |delta| ≳
+    *    #buckets — §6 r15 anatomy); the grown edge list is
+    *    row-for-row the fresh build's (total heap order, immutable
+    *    old-old scores).
     *  - pagerank + election: rerun globally — 3 edge-keyed joins
     *    over the k·N-bounded graph plus two cluster-keyed
     *    aggregates, all map-side-combined and corpus-LINEAR. Rank is
@@ -1450,6 +1461,10 @@ object Dedup {
       .distinct()
       .filter(col("cos_sim") >= tau)
       .select(col("id_a"), col("id_b"))
+      // stage attribution (SPARK_GRAFT_STAGE_DEBUG=1, identity
+      // otherwise): the §6 r15 anatomy of the delta pass — pair
+      // verification vs graph re-rank vs the global tail
+      .transform(stageCount("bestDelta.dPairs", _))
     // partition update: stored labels (the elected keeper is constant
     // within a component — any canonical label induces the same
     // grouping) + the delta-touching quotient
@@ -1474,35 +1489,67 @@ object Dedup {
       .select(dIds("vec_id"),
         coalesce(col("merged"), dIds("vec_id")).as("cluster_id"))
     val partition = storedPart.union(deltaPart)
-    // kNN-graph maintenance: only vectors sharing a 4×6 bucket with
-    // the delta can see a new candidate — they (and the delta)
-    // re-rank; everyone else's stored edges carry over
+    // kNN-graph maintenance (r15): EXACT merged top-k, delta-bounded
+    // pair work. The r14 form re-ranked every vector sharing a 4×6
+    // bucket with the delta over ALL its bucket mates — and the 50×
+    // anatomy (SPARK_GRAFT_STAGE_DEBUG, §6 r15) measured that at 90%
+    // of the delta wall (953,790 re-ranked edges, 166-252 s),
+    // because 2,000 delta vectors touch every bucket of every
+    // 64-bucket table, making `affected` 95% of the corpus: the
+    // "bucket-bounded" set degenerates to N whenever |delta| ≳
+    // #buckets. The exact fix: stored edges carry their SCORES, so a
+    // non-delta vector's fresh top-k is
+    //   topK(stored top-k ∪ its scores against DELTA bucket mates)
+    // — top-k of a union is contained in the union of top-k's, the
+    // heap order is total (score desc, id asc — TopKHeap), old-old
+    // scores are immutable under the same-bytes contract, and the
+    // three merged inputs are disjoint by construction (kept: src and
+    // dst both non-delta; vsDelta: non-delta src × delta dst;
+    // deltaSide: delta src), so the merge is row-for-row the fresh
+    // build's ranking. Pair work: (bucket-occupancy × delta-in-
+    // bucket) + (delta × bucket-occupancy) — delta-proportional —
+    // instead of affected × occupancy.
     val d46 = Similarity.bucketedFromBits(dBits, GraphTables, GraphPlanes)
     val all46 = Similarity.bucketedFromBits(allBits, GraphTables, GraphPlanes)
-    val affected = CacheTracker.persistTracked(
-      all46.join(d46.select(col("table"), col("bucket")).distinct(),
-          Seq("table", "bucket"), "left_semi")
-        .select(col("vec_id")).distinct())
-    val aSide = all46.join(affected, Seq("vec_id"), "left_semi")
-    val gScored = aSide.as("a").join(all46.as("b"),
+    def pairScore(a: String, b: String) =
+      (Vec.dot(col(s"$a.v"), col(s"$b.v")) /
+        (col(s"$a.nrm") * col(s"$b.nrm"))).as("cos_sim")
+    // non-delta vectors see exactly the DELTA as new candidates
+    val vsDelta = all46.join(dIds, Seq("vec_id"), "left_anti").as("a")
+      .join(d46.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket"))
+      .select(col("a.vec_id").as("probe_id"),
+        col("b.vec_id").as("neighbor_id"), pairScore("a", "b"))
+      .distinct()
+      .transform(stageCount("bestDelta.vsDelta", _))
+    // the delta itself ranks fresh over all its bucket mates
+    val deltaSide = d46.as("a").join(all46.as("b"),
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("neighbor_id"),
-        (Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
-          .as("cos_sim"))
+      .select(col("a.vec_id").as("probe_id"),
+        col("b.vec_id").as("neighbor_id"), pairScore("a", "b"))
       .distinct()
-    val newEdges = Similarity.rankTopK(gScored, k)
-      .select(col("probe_id").as("src"), col("neighbor_id").as("dst"))
+      .transform(stageCount("bestDelta.deltaSide", _))
+    // stored edges stay valid iff NEITHER endpoint changed; rows with
+    // a delta endpoint re-form identically in the two scoring passes
+    // above (same bytes → same cosine)
+    val kept = store.graph
+      .join(dIds.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+      .join(dIds.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
+      .select(col("src").as("probe_id"), col("dst").as("neighbor_id"),
+        col("cos_sim"))
     val grown = CacheTracker.persistTracked(
-      store.graph.join(affected.select(col("vec_id").as("src")),
-          Seq("src"), "left_anti")
-        .union(newEdges))
+      Similarity.rankTopK(kept.union(vsDelta).union(deltaSide), k)
+        .select(col("probe_id").as("src"), col("neighbor_id").as("dst"),
+          col("cos_sim")))
     // pagerank + election: global by nature, linear by construction
     val ranks = Similarity.pagerankFromEdges(grown,
         allBits.select(col("vec_id")), iters = 3, damping = 0.85)
       .select(col("vec_id"),
         floor(col("pagerank") * lit(1000000000.0)).cast("long").as("s9"))
+      .transform(stageCount("bestDelta.ranks", _))
     val assigned = CacheTracker.persistTracked(
       partition.join(ranks, Seq("vec_id"))
         .select(col("vec_id").as("doc_id"), col("s9").as("score"),

