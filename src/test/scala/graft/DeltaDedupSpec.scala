@@ -439,6 +439,16 @@ class DeltaDedupSpec extends AnyFunSuite {
     assert(asn(r.assignment) == full)
     assert(full.exists(_._3 == 1)) // the fixture has real dups
 
+    // the grown edge list is ROW-FOR-ROW the fresh build's (r15: the
+    // merged-top-k maintenance — stored top-k rows ∪ delta-pair
+    // scores through one total-order rank — must reproduce the fresh
+    // ranking exactly, including edges the delta DISPLACES from an
+    // old vector's top-k)
+    def gset(st: Dedup.SemanticBestStore): Set[(Long, Long)] =
+      st.graph.select(col("src"), col("dst")).as[(Long, Long)]
+        .collect().toSet
+    assert(gset(r.updatedStore) == gset(Dedup.semanticBestStore(emb, tau, k)))
+
     // two sequential ingests land on the same final assignment (the
     // grown store's graph/bits/assignment compose across batches)
     val d1 = delta.filter(col("vec_id") % 2 === 0)
