@@ -254,6 +254,41 @@ class StoreRoundTripSpec extends AnyFunSuite {
     Seq("mm_frows_rt", "mm_fprefix_rt").foreach(dropTable)
   }
 
+  test("semantic-best store round-trips through bucketed tables") {
+    // r15: the centrality capstone's three tables persist as the
+    // scaladoc claims — bits/assignment bucketed on vec_id, the
+    // SCORED graph on src — and a delta against the table-backed
+    // store equals the in-memory pass (and the full rerun) exactly.
+    // The vec_id buckets pay off in the anti-join/remap stages; the
+    // bits frame's bucket JOIN is keyed on (table, bucket) and
+    // legitimately exchanges either way.
+    val emb = Tables.embeddings(spark, d)
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    val tau = 0.35
+    val k = 5
+    val inMemStore = Dedup.semanticBestStore(old, tau, k)
+    val inMem = Dedup.semanticKeepersBestDelta(inMemStore, delta, tau, k)
+    val tables = Seq("sb_bits_rt" -> ("vec_id", inMemStore.bits),
+      "sb_graph_rt" -> ("src", inMemStore.graph),
+      "sb_asg_rt" -> ("vec_id", inMemStore.assignment))
+    tables.foreach { case (t, _) => dropTable(t) }
+    tables.foreach { case (t, (key, df)) => Sinks.writeBucketed(df, t, key, 8) }
+    val fromTable = Dedup.semanticKeepersBestDelta(
+      Dedup.SemanticBestStore(spark.table("sb_bits_rt"),
+        spark.table("sb_graph_rt"), spark.table("sb_asg_rt"), tau, k),
+      delta, tau, k)
+    def asg(df: DataFrame) = df.as[(Long, Long, Int)].collect().toSet
+    val full = asg(Dedup.semanticKeepersBest(emb, tau, k))
+    assert(asg(fromTable.assignment) == full)
+    assert(asg(inMem.assignment) == full)
+    assert(fromTable.updatedStore.graph.select(col("src"), col("dst"))
+      .as[(Long, Long)].collect().toSet ==
+      inMem.updatedStore.graph.select(col("src"), col("dst"))
+        .as[(Long, Long)].collect().toSet)
+    tables.foreach { case (t, _) => dropTable(t) }
+  }
+
   test("keepBest election stores round-trip through bucketed tables") {
     val docs = Tables.documents(spark, d)
     val old = docs.filter(col("doc_id") % 3 =!= 0)
