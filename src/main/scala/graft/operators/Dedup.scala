@@ -346,6 +346,82 @@ object Dedup {
     DeltaDedup(assignment, store.union(newFps))
   }
 
+  /** The MEMBER store retraction needs beside the slim keeper store:
+    * one (doc_id, fp) row per live document. [[keeperStore]] alone
+    * cannot re-elect after a takedown — when a keeper is removed, the
+    * min SURVIVING id of its fp group must be found, and the slim
+    * (fp, keep_id) table no longer knows who the survivors are. The
+    * honest cost of supporting retraction is therefore one 24-ish-
+    * byte row per corpus document, bucketed on fp like the keeper
+    * table (the retraction re-election joins both on fp, shuffle-free
+    * against bucketed tables). Maintained alongside: an ingest
+    * appends its delta's keyed rows, a retraction anti-joins the
+    * retracted ids out ([[exactRetract]] returns the shrunk table). */
+  def memberStore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), storeFp.as("fp"))
+
+  /** Result of a retraction pass: the full post-takedown assignment
+    * over the SURVIVING corpus, plus both shrunk store tables (inputs
+    * to the next ingest or retraction). */
+  final case class ExactRetract(assignment: DataFrame,
+                                updatedKeepers: DataFrame,
+                                updatedMembers: DataFrame)
+
+  /** RETRACTION for incremental exact dedup (r16 — the delta-store
+    * family's first removal path; until now every maintained store
+    * was append/re-ingest only and a takedown meant a full rebuild):
+    * remove `retractIds` (licensing, PII, right-to-erasure) from the
+    * exact-dedup state WITHOUT rescanning the surviving corpus bytes.
+    *
+    * Election consequences are delta-proportional and sticky
+    * everywhere else:
+    *  - an fp group whose KEEPER was retracted re-elects the min
+    *    surviving member (one fp-keyed aggregate over exactly the
+    *    affected groups — `affected` is bounded by the takedown
+    *    batch, so it broadcasts);
+    *  - a group that only lost NON-keepers keeps its keeper verbatim
+    *    (removal of a non-minimum cannot change the minimum, so for
+    *    min-elected stores sticky ≡ full recompute);
+    *  - a group whose last member was retracted drops out of the
+    *    keeper table entirely.
+    * The surviving assignment therefore equals [[exact]] run fresh
+    * over corpus-minus-retracted whenever the store's keepers are
+    * min-elected (the full-build invariant; a store whose keepers are
+    * sticky non-minima from earlier delta ingests stays sticky — same
+    * first-writer-wins contract as [[exactDelta]], spec-pinned).
+    *
+    * Cost shape: zero scans of document TEXT (the member store
+    * carries fingerprints), one broadcast of the takedown batch, one
+    * fp-keyed aggregate over affected groups, and anti-joins that are
+    * map-side against bucketed store tables. The full `assignment`
+    * output is one members⨝keepers equi-join (both bucketed on fp —
+    * co-partitioned, no shuffle); callers that only want the store
+    * update read the two store frames and skip it. */
+  def exactRetract(keepers: DataFrame, members: DataFrame,
+                   retractIds: DataFrame): ExactRetract = {
+    val r = CacheTracker.persistTracked(
+      retractIds.select(col("doc_id")).distinct())
+    val surv = members.join(r, Seq("doc_id"), "left_anti")
+    // groups whose keeper was taken down — the only ones whose
+    // election can change; bounded by the takedown batch
+    val affected = keepers
+      .join(broadcast(r.withColumnRenamed("doc_id", "keep_id")),
+        Seq("keep_id"))
+      .select(col("fp"))
+    // re-elect the min survivor within each affected group; a group
+    // with no survivors produces no row and so drops from the store
+    val reelected = surv.join(broadcast(affected), Seq("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val updatedKeepers =
+      keepers.join(broadcast(affected), Seq("fp"), "left_anti")
+        .select(col("fp"), col("keep_id"))
+        .union(reelected.select(col("fp"), col("keep_id")))
+    val assignment = surv.join(updatedKeepers, Seq("fp"))
+      .select(col("doc_id"), col("keep_id"),
+        (col("doc_id") =!= col("keep_id")).cast("int").as("is_dup"))
+    ExactRetract(assignment, updatedKeepers, surv)
+  }
+
   /** (doc_id, sz, s) shingle rows, persisted — candidate generation
     * and both sides of the verification join re-read them. Also the
     * SHINGLE STORE the streaming verify joins candidates against
@@ -1241,9 +1317,21 @@ object Dedup {
                                                      edges: DataFrame,
                                                      assignment: DataFrame)
 
-  private def semanticBestFrames(embeddings: DataFrame, tau: Double, k: Int,
+  /** `cacheBits = false` is the PROBE-ONLY r13 inline shape (each
+    * family's bucket rows recomputed directly from the source, no
+    * materialized sign-word frame): BitsCacheProbe A/Bs it against
+    * the default to measure where the one-scan-vs-four trade
+    * inverts (§6 r15 documented a +0.7-1.1 s toy-scale cache premium
+    * and kept the cache citing the at-scale win; VERDICT r15 task #2
+    * asks for the measurement). Results are identical either way —
+    * bucketedFromBits(lshBits(e, T·P), T, P) ≡ the direct per-table
+    * construction (SimilaritySpec) — only the caching differs. All
+    * graded paths use the default. */
+  private[graft] def semanticBestFrames(embeddings: DataFrame,
+                                 tau: Double, k: Int,
                                  nTables: Int, planesPerTable: Int,
-                                 dim: Int): SemanticBestFrames = {
+                                 dim: Int,
+                                 cacheBits: Boolean = true): SemanticBestFrames = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
     // the sign word must span BOTH families: the nTables×planesPerTable
     // cluster family and the fixed 4×6 graph family. With default
@@ -1255,9 +1343,13 @@ object Dedup {
     // read sign 0 for the missing planes, collapsing graph buckets)
     val nPlanes =
       math.max(nTables * planesPerTable, GraphTables * GraphPlanes)
-    val bits = CacheTracker.persistTracked(
-      Similarity.lshBits(e, nPlanes, dim))
-    val pb = Similarity.bucketedFromBits(bits, nTables, planesPerTable)
+    val bits =
+      if (cacheBits)
+        CacheTracker.persistTracked(Similarity.lshBits(e, nPlanes, dim))
+      else Similarity.lshBits(e, nPlanes, dim)
+    val pb =
+      if (cacheBits) Similarity.bucketedFromBits(bits, nTables, planesPerTable)
+      else Similarity.lshBucketed(e, nTables, planesPerTable, dim)
     val pairs = pb.as("a").join(pb.as("b"),
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") &&
@@ -1270,7 +1362,9 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     // the graph family reads the SAME bits frame, graph semantics
     // unchanged from knnGraph's 4×6 construction
-    val gb = Similarity.bucketedFromBits(bits, GraphTables, GraphPlanes)
+    val gb =
+      if (cacheBits) Similarity.bucketedFromBits(bits, GraphTables, GraphPlanes)
+      else Similarity.lshBucketed(e, GraphTables, GraphPlanes, dim)
     val gScored = gb.as("a").join(gb.as("b"),
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") &&
@@ -1359,13 +1453,23 @@ object Dedup {
     * SCORED edge list (k·N rows of (src, dst, cos_sim) — the score is
     * what lets an ingest merge stored top-k rows with fresh
     * delta-pair scores instead of re-ranking whole buckets, r15), and
-    * the maintained assignment. (tau, k)
-    * are pinned — a delta at different parameters is a rebuild, not
-    * an ingest. At corpus scale: bits/assignment bucketed on vec_id,
-    * graph on src ([[graft.sources.Sinks.writeBucketed]]). */
+    * the maintained assignment. (tau, k) AND the cluster-family
+    * geometry (nTables, planesPerTable) are pinned — a delta at
+    * different parameters is a rebuild, not an ingest. The geometry
+    * pin matters because the sign word is only as wide as
+    * max(cluster, graph) planes: a build at 6×4 persists 24-bit
+    * words, and a delta that then sliced an 8×4 family out of them
+    * would read sign 0 for the 8 missing planes — the exact
+    * bucket-collapse class the r15 max() rule fixed on the build
+    * side, silently reintroduced through the store seam (r16,
+    * ADVICE r15 medium). At corpus scale: bits/assignment bucketed
+    * on vec_id, graph on src
+    * ([[graft.sources.Sinks.writeBucketed]]). */
   final case class SemanticBestStore(bits: DataFrame, graph: DataFrame,
                                      assignment: DataFrame,
-                                     tau: Double, k: Int)
+                                     tau: Double, k: Int,
+                                     nTables: Int = 6,
+                                     planesPerTable: Int = 4)
 
   /** Build [[SemanticBestStore]] state for an initial corpus — the
     * same [[semanticBestFrames]] pipeline the batch row runs, so the
@@ -1375,7 +1479,8 @@ object Dedup {
                         dim: Int = 64): SemanticBestStore = {
     val f = semanticBestFrames(embeddings, tau, k, nTables, planesPerTable,
       dim)
-    SemanticBestStore(f.bits, f.edges, f.assignment, tau, k)
+    SemanticBestStore(f.bits, f.edges, f.assignment, tau, k,
+      nTables, planesPerTable)
   }
 
   /** The full post-ingest assignment + the grown store. */
@@ -1430,13 +1535,35 @@ object Dedup {
         f"store's build parameters (tau=${store.tau}%.3f, k=${store.k}): " +
         "the graph and pair stages are parameter-determined — rebuild " +
         "the store to change them")
+    // geometry pin (r16, ADVICE r15 medium): the stored sign words are
+    // max(build cluster family, graph family) planes wide; slicing a
+    // WIDER cluster family out of them would read sign 0 for the
+    // planes the build never computed — silent bucket collapse, the
+    // class the r15 max() rule fixed on the build side. Same contract
+    // as (tau, k): different geometry = rebuild, not ingest.
+    require(nTables == store.nTables &&
+        planesPerTable == store.planesPerTable,
+      s"semanticKeepersBestDelta(nTables=$nTables, planesPerTable=" +
+        s"$planesPerTable) must match the store's cluster-family " +
+        s"geometry (${store.nTables}x${store.planesPerTable}): stored " +
+        "sign words only carry the build's planes — rebuild the store " +
+        "to change the family")
+    // store-format gate (r16, ADVICE r15 low): the r15 merged-top-k
+    // maintenance needs SCORED stored edges; a pre-r15 (src, dst)-only
+    // graph would otherwise die deep in the merge with an opaque
+    // unresolved-column error
+    require(store.graph.columns.contains("cos_sim"),
+      "pre-r15 SemanticBestStore: the persisted kNN graph has no " +
+        "cos_sim column, but merged-top-k maintenance needs scored " +
+        "edges — rebuild the store with this version's " +
+        "semanticBestStore")
     // sign-word width: same rule as the build side (max of the two
     // families — hyperplanes are prefix-stable, so any cluster-family
     // geometry is sound as long as BUILD and DELTA use the same
-    // parameters, which the (tau, k) pin above already makes the
-    // store's contract). r15, ADVICE r14: the pre-fix require
-    // demanded exactly 24 planes, refusing stores the build side
-    // legally produced at e.g. 8×4.
+    // parameters, which the geometry pin above makes the store's
+    // contract). r15, ADVICE r14: the pre-fix require demanded
+    // exactly 24 planes, refusing stores the build side legally
+    // produced at e.g. 8×4.
     val nPlanes =
       math.max(nTables * planesPerTable, GraphTables * GraphPlanes)
     val dIds = delta.select(col("vec_id")).distinct()
@@ -1557,7 +1684,159 @@ object Dedup {
     val assignment = electMax(assigned)
       .select(col("doc_id").as("vec_id"), col("keep_id"), col("is_dup"))
     SemanticBestDelta(assignment,
-      SemanticBestStore(allBits, grown, assignment, tau, k))
+      SemanticBestStore(allBits, grown, assignment, tau, k,
+        nTables, planesPerTable))
+  }
+
+  /** RETRACTION for the incremental centrality election (r16, the
+    * semantic half of the delta-store family's first removal path):
+    * take `retractIds` out of a [[SemanticBestStore]] — bits, graph,
+    * partition, election — without rebuilding, and return the
+    * post-takedown assignment over the SURVIVING corpus, exactly
+    * equal to [[semanticKeepersBest]] run fresh over
+    * corpus-minus-retracted (the oracle replays that full recompute).
+    *
+    * What removal actually perturbs, stage by stage:
+    *
+    *  - '''bits''': value-determined — one anti-join; survivors'
+    *    stored sign words are verbatim the fresh build's.
+    *  - '''cluster partition''': removal can SPLIT a component (the
+    *    retracted vector may be the only bridge between two halves)
+    *    but can never merge or create pairs, so only components that
+    *    LOST a member can change. Touched components' survivors
+    *    re-pair through the stored sign words (bucket join + cosine
+    *    over touched survivors only — bounded by the touched
+    *    components, not the corpus) and re-close via the same
+    *    driver union-find + distributed fallback the delta ingest
+    *    uses. Untouched components keep their stored grouping (the
+    *    stored keep_id is a valid label — the election only reads
+    *    the GROUPING, and memberships are disjoint so labels cannot
+    *    collide across touched/untouched).
+    *  - '''kNN graph''': the merged-top-k argument runs one
+    *    direction only — an ingest can merge new candidates into a
+    *    stored top-k, but a removal can PROMOTE a neighbor the
+    *    stored top-k had displaced, and the store no longer knows
+    *    who was displaced. The affected probes are exactly those
+    *    with a retracted dst among their stored top-k edges (a
+    *    delta-proportional set: expected fraction ≈ 1-(1-|r|/N)^k);
+    *    those re-rank fresh over their surviving bucket mates.
+    *    Every other probe's stored top-k IS the fresh top-k: its
+    *    k best candidates all survive, and removing candidates it
+    *    had already displaced changes nothing (exactness by the
+    *    same total heap order as the ingest merge). Edges with a
+    *    retracted endpoint drop.
+    *  - '''pagerank + election''': global by nature, rerun — 3
+    *    edge-keyed joins over the k·N' graph plus two cluster-keyed
+    *    aggregates, corpus-linear, same honest floor as the ingest
+    *    (a removed hub legitimately shifts every rank).
+    *
+    * Retraction composes with ingest in either order: both maintain
+    * the same three content-determined tables, so retract∘ingest ≡
+    * the fresh build over (corpus ∪ delta) − retracted
+    * (DeltaDedupSpec pins the composition both ways). Retracting an
+    * id the store never held is a no-op for every stage (anti-joins
+    * and an empty affected set). */
+  def semanticBestRetract(store: SemanticBestStore, retractIds: DataFrame,
+                          tau: Double, k: Int,
+                          nTables: Int = 6, planesPerTable: Int = 4,
+                          dim: Int = 64): SemanticBestDelta = {
+    require(tau == store.tau && k == store.k,
+      f"semanticBestRetract(tau=$tau%.3f, k=$k) must match the store's " +
+        f"build parameters (tau=${store.tau}%.3f, k=${store.k})")
+    require(nTables == store.nTables &&
+        planesPerTable == store.planesPerTable,
+      s"semanticBestRetract(nTables=$nTables, planesPerTable=" +
+        s"$planesPerTable) must match the store's cluster-family " +
+        s"geometry (${store.nTables}x${store.planesPerTable})")
+    require(store.graph.columns.contains("cos_sim"),
+      "pre-r15 SemanticBestStore: the persisted kNN graph has no " +
+        "cos_sim column — retraction's kept-edge path needs scored " +
+        "edges; rebuild the store")
+    val sp = retractIds.sparkSession
+    val rIds = CacheTracker.persistTracked(
+      retractIds.select(col("vec_id")).distinct())
+    val bits = CacheTracker.persistTracked(
+      store.bits.join(rIds, Seq("vec_id"), "left_anti"))
+    // ---- partition: re-close ONLY the components that lost a member
+    val touchedKeys = store.assignment.join(rIds, Seq("vec_id"))
+      .select(col("keep_id")).distinct()
+    val survAsg = store.assignment
+      .select(col("vec_id"), col("keep_id"))
+      .join(rIds, Seq("vec_id"), "left_anti")
+    val touchedIds = survAsg.join(broadcast(touchedKeys), Seq("keep_id"))
+      .select(col("vec_id"))
+    val tBuckets = Similarity.bucketedFromBits(
+      bits.join(touchedIds, Seq("vec_id")), nTables, planesPerTable)
+    // pairs are value-determined, so two formerly-distinct clusters
+    // cannot pair up — re-pairing all touched survivors jointly is
+    // exactly per-component re-pairing, in one join
+    val tPairs = tBuckets.as("a").join(tBuckets.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_sim"))
+      .distinct()
+      .filter(col("cos_sim") >= tau)
+      .select(col("id_a"), col("id_b"))
+      .transform(stageCount("bestRetract.tPairs", _))
+    val remap = quotientRemap(tPairs, sp)
+    val touchedPart = touchedIds
+      .join(remap, touchedIds("vec_id") === remap("node"), "left")
+      .select(touchedIds("vec_id"),
+        coalesce(col("merged"), touchedIds("vec_id")).as("cluster_id"))
+    val untouchedPart = survAsg
+      .join(broadcast(touchedKeys), Seq("keep_id"), "left_anti")
+      .select(col("vec_id"), col("keep_id").as("cluster_id"))
+    val partition = untouchedPart.union(touchedPart)
+    // ---- graph: drop retracted endpoints; re-rank exactly the
+    // probes whose stored top-k lost a dst (removal can promote a
+    // displaced candidate the store no longer remembers)
+    val affected = CacheTracker.persistTracked(store.graph
+      .join(rIds.select(col("vec_id").as("dst")), Seq("dst"))
+      .select(col("src").as("vec_id")).distinct()
+      .join(rIds, Seq("vec_id"), "left_anti"))
+    val kept = store.graph
+      .join(rIds.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+      .join(rIds.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
+      .join(affected.select(col("vec_id").as("src")), Seq("src"),
+        "left_anti")
+      .select(col("src").as("probe_id"), col("dst").as("neighbor_id"),
+        col("cos_sim"))
+    val aBuckets = Similarity.bucketedFromBits(
+      bits.join(affected, Seq("vec_id")), GraphTables, GraphPlanes)
+    val allBuckets = Similarity.bucketedFromBits(bits,
+      GraphTables, GraphPlanes)
+    val rescored = aBuckets.as("a").join(allBuckets.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("probe_id"),
+        col("b.vec_id").as("neighbor_id"),
+        (Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_sim"))
+      .distinct()
+      .transform(stageCount("bestRetract.rescored", _))
+    val shrunk = CacheTracker.persistTracked(
+      kept.union(Similarity.rankTopK(rescored, k)
+          .select(col("probe_id"), col("neighbor_id"), col("cos_sim")))
+        .select(col("probe_id").as("src"), col("neighbor_id").as("dst"),
+          col("cos_sim")))
+    // ---- pagerank + election: global, linear — same as the ingest
+    val ranks = Similarity.pagerankFromEdges(shrunk,
+        bits.select(col("vec_id")), iters = 3, damping = 0.85)
+      .select(col("vec_id"),
+        floor(col("pagerank") * lit(1000000000.0)).cast("long").as("s9"))
+    val assigned = CacheTracker.persistTracked(
+      partition.join(ranks, Seq("vec_id"))
+        .select(col("vec_id").as("doc_id"), col("s9").as("score"),
+          col("cluster_id")))
+    val assignment = electMax(assigned)
+      .select(col("doc_id").as("vec_id"), col("keep_id"), col("is_dup"))
+    SemanticBestDelta(assignment,
+      SemanticBestStore(bits, shrunk, assignment, tau, k,
+        nTables, planesPerTable))
   }
 
   /** Keeper election by QUALITY, not by id — the policy a production

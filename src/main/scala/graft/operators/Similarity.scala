@@ -877,6 +877,15 @@ object Similarity {
     * projection once per family. Output: (vec_id, v, nrm, bits). */
   private[graft] def lshBits(e: DataFrame, nPlanes: Int,
                                  dim: Int): DataFrame = {
+    // the sign word is ONE long: `1L << g` wraps mod 64, so a family
+    // totaling more than 64 planes (e.g. 16×6) would silently fold
+    // plane 64 onto plane 0 and corrupt every bucket slice rather
+    // than fail (r16, ADVICE r15 — the max(cluster, graph) width rule
+    // blesses arbitrary geometries, so the word limit must be loud)
+    require(nPlanes >= 1 && nPlanes <= 64,
+      s"lshBits: nPlanes=$nPlanes exceeds the 64-bit sign word " +
+        "(one bit per hyperplane in a single long) — use at most 64 " +
+        "planes across all table families")
     val planes = hyperplanes(nPlanes, dim)
     val bits = (0 until nPlanes).map { g =>
       val plane = array(planes(g).toIndexedSeq.map(lit): _*)

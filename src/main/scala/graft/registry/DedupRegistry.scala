@@ -26,6 +26,17 @@ object DedupRegistry {
     * rule, not just the append-only case the spec proves. */
   val DeltaMod = 3
 
+  /** The retraction rows' takedown slice (r16): ids ≡ RetractRem mod
+    * RetractMod play the takedown batch (licensing/PII/erasure), the
+    * full corpus plays the already-built store. ~5% of ids — small
+    * like a real takedown batch, large enough to hit keepers, graph
+    * top-k dsts, and cluster bridges at the graded SFs. A NON-ZERO
+    * remainder so the batch is disjoint from neither keepers nor the
+    * DeltaMod families by construction. */
+  val RetractMod = 20
+  /** See [[RetractMod]]. */
+  val RetractRem = 7
+
   /** dd_paragraph's span width: the synthetic corpus has no newlines,
     * so "paragraphs" are fixed 16-token windows ([[Dedup.spanExact]]);
     * the newline splitter ([[Dedup.paragraphExact]]) is the structured-
@@ -388,6 +399,45 @@ object DedupRegistry {
           CosineTau, SimilarityRegistry.K),
         emb.filter(c % DeltaMod === 0), CosineTau,
         SimilarityRegistry.K).assignment
+    }),
+    // RETRACTION, exact family (r16 — the delta-store family's first
+    // removal path; until now a takedown meant a full rebuild): the
+    // takedown slice leaves the keeper+member stores without a corpus
+    // rescan — affected fp groups (keeper retracted) re-elect their
+    // min survivor, everyone else is sticky. For a full-build store
+    // (keepers = global minima) sticky ≡ min-surviving, so the oracle
+    // is dd_exact's SQL over corpus-minus-retracted verbatim.
+    "dd_exact_retract" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val c = org.apache.spark.sql.functions.col("doc_id")
+      Dedup.exactRetract(
+        Dedup.keeperStore(docs),
+        Dedup.memberStore(docs),
+        docs.filter(c % RetractMod === RetractRem).select("doc_id"))
+        .assignment
+    }),
+    // RETRACTION, centrality capstone (r16): takedown against the
+    // ServingIndexes-memoized FULL-corpus bits/graph/assignment store
+    // — probes whose stored top-k lost a dst re-rank over surviving
+    // bucket mates (removal can promote a displaced candidate, the
+    // one direction the ingest merge can't cover), components that
+    // lost a member re-close, pagerank + election rerun globally
+    // (linear). Retract ≡ full over survivors, so the oracle is
+    // dd_semantic_best's replay over the survivor slice.
+    "dd_semantic_retract" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val c = org.apache.spark.sql.functions.col("vec_id")
+      val (paths, _) = ServingIndexes.once("sembestfull", d) {
+        val st = Dedup.semanticBestStore(emb, CosineTau,
+          SimilarityRegistry.K)
+        (Seq(st.bits, st.graph, st.assignment), 0L)
+      }
+      Dedup.semanticBestRetract(
+        Dedup.SemanticBestStore(s.read.parquet(paths.head),
+          s.read.parquet(paths(1)), s.read.parquet(paths(2)),
+          CosineTau, SimilarityRegistry.K),
+        emb.filter(c % RetractMod === RetractRem).select("vec_id"),
+        CosineTau, SimilarityRegistry.K).assignment
     }),
   )
 
@@ -972,6 +1022,30 @@ object DedupRegistry {
     // own scoped WITH (inner names shadow the outer e/bucketed) + the
     // keepBest two-stage election with the floor-quantized rank score
     "dd_semantic_best" -> SemanticBestSql,
+    // retraction ≡ full recompute over corpus-minus-retracted: exact
+    // dedup's own SQL over the survivor slice (sticky keepers equal
+    // min-surviving ids when the store was min-elected — removing a
+    // non-minimum never changes a group's minimum)
+    "dd_exact_retract" ->
+      s"""WITH surv AS (
+         |  SELECT doc_id, md5(text) AS fp FROM documents
+         |  WHERE doc_id % $RetractMod <> $RetractRem
+         |), k AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keep_id
+         |  FROM surv
+         |)
+         |SELECT doc_id, keep_id,
+         |  CAST(doc_id <> keep_id AS INTEGER) AS is_dup FROM k""".stripMargin,
+    // retraction ≡ full recompute over survivors: the dd_semantic_best
+    // replay (LSH pairs → closure → nested pagerank → election) over
+    // the survivor slice verbatim
+    "dd_semantic_retract" ->
+      s"""WITH RECURSIVE survivors AS (
+         |  SELECT * FROM embeddings WHERE vec_id % $RetractMod <> $RetractRem
+         |), ${semanticBestCtes("survivors")}
+         |SELECT a.vec_id, k.keep_id,
+         |  CAST(a.vec_id <> k.keep_id AS INTEGER) AS is_dup
+         |FROM assigned a JOIN keepers k ON k.cluster_id = a.cluster_id""".stripMargin,
     // Delta ≡ full for the centrality election (the partition updates
     // through the quotient remap, the graph through src-replacement
     // maintenance, and rank + election rerun globally — every stage

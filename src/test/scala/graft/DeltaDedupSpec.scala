@@ -549,6 +549,156 @@ class DeltaDedupSpec extends AnyFunSuite {
     assert(stor2(r.updatedStore.assignment) == Set(10L -> 10L, 11L -> 10L))
   }
 
+  // ---------------- retraction (r16 — the family's removal path) ---
+
+  test("exactRetract: keeper takedown re-elects the min survivor, " +
+      "non-keeper takedown is sticky, emptied groups drop") {
+    // group A {1,3,5}: keeper 1 retracted → re-elect 3
+    // group B {2,4}: non-keeper 4 retracted → keeper 2 sticky
+    // group C {6}: sole member retracted → group drops entirely
+    // group D {7}: untouched singleton
+    val full = docsDF(Seq(
+      1L -> "group a", 3L -> "group a", 5L -> "group a",
+      2L -> "group b", 4L -> "group b",
+      6L -> "group c",
+      7L -> "group d"))
+    val r = Dedup.exactRetract(
+      Dedup.keeperStore(full), Dedup.memberStore(full),
+      Seq(1L, 4L, 6L).toDF("doc_id"))
+    assert(asn(r.assignment) == Set(
+      (3L, 3L, 0), (5L, 3L, 1), (2L, 2L, 0), (7L, 7L, 0)))
+    // updated stores equal the fresh build over the survivors
+    val surv = full.filter(!$"doc_id".isin(1L, 4L, 6L))
+    assert(stor(r.updatedKeepers) == stor(Dedup.keeperStore(surv)))
+    assert(r.updatedMembers.select("doc_id").as[Long].collect().toSet ==
+      Set(2L, 3L, 5L, 7L))
+    // and the assignment IS the full recompute over survivors
+    assert(asn(r.assignment) == asn(Dedup.exact(surv)))
+  }
+
+  test("exactRetract composes with exactDelta in either order") {
+    val full = docsDF(corpus)
+    val old = full.filter($"doc_id" < 100)
+    val delta = full.filter($"doc_id" >= 100)
+    val retract = Seq(1L, 102L).toDF("doc_id") // an old keeper + a delta dup
+    // ingest THEN retract
+    val ing = Dedup.exactDelta(Dedup.keeperStore(old), delta)
+    val members = Dedup.memberStore(full) // old members ∪ delta's keyed rows
+    val r1 = Dedup.exactRetract(ing.updatedStore, members, retract)
+    val survAll = full.filter(!$"doc_id".isin(1L, 102L))
+    assert(asn(r1.assignment) == asn(Dedup.exact(survAll)))
+    // retract THEN ingest: the shrunk stores feed the next ingest
+    val r2 = Dedup.exactRetract(Dedup.keeperStore(old),
+      Dedup.memberStore(old), Seq(1L).toDF("doc_id"))
+    val ing2 = Dedup.exactDelta(r2.updatedKeepers, delta)
+    val expect = Dedup.exact(full.filter($"doc_id" =!= 1L))
+    assert(asn(ing2.assignment) == asn(expect.filter($"doc_id" >= 100)))
+    assert(asn(r2.assignment) == asn(expect.filter($"doc_id" < 100)))
+  }
+
+  test("exactRetract: sticky non-min keepers from earlier ingests stay sticky") {
+    // a store whose keeper is NOT the group minimum (first-writer-wins
+    // from a delta ingest: 10 ingested before 5 arrived) — retracting
+    // an unrelated doc must not re-elect 5, same contract as the
+    // ingest side
+    val st = Dedup.exactDelta(
+      Dedup.keeperStore(docsDF(Seq(10L -> "shared text", 9L -> "other"))),
+      docsDF(Seq(5L -> "shared text"))).updatedStore
+    val members = Dedup.memberStore(docsDF(Seq(
+      10L -> "shared text", 9L -> "other", 5L -> "shared text")))
+    val r = Dedup.exactRetract(st, members, Seq(9L).toDF("doc_id"))
+    assert(asn(r.assignment) == Set((10L, 10L, 0), (5L, 10L, 1)))
+    // …and retracting the sticky keeper re-elects the true survivor min
+    val r2 = Dedup.exactRetract(st, members, Seq(10L).toDF("doc_id"))
+    assert(asn(r2.assignment) == Set((9L, 9L, 0), (5L, 5L, 0)))
+  }
+
+  test("semanticBestRetract: assignment and graph equal the fresh build over survivors") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tau = 0.35
+    val k = 5
+    val store = Dedup.semanticBestStore(emb, tau, k)
+    val rIds = emb.filter(col("vec_id") % 20 === 7).select("vec_id")
+    val surv = emb.filter(col("vec_id") % 20 =!= 7)
+    val r = Dedup.semanticBestRetract(store, rIds, tau, k)
+    assert(asn(r.assignment) == asn(Dedup.semanticKeepersBest(surv, tau, k)))
+    // the retraction covers real work: the takedown slice must hit
+    // stored top-k dst edges (the promote-displaced case) and at
+    // least one multi-member cluster
+    assert(store.graph.join(rIds.withColumnRenamed("vec_id", "dst"),
+      Seq("dst")).count() > 0)
+    // the shrunk graph is ROW-FOR-ROW the fresh build's (the one
+    // direction the ingest merge can't cover: a removal PROMOTES
+    // previously displaced candidates for exactly the probes that
+    // lost a stored top-k dst)
+    def gset(st: Dedup.SemanticBestStore): Set[(Long, Long)] =
+      st.graph.select(col("src"), col("dst")).as[(Long, Long)]
+        .collect().toSet
+    assert(gset(r.updatedStore) == gset(Dedup.semanticBestStore(surv, tau, k)))
+    // retracting ids the store never held is a no-op
+    val noop = Dedup.semanticBestRetract(store,
+      Seq(999999L).toDF("vec_id"), tau, k)
+    assert(asn(noop.assignment) == asn(Dedup.semanticKeepersBest(emb, tau, k)))
+    // parameter / geometry / format drift is a contract error
+    assert(intercept[IllegalArgumentException] {
+      Dedup.semanticBestRetract(store, rIds, tau = 0.5, k)
+    }.getMessage.contains("build parameters"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.semanticBestRetract(store, rIds, tau, k, nTables = 8)
+    }.getMessage.contains("geometry"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.semanticBestRetract(
+        store.copy(graph = store.graph.select("src", "dst")), rIds, tau, k)
+    }.getMessage.contains("cos_sim"))
+    // …and the ingest side now refuses them too (ADVICE r15 medium)
+    assert(intercept[IllegalArgumentException] {
+      Dedup.semanticKeepersBestDelta(store, emb.limit(1), tau, k,
+        nTables = 8)
+    }.getMessage.contains("geometry"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.semanticKeepersBestDelta(
+        store.copy(graph = store.graph.select("src", "dst")),
+        emb.limit(1), tau, k)
+    }.getMessage.contains("cos_sim"))
+  }
+
+  test("semanticBestRetract composes with the ingest in either order") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tau = 0.35
+    val k = 5
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    val rIds = old.filter(col("vec_id") % 20 === 7).select("vec_id")
+    val surv = emb.filter(!(col("vec_id") % 3 =!= 0 &&
+      col("vec_id") % 20 === 7))
+    val want = asn(Dedup.semanticKeepersBest(surv, tau, k))
+    // the store is PERSISTED between passes (the production contract —
+    // the registry reads every store back from parquet tables); it
+    // also bounds the composed plan tree, which otherwise nests the
+    // whole ingest pipeline inside every retract stage
+    def roundTrip(st: Dedup.SemanticBestStore): Dedup.SemanticBestStore = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sbr").toString
+      st.bits.write.parquet(s"$dir/bits")
+      st.graph.write.parquet(s"$dir/graph")
+      st.assignment.write.parquet(s"$dir/asg")
+      Dedup.SemanticBestStore(spark.read.parquet(s"$dir/bits"),
+        spark.read.parquet(s"$dir/graph"), spark.read.parquet(s"$dir/asg"),
+        st.tau, st.k, st.nTables, st.planesPerTable)
+    }
+    // ingest THEN retract
+    val ing = Dedup.semanticKeepersBestDelta(
+      Dedup.semanticBestStore(old, tau, k), delta, tau, k)
+    assert(asn(Dedup.semanticBestRetract(roundTrip(ing.updatedStore),
+      rIds, tau, k).assignment) == want)
+    // retract THEN ingest
+    val ret = Dedup.semanticBestRetract(
+      Dedup.semanticBestStore(old, tau, k), rIds, tau, k)
+    assert(asn(Dedup.semanticKeepersBestDelta(roundTrip(ret.updatedStore),
+      delta, tau, k).assignment) == want)
+  }
+
   test("Dedup.cached releases every persist the bracket's operators took") {
     // a corpus no other test uses: CacheManager dedupes cache entries
     // by canonical plan, so reusing another test's data would make the
