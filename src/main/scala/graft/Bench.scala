@@ -37,7 +37,11 @@ object Bench {
       "ta_compressibility", "cp_quality_gate",
       "cp_interleave", "cp_decontaminate_fuzzy", "cp_source_overlap",
       "cp_dup_attribution",
-      "dd_exact", "dd_exact_delta", "dd_keep_best_dedup", "dd_paragraph", "dd_paragraph_rewrite",
+      // r16: the retraction rows beside their family — the takedown
+      // pass against the (memoized, for the semantic row) store; the
+      // graded number times the retraction, not a store rebuild
+      "dd_exact", "dd_exact_delta", "dd_exact_retract",
+      "dd_keep_best_dedup", "dd_paragraph", "dd_paragraph_rewrite",
       "dd_boilerplate", "cp_pack",
       "dd_minhash", "dd_simhash", "dd_semantic", "dd_semantic_best",
       // r13: the composed exact-first semantic orders (min-id and
@@ -47,7 +51,7 @@ object Bench {
       "dd_semantic_dedup", "dd_semantic_best_dedup", "dd_semantic_delta",
       // r14: the incremental centrality election (store memoized —
       // the timed pass is the delta against persisted tables)
-      "dd_semantic_best_delta",
+      "dd_semantic_best_delta", "dd_semantic_retract",
       // r14: the media delta beside its full-run sibling (store
       // memoized like every *_delta/served row — the timed pass is
       // the delta against the persisted frame tables)
@@ -110,6 +114,30 @@ object Bench {
       // the compact line the driver's 2000-char stdout tail cuts
       // (the watch block rides the line's surviving end)
       "dd_minhash", "dd_semantic_best_delta", "wc_wordcount")
+
+  /** Historical BANDS for the watch rows (r16, VERDICT r15 task #3):
+    * (low, high) in raw graded seconds at box_ratio ≈ 1, derived from
+    * the clean graded rounds r12-r15 (the adjudicated interference
+    * spikes — r13 dd_paragraph 1.55, r13 dd_keep_best_dedup 9.05,
+    * r14 dd_minhash 15.33, r14 dd_semantic_best_delta 18.14 — are
+    * excluded; provenance table in SURVEY §6). A watch row whose
+    * MEDIAN lands outside its band self-reports in `watch_out` on the
+    * compact line, so cross-round drift is visible in the graded file
+    * the same way `intra` makes within-run interference visible —
+    * read it against `box_ratio` (a band assumes a ≈1.0 box) and the
+    * row's own {m, n, g} before calling it a regression.
+    * dd_semantic_best_delta's band floor reflects the r15 merged-
+    * top-k rework (6.9 graded / 6.1 same-box replay); wc_wordcount's
+    * is the BASELINE.md-graded row (0.27-0.33 across r11-r15). */
+  val WatchBands: Map[String, (Double, Double)] = Map(
+    "dd_semantic" -> (2.5, 5.0),
+    "cp_dup_attribution" -> (4.2, 8.0),
+    "dd_paragraph" -> (0.5, 1.2),
+    "q18_large_orders" -> (0.8, 2.2),
+    "dd_keep_best_dedup" -> (4.2, 7.5),
+    "dd_minhash" -> (0.8, 1.9),
+    "dd_semantic_best_delta" -> (5.0, 9.5),
+    "wc_wordcount" -> (0.2, 0.45))
 
   /** Every `*_served` row beside its build sibling. The compact line
     * carries `served_over` — served rows whose median exceeds the
@@ -275,10 +303,10 @@ object Bench {
     * highest-numbered BENCH_r*.json in the working directory. Accepts
     * either the driver's grading envelope ({"parsed":{"queries":…}})
     * or a bare compact metric line. Absent/unreadable → no block. */
-  private final case class PrevBench(src: String,
-                                     medians: Map[String, Double],
-                                     calib: Option[Double],
-                                     sched: Option[Double])
+  private[graft] final case class PrevBench(src: String,
+                                            medians: Map[String, Double],
+                                            calib: Option[Double],
+                                            sched: Option[Double])
 
   private def prevMedians(): Option[PrevBench] = {
     // numeric round sort: lexicographic would pick r9 over r10
@@ -323,7 +351,7 @@ object Bench {
     * envelope fields can't collide), prefer the queries-map value
     * where both it and a watch `{"m":…}` entry survive, and recover
     * watch medians for rows whose map entry was truncated away. */
-  private def tailScrape(f: java.io.File): Option[PrevBench] =
+  private[graft] def tailScrape(f: java.io.File): Option[PrevBench] =
     try {
       val src = scala.io.Source.fromFile(f, "UTF-8")
       val raw = try src.mkString finally src.close()
@@ -338,7 +366,24 @@ object Bench {
       // under the SAME query names, and the only way detail text fits
       // in the tail is when the whole compact line (and so its head
       // marker) does too
-      val unesc = raw.replace("\\\"", "\"")
+      // one-pass unescape of BOTH \" and \\ (r16, ADVICE r15): a
+      // naive replace of \" alone turns a failed query's embedded
+      // jsonEscape'd error text (\\\" sequences) into stray quotes
+      // that can shift the lastIndexOf scoping or surface fake
+      // "name":num fragments; processing left-to-right consumes each
+      // escape exactly once, the way a JSON string decode would
+      val unesc = {
+        val sb = new StringBuilder(raw.length)
+        var i = 0
+        while (i < raw.length) {
+          val c = raw.charAt(i)
+          if (c == '\\' && i + 1 < raw.length &&
+              (raw.charAt(i + 1) == '"' || raw.charAt(i + 1) == '\\')) {
+            sb.append(raw.charAt(i + 1)); i += 2
+          } else { sb.append(c); i += 1 }
+        }
+        sb.toString
+      }
       val cut = unesc.lastIndexOf("\"metric\":\"total\"")
       val txt = if (cut >= 0) unesc.substring(cut) else unesc
       val num = """([0-9]+(?:\.[0-9]+)?)"""
@@ -505,10 +550,26 @@ object Bench {
     val watchJson = {
       val present = WatchRows.flatMap(k => ok.toMap.get(k).map(k -> _))
       if (present.isEmpty) ""
-      else present.map { case (k, q) =>
-        "\"" + k + "\":{\"m\":" + fmt3(median(q.times)) +
-          ",\"n\":" + fmt3(q.times.min) + ",\"g\":" + fmt3(q.gcFrac) + "}"
-      }.mkString(",\"watch\":{", ",", "}")
+      else {
+        // r16 (VERDICT r15 task #3): each watch entry carries its
+        // historical band as "b":[lo,hi], and rows whose MEDIAN lands
+        // outside it self-report in watch_out — emitted EXPLICITLY as
+        // [] when everything is in band, so the graded file carries
+        // the claim (the intra {"x":0} discipline)
+        val entries = present.map { case (k, q) =>
+          val band = WatchBands.get(k).map { case (lo, hi) =>
+            ",\"b\":[" + fmt3(lo) + "," + fmt3(hi) + "]" }.getOrElse("")
+          "\"" + k + "\":{\"m\":" + fmt3(median(q.times)) +
+            ",\"n\":" + fmt3(q.times.min) + ",\"g\":" + fmt3(q.gcFrac) +
+            band + "}"
+        }.mkString(",\"watch\":{", ",", "}")
+        val out = present.flatMap { case (k, q) =>
+          WatchBands.get(k).collect { case (lo, hi)
+            if median(q.times) < lo || median(q.times) > hi => "\"" + k + "\""
+          }
+        }
+        entries + out.mkString(",\"watch_out\":[", ",", "]")
+      }
     }
     // INTRA-RUN interference self-adjudication (r15, VERDICT r14
     // task 1 — the fifth recurrence of the driver-box environment
