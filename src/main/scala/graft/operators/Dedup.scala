@@ -396,7 +396,13 @@ object Dedup {
     * map-side against bucketed store tables. The full `assignment`
     * output is one members⨝keepers equi-join (both bucketed on fp —
     * co-partitioned, no shuffle); callers that only want the store
-    * update read the two store frames and skip it. */
+    * update read the two store frames and skip it.
+    *
+    * Contract bound: the takedown batch is assumed DRIVER-SMALL
+    * (thousands-to-millions of ids — it rides two broadcast hints,
+    * like every takedown a legal/PII queue actually emits). A "batch"
+    * of store scale is a rebuild over the survivors, not a
+    * retraction. */
   def exactRetract(keepers: DataFrame, members: DataFrame,
                    retractIds: DataFrame): ExactRetract = {
     val r = CacheTracker.persistTracked(
@@ -1317,21 +1323,28 @@ object Dedup {
                                                      edges: DataFrame,
                                                      assignment: DataFrame)
 
-  /** `cacheBits = false` is the PROBE-ONLY r13 inline shape (each
-    * family's bucket rows recomputed directly from the source, no
-    * materialized sign-word frame): BitsCacheProbe A/Bs it against
-    * the default to measure where the one-scan-vs-four trade
-    * inverts (§6 r15 documented a +0.7-1.1 s toy-scale cache premium
-    * and kept the cache citing the at-scale win; VERDICT r15 task #2
-    * asks for the measurement). Results are identical either way —
-    * bucketedFromBits(lshBits(e, T·P), T, P) ≡ the direct per-table
-    * construction (SimilaritySpec) — only the caching differs. All
-    * graded paths use the default. */
+  /** `cacheBits` picks how the two bucket families get their sign
+    * bits. `false` (DEFAULT since r16) recomputes each family's
+    * plane dots inline from the source — the r13 shape; `true`
+    * materializes ONE (vec_id, v, nrm, bits) frame and slices both
+    * families from it — the r14-r15 shape, kept as an opt-in for
+    * deployments where the source scan is remote IO. The default
+    * flipped on measurement (VERDICT r15 task #2, BitsCacheProbe §6
+    * r16): §6 r15 had kept the cache citing an at-scale
+    * one-scan-vs-four win, but the A/B reads inline ≤ cached at
+    * EVERY probed size on this box class — 2k vectors 7.5 vs 7.6 s
+    * (min), 20k 21.4 vs 22.1, 100k 234.0 vs 243.4 with a 370 s
+    * cached tail — because the codegen'd 24 plane dots are cheaper
+    * to recompute than the cache write + columnar reads, and the
+    * within-family self-join already reuses its exchange. Results
+    * are identical either way — bucketedFromBits(lshBits(e, T·P),
+    * T, P) ≡ the direct per-table construction (SimilaritySpec) —
+    * only the caching differs. */
   private[graft] def semanticBestFrames(embeddings: DataFrame,
                                  tau: Double, k: Int,
                                  nTables: Int, planesPerTable: Int,
                                  dim: Int,
-                                 cacheBits: Boolean = true): SemanticBestFrames = {
+                                 cacheBits: Boolean = false): SemanticBestFrames = {
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
     // the sign word must span BOTH families: the nTables×planesPerTable
     // cluster family and the fixed 4×6 graph family. With default
@@ -1360,8 +1373,9 @@ object Dedup {
       .distinct() // same pair from several tables: cosine is deterministic
       .filter(col("cos_sim") >= tau)
       .select(col("id_a"), col("id_b"))
-    // the graph family reads the SAME bits frame, graph semantics
-    // unchanged from knnGraph's 4×6 construction
+    // the graph family: same planes either way — a slice of the
+    // shared bits frame (cached) or its own inline dots (default);
+    // graph semantics unchanged from knnGraph's 4×6 construction
     val gb =
       if (cacheBits) Similarity.bucketedFromBits(bits, GraphTables, GraphPlanes)
       else Similarity.lshBucketed(e, GraphTables, GraphPlanes, dim)
@@ -1735,7 +1749,10 @@ object Dedup {
     * the fresh build over (corpus ∪ delta) − retracted
     * (DeltaDedupSpec pins the composition both ways). Retracting an
     * id the store never held is a no-op for every stage (anti-joins
-    * and an empty affected set). */
+    * and an empty affected set). Same contract bound as
+    * [[exactRetract]]: the takedown batch is driver-small (its
+    * touched cluster keys ride a broadcast hint); a batch of store
+    * scale is a rebuild over the survivors. */
   def semanticBestRetract(store: SemanticBestStore, retractIds: DataFrame,
                           tau: Double, k: Int,
                           nTables: Int = 6, planesPerTable: Int = 4,

@@ -872,9 +872,16 @@ object Similarity {
     * nPlanes is a pure bit-slice of it ([[bucketedFromBits]]), so two
     * different bucketings over the same plane set — e.g.
     * [[Dedup.semanticKeepersBest]]'s 6×4 cluster family and 4×6
-    * centrality-graph family (r14, VERDICT r13 item #2) — share one
-    * corpus scan and one set of plane dots instead of paying the
-    * projection once per family. Output: (vec_id, v, nrm, bits). */
+    * centrality-graph family (r14, VERDICT r13 item #2) — CAN share
+    * one corpus scan and one set of plane dots instead of paying the
+    * projection once per family. That sharing is load-bearing for
+    * the PERSISTED store (one bits row per vector serves both
+    * families by shift/mask) and opt-in for the batch path: the r16
+    * BitsCacheProbe A/B measured inline recompute ≤ the materialized
+    * frame at every probed size (the codegen'd dots are cheaper than
+    * the cache round trip), so the batch default recomputes
+    * (Dedup.semanticBestFrames cacheBits). Output:
+    * (vec_id, v, nrm, bits). */
   private[graft] def lshBits(e: DataFrame, nPlanes: Int,
                                  dim: Int): DataFrame = {
     // the sign word is ONE long: `1L << g` wraps mod 64, so a family

@@ -24,12 +24,13 @@ import graft.operators.{CacheTracker, Dedup}
   * exactly the bits materialization), writes the scaled corpus to
   * parquet (a real scan on both sides), then times the FULL
   * semanticKeepersBest pass — pairs + graph + pagerank + election —
-  * under cacheBits=true (graded shape) and cacheBits=false (r13
-  * inline shape), warm + timed each, equal-rows gate. The crossover
-  * multiple is where "cached" first beats "inline"; if inline still
-  * wins at the largest mult, the §6 claim is wrong and the persist
-  * should be reconsidered with this number in hand. Not part of the
-  * graded surface. */
+  * under cacheBits=true (the r14-r15 graded shape) and
+  * cacheBits=false (the r13 inline shape), warm + timed each,
+  * equal-rows gate. The crossover multiple is where "cached" first
+  * beats "inline"; the r16 run found NO crossover (inline ≤ cached
+  * at 2k/20k/100k vectors — §6 r16), which flipped the graded
+  * default to inline. Re-run after any change to the plane-dot
+  * kernel or the cache layer before touching the default again. */
 object BitsCacheProbe {
   def main(args: Array[String]): Unit = {
     val mults = args.headOption.getOrElse("10,50")
@@ -62,13 +63,17 @@ object BitsCacheProbe {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t) / 1e9
       }
-      // equal-output gate: the two shapes must be the same election
-      val (rc, ri) = CacheTracker.scoped {
-        (Dedup.semanticBestFrames(all, tau, k, 6, 4, dim,
-           cacheBits = true).assignment.count(),
-         Dedup.semanticBestFrames(all, tau, k, 6, 4, dim,
-           cacheBits = false).assignment.count())
-      }
+      // equal-output gate at the SMALLEST mult only (the shapes are
+      // plan-identical modulo caching — SimilaritySpec pins the
+      // bucket equivalence — so one corpus-level check suffices and
+      // the 50x run doesn't pay two extra full passes)
+      val (rc, ri) =
+        if (mult == mults.min) CacheTracker.scoped {
+          (Dedup.semanticBestFrames(all, tau, k, 6, 4, dim,
+             cacheBits = true).assignment.count(),
+           Dedup.semanticBestFrames(all, tau, k, 6, 4, dim,
+             cacheBits = false).assignment.count())
+        } else (-1L, -1L)
       pass(cache = true) // warm (JIT, parquet footers)
       val cached = Seq(pass(cache = true), pass(cache = true))
       pass(cache = false) // warm
@@ -77,7 +82,7 @@ object BitsCacheProbe {
         f""""rows_cached":$rc,"rows_inline":$ri,""" +
         f""""cached_sec":[${cached.map(t => f"$t%.3f").mkString(",")}],""" +
         f""""inline_sec":[${inline.map(t => f"$t%.3f").mkString(",")}]}""")
-      if (rc != ri || rc == 0L)
+      if (rc >= 0L && (rc != ri || rc == 0L))
         System.err.println("[graft] BitsCacheProbe: OUTPUT MISMATCH or " +
           "empty — the timings above are not evidence of anything")
     }

@@ -1,0 +1,151 @@
+package graft.tools
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.{CacheTracker, Dedup}
+
+/** SURVEY §6 evidence for the r16 RETRACTION path's scaling story
+  * (VERDICT r15 task #6: the full gate discipline for the new rows
+  * includes a retract-heavy probe): scales the sf0.1 embeddings
+  * `mult`× (SemBestDeltaProbe's deterministic perturbation recipe),
+  * builds the semantic-best store ONCE to parquet — a takedown
+  * presupposes a store that already exists — then for EACH rmod in
+  * the sweep times the retraction of the `vec_id % rmod == 7` slice
+  * against that one store, beside ONE full semanticKeepersBest
+  * rebuild over the survivors of the FIRST rmod (the number
+  * retraction exists to avoid):
+  *
+  *   sbt "runMain graft.tools.RetractProbe <mult> <rmod[,rmod…]>"
+  *
+  * The sweep separates the takedown-size-DEPENDENT stages (affected
+  * top-k re-ranks ≈ 1-(1-p)^k of probes at slice fraction p,
+  * touched-component re-pairing) from the global linear floor
+  * (pagerank + election): if the wall barely moves between a 2% and
+  * a 20% takedown, the wall IS the floor. SPARK_GRAFT_STAGE_DEBUG=1
+  * decomposes a pass (bestRetract.tPairs / bestRetract.rescored).
+  * The exact family rides the same corpus: exactRetract over the
+  * mult×-duplicated documents table (byte-copies make every fp group
+  * mult-deep — the takedown-hits-a-keeper worst case). Not part of
+  * the graded surface. */
+object RetractProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val rmods = (if (args.length > 1) args(1) else "50,20,5")
+      .split(",").toSeq.map(_.toInt)
+    val tau = graft.registry.DedupRegistry.CosineTau
+    val k = graft.registry.SimilarityRegistry.K
+    val spark = GraftSession.local("graft-retract-probe")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = java.nio.file.Files.createTempDirectory("graft_rp").toString
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    (0 until mult).map { i =>
+      val shifted =
+        if (i == 0) emb
+        else emb.withColumn("embedding",
+          transform(col("embedding"), (x, j) =>
+            when(j === lit(i % dim), x + lit((i * 1e-4).toFloat))
+              .otherwise(x)))
+      shifted.withColumn("vec_id", col("vec_id") + lit(i.toLong * maxVec))
+    }.reduce(_ union _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    val all = spark.read.parquet(s"$out/embeddings.parquet")
+    val c = col("vec_id")
+    val nAll = all.count()
+    println(s"""{"probe_vectors":$nAll,"mult":$mult}""")
+    // ONE store for the whole sweep — retraction reads, never rebuilds
+    val t0 = System.nanoTime()
+    CacheTracker.scoped {
+      val st = Dedup.semanticBestStore(all, tau, k)
+      st.bits.write.mode(SaveMode.Overwrite).parquet(s"$out/bits.parquet")
+      st.graph.write.mode(SaveMode.Overwrite).parquet(s"$out/graph.parquet")
+      st.assignment.write.mode(SaveMode.Overwrite)
+        .parquet(s"$out/assignment.parquet")
+    }
+    println(f"""{"stage":"store_build","sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+    def store() = Dedup.SemanticBestStore(
+      spark.read.parquet(s"$out/bits.parquet"),
+      spark.read.parquet(s"$out/graph.parquet"),
+      spark.read.parquet(s"$out/assignment.parquet"), tau, k)
+    rmods.foreach { rmod =>
+      // remainder 7 mod rmod so small rmods (big takedowns) are
+      // non-empty too — a first cut used a fixed 7 and the rmod=5
+      // point silently measured the EMPTY takedown (which is its own
+      // useful number: the global pagerank+election floor, reported
+      // below as rmod=0)
+      val rIds = all.filter(c % rmod === (7 % rmod)).select("vec_id")
+      val nR = rIds.count()
+      def pass(): Double = CacheTracker.scoped {
+        val t = System.nanoTime()
+        Dedup.semanticBestRetract(store(), rIds, tau, k)
+          .assignment.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t) / 1e9
+      }
+      val rows = CacheTracker.scoped {
+        Dedup.semanticBestRetract(store(), rIds, tau, k).assignment.count()
+      }
+      pass() // warm
+      println(f"""{"stage":"retract_pass","rmod":$rmod,"retracted":$nR,""" +
+        f""""sec":${pass()}%.3f,"rows":$rows}""")
+      if (rows == 0L || rows != nAll - nR)
+        System.err.println("[graft] RetractProbe: assignment row count " +
+          s"$rows != survivors ${nAll - nR} — not evidence of anything")
+    }
+    // the EMPTY takedown: affected/touched are empty, kept = the whole
+    // graph — what remains is the honestly-global linear tail
+    // (pagerank + election + store reads), the floor every takedown
+    // size pays before its delta-proportional work
+    def emptyPass(): Double = CacheTracker.scoped {
+      val t = System.nanoTime()
+      Dedup.semanticBestRetract(store(), all.limit(0).select("vec_id"),
+        tau, k).assignment.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t) / 1e9
+    }
+    emptyPass() // warm
+    println(f"""{"stage":"global_floor","sec":${emptyPass()}%.3f}""")
+    // the comparison retraction exists to beat: a full rebuild over
+    // the first rmod's survivors
+    val surv = all.filter(c % rmods.head =!= (7 % rmods.head))
+    def fullPass(): Double = CacheTracker.scoped {
+      val t = System.nanoTime()
+      Dedup.semanticKeepersBest(surv, tau, k)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t) / 1e9
+    }
+    fullPass() // warm
+    println(f"""{"stage":"full_rebuild","rmod":${rmods.head},""" +
+      f""""sec":${fullPass()}%.3f}""")
+    // the exact family on the mult×-duplicated documents table: every
+    // fp group is mult deep, so a takedown that hits keepers forces
+    // the re-election path on every affected group
+    val docs0 = spark.read.parquet(s"$src/documents.parquet")
+    val maxId = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    (0 until mult).map(i =>
+        docs0.withColumn("doc_id", col("doc_id") + lit(i.toLong * maxId)))
+      .reduce(_ union _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val d = col("doc_id")
+    // keepers are the base copy's ids (min of each group) — retract
+    // every 20th BASE id so ~5% of groups lose their keeper
+    val rDocs = docs.filter(d < maxId && d % 20 === 7).select("doc_id")
+    val nRD = rDocs.count()
+    def exactPass(): Double = CacheTracker.scoped {
+      val t = System.nanoTime()
+      Dedup.exactRetract(Dedup.keeperStore(docs), Dedup.memberStore(docs),
+        rDocs).assignment.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t) / 1e9
+    }
+    val eRows = CacheTracker.scoped {
+      Dedup.exactRetract(Dedup.keeperStore(docs), Dedup.memberStore(docs),
+        rDocs).assignment.count()
+    }
+    exactPass() // warm
+    println(f"""{"stage":"exact_retract","retracted":$nRD,""" +
+      f""""sec":${exactPass()}%.3f,"rows":$eRows}""")
+    spark.stop()
+  }
+}
