@@ -407,7 +407,10 @@ object Dedup {
                    retractIds: DataFrame): ExactRetract = {
     val r = CacheTracker.persistTracked(
       retractIds.select(col("doc_id")).distinct())
-    val surv = members.join(r, Seq("doc_id"), "left_anti")
+    // broadcast-hinted like every takedown-sized frame here: without
+    // the hint a stats-blind planner could sort-merge this anti-join
+    // on doc_id and re-shuffle the fp-bucketed member table
+    val surv = members.join(broadcast(r), Seq("doc_id"), "left_anti")
     // groups whose keeper was taken down — the only ones whose
     // election can change; bounded by the takedown batch
     val affected = keepers
@@ -416,15 +419,27 @@ object Dedup {
       .select(col("fp"))
     // re-elect the min survivor within each affected group; a group
     // with no survivors produces no row and so drops from the store
-    val reelected = surv.join(broadcast(affected), Seq("fp"))
-      .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val reelected = CacheTracker.persistTracked(
+      surv.join(broadcast(affected), Seq("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id")))
     val updatedKeepers =
       keepers.join(broadcast(affected), Seq("fp"), "left_anti")
         .select(col("fp"), col("keep_id"))
         .union(reelected.select(col("fp"), col("keep_id")))
-    val assignment = surv.join(updatedKeepers, Seq("fp"))
-      .select(col("doc_id"), col("keep_id"),
-        (col("doc_id") =!= col("keep_id")).cast("int").as("is_dup"))
+    // the survivor assignment joins the two BUCKETED store tables
+    // directly (co-partitioned on fp — zero corpus-scale shuffle,
+    // StoreRoundTripSpec) and overrides the affected groups' stale
+    // keeper through a broadcast coalesce, rather than joining the
+    // updatedKeepers union, whose re-elected rows would cost the
+    // whole keeper table its bucketing and force a corpus-sized
+    // re-shuffle on the join's right side
+    val assignment = surv.join(keepers, Seq("fp"))
+      .join(broadcast(reelected.withColumnRenamed("keep_id", "new_keep")),
+        Seq("fp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_keep"), col("keep_id")).as("keep_id"),
+        (col("doc_id") =!= coalesce(col("new_keep"), col("keep_id")))
+          .cast("int").as("is_dup"))
     ExactRetract(assignment, updatedKeepers, surv)
   }
 

@@ -321,4 +321,44 @@ class StoreRoundTripSpec extends AnyFunSuite {
     Seq("kb_pairs_rt", "kb_scores_rt", "kb_asn_rt", "kb_jrows_rt",
       "kb_jprefix_rt").foreach(dropTable)
   }
+
+  test("retraction over bucketed keeper+member tables: results identical, " +
+      "assignment join co-partitioned shuffle-free on BOTH sides") {
+    val docs = Tables.documents(spark, d)
+    val retract = docs.filter(col("doc_id") % 20 === 7).select("doc_id")
+    val inMem = Dedup.exactRetract(Dedup.keeperStore(docs),
+      Dedup.memberStore(docs), retract)
+    Seq("rt_keepers", "rt_members").foreach(dropTable)
+    Sinks.writeBucketed(Dedup.keeperStore(docs), "rt_keepers", "fp", 8)
+    Sinks.writeBucketed(Dedup.memberStore(docs), "rt_members", "fp", 8)
+    val fromTable = Dedup.exactRetract(spark.table("rt_keepers"),
+      spark.table("rt_members"), retract)
+    def asn(df: DataFrame) = df.as[(Long, Long, Int)].collect().toSet
+    def kp(df: DataFrame) = df.as[(String, Long)].collect().toSet
+    assert(asn(fromTable.assignment) == asn(inMem.assignment))
+    assert(asn(inMem.assignment).nonEmpty)
+    assert(kp(fromTable.updatedKeepers) == kp(inMem.updatedKeepers))
+    // the survivor-assignment join reads the two fp-bucketed tables
+    // DIRECTLY (the affected groups' keeper override rides a
+    // broadcast coalesce, not a union that would cost the keeper
+    // table its bucketing): with the broadcast fallback disabled for
+    // un-hinted joins, the sort-merge join must shuffle NEITHER side
+    // — co-partitioned storage is the whole point of the layout
+    withConf("spark.sql.adaptive.enabled" -> "false",
+             "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = Dedup.exactRetract(spark.table("rt_keepers"),
+          spark.table("rt_members"), retract)
+        .assignment.queryExecution.executedPlan
+      val smjs = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty,
+        s"no sort-merge join over the bucketed stores:\n$plan")
+      smjs.foreach { j =>
+        Seq(j.left, j.right).foreach { side =>
+          assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+            s"a store side shuffles despite the bucketed layout:\n$side")
+        }
+      }
+    }
+    Seq("rt_keepers", "rt_members").foreach(dropTable)
+  }
 }
