@@ -1331,10 +1331,14 @@ object Dedup {
 
   /** [[semanticKeepersBest]]'s internal frames, exposed for the
     * incremental store build (r14): the shared plane-dot sign-word
-    * table, the kNN graph's edge list, and the final assignment —
-    * the three tables [[SemanticBestStore]] persists. One code path
+    * table, the verified ≥ tau cluster-pair list (r16 — persisting
+    * what the build materializes anyway makes retraction's component
+    * re-closure an edge-list filter instead of a bucket re-scoring
+    * pass), the kNN graph's edge list, and the final assignment —
+    * the four tables [[SemanticBestStore]] persists. One code path
     * for the batch row and the store build, so they cannot drift. */
   private[graft] final case class SemanticBestFrames(bits: DataFrame,
+                                                     pairs: DataFrame,
                                                      edges: DataFrame,
                                                      assignment: DataFrame)
 
@@ -1416,7 +1420,7 @@ object Dedup {
         floor(col("pagerank") * lit(1000000000.0)).cast("long").as("s9"))
     val assignment = keepBest(ranks, pairs, col("s9"))
       .select(col("doc_id").as("vec_id"), col("keep_id"), col("is_dup"))
-    SemanticBestFrames(bits, edges, assignment)
+    SemanticBestFrames(bits, pairs, edges, assignment)
   }
 
   /** The centrality graph's fixed (tables × planes) family — 4×6,
@@ -1481,7 +1485,14 @@ object Dedup {
     * the store never persists exploded bucket rows), the kNN graph's
     * SCORED edge list (k·N rows of (src, dst, cos_sim) — the score is
     * what lets an ingest merge stored top-k rows with fresh
-    * delta-pair scores instead of re-ranking whole buckets, r15), and
+    * delta-pair scores instead of re-ranking whole buckets, r15),
+    * the verified ≥ tau cluster-PAIR list (r16 — pairs are
+    * value-determined, so retraction can re-close a component that
+    * lost a member by FILTERING this edge list instead of
+    * re-scoring bucket candidates: the r16 probe anatomy measured
+    * the re-scoring form at 110 s of a 135 s takedown pass at 100k
+    * vectors; the table is the near-dup pair set the build
+    * materializes anyway, bounded by verified-pair density), and
     * the maintained assignment. (tau, k) AND the cluster-family
     * geometry (nTables, planesPerTable) are pinned — a delta at
     * different parameters is a rebuild, not an ingest. The geometry
@@ -1492,10 +1503,11 @@ object Dedup {
     * bucket-collapse class the r15 max() rule fixed on the build
     * side, silently reintroduced through the store seam (r16,
     * ADVICE r15 medium). At corpus scale: bits/assignment bucketed
-    * on vec_id, graph on src
+    * on vec_id, graph on src, pairs on id_a
     * ([[graft.sources.Sinks.writeBucketed]]). */
   final case class SemanticBestStore(bits: DataFrame, graph: DataFrame,
                                      assignment: DataFrame,
+                                     pairs: DataFrame,
                                      tau: Double, k: Int,
                                      nTables: Int = 6,
                                      planesPerTable: Int = 4)
@@ -1508,7 +1520,7 @@ object Dedup {
                         dim: Int = 64): SemanticBestStore = {
     val f = semanticBestFrames(embeddings, tau, k, nTables, planesPerTable,
       dim)
-    SemanticBestStore(f.bits, f.edges, f.assignment, tau, k,
+    SemanticBestStore(f.bits, f.edges, f.assignment, f.pairs, tau, k,
       nTables, planesPerTable)
   }
 
@@ -1551,7 +1563,8 @@ object Dedup {
     *    different, wrong answer; linear passes are the honest floor.
     *
     * Same-bytes re-ingest is idempotent (the delta's ids are
-    * anti-joined out of bits/graph/assignment and re-enter — spec);
+    * anti-joined out of bits/pairs/graph/assignment and re-enter —
+    * spec);
     * a changed-bytes re-ingest under a reused id is OUT of contract,
     * as everywhere in the delta family (stale neighbor edges whose
     * dst's value changed are not retracted). */
@@ -1712,8 +1725,18 @@ object Dedup {
           col("cluster_id")))
     val assignment = electMax(assigned)
       .select(col("doc_id").as("vec_id"), col("keep_id"), col("is_dup"))
+    // pair-table maintenance (r16): old-old pairs are immutable
+    // (value-determined, neither endpoint changed), and every pair
+    // with a delta endpoint — including a re-ingested one — re-forms
+    // identically in dPairs, so anti-join + union keeps the table
+    // row-for-row the fresh build's (same argument as `kept` above)
+    val grownPairs = store.pairs
+      .join(dIds.select(col("vec_id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(dIds.select(col("vec_id").as("id_b")), Seq("id_b"), "left_anti")
+      .select(col("id_a"), col("id_b"))
+      .union(dPairs)
     SemanticBestDelta(assignment,
-      SemanticBestStore(allBits, grown, assignment, tau, k,
+      SemanticBestStore(allBits, grown, assignment, grownPairs, tau, k,
         nTables, planesPerTable))
   }
 
@@ -1732,15 +1755,20 @@ object Dedup {
     *  - '''cluster partition''': removal can SPLIT a component (the
     *    retracted vector may be the only bridge between two halves)
     *    but can never merge or create pairs, so only components that
-    *    LOST a member can change. Touched components' survivors
-    *    re-pair through the stored sign words (bucket join + cosine
-    *    over touched survivors only — bounded by the touched
-    *    components, not the corpus) and re-close via the same
-    *    driver union-find + distributed fallback the delta ingest
-    *    uses. Untouched components keep their stored grouping (the
-    *    stored keep_id is a valid label — the election only reads
-    *    the GROUPING, and memberships are disjoint so labels cannot
-    *    collide across touched/untouched).
+    *    LOST a member can change. Touched components re-close from
+    *    the STORED pair list — pairs are value-determined, so the
+    *    survivors' pair graph is exactly the stored edges minus
+    *    those with a retracted endpoint: an edge-list FILTER, zero
+    *    cosine work (r16 probe anatomy: the first cut re-SCORED
+    *    touched survivors' bucket candidates and that one stage was
+    *    110 s of a 135 s takedown pass at 100k vectors — 8.5M
+    *    re-scored candidates to re-derive edges the build had
+    *    already verified) — then the same driver union-find +
+    *    distributed fallback the delta ingest uses. Untouched
+    *    components keep their stored grouping (the stored keep_id
+    *    is a valid label — the election only reads the GROUPING,
+    *    and memberships are disjoint so labels cannot collide
+    *    across touched/untouched).
     *  - '''kNN graph''': the merged-top-k argument runs one
     *    direction only — an ingest can merge new candidates into a
     *    stored top-k, but a removal can PROMOTE a neighbor the
@@ -1760,7 +1788,7 @@ object Dedup {
     *    (a removed hub legitimately shifts every rank).
     *
     * Retraction composes with ingest in either order: both maintain
-    * the same three content-determined tables, so retract∘ingest ≡
+    * the same four content-determined tables, so retract∘ingest ≡
     * the fresh build over (corpus ∪ delta) − retracted
     * (DeltaDedupSpec pins the composition both ways). Retracting an
     * id the store never held is a no-op for every stage (anti-joins
@@ -1797,20 +1825,17 @@ object Dedup {
       .join(rIds, Seq("vec_id"), "left_anti")
     val touchedIds = survAsg.join(broadcast(touchedKeys), Seq("keep_id"))
       .select(col("vec_id"))
-    val tBuckets = Similarity.bucketedFromBits(
-      bits.join(touchedIds, Seq("vec_id")), nTables, planesPerTable)
-    // pairs are value-determined, so two formerly-distinct clusters
-    // cannot pair up — re-pairing all touched survivors jointly is
-    // exactly per-component re-pairing, in one join
-    val tPairs = tBuckets.as("a").join(tBuckets.as("b"),
-        col("a.table") === col("b.table") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        (Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
-          .as("cos_sim"))
-      .distinct()
-      .filter(col("cos_sim") >= tau)
+    // survivors' pair graph = the STORED verified pair list minus
+    // edges with a retracted endpoint (pairs are value-determined —
+    // nothing to re-score); a stored pair's endpoints share a
+    // component, so id_a touched ⇔ id_b touched and one membership
+    // join scopes the closure to the touched components
+    val survPairs = store.pairs
+      .join(rIds.select(col("vec_id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(rIds.select(col("vec_id").as("id_b")), Seq("id_b"), "left_anti")
+      .select(col("id_a"), col("id_b"))
+    val tPairs = survPairs
+      .join(touchedIds.select(col("vec_id").as("id_a")), Seq("id_a"))
       .select(col("id_a"), col("id_b"))
       .transform(stageCount("bestRetract.tPairs", _))
     val remap = quotientRemap(tPairs, sp)
@@ -1867,7 +1892,7 @@ object Dedup {
     val assignment = electMax(assigned)
       .select(col("doc_id").as("vec_id"), col("keep_id"), col("is_dup"))
     SemanticBestDelta(assignment,
-      SemanticBestStore(bits, shrunk, assignment, tau, k,
+      SemanticBestStore(bits, shrunk, assignment, survPairs, tau, k,
         nTables, planesPerTable))
   }
 

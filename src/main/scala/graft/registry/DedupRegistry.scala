@@ -379,7 +379,7 @@ object DedupRegistry {
     }),
     // INCREMENTAL centrality election (r14, the D-family's last delta
     // asymmetry): the delta pass against the ServingIndexes-memoized
-    // bits/graph/assignment store — delta-bounded plane dots + pairs,
+    // bits/pairs/graph/assignment store — delta-bounded plane dots + pairs,
     // src-replacement graph maintenance, global (linear) pagerank +
     // election. Delta ≡ full exactly, so dd_semantic_best's oracle
     // holds verbatim; the memoized store means the graded number
@@ -391,11 +391,12 @@ object DedupRegistry {
       val (paths, _) = ServingIndexes.once("sembest", d) {
         val st = Dedup.semanticBestStore(emb.filter(c % DeltaMod =!= 0),
           CosineTau, SimilarityRegistry.K)
-        (Seq(st.bits, st.graph, st.assignment), 0L)
+        (Seq(st.bits, st.graph, st.assignment, st.pairs), 0L)
       }
       Dedup.semanticKeepersBestDelta(
         Dedup.SemanticBestStore(s.read.parquet(paths.head),
           s.read.parquet(paths(1)), s.read.parquet(paths(2)),
+          s.read.parquet(paths(3)),
           CosineTau, SimilarityRegistry.K),
         emb.filter(c % DeltaMod === 0), CosineTau,
         SimilarityRegistry.K).assignment
@@ -417,7 +418,7 @@ object DedupRegistry {
         .assignment
     }),
     // RETRACTION, centrality capstone (r16): takedown against the
-    // ServingIndexes-memoized FULL-corpus bits/graph/assignment store
+    // ServingIndexes-memoized FULL-corpus bits/pairs/graph/assignment store
     // — probes whose stored top-k lost a dst re-rank over surviving
     // bucket mates (removal can promote a displaced candidate, the
     // one direction the ingest merge can't cover), components that
@@ -430,11 +431,12 @@ object DedupRegistry {
       val (paths, _) = ServingIndexes.once("sembestfull", d) {
         val st = Dedup.semanticBestStore(emb, CosineTau,
           SimilarityRegistry.K)
-        (Seq(st.bits, st.graph, st.assignment), 0L)
+        (Seq(st.bits, st.graph, st.assignment, st.pairs), 0L)
       }
       Dedup.semanticBestRetract(
         Dedup.SemanticBestStore(s.read.parquet(paths.head),
           s.read.parquet(paths(1)), s.read.parquet(paths(2)),
+          s.read.parquet(paths(3)),
           CosineTau, SimilarityRegistry.K),
         emb.filter(c % RetractMod === RetractRem).select("vec_id"),
         CosineTau, SimilarityRegistry.K).assignment

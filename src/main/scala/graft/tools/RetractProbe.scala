@@ -12,7 +12,7 @@ import graft.operators.{CacheTracker, Dedup}
   * `mult`× (SemBestDeltaProbe's deterministic perturbation recipe),
   * builds the semantic-best store ONCE to parquet — a takedown
   * presupposes a store that already exists — then for EACH rmod in
-  * the sweep times the retraction of the `vec_id % rmod == 7` slice
+  * the sweep times the retraction of a hash-scattered 1/rmod slice
   * against that one store, beside ONE full semanticKeepersBest
   * rebuild over the survivors of the FIRST rmod (the number
   * retraction exists to avoid):
@@ -64,19 +64,25 @@ object RetractProbe {
       st.graph.write.mode(SaveMode.Overwrite).parquet(s"$out/graph.parquet")
       st.assignment.write.mode(SaveMode.Overwrite)
         .parquet(s"$out/assignment.parquet")
+      st.pairs.write.mode(SaveMode.Overwrite).parquet(s"$out/pairs.parquet")
     }
     println(f"""{"stage":"store_build","sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
     def store() = Dedup.SemanticBestStore(
       spark.read.parquet(s"$out/bits.parquet"),
       spark.read.parquet(s"$out/graph.parquet"),
-      spark.read.parquet(s"$out/assignment.parquet"), tau, k)
+      spark.read.parquet(s"$out/assignment.parquet"),
+      spark.read.parquet(s"$out/pairs.parquet"), tau, k)
     rmods.foreach { rmod =>
-      // remainder 7 mod rmod so small rmods (big takedowns) are
-      // non-empty too — a first cut used a fixed 7 and the rmod=5
-      // point silently measured the EMPTY takedown (which is its own
-      // useful number: the global pagerank+election floor, reported
-      // below as rmod=0)
-      val rIds = all.filter(c % rmod === (7 % rmod)).select("vec_id")
+      // HASH-scattered slice, not a mod slice: the scaled corpus's
+      // copies sit at base + i*2000, so vec_id % rmod picks WHOLE
+      // copy-families whenever rmod divides 2000 — the first probe
+      // cut did exactly that and measured rescored = 0 rows (no
+      // surviving probe ever lost a stored top-k dst, because its
+      // dsts were its own family and families died together); the
+      // hash slice retracts across families so the promote-displaced
+      // re-rank path carries real work
+      val rIds = all.filter(pmod(xxhash64(c), lit(rmod.toLong)) === 0)
+        .select("vec_id")
       val nR = rIds.count()
       def pass(): Double = CacheTracker.scoped {
         val t = System.nanoTime()
@@ -108,7 +114,8 @@ object RetractProbe {
     println(f"""{"stage":"global_floor","sec":${emptyPass()}%.3f}""")
     // the comparison retraction exists to beat: a full rebuild over
     // the first rmod's survivors
-    val surv = all.filter(c % rmods.head =!= (7 % rmods.head))
+    val surv = all.filter(
+      pmod(xxhash64(c), lit(rmods.head.toLong)) =!= 0)
     def fullPass(): Double = CacheTracker.scoped {
       val t = System.nanoTime()
       Dedup.semanticKeepersBest(surv, tau, k)

@@ -68,6 +68,7 @@ object SemBestDeltaProbe {
         st.graph.write.mode(SaveMode.Overwrite).parquet(s"$out/graph.parquet")
         st.assignment.write.mode(SaveMode.Overwrite)
           .parquet(s"$out/assignment.parquet")
+        st.pairs.write.mode(SaveMode.Overwrite).parquet(s"$out/pairs.parquet")
       }
       println(f"""{"stage":"store_build","dmod":$dmod,""" +
         f""""delta_vectors":$nDelta,"sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
@@ -77,7 +78,8 @@ object SemBestDeltaProbe {
           Dedup.SemanticBestStore(
             spark.read.parquet(s"$out/bits.parquet"),
             spark.read.parquet(s"$out/graph.parquet"),
-            spark.read.parquet(s"$out/assignment.parquet"), tau, k),
+            spark.read.parquet(s"$out/assignment.parquet"),
+            spark.read.parquet(s"$out/pairs.parquet"), tau, k),
           all.filter(c % dmod === 0), tau, k)
           .assignment.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t) / 1e9
@@ -88,7 +90,8 @@ object SemBestDeltaProbe {
           Dedup.SemanticBestStore(
             spark.read.parquet(s"$out/bits.parquet"),
             spark.read.parquet(s"$out/graph.parquet"),
-            spark.read.parquet(s"$out/assignment.parquet"), tau, k),
+            spark.read.parquet(s"$out/assignment.parquet"),
+            spark.read.parquet(s"$out/pairs.parquet"), tau, k),
           all.filter(c % dmod === 0), tau, k).assignment.count()
       }
       deltaPass() // warm

@@ -635,7 +635,13 @@ class DeltaDedupSpec extends AnyFunSuite {
     def gset(st: Dedup.SemanticBestStore): Set[(Long, Long)] =
       st.graph.select(col("src"), col("dst")).as[(Long, Long)]
         .collect().toSet
-    assert(gset(r.updatedStore) == gset(Dedup.semanticBestStore(surv, tau, k)))
+    val freshSurv = Dedup.semanticBestStore(surv, tau, k)
+    assert(gset(r.updatedStore) == gset(freshSurv))
+    // …and so is the shrunk PAIR table (r16: the stored verified pair
+    // list is what the re-closure filters, so its maintenance is
+    // correctness-bearing)
+    assert(r.updatedStore.pairs.as[(Long, Long)].collect().toSet ==
+      freshSurv.pairs.as[(Long, Long)].collect().toSet)
     // retracting ids the store never held is a no-op
     val noop = Dedup.semanticBestRetract(store,
       Seq(999999L).toDF("vec_id"), tau, k)
@@ -683,8 +689,10 @@ class DeltaDedupSpec extends AnyFunSuite {
       st.bits.write.parquet(s"$dir/bits")
       st.graph.write.parquet(s"$dir/graph")
       st.assignment.write.parquet(s"$dir/asg")
+      st.pairs.write.parquet(s"$dir/pairs")
       Dedup.SemanticBestStore(spark.read.parquet(s"$dir/bits"),
         spark.read.parquet(s"$dir/graph"), spark.read.parquet(s"$dir/asg"),
+        spark.read.parquet(s"$dir/pairs"),
         st.tau, st.k, st.nTables, st.planesPerTable)
     }
     // ingest THEN retract

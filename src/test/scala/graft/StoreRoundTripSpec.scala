@@ -255,13 +255,13 @@ class StoreRoundTripSpec extends AnyFunSuite {
   }
 
   test("semantic-best store round-trips through bucketed tables") {
-    // r15: the centrality capstone's three tables persist as the
-    // scaladoc claims — bits/assignment bucketed on vec_id, the
-    // SCORED graph on src — and a delta against the table-backed
-    // store equals the in-memory pass (and the full rerun) exactly.
-    // The vec_id buckets pay off in the anti-join/remap stages; the
-    // bits frame's bucket JOIN is keyed on (table, bucket) and
-    // legitimately exchanges either way.
+    // r15 (+r16 pairs): the centrality capstone's four tables persist
+    // as the scaladoc claims — bits/assignment bucketed on vec_id,
+    // the SCORED graph on src, the verified pair list on id_a — and
+    // a delta against the table-backed store equals the in-memory
+    // pass (and the full rerun) exactly. The vec_id buckets pay off
+    // in the anti-join/remap stages; the bits frame's bucket JOIN is
+    // keyed on (table, bucket) and legitimately exchanges either way.
     val emb = Tables.embeddings(spark, d)
     val old = emb.filter(col("vec_id") % 3 =!= 0)
     val delta = emb.filter(col("vec_id") % 3 === 0)
@@ -271,12 +271,14 @@ class StoreRoundTripSpec extends AnyFunSuite {
     val inMem = Dedup.semanticKeepersBestDelta(inMemStore, delta, tau, k)
     val tables = Seq("sb_bits_rt" -> ("vec_id", inMemStore.bits),
       "sb_graph_rt" -> ("src", inMemStore.graph),
-      "sb_asg_rt" -> ("vec_id", inMemStore.assignment))
+      "sb_asg_rt" -> ("vec_id", inMemStore.assignment),
+      "sb_pairs_rt" -> ("id_a", inMemStore.pairs))
     tables.foreach { case (t, _) => dropTable(t) }
     tables.foreach { case (t, (key, df)) => Sinks.writeBucketed(df, t, key, 8) }
     val fromTable = Dedup.semanticKeepersBestDelta(
       Dedup.SemanticBestStore(spark.table("sb_bits_rt"),
-        spark.table("sb_graph_rt"), spark.table("sb_asg_rt"), tau, k),
+        spark.table("sb_graph_rt"), spark.table("sb_asg_rt"),
+        spark.table("sb_pairs_rt"), tau, k),
       delta, tau, k)
     def asg(df: DataFrame) = df.as[(Long, Long, Int)].collect().toSet
     val full = asg(Dedup.semanticKeepersBest(emb, tau, k))
@@ -286,6 +288,12 @@ class StoreRoundTripSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet ==
       inMem.updatedStore.graph.select(col("src"), col("dst"))
         .as[(Long, Long)].collect().toSet)
+    // the grown PAIR table is row-for-row the fresh build's (r16 —
+    // retraction's re-closure reads it, so its maintenance is
+    // correctness-bearing, not bookkeeping)
+    def prs(df: DataFrame) = df.as[(Long, Long)].collect().toSet
+    assert(prs(fromTable.updatedStore.pairs) ==
+      prs(Dedup.semanticBestStore(emb, tau, k).pairs))
     tables.foreach { case (t, _) => dropTable(t) }
   }
 
