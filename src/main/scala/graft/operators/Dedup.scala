@@ -1342,6 +1342,21 @@ object Dedup {
                                                      edges: DataFrame,
                                                      assignment: DataFrame)
 
+  /** The store's kNN-graph depth: top-(k+s) with s = k, i.e. each
+    * probe keeps a SURPLUS of k scored edges past the k the pagerank
+    * reads (r16, the §6-named follow-up to the retraction probe's
+    * anatomy: the affected-probe re-rank was the takedown pass's
+    * honest cost center). The surplus is what makes retraction
+    * filter-only for almost every probe: a probe that lost t of its
+    * stored edges still KNOWS its fresh top-k as long as ≥ k stored
+    * edges survive — anything outside the stored list was displaced
+    * by depth betters, of which ≥ depth−t ≥ k remain — so only
+    * probes that lose MORE THAN HALF a doubled list re-rank over
+    * bucket mates (P ≈ Binom(2k, |r|/N) > k — negligible at real
+    * takedown rates). Price: 2× graph-store rows; the pagerank and
+    * election read the `rnk <= k` slice, so compute is unchanged. */
+  private[graft] def graphDepth(k: Int): Int = 2 * k
+
   /** `cacheBits` picks how the two bucket families get their sign
     * bits. `false` (DEFAULT since r16) recomputes each family's
     * plane dots inline from the source — the r13 shape; `true`
@@ -1363,7 +1378,13 @@ object Dedup {
                                  tau: Double, k: Int,
                                  nTables: Int, planesPerTable: Int,
                                  dim: Int,
-                                 cacheBits: Boolean = false): SemanticBestFrames = {
+                                 cacheBits: Boolean = false,
+                                 depth: Int = 0): SemanticBestFrames = {
+    // edge-list depth: k for the batch row (the edges die with the
+    // pass), graphDepth(k) for the store build (the surplus buys
+    // filter-only retraction). The pagerank reads rnk <= k either
+    // way, so the assignment is depth-invariant.
+    val edgeDepth = math.max(depth, k)
     val e = embeddings.select(col("vec_id"), col("embedding").as("v"))
     // the sign word must span BOTH families: the nTables×planesPerTable
     // cluster family and the fixed 4×6 graph family. With default
@@ -1406,15 +1427,21 @@ object Dedup {
         (Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
           .as("cos_sim"))
       .distinct()
-    // edges KEEP their cosine (r15): the incremental form's graph
-    // maintenance merges stored top-k rows with fresh delta-pair
-    // scores, which needs the stored score — free here (rankTopK
-    // already carries it), and pagerank ignores extra columns
+    // edges KEEP their cosine (r15) and their rank (r16): the
+    // incremental form's graph maintenance merges stored rows with
+    // fresh delta-pair scores, which needs the stored score; the
+    // rank makes the consumers' top-k slice a pure filter; `cap` is
+    // the depth the list was last fully ranked at, the per-probe
+    // constant that lets maintenance tell an EXHAUSTED list (fewer
+    // candidates than cap existed — the stored rows are the whole
+    // pool, so a merge over them is complete) from a retraction-
+    // DECAYED one (the list is exact only to its own length) —
+    // rankTopK carries rnk for free, cap is a literal here
     val edges = CacheTracker.persistTracked(
-      Similarity.rankTopK(gScored, k)
+      Similarity.rankTopK(gScored, edgeDepth)
         .select(col("probe_id").as("src"), col("neighbor_id").as("dst"),
-          col("cos_sim")))
-    val ranks = Similarity.pagerankFromEdges(edges,
+          col("cos_sim"), col("rnk"), lit(edgeDepth).as("cap")))
+    val ranks = Similarity.pagerankFromEdges(edges.filter(col("rnk") <= k),
         embeddings.select(col("vec_id")), iters = 3, damping = 0.85)
       .select(col("vec_id").as("doc_id"),
         floor(col("pagerank") * lit(1000000000.0)).cast("long").as("s9"))
@@ -1483,9 +1510,17 @@ object Dedup {
     * incremental form): the plane-dot SIGN-WORD table (one row per
     * vector — BOTH bucket families derive from it by shift/mask, so
     * the store never persists exploded bucket rows), the kNN graph's
-    * SCORED edge list (k·N rows of (src, dst, cos_sim) — the score is
-    * what lets an ingest merge stored top-k rows with fresh
-    * delta-pair scores instead of re-ranking whole buckets, r15),
+    * SCORED edge list at SURPLUS depth [[graphDepth]] = 2k — rows of
+    * (src, dst, cos_sim, rnk, cap), where the score is what lets an
+    * ingest merge stored rows with fresh delta-pair scores instead
+    * of re-ranking whole buckets (r15), the k edges of surplus past
+    * the `rnk <= k` slice the pagerank reads are what let a
+    * RETRACTION recover almost every touched probe's fresh top-k by
+    * FILTERING stored rows instead of re-scoring bucket mates (r16),
+    * and `cap` (the per-probe depth the list was last fully ranked
+    * at) distinguishes a pool-EXHAUSTED list from a retraction-
+    * DECAYED one; the invariant every maintainer preserves is
+    * list = top-min(cap, pool) with cap >= k —
     * the verified ≥ tau cluster-PAIR list (r16 — pairs are
     * value-determined, so retraction can re-close a component that
     * lost a member by FILTERING this edge list instead of
@@ -1519,7 +1554,7 @@ object Dedup {
                         nTables: Int = 6, planesPerTable: Int = 4,
                         dim: Int = 64): SemanticBestStore = {
     val f = semanticBestFrames(embeddings, tau, k, nTables, planesPerTable,
-      dim)
+      dim, depth = graphDepth(k))
     SemanticBestStore(f.bits, f.edges, f.assignment, f.pairs, tau, k,
       nTables, planesPerTable)
   }
@@ -1546,9 +1581,10 @@ object Dedup {
     *    broadcast remap; min-id labels are not needed — any
     *    canonical label induces the same GROUPING, which is all the
     *    election reads).
-    *  - kNN graph: MERGED-top-k maintenance (r15) — stored edges
-    *    carry their scores, so a non-delta vector's fresh top-k is
-    *    topK(its stored top-k ∪ its scores against DELTA bucket
+    *  - kNN graph: MERGED-top-k maintenance (r15) at SURPLUS depth
+    *    [[graphDepth]] (r16) — stored edges carry their scores, so a
+    *    non-delta vector's fresh ranking to its stored cap is
+    *    topK(its stored prefix ∪ its scores against DELTA bucket
     *    mates) and only delta-touching pairs are ever scored
     *    (delta-proportional work; the r14 bucket-membership re-rank
     *    degenerated to a ~full-graph rebuild whenever |delta| ≳
@@ -1599,6 +1635,12 @@ object Dedup {
         "cos_sim column, but merged-top-k maintenance needs scored " +
         "edges — rebuild the store with this version's " +
         "semanticBestStore")
+    require(store.graph.columns.contains("rnk") &&
+        store.graph.columns.contains("cap"),
+      "pre-r16 SemanticBestStore: the persisted kNN graph has no " +
+        "(rnk, cap) columns — surplus-depth maintenance needs the " +
+        "stored ranking and its per-probe cap; rebuild the store " +
+        "with this version's semanticBestStore")
     // sign-word width: same rule as the build side (max of the two
     // families — hyperplanes are prefix-stable, so any cluster-family
     // geometry is sound as long as BUILD and DELTA use the same
@@ -1667,8 +1709,8 @@ object Dedup {
     // 64-bucket table, making `affected` 95% of the corpus: the
     // "bucket-bounded" set degenerates to N whenever |delta| ≳
     // #buckets. The exact fix: stored edges carry their SCORES, so a
-    // non-delta vector's fresh top-k is
-    //   topK(stored top-k ∪ its scores against DELTA bucket mates)
+    // non-delta vector's fresh ranking to its stored depth is
+    //   topK(stored prefix ∪ its scores against DELTA bucket mates)
     // — top-k of a union is contained in the union of top-k's, the
     // heap order is total (score desc, id asc — TopKHeap), old-old
     // scores are immutable under the same-bytes contract, and the
@@ -1709,12 +1751,39 @@ object Dedup {
       .join(dIds.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
       .select(col("src").as("probe_id"), col("dst").as("neighbor_id"),
         col("cos_sim"))
+    // surplus maintenance (r16): merge at graphDepth(k), then cut
+    // each probe at the depth the merge is provably exact to. A
+    // probe whose stored list was pool-EXHAUSTED (cnt0 < cap0 — the
+    // stored rows were its entire old candidate pool) merges
+    // COMPLETE candidate sets and cuts at full depth; otherwise the
+    // stored list is exact only to its own cap (a retraction may
+    // have decayed it below graphDepth), and an old candidate just
+    // past it — absent from the merge — could legally occupy any
+    // deeper position, so the cut is cap0 (every fresh position
+    // 1..cap0 is present: old ones are inside the stored prefix,
+    // delta ones are all scored; anything missing is beaten by the
+    // cap0 stored betters). Fresh probes (delta src, or no stored
+    // rows at all — an empty old pool) ranked over their whole pool
+    // cut at full depth. The emitted `cap` IS the cut depth, which
+    // re-establishes the store invariant list = top-min(cap, pool).
+    val gd = graphDepth(k)
+    val caps = store.graph.groupBy(col("src"))
+      .agg(max(col("cap")).as("cap0"), count(lit(1)).as("cnt0"))
+      .join(dIds.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+      .select(col("src").as("probe_id"),
+        when(col("cnt0") < col("cap0"), lit(gd))
+          .otherwise(least(col("cap0"), lit(gd))).cast("int").as("cut"))
     val grown = CacheTracker.persistTracked(
-      Similarity.rankTopK(kept.union(vsDelta).union(deltaSide), k)
+      Similarity.rankTopK(kept.union(vsDelta).union(deltaSide), gd)
+        .join(caps, Seq("probe_id"), "left")
+        .filter(col("rnk") <= coalesce(col("cut"), lit(gd)))
         .select(col("probe_id").as("src"), col("neighbor_id").as("dst"),
-          col("cos_sim")))
-    // pagerank + election: global by nature, linear by construction
-    val ranks = Similarity.pagerankFromEdges(grown,
+          col("cos_sim"), col("rnk"),
+          coalesce(col("cut"), lit(gd)).as("cap")))
+    // pagerank + election: global by nature, linear by construction —
+    // over the rnk <= k slice, which the prefix invariant makes
+    // exactly the fresh build's top-k graph
+    val ranks = Similarity.pagerankFromEdges(grown.filter(col("rnk") <= k),
         allBits.select(col("vec_id")), iters = 3, damping = 0.85)
       .select(col("vec_id"),
         floor(col("pagerank") * lit(1000000000.0)).cast("long").as("s9"))
@@ -1771,17 +1840,21 @@ object Dedup {
     *    across touched/untouched).
     *  - '''kNN graph''': the merged-top-k argument runs one
     *    direction only — an ingest can merge new candidates into a
-    *    stored top-k, but a removal can PROMOTE a neighbor the
-    *    stored top-k had displaced, and the store no longer knows
-    *    who was displaced. The affected probes are exactly those
-    *    with a retracted dst among their stored top-k edges (a
-    *    delta-proportional set: expected fraction ≈ 1-(1-|r|/N)^k);
-    *    those re-rank fresh over their surviving bucket mates.
-    *    Every other probe's stored top-k IS the fresh top-k: its
-    *    k best candidates all survive, and removing candidates it
-    *    had already displaced changes nothing (exactness by the
-    *    same total heap order as the ingest merge). Edges with a
-    *    retracted endpoint drop.
+    *    stored prefix, but a removal can PROMOTE a neighbor the
+    *    stored list had displaced, and the store no longer knows
+    *    who was displaced. The SURPLUS (r16, [[graphDepth]] = 2k
+    *    stored edges per probe where the pagerank reads k) absorbs
+    *    almost all of that: a probe that lost t stored edges still
+    *    holds the true top-(cap − t) over the survivors, so as long
+    *    as cap − t ≥ k (or its list was pool-exhausted — then the
+    *    survivors ARE its whole fresh pool) the takedown is an edge
+    *    FILTER plus a scoring-free rank re-densify. Only probes
+    *    that lose more than their whole surplus — expected
+    *    P[Binom(2k, |r|/N) > k] of probes, vs ≈ 1-(1-|r|/N)^k under
+    *    the pre-surplus any-lost-dst rule that the r16 probe
+    *    anatomy measured as the pass's cost center — re-rank fresh
+    *    over their surviving bucket mates. Edges with a retracted
+    *    endpoint drop.
     *  - '''pagerank + election''': global by nature, rerun — 3
     *    edge-keyed joins over the k·N' graph plus two cluster-keyed
     *    aggregates, corpus-linear, same honest floor as the ingest
@@ -1812,6 +1885,12 @@ object Dedup {
       "pre-r15 SemanticBestStore: the persisted kNN graph has no " +
         "cos_sim column — retraction's kept-edge path needs scored " +
         "edges; rebuild the store")
+    require(store.graph.columns.contains("rnk") &&
+        store.graph.columns.contains("cap"),
+      "pre-r16 SemanticBestStore: the persisted kNN graph has no " +
+        "(rnk, cap) columns — surplus-depth retraction needs the " +
+        "stored ranking and its per-probe cap; rebuild the store " +
+        "with this version's semanticBestStore")
     val sp = retractIds.sparkSession
     val rIds = CacheTracker.persistTracked(
       retractIds.select(col("vec_id")).distinct())
@@ -1847,20 +1926,58 @@ object Dedup {
       .join(broadcast(touchedKeys), Seq("keep_id"), "left_anti")
       .select(col("vec_id"), col("keep_id").as("cluster_id"))
     val partition = untouchedPart.union(touchedPart)
-    // ---- graph: drop retracted endpoints; re-rank exactly the
-    // probes whose stored top-k lost a dst (removal can promote a
-    // displaced candidate the store no longer remembers)
-    val affected = CacheTracker.persistTracked(store.graph
+    // ---- graph: drop retracted endpoints. The SURPLUS (r16 —
+    // [[graphDepth]] = 2k stored edges per probe) makes this
+    // filter-only for almost every touched probe: a stored list is
+    // exact to its cap, so losing t of its rows leaves the true
+    // top-(cap − t) over the survivors — anything outside the list
+    // was displaced by cap betters, of which ≥ cap − t remain. A
+    // probe re-scores over its bucket mates ONLY when (a) its list
+    // was NOT pool-exhausted (an exhausted list minus retracted rows
+    // IS the whole surviving pool — fresh by definition at any
+    // length) AND (b) cap − t < k (the surviving prefix can no
+    // longer prove the rnk <= k slice the pagerank reads). At a
+    // |r|/N takedown the re-score set is P[Binom(2k, |r|/N) > k] of
+    // probes — negligible where the pre-surplus rule (re-rank on ANY
+    // lost dst, ≈ 1-(1-|r|/N)^k of probes) was the measured cost
+    // center of the whole takedown pass (§6 r16 probe anatomy).
+    val gd = graphDepth(k)
+    val lost = store.graph
       .join(rIds.select(col("vec_id").as("dst")), Seq("dst"))
-      .select(col("src").as("vec_id")).distinct()
-      .join(rIds, Seq("vec_id"), "left_anti"))
-    val kept = store.graph
+      .groupBy(col("src")).agg(count(lit(1)).as("t"))
+      .join(rIds.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+    val stats = store.graph.groupBy(col("src"))
+      .agg(max(col("cap")).as("cap0"), count(lit(1)).as("cnt0"))
+      .join(lost, Seq("src"))
+    val affected = CacheTracker.persistTracked(stats
+      .filter(col("cnt0") === col("cap0") && col("cap0") - col("t") < k)
+      .select(col("src").as("vec_id")))
+    // lost-but-sufficient probes: surviving rows keep their order —
+    // rnk re-densifies over the gaps the retracted rows left (a
+    // scoring-free heap pass over their own stored rows), and cap
+    // drops by t for non-exhausted lists (exhausted lists stay
+    // whole-pool at their old cap)
+    val decayed = stats
+      .join(affected.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+      .select(col("src"),
+        when(col("cnt0") < col("cap0"), col("cap0"))
+          .otherwise(col("cap0") - col("t")).cast("int").as("cap1"))
+    val survGraph = store.graph
       .join(rIds.select(col("vec_id").as("src")), Seq("src"), "left_anti")
       .join(rIds.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
-      .join(affected.select(col("vec_id").as("src")), Seq("src"),
-        "left_anti")
-      .select(col("src").as("probe_id"), col("dst").as("neighbor_id"),
-        col("cos_sim"))
+    val untouched = survGraph
+      .join(lost.select(col("src")), Seq("src"), "left_anti")
+      .select(col("src"), col("dst"), col("cos_sim"), col("rnk"),
+        col("cap"))
+    val keptDecayed = Similarity.rankTopK(
+        survGraph.join(decayed.select(col("src")), Seq("src"))
+          .select(col("src").as("probe_id"), col("dst").as("neighbor_id"),
+            col("cos_sim")), gd)
+      .join(decayed.select(col("src").as("probe_id"), col("cap1")),
+        Seq("probe_id"))
+      .select(col("probe_id").as("src"), col("neighbor_id").as("dst"),
+        col("cos_sim"), col("rnk"), col("cap1").as("cap"))
+      .transform(stageCount("bestRetract.decayed", _))
     val aBuckets = Similarity.bucketedFromBits(
       bits.join(affected, Seq("vec_id")), GraphTables, GraphPlanes)
     val allBuckets = Similarity.bucketedFromBits(bits,
@@ -1876,12 +1993,15 @@ object Dedup {
       .distinct()
       .transform(stageCount("bestRetract.rescored", _))
     val shrunk = CacheTracker.persistTracked(
-      kept.union(Similarity.rankTopK(rescored, k)
-          .select(col("probe_id"), col("neighbor_id"), col("cos_sim")))
-        .select(col("probe_id").as("src"), col("neighbor_id").as("dst"),
-          col("cos_sim")))
-    // ---- pagerank + election: global, linear — same as the ingest
-    val ranks = Similarity.pagerankFromEdges(shrunk,
+      untouched
+        .union(keptDecayed)
+        .union(Similarity.rankTopK(rescored, gd)
+          .select(col("probe_id").as("src"), col("neighbor_id").as("dst"),
+            col("cos_sim"), col("rnk"), lit(gd).as("cap"))))
+    // ---- pagerank + election: global, linear — same as the ingest,
+    // over the rnk <= k slice the prefix invariant proves exact
+    val ranks = Similarity.pagerankFromEdges(
+        shrunk.filter(col("rnk") <= k),
         bits.select(col("vec_id")), iters = 3, damping = 0.85)
       .select(col("vec_id"),
         floor(col("pagerank") * lit(1000000000.0)).cast("long").as("s9"))

@@ -418,12 +418,16 @@ object DedupRegistry {
         .assignment
     }),
     // RETRACTION, centrality capstone (r16): takedown against the
-    // ServingIndexes-memoized FULL-corpus bits/pairs/graph/assignment store
-    // — probes whose stored top-k lost a dst re-rank over surviving
-    // bucket mates (removal can promote a displaced candidate, the
-    // one direction the ingest merge can't cover), components that
-    // lost a member re-close, pagerank + election rerun globally
-    // (linear). Retract ≡ full over survivors, so the oracle is
+    // ServingIndexes-memoized FULL-corpus bits/pairs/graph/assignment store.
+    // The graph is stored at SURPLUS depth 2k, so a probe that lost a
+    // stored dst recovers its fresh top-k by FILTERING its stored
+    // rows (removal can promote a displaced candidate — the one
+    // direction the ingest merge can't cover — but the surplus still
+    // remembers the next k displaced ones); only probes that lose
+    // more than the whole surplus re-rank over surviving bucket
+    // mates. Components that lost a member re-close from the stored
+    // pair list, pagerank + election rerun globally (linear).
+    // Retract ≡ full over survivors, so the oracle is
     // dd_semantic_best's replay over the survivor slice.
     "dd_semantic_retract" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)

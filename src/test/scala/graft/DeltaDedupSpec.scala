@@ -628,15 +628,27 @@ class DeltaDedupSpec extends AnyFunSuite {
     // least one multi-member cluster
     assert(store.graph.join(rIds.withColumnRenamed("vec_id", "dst"),
       Seq("dst")).count() > 0)
-    // the shrunk graph is ROW-FOR-ROW the fresh build's (the one
-    // direction the ingest merge can't cover: a removal PROMOTES
-    // previously displaced candidates for exactly the probes that
-    // lost a stored top-k dst)
-    def gset(st: Dedup.SemanticBestStore): Set[(Long, Long)] =
-      st.graph.select(col("src"), col("dst")).as[(Long, Long)]
-        .collect().toSet
+    // the shrunk graph's rnk <= k slice is ROW-FOR-ROW the fresh
+    // build's — the slice the pagerank + election read, so THE
+    // correctness-bearing contract (the one direction the ingest
+    // merge can't cover: a removal PROMOTES previously displaced
+    // candidates, which the surplus absorbs for probes that kept
+    // >= k stored edges and a fresh bucket re-rank covers for the
+    // rest)
+    def kslice(st: Dedup.SemanticBestStore): Set[(Long, Long, Int)] =
+      st.graph.filter(col("rnk") <= k)
+        .select(col("src"), col("dst"), col("rnk"))
+        .as[(Long, Long, Int)].collect().toSet
     val freshSurv = Dedup.semanticBestStore(surv, tau, k)
-    assert(gset(r.updatedStore) == gset(freshSurv))
+    assert(kslice(r.updatedStore) == kslice(freshSurv))
+    // …and the SURPLUS region is never wrong, only possibly shorter:
+    // every stored row sits at exactly its fresh rank (a decayed
+    // probe's surviving list is a PREFIX of the fresh ranking — the
+    // invariant that keeps chained retractions and ingests exact)
+    def grows(st: Dedup.SemanticBestStore): Set[(Long, Long, Int)] =
+      st.graph.select(col("src"), col("dst"), col("rnk"))
+        .as[(Long, Long, Int)].collect().toSet
+    assert(grows(r.updatedStore).subsetOf(grows(freshSurv)))
     // …and so is the shrunk PAIR table (r16: the stored verified pair
     // list is what the re-closure filters, so its maintenance is
     // correctness-bearing)
@@ -667,6 +679,19 @@ class DeltaDedupSpec extends AnyFunSuite {
         store.copy(graph = store.graph.select("src", "dst")),
         emb.limit(1), tau, k)
     }.getMessage.contains("cos_sim"))
+    // …and a scored-but-unranked graph (r15 store) is its own
+    // readable contract error on both paths (r16: surplus
+    // maintenance needs the stored ranking and per-probe cap)
+    assert(intercept[IllegalArgumentException] {
+      Dedup.semanticBestRetract(
+        store.copy(graph = store.graph.select("src", "dst", "cos_sim")),
+        rIds, tau, k)
+    }.getMessage.contains("rnk"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.semanticKeepersBestDelta(
+        store.copy(graph = store.graph.select("src", "dst", "cos_sim")),
+        emb.limit(1), tau, k)
+    }.getMessage.contains("rnk"))
   }
 
   test("semanticBestRetract composes with the ingest in either order") {
@@ -705,6 +730,67 @@ class DeltaDedupSpec extends AnyFunSuite {
       Dedup.semanticBestStore(old, tau, k), rIds, tau, k)
     assert(asn(Dedup.semanticKeepersBestDelta(roundTrip(ret.updatedStore),
       delta, tau, k).assignment) == want)
+  }
+
+  test("semanticBestRetract: surplus decay stays exact across chained passes") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tau = 0.35
+    val k = 5
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    val r1 = old.filter(col("vec_id") % 20 === 7).select("vec_id")
+    val r2 = old.filter(col("vec_id") % 20 === 3).select("vec_id")
+    def roundTrip(st: Dedup.SemanticBestStore): Dedup.SemanticBestStore = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sbd").toString
+      st.bits.write.parquet(s"$dir/bits")
+      st.graph.write.parquet(s"$dir/graph")
+      st.assignment.write.parquet(s"$dir/asg")
+      st.pairs.write.parquet(s"$dir/pairs")
+      Dedup.SemanticBestStore(spark.read.parquet(s"$dir/bits"),
+        spark.read.parquet(s"$dir/graph"), spark.read.parquet(s"$dir/asg"),
+        spark.read.parquet(s"$dir/pairs"),
+        st.tau, st.k, st.nTables, st.planesPerTable)
+    }
+    def kslice(st: Dedup.SemanticBestStore): Set[(Long, Long, Int)] =
+      st.graph.filter(col("rnk") <= k)
+        .select(col("src"), col("dst"), col("rnk"))
+        .as[(Long, Long, Int)].collect().toSet
+    def checkStep(st: Dedup.SemanticBestStore, asg: DataFrame,
+                  members: DataFrame): Unit = {
+      assert(asn(asg) == asn(Dedup.semanticKeepersBest(members, tau, k)))
+      assert(kslice(st) == kslice(Dedup.semanticBestStore(members, tau, k)))
+    }
+    // retract → retract-on-a-DECAYED-store → ingest-with-per-probe
+    // caps → retract-after-the-capped-ingest: each step must keep
+    // the pagerank slice exactly the fresh build's even though the
+    // surplus region decays (the chain is where a bookkeeping slip —
+    // treating a decayed list as full-depth, or an exhausted one as
+    // decayed — would surface as a silently wrong election)
+    val st0 = roundTrip(Dedup.semanticBestStore(old, tau, k))
+    val s1 = Dedup.semanticBestRetract(st0, r1, tau, k)
+    val m1 = old.join(r1, Seq("vec_id"), "left_anti")
+    checkStep(s1.updatedStore, s1.assignment, m1)
+    // the surplus must have actually decayed somewhere, or this test
+    // exercises nothing
+    assert(s1.updatedStore.graph.filter(col("cap") < 2 * k).count() > 0)
+    val s2 = Dedup.semanticBestRetract(roundTrip(s1.updatedStore), r2, tau, k)
+    val m2 = m1.join(r2, Seq("vec_id"), "left_anti")
+    checkStep(s2.updatedStore, s2.assignment, m2)
+    val s3 = Dedup.semanticKeepersBestDelta(roundTrip(s2.updatedStore),
+      delta, tau, k)
+    val m3 = m2.union(delta)
+    checkStep(s3.updatedStore, s3.assignment, m3)
+    val r3 = delta.filter(col("vec_id") % 12 === 0).select("vec_id")
+    val s4 = Dedup.semanticBestRetract(roundTrip(s3.updatedStore), r3, tau, k)
+    checkStep(s4.updatedStore, s4.assignment,
+      m3.join(r3, Seq("vec_id"), "left_anti"))
+    // and a takedown DEEPER than the surplus forces the bucket
+    // re-rank path (lose > k of 2k stored edges): still exact
+    val big = old.filter(col("vec_id") % 2 === 0).select("vec_id")
+    val sBig = Dedup.semanticBestRetract(st0, big, tau, k)
+    checkStep(sBig.updatedStore, sBig.assignment,
+      old.join(big, Seq("vec_id"), "left_anti"))
   }
 
   test("Dedup.cached releases every persist the bracket's operators took") {
