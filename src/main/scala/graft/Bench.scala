@@ -139,22 +139,25 @@ object Bench {
     * dd_semantic_best_delta's band floor reflects the r15 merged-
     * top-k rework (6.9 graded / 6.1 same-box replay); wc_wordcount's
     * is the BASELINE.md-graded row (0.27-0.33 across r11-r15). */
+  /** Lows sit well under the fastest CLEAN full-run reading (r16
+    * close: a fast pass read cp_dup_attribution 4.06 and
+    * dd_semantic_retract 4.98 under the first-cut lows and
+    * self-flagged — a low exists to catch wrong-row/empty-input
+    * anomalies, not a fast box, so lows are ~60-75% of the best
+    * clean reading while highs stay the regression side). */
   val WatchBands: Map[String, (Double, Double)] = Map(
-    "dd_semantic" -> (2.5, 5.0),
-    "cp_dup_attribution" -> (4.2, 8.0),
-    "dd_paragraph" -> (0.5, 1.2),
-    "q18_large_orders" -> (0.8, 2.2),
-    "dd_keep_best_dedup" -> (4.2, 7.5),
-    "dd_minhash" -> (0.8, 1.9),
-    "dd_semantic_best_delta" -> (5.0, 9.5),
-    // r16-only history (new row, post-surplus store): full-run 7.04
-    // at box_ratio 0.73, isolated 6.6-10.6 across same-code sched
+    "dd_semantic" -> (2.0, 5.0),
+    "cp_dup_attribution" -> (3.2, 8.0),
+    "dd_paragraph" -> (0.45, 1.2),
+    "q18_large_orders" -> (0.7, 2.2),
+    "dd_keep_best_dedup" -> (3.5, 7.5),
+    "dd_minhash" -> (0.7, 1.9),
+    "dd_semantic_best_delta" -> (4.2, 9.5),
+    // r16-only history (new row, post-surplus store): clean full
+    // runs 4.98-7.04, isolated 6.6-10.6 across same-code sched
     // drift — wide band for a floor-dominated row, read with the
     // line's box_ratio and the row's own {m, n, g}
-    "dd_semantic_retract" -> (5.0, 12.0),
-    // low 0.15 not 0.2: an isolated r16 pass read 0.199 — sub-0.2 is
-    // a fast box, not a wrong row (the row's floor-scale is ~3 sched
-    // floors); the band's low exists to catch empty-input anomalies
+    "dd_semantic_retract" -> (4.0, 12.0),
     "wc_wordcount" -> (0.15, 0.45))
 
   /** Every `*_served` row beside its build sibling. The compact line
