@@ -793,6 +793,55 @@ class DeltaDedupSpec extends AnyFunSuite {
       old.join(big, Seq("vec_id"), "left_anti"))
   }
 
+  test("semanticBestRetract: whole-cluster and keeper-only takedowns") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tau = 0.35
+    val k = 5
+    val store = Dedup.semanticBestStore(emb, tau, k)
+    // two multi-member clusters picked FROM the store, so the test
+    // self-adapts to the data: retract EVERY member of the first
+    // (the component vanishes — its re-closure sees an empty
+    // survivor pair set and must leave no residue in any table) and
+    // only the KEEPER of the second (the stored keep_id label dies
+    // while members survive — the grouping must re-close and
+    // re-elect without it). The hash-scattered main test is
+    // unlikely to construct either shape deliberately.
+    // collected ONCE, driver-side: deriving the takedown frame
+    // lazily from store.assignment would nest the whole build
+    // pipeline inside every retract-stage anti-join/broadcast (the
+    // plan-tree explosion the composition test's parquet round trip
+    // exists to avoid) — literal id frames keep the plans bounded
+    val byKeeper = store.assignment.select(col("vec_id"), col("keep_id"))
+      .as[(Long, Long)].collect().groupBy(_._2).filter(_._2.length >= 2)
+    assert(byKeeper.size >= 2,
+      s"need two multi-member clusters at tau=$tau, got ${byKeeper.size}")
+    val ks = byKeeper.keys.toSeq.sorted
+    val c1 = ks(0)
+    val c2 = ks(1)
+    val dead = byKeeper(c1).map(_._1).toSeq.sorted
+    val rIds = (dead :+ c2).toDF("vec_id")
+    val surv = emb.join(rIds, Seq("vec_id"), "left_anti")
+    val r = Dedup.semanticBestRetract(store, rIds, tau, k)
+    assert(asn(r.assignment) == asn(Dedup.semanticKeepersBest(surv, tau, k)))
+    // the vanished component leaves nothing behind: no assignment
+    // row, no graph edge at EITHER endpoint (cross-cluster kNN edges
+    // into the dead ids must drop too), no pair row
+    assert(r.updatedStore.assignment
+      .filter(col("vec_id").isin(dead: _*)).count() == 0)
+    assert(r.updatedStore.graph
+      .filter(col("src").isin(dead: _*) || col("dst").isin(dead: _*))
+      .count() == 0)
+    assert(r.updatedStore.pairs
+      .filter(col("id_a").isin(dead: _*) || col("id_b").isin(dead: _*))
+      .count() == 0)
+    // c2's surviving members re-elected a LIVE keeper — the dead
+    // label cannot linger as anyone's keep_id
+    assert(r.assignment.filter(col("keep_id") === c2).count() == 0)
+    assert(r.updatedStore.assignment
+      .filter(col("keep_id") === c2).count() == 0)
+  }
+
   test("Dedup.cached releases every persist the bracket's operators took") {
     // a corpus no other test uses: CacheManager dedupes cache entries
     // by canonical plan, so reusing another test's data would make the
