@@ -121,6 +121,12 @@ object Bench {
       // 6.6-10.6 s as calibration_sched drifted 0.030→0.060; carry
       // {m, n, g} + band so the next drift self-adjudicates
       "dd_semantic_retract",
+      // r17 (VERDICT r16 item #4): knn_outliers graded 0.705 vs 0.259
+      // r15 with no intra flag — it sits right after the intra-flagged
+      // E-block window, so all five passes likely rode it, which the
+      // median-vs-own-min rule can't see; band it so the next reading
+      // self-adjudicates
+      "knn_outliers",
       // wc_wordcount stays LAST so the BASELINE.md-graded row rides
       // the surviving end of the driver's truncated stdout tail
       "wc_wordcount")
@@ -143,7 +149,7 @@ object Bench {
     * close: a fast pass read cp_dup_attribution 4.06 and
     * dd_semantic_retract 4.98 under the first-cut lows and
     * self-flagged — a low exists to catch wrong-row/empty-input
-    * anomalies, not a fast box, so lows are ~60-75% of the best
+    * anomalies, not a fast box, so lows are ~60-80% of the best
     * clean reading while highs stay the regression side). */
   val WatchBands: Map[String, (Double, Double)] = Map(
     "dd_semantic" -> (2.0, 5.0),
@@ -158,6 +164,9 @@ object Bench {
     // drift — wide band for a floor-dominated row, read with the
     // line's box_ratio and the row's own {m, n, g}
     "dd_semantic_retract" -> (4.0, 12.0),
+    // r12-r15 clean gradings 0.26-0.35; r16's 0.705 is the suspected
+    // E-block interference reading and is excluded from the band
+    "knn_outliers" -> (0.16, 0.55),
     "wc_wordcount" -> (0.15, 0.45))
 
   /** Every `*_served` row beside its build sibling. The compact line
@@ -586,10 +595,32 @@ object Bench {
         }.mkString(",\"watch\":{", ",", "}")
         val out = present.flatMap { case (k, q) =>
           WatchBands.get(k).collect { case (lo, hi)
-            if median(q.times) < lo || median(q.times) > hi => "\"" + k + "\""
+            if median(q.times) < lo || median(q.times) > hi => k
           }
         }
-        entries + out.mkString(",\"watch_out\":[", ",", "]")
+        // r17 (VERDICT r16 item #2): a watch_out row re-measures ONCE
+        // (one warm-up + one timed pass, the graded rows' protocol),
+        // isolated, at end of pass — every other row's work is done, so
+        // this reading cannot ride a mid-run interference window — and
+        // the result lands beside m/n/g as `recheck`. This extends the
+        // intra block's in-file self-adjudication to the one case intra
+        // can't arbitrate: a row whose WHOLE 5-pass window was
+        // interfered with (median AND min both spiked). An in-band
+        // recheck under an out-of-band median says environment, not
+        // code; an out-of-band recheck says the row really moved.
+        val recheckJson =
+          if (out.isEmpty) ""
+          else {
+            val re = out.flatMap { k =>
+              val q = time(spark, k, Seq(sfDir), 1)(sfDir)
+              if (q.failed) None
+              else Some("\"" + k + "\":" + fmt3(q.times.head))
+            }
+            re.mkString(",\"recheck\":{", ",", "}")
+          }
+        entries +
+          out.map("\"" + _ + "\"").mkString(",\"watch_out\":[", ",", "]") +
+          recheckJson
       }
     }
     // INTRA-RUN interference self-adjudication (r15, VERDICT r14

@@ -245,6 +245,59 @@ object Dedup {
     ParagraphDelta(assignment, store.union(newFps))
   }
 
+  /** The occurrence MEMBER store paragraph retraction needs beside
+    * the slim keeper store — one (doc_id, para_idx, fp) row per live
+    * paragraph occurrence ([[memberStore]] one granularity down, same
+    * rationale: the (fp, keep_doc, keep_idx) keeper table cannot
+    * re-elect after a takedown because it no longer knows who the
+    * surviving occurrences are). Bucketed on fp at scale like the
+    * keeper table; an ingest appends its delta's occurrence rows, a
+    * retraction anti-joins the retracted docs out. */
+  def paragraphMemberStore(docs: DataFrame, spanTokens: Int = 16): DataFrame =
+    spanRows(docs, spanTokens).select(col("doc_id"), col("para_idx"),
+      md5(col("para")).as("fp"))
+
+  /** Both shrunk paragraph-store tables after a takedown (inputs to
+    * the next [[paragraphDelta]] or retraction). */
+  final case class ParagraphRetract(updatedStore: DataFrame,
+                                    updatedMembers: DataFrame)
+
+  /** RETRACTION for incremental paragraph dedup — [[exactRetract]]'s
+    * contract one granularity down: remove every paragraph occurrence
+    * of the retracted docs from the keeper store WITHOUT re-splitting
+    * the surviving corpus. The election is the lexicographic-min
+    * (doc_id, para_idx) occurrence, so the exactness argument carries
+    * verbatim: a group that only lost NON-keeper occurrences keeps its
+    * keeper (removing a non-minimum never changes the minimum); a
+    * group whose keeper doc was retracted re-elects the min surviving
+    * occurrence (one fp-keyed aggregate over exactly the affected
+    * groups — bounded by the takedown batch, so it broadcasts); a
+    * group with no survivors drops from the store. Equals
+    * [[paragraphStore]] built fresh over corpus-minus-retracted
+    * whenever the stored keepers are min-elected (sticky non-minima
+    * from earlier delta ingests stay sticky — [[paragraphDelta]]'s
+    * first-writer-wins contract, spec-pinned). Zero text rescans: the
+    * member store carries fingerprints. */
+  def paragraphRetract(store: DataFrame, members: DataFrame,
+                       retractIds: DataFrame): ParagraphRetract = {
+    val r = CacheTracker.persistTracked(
+      retractIds.select(col("doc_id")).distinct())
+    val surv = members.join(broadcast(r), Seq("doc_id"), "left_anti")
+    val affected = store
+      .join(broadcast(r.withColumnRenamed("doc_id", "keep_doc")),
+        Seq("keep_doc"))
+      .select(col("fp"))
+    val reelected = surv.join(broadcast(affected), Seq("fp"))
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("k"))
+      .select(col("fp"), col("k.doc_id").as("keep_doc"),
+        col("k.para_idx").as("keep_idx"))
+    val updatedStore = store.join(broadcast(affected), Seq("fp"), "left_anti")
+      .select(col("fp"), col("keep_doc"), col("keep_idx"))
+      .union(reelected)
+    ParagraphRetract(updatedStore, surv)
+  }
+
   /** Keeper election shared by assignment and rewrite: lexicographic
     * min (doc_id, para_idx) per fingerprint, map-side combinable. */
   private def paraKeepers(fps: DataFrame): DataFrame =
@@ -404,7 +457,8 @@ object Dedup {
     * of store scale is a rebuild over the survivors, not a
     * retraction. */
   def exactRetract(keepers: DataFrame, members: DataFrame,
-                   retractIds: DataFrame): ExactRetract = {
+                   retractIds: DataFrame,
+                   carry: Seq[String] = Nil): ExactRetract = {
     val r = CacheTracker.persistTracked(
       retractIds.select(col("doc_id")).distinct())
     // broadcast-hinted like every takedown-sized frame here: without
@@ -436,12 +490,28 @@ object Dedup {
     val assignment = surv.join(keepers, Seq("fp"))
       .join(broadcast(reelected.withColumnRenamed("keep_id", "new_keep")),
         Seq("fp"), "left")
-      .select(col("doc_id"),
-        coalesce(col("new_keep"), col("keep_id")).as("keep_id"),
+      .select(col("doc_id") +: carry.map(col) :+
+        coalesce(col("new_keep"), col("keep_id")).as("keep_id") :+
         (col("doc_id") =!= coalesce(col("new_keep"), col("keep_id")))
-          .cast("int").as("is_dup"))
+          .cast("int").as("is_dup"): _*)
     ExactRetract(assignment, updatedKeepers, surv)
   }
+
+  /** Shared takedown anti-join: `table` minus the retracted ids on
+    * `key` — the one shape every ELECTION-FREE store retraction needs.
+    * A store whose rows are pure per-doc/per-vector projections
+    * (shingle rows, blocking prefixes, banded sketch keys, LSH bucket
+    * rows, cell assignments, PQ codes) elects nothing, so erasure is
+    * exactly "this id's rows leave the table": the takedown batch
+    * rides a broadcast hint like [[exactRetract]]'s (driver-small by
+    * the retraction-family contract) and the store side streams past
+    * map-side — at scale one metadata-light pass over the bucketed
+    * store table, written back like any delta append. */
+  private[operators] def dropRetracted(table: DataFrame,
+                                       retractIds: DataFrame,
+                                       key: String): DataFrame =
+    table.join(broadcast(retractIds.select(col(key)).distinct()),
+      Seq(key), "left_anti")
 
   /** (doc_id, sz, s) shingle rows, persisted — candidate generation
     * and both sides of the verification join re-read them. Also the
@@ -841,6 +911,21 @@ object Dedup {
       ContainmentStore(allRows, oldPrefix.union(dPrefix), n, tau))
   }
 
+  /** RETRACTION for the containment store (r17 — the serving/delta
+    * stores' takedown family): election-free, so erasure is two
+    * anti-joins — the retracted docs' shingle rows and blocking
+    * prefixes leave, nothing re-elects, no text is rescanned.
+    * Survivors keep their ingest-time prefixes VERBATIM and stay
+    * lossless: a prefix of ⌈(1−τ)·sz⌉+1 shingles witnesses C ≥ τ for
+    * ANY fixed subset of that size (the any-fixed-subset argument in
+    * [[containmentDelta]]'s scaladoc — df order only shapes candidate
+    * volume), so a delta against the shrunk store emits exactly the
+    * pairs a store built fresh over the survivors would. */
+  def containmentRetract(store: ContainmentStore,
+                         retractIds: DataFrame): ContainmentStore =
+    ContainmentStore(dropRetracted(store.rows, retractIds, "doc_id"),
+      dropRetracted(store.prefix, retractIds, "doc_id"), store.n, store.tau)
+
   /** Exact-Jaccard verification of (id_a, id_b) candidate pairs
     * against a shingle store ((doc_id, sz, s) rows, one row per
     * DISTINCT shingle — [[shingleRows]]): |A∩B| by joining both pair
@@ -1002,6 +1087,18 @@ object Dedup {
       MinHashStore(allBanded, allShingles))
   }
 
+  /** RETRACTION for the MinHash store: election-free — the banded
+    * signature keys and shingle rows are per-doc projections, so the
+    * retracted docs' rows leave by two anti-joins and a future
+    * [[minhashLshDelta]] against the shrunk store equals one against
+    * a store built fresh over the survivors (banding and verification
+    * are per-pair deterministic; a removed doc can no longer appear
+    * on either side of a candidate). */
+  def minhashStoreRetract(store: MinHashStore,
+                          retractIds: DataFrame): MinHashStore =
+    MinHashStore(dropRetracted(store.banded, retractIds, "doc_id"),
+      dropRetracted(store.shingles, retractIds, "doc_id"))
+
   /** The persisted sketch store for INCREMENTAL SimHash dedup: one
     * (doc_id, simhash) row per non-empty doc. Unlike MinHash, the
     * banding keys are a cheap scan-side PROJECTION of the 64-bit
@@ -1060,6 +1157,13 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
     SimHashDelta(pairs, allSketch)
   }
+
+  /** RETRACTION for the SimHash sketch store: one anti-join — the
+    * store is one 8-byte sketch row per doc and band keys re-derive
+    * per ingest, so there is nothing else to touch. */
+  def simhashStoreRetract(store: DataFrame,
+                          retractIds: DataFrame): DataFrame =
+    dropRetracted(store, retractIds, "doc_id")
 
   /** 64-bit SimHash near-dup pairs at Hamming distance ≤ `maxDist`.
     *
@@ -2132,6 +2236,15 @@ object Dedup {
     JaccardDelta(verified, JaccardStore(rows2, prefix2, n, tau))
   }
 
+  /** RETRACTION for the n-gram Jaccard store — [[containmentRetract]]
+    * verbatim (same layout, same any-fixed-subset losslessness for
+    * the surviving prefixes): two anti-joins, no re-election, no
+    * rescans. */
+  def jaccardStoreRetract(store: JaccardStore,
+                          retractIds: DataFrame): JaccardStore =
+    JaccardStore(dropRetracted(store.rows, retractIds, "doc_id"),
+      dropRetracted(store.prefix, retractIds, "doc_id"), store.n, store.tau)
+
   /** The shared delta tail of the incremental Jaccard family —
     * [[ngramJaccardDelta]]'s both-direction blocking + symmetric
     * verify over ANY (doc_id, sz, s) item rows, so the media
@@ -2208,6 +2321,14 @@ object Dedup {
       CacheTracker.persistTracked(sizedItemRows(dItems)), tau)
     ItemJaccardDelta(verified, ItemJaccardStore(rows2, prefix2, tau))
   }
+
+  /** RETRACTION for the generic item-Jaccard store (and through it
+    * the media byte-frame store, [[Multimodal.payloadNearDupRetract]])
+    * — [[containmentRetract]]'s two anti-joins on the item layout. */
+  def itemJaccardStoreRetract(store: ItemJaccardStore,
+                              retractIds: DataFrame): ItemJaccardStore =
+    ItemJaccardStore(dropRetracted(store.rows, retractIds, "doc_id"),
+      dropRetracted(store.prefix, retractIds, "doc_id"), store.tau)
 
   /** The persisted state for INCREMENTAL quality keeper election:
     * the verified near-dup pair table, the per-doc scores, and the
@@ -2316,6 +2437,63 @@ object Dedup {
         untouched.union(reElected)))
   }
 
+  /** RETRACTION for the quality-election store (r17): remove the
+    * retracted docs from the keeper state WITHOUT re-pairing or
+    * rescanning the surviving corpus. Unlike the projection stores
+    * this election has REMOVAL consequences — losing a doc removes
+    * its pairs, which can split a connected component and always
+    * voids its cluster's election if it was the keeper — but the
+    * store already holds the three tables the exact answer needs
+    * (pairs, scores, assignment), so re-closure is a FILTER of the
+    * stored pair list, never new pair work ([[semanticBestRetract]]'s
+    * argument applied to the quality election):
+    *  - affected clusters = those containing a retracted id (the
+    *    `keep_id` handle identifies a cluster; bounded by the
+    *    takedown batch, so it broadcasts);
+    *  - their surviving members re-close over the stored pairs minus
+    *    pairs touching the takedown, and re-elect max-score/min-id
+    *    per re-closed component ([[keepBest]] verbatim on the
+    *    affected subgraph — content-determined, so the result equals
+    *    the full election over the survivors);
+    *  - every unaffected cluster is untouched: an edge only leaves
+    *    when an endpoint is retracted, and endpoints live in the
+    *    retracted doc's own cluster.
+    * Cost: takedown-broadcast anti-joins over the three stored
+    * tables + [[keepBest]] over the affected subgraph only. */
+  def keepBestRetract(store: KeepBestStore,
+                      retractIds: DataFrame): KeepBestDelta = {
+    val r = CacheTracker.persistTracked(
+      retractIds.select(col("doc_id")).distinct())
+    val survScores = dropRetracted(store.scores, r, "doc_id")
+    val survAssignment = dropRetracted(store.assignment, r, "doc_id")
+    val survPairs = store.pairs
+      .join(broadcast(r.select(col("doc_id").as("id_a"))),
+        Seq("id_a"), "left_anti")
+      .join(broadcast(r.select(col("doc_id").as("id_b"))),
+        Seq("id_b"), "left_anti")
+      .select(col("id_a"), col("id_b"))
+    val affected = store.assignment.join(broadcast(r), Seq("doc_id"))
+      .select(col("keep_id").as("affected_keep")).distinct()
+    val affectedMembers = survAssignment
+      .join(broadcast(affected),
+        col("keep_id") === col("affected_keep"), "left_semi")
+      .select(col("doc_id"))
+    // both endpoints of a stored pair share a cluster by construction,
+    // so membership of id_a alone decides the pair's cluster
+    val affectedPairs = survPairs
+      .join(affectedMembers.select(col("doc_id").as("id_a")),
+        Seq("id_a"), "left_semi")
+    val affectedDocs = affectedMembers.join(survScores, "doc_id")
+      .select(col("doc_id"), col("score"))
+    val reElected = keepBest(affectedDocs, affectedPairs, col("score"))
+    val untouched = survAssignment
+      .join(broadcast(affected),
+        col("keep_id") === col("affected_keep"), "left_anti")
+    val assignment = untouched.union(reElected)
+    KeepBestDelta(assignment,
+      KeepBestStore(survPairs, survScores, assignment))
+  }
+
   /** The persisted index state for INCREMENTAL embedding near-dup
     * detection: the LSH-bucketed vector rows (vec_id, v, nrm, table,
     * bucket) — [[MinHashStore]]'s analog for the semantic path. At
@@ -2367,6 +2545,22 @@ object Dedup {
     storeWithBucketedDelta(store, delta, Similarity.lshBucketed(
       delta.select(col("vec_id"), col("embedding").as("v")),
       nTables, planesPerTable, dim))
+
+  /** RETRACTION for a PER-VECTOR LSH bucket store (the layout
+    * `knn_lsh_served` serves from): one anti-join. The hyperplanes are
+    * data-independent constants and each vector's bucket rows are a
+    * pure per-row projection, so the shrunk store is definitionally
+    * identical to a fresh build over the survivors — no quantizer
+    * caveat at all, the takedown analog of [[embeddingLshStoreDelta]]
+    * sharing its full-build oracle with no old-side predicate. A
+    * retracted vector can no longer appear as any probe's candidate,
+    * so every subsequent [[Similarity.knnLshIndexed]] answer equals a
+    * rebuild's. NOTE: only for stores holding one entry per VECTOR;
+    * [[SemanticStore]]'s reps-only lsh tier retracts through
+    * [[semanticRetract]], which re-elects value reps. */
+  def embeddingLshStoreRetract(store: EmbeddingLshStore,
+                               retractIds: DataFrame): EmbeddingLshStore =
+    EmbeddingLshStore(dropRetracted(store.bucketed, retractIds, "vec_id"))
 
   /** Shared store-append tail: ONE definition of "anti-join the
     * delta's ids out, append its bucket rows", consumed by both the
@@ -2858,6 +3052,86 @@ object Dedup {
         (col("vec_id") =!= col("cluster_id")).cast("int"))
     SemanticDelta(assignment,
       SemanticStore(ed.updatedStore,
+        assignment.select(col("vec_id"), col("cluster_id"))))
+  }
+
+  /** RETRACTION for the min-id semantic store (r17, VERDICT r16 item
+    * #3) — the one maintained store where removal can SPLIT a
+    * component and the state holds neither a pair table nor per-member
+    * embeddings, so the split cannot be resolved from the store alone
+    * (the reps-only lsh tier knows values, not members; the
+    * assignment knows members, not edges). Rather than grow the store
+    * two tiers (a verified-pair table plus a member→value-hash map —
+    * [[SemanticBestStore]] pays that price because its elections are
+    * centrality-weighted), this pass REBUILDS exactly the AFFECTED
+    * CLUSTERS from the surviving corpus:
+    *  - affected = clusters containing a retracted id — bounded by
+    *    the takedown batch, so the cluster-id frame broadcasts;
+    *  - their surviving members' embeddings come back with ONE
+    *    membership semi-join against the corpus embeddings table
+    *    (the pass's only corpus-table access; on a vec_id-bucketed
+    *    layout it reads pre-partitioned), and the batch operator
+    *    ([[semanticStore]]) re-runs on that slice only;
+    *  - every unaffected cluster — assignment rows and reps-tier
+    *    bucket rows alike — is carried verbatim.
+    *
+    * EXACT, not approximate: blocking and cosine are value-
+    * determined, so a ≥τ pair between an affected-slice survivor and
+    * an unaffected cluster's member (or between members of two
+    * different affected clusters) would have existed BEFORE the
+    * takedown and contradicts them being in different clusters —
+    * slice re-closure can neither reach nor relabel anything outside
+    * its own original clusters, and an unaffected cluster's min-id
+    * label is unchanged because it lost no member. The rebuilt
+    * slice's reps tier is also globally right: byte-identical values
+    * always share a cluster (cos(v,v)=1 ≥ τ), so each value's rows
+    * live in exactly one cluster and the slice's min-surviving-id rep
+    * IS the global min-surviving-id rep. Hence retract ≡
+    * [[semanticStore]] built fresh over corpus-minus-retracted
+    * (DeltaDedupSpec pins it, plus retract∘ingest composition both
+    * ways).
+    *
+    * `embeddings` is the CURRENT full corpus table (pre- or
+    * post-takedown rows for the retracted ids both work — retracted
+    * ids are dropped before the slice join); the takedown batch is
+    * driver-small by the retraction-family contract. */
+  def semanticRetract(store: SemanticStore, retractIds: DataFrame,
+                      embeddings: DataFrame, tau: Double,
+                      nTables: Int = 6, planesPerTable: Int = 4,
+                      dim: Int = 64): SemanticDelta = {
+    val r = CacheTracker.persistTracked(
+      retractIds.select(col("vec_id")).distinct())
+    val affected = CacheTracker.persistTracked(
+      store.assignment.join(broadcast(r), Seq("vec_id"))
+        .select(col("cluster_id")).distinct())
+    val unaffected = store.assignment
+      .join(broadcast(affected), Seq("cluster_id"), "left_anti")
+      .select(col("vec_id"), col("cluster_id"))
+    // surviving members of affected clusters (bounded by the takedown
+    // batch times touched-cluster size — NOT broadcast-hinted; AQE
+    // sizes the joins below from runtime stats)
+    val affectedMembers = CacheTracker.persistTracked(
+      store.assignment.join(broadcast(affected), Seq("cluster_id"))
+        .join(broadcast(r), Seq("vec_id"), "left_anti")
+        .select(col("vec_id")))
+    val slice = embeddings
+      .join(affectedMembers, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+    val rebuilt = semanticStore(slice, tau, nTables, planesPerTable, dim)
+    // reps tier: every rep row belonging to an affected cluster (reps
+    // are members, so the assignment locates them) or to the takedown
+    // leaves; the rebuilt slice's rep rows replace them
+    val affectedOrRetracted = store.assignment
+      .join(broadcast(affected), Seq("cluster_id"), "left_semi")
+      .select(col("vec_id"))
+      .union(r.select(col("vec_id")))
+    val keptLsh = store.lsh.bucketed
+      .join(affectedOrRetracted, Seq("vec_id"), "left_anti")
+    val assignment = unaffected.union(rebuilt.assignment)
+      .withColumn("is_dup",
+        (col("vec_id") =!= col("cluster_id")).cast("int"))
+    SemanticDelta(assignment,
+      SemanticStore(EmbeddingLshStore(keptLsh.union(rebuilt.lsh.bucketed)),
         assignment.select(col("vec_id"), col("cluster_id"))))
   }
 }

@@ -140,6 +140,30 @@ object Multimodal {
         sniffKind(col("payload")).as("kind"), payloadFp.as("fp")),
       carry = Seq("kind"))
 
+  /** The MEMBER store beside [[payloadKeeperStore]] (r17, VERDICT r16
+    * item #5) — one (doc_id, kind, fp) row per live media doc, the
+    * [[Dedup.memberStore]] discipline keyed on the payload digest
+    * with the sniffed kind carried so a takedown's re-elected
+    * assignment keeps per-modality accounting. Maintained alongside
+    * the keeper table: ingests append their delta's keyed rows,
+    * retractions anti-join the retracted ids out. */
+  def payloadMemberStore(docs: DataFrame): DataFrame =
+    withPayload(docs).select(col("doc_id"),
+      sniffKind(col("payload")).as("kind"), payloadFp.as("fp"))
+
+  /** RETRACTION for incremental media dedup — [[Dedup.exactRetract]]
+    * wired through the shared fp-keyed seam (the same core
+    * [[payloadDedupDelta]] rides, so takedown semantics cannot drift
+    * between the text and media families): affected digest groups
+    * re-elect their min surviving doc, groups that only lost
+    * non-keepers keep their keeper, emptied digests drop from the
+    * store, and the surviving assignment equals [[payloadDedup]] over
+    * corpus-minus-retracted for min-elected stores (MultimodalSpec).
+    * Zero payload-byte rescans — the member store carries digests. */
+  def payloadRetract(keepers: DataFrame, members: DataFrame,
+                     retractIds: DataFrame): Dedup.ExactRetract =
+    Dedup.exactRetract(keepers, members, retractIds, carry = Seq("kind"))
+
   def payloadDedupOf(payloads: DataFrame): DataFrame =
     // delegate to the shared election (persist + map-side min + null-
     // safe join-back) with the sniffed kind carried through, so this
@@ -229,6 +253,17 @@ object Multimodal {
     PayloadNearDupDelta(d.pairs,
       PayloadNearDupStore(d.updatedStore, store.frameLen, store.stride))
   }
+
+  /** RETRACTION for the media frame store —
+    * [[Dedup.itemJaccardStoreRetract]]'s two anti-joins with the
+    * frame geometry carried (election-free: frame rows and blocking
+    * prefixes are per-payload projections, and surviving prefixes
+    * stay lossless by the any-fixed-subset argument). */
+  def payloadNearDupRetract(store: PayloadNearDupStore,
+                            retractIds: DataFrame): PayloadNearDupStore =
+    PayloadNearDupStore(
+      Dedup.itemJaccardStoreRetract(store.store, retractIds),
+      store.frameLen, store.stride)
 
   /** Image-magic probe for the batch decoder's routing (PNG / JPEG —
     * the two formats the JDK decodes natively). */

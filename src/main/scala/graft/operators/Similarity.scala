@@ -582,6 +582,21 @@ object Similarity {
     PqIndex(kept.union(pqCodes(d, index.seeds, m)), index.seeds)
   }
 
+  /** RETRACTION for the PQ index (r17 — the serving-store takedown
+    * family, closing VERDICT r16's "a retracted doc's vectors still
+    * answer kNN probes" hole): the code table is a pure per-vector
+    * projection under the frozen sub-quantizer — election-free — so
+    * erasure is one anti-join and the seeds stay. Equals a fresh
+    * same-seed encode of the survivors ([[pqDelta]]'s fixed-quantizer
+    * contract, which is also the served-index contract between
+    * rebuilds; a from-scratch rebuild may pick different mod-selected
+    * seeds, exactly as after any delta). Takedown batch is
+    * driver-small ([[graft.operators.Dedup.exactRetract]]'s contract)
+    * and rides a broadcast hint. */
+  def pqRetract(index: PqIndex, retractIds: DataFrame): PqIndex =
+    PqIndex(Dedup.dropRetracted(index.codes, retractIds, "vec_id"),
+      index.seeds)
+
   /** [[knnPq]] over a PREBUILT [[PqIndex]] — the serving shape (mirror
     * of [[knnLshIndexed]] / [[knnIvfIndexed]]): per query batch only
     * the probe LUTs are computed; the corpus-side encode is the
@@ -675,6 +690,14 @@ object Similarity {
         Exprs.pqEncode(unitOf(col("v")), col("seeds"), m).as("codes"))
     IvfPqIndex(kept.union(d), index.centroids, index.seeds)
   }
+
+  /** RETRACTION for the composed IVF+PQ index — [[pqRetract]] and
+    * [[ivfRetract]] in one anti-join on the (vec_id, cell, codes)
+    * table; both frozen quantizers stay. Equals a fresh same-quantizer
+    * build over the survivors ([[ivfPqDelta]]'s contract). */
+  def ivfPqRetract(index: IvfPqIndex, retractIds: DataFrame): IvfPqIndex =
+    IvfPqIndex(Dedup.dropRetracted(index.indexed, retractIds, "vec_id"),
+      index.centroids, index.seeds)
 
   /** [[ivfPqIndex]] with CALLER-SUPPLIED quantizers — the fresh-build
     * form a grown index must equal (assignment and encoding under
@@ -776,6 +799,19 @@ object Similarity {
       assignCells(d, index.centroids).withColumn("vnrm", Vec.norm(col("v")))),
       index.centroids)
   }
+
+  /** RETRACTION for an IVF index (seed-coded, Lloyd's-trained, and
+    * label-carrying alike — the assigned table's extra columns ride
+    * the anti-join untouched): cell assignment is a pure per-vector
+    * argmax under the frozen codebook, so erasure is one anti-join
+    * and the codebook stays. Equals [[ivfIndexWith]] over the
+    * survivors with the same codebook ([[ivfDelta]]'s fixed-codebook
+    * contract). A retracted vector leaves every cell's candidate
+    * list, so subsequent [[knnIvfIndexed]] / [[knnIvfFilteredIndexed]]
+    * answers equal a rebuild's. */
+  def ivfRetract(index: IvfIndex, retractIds: DataFrame): IvfIndex =
+    IvfIndex(Dedup.dropRetracted(index.assigned, retractIds, "vec_id"),
+      index.centroids)
 
   /** [[knnIvf]] over a PREBUILT [[IvfIndex]] — the serving shape
     * (mirror of [[knnLshIndexed]]): per query batch only the probes
@@ -948,6 +984,56 @@ object Similarity {
           .as("cos_sim"))
       .distinct() // a pair sharing several tables scores once
     rankTopK(scored, k).withColumnRenamed("probe_id", "vec_id")
+  }
+
+  /** RETRACTION for a PERSISTED kNN graph (the table
+    * `knn_graph_served` serves from) — the one vector-index takedown
+    * with ELECTION consequences: dropping a vector's own rows is an
+    * anti-join, but every survivor that held the retracted vector in
+    * its top-k must REFILL from its remaining candidates. The refill
+    * is bounded and store-local:
+    *  - untouched survivors (no retracted neighbor in their top-k)
+    *    keep their rows VERBATIM — their candidate set only shrank by
+    *    vectors that were not in their top-k, and removing a
+    *    non-member of the top-k cannot change the top-k;
+    *  - affected probes (bounded by the takedown's graph in-degree,
+    *    ≤ |batch|·max-indegree rows) re-rank against the surviving
+    *    LSH bucket store, with BOTH join sides taken from stored
+    *    bucket rows — zero re-bucketing, zero corpus scans.
+    * `bucketed` is the maintained [[graft.operators.Dedup.EmbeddingLshStore]]
+    * table the graph was built from (same geometry — [[knnGraph]]'s
+    * blocking is a per-row deterministic projection, so stored rows ≡
+    * a fresh [[lshBucketed]] over the survivors after the anti-join);
+    * callers shrink it alongside via
+    * [[graft.operators.Dedup.embeddingLshStoreRetract]]. Result ≡
+    * [[knnGraph]] over corpus-minus-retracted (spec-pinned), because
+    * the recomputed probes see exactly the rebuild's candidate sets
+    * and the untouched rows are unchanged by the argument above. */
+  def knnGraphRetract(graph: DataFrame, bucketed: DataFrame,
+                      retractIds: DataFrame, k: Int): DataFrame = {
+    val r = graft.operators.CacheTracker.persistTracked(
+      retractIds.select(col("vec_id")).distinct())
+    val survBucketed = Dedup.dropRetracted(bucketed, r, "vec_id")
+    val affected = graph
+      .join(broadcast(r.withColumnRenamed("vec_id", "neighbor_id")),
+        Seq("neighbor_id"))
+      .select(col("vec_id")).distinct()
+      .join(broadcast(r), Seq("vec_id"), "left_anti")
+    val untouched = graph
+      .join(broadcast(r), Seq("vec_id"), "left_anti")
+      .join(affected, Seq("vec_id"), "left_anti")
+    val p = survBucketed.join(affected, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"),
+        col("table").as("ptable"), col("bucket").as("pbucket"))
+    val scored = p.join(survBucketed,
+        col("table") === col("ptable") && col("bucket") === col("pbucket") &&
+          col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (Vec.dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")))
+          .as("cos_sim"))
+      .distinct() // a pair sharing several tables scores once
+    untouched.union(rankTopK(scored, k).withColumnRenamed("probe_id", "vec_id"))
   }
 
   /** PageRank over the kNN GRAPH — graph centrality as a data-curation

@@ -402,6 +402,28 @@ object TextAnalysis {
   def lmCounts(docs: DataFrame): DataFrame =
     bigramRows(docs).groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
 
+  /** RETRACTION for a maintained LM count table (r17 — the takedown
+    * family's LM member): bigram counts are ADDITIVE per document
+    * (every c12 row is a sum of within-doc occurrence counts), so
+    * they are subtractable by construction — merge the retracted
+    * docs' own counts in NEGATIVE and drop keys that reach zero. The
+    * result is EXACTLY [[lmCounts]] over corpus-minus-retracted (and
+    * [[lmModelFromCounts]] over it is exactly the survivors' model —
+    * c1 context sums re-derive from c12). `retractedDocs` carries the
+    * documents being erased (doc_id, text) — a takedown queue holds
+    * the content it removes; only the BATCH is tokenized, the
+    * surviving corpus is never rescanned. Counts must not be
+    * double-retracted: like every retraction here, the caller feeds
+    * each takedown batch once (the count table has no per-doc
+    * provenance to make replays idempotent — it is the one maintained
+    * table where that trade was taken for 8-byte rows). */
+  def lmCountsRetract(counts: DataFrame, retractedDocs: DataFrame): DataFrame =
+    counts.select(col("bigram"), col("c12"))
+      .union(lmCounts(retractedDocs)
+        .select(col("bigram"), (-col("c12")).as("c12")))
+      .groupBy(col("bigram")).agg(sum(col("c12")).as("c12"))
+      .filter(col("c12") > 0)
+
   /** Score docs (given as raw docs or prebuilt (doc_id, bigram) rows)
     * against a PREBUILT model table: one scan + the bigram-keyed join
     * + one per-doc aggregate — no model aggregates in the plan.
@@ -477,6 +499,43 @@ object TextAnalysis {
   def searchIndex(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+
+  /** The retraction-capable postings state (r17 — closing VERDICT
+    * r16's "searchIndexed still serves a retracted doc's postings"
+    * hole): the (doc_id, w, tf) postings table plus a slim per-doc id
+    * tier. The id tier is the honest price of exact erasure — the
+    * serving N (document count) cannot be decremented from postings
+    * alone because token-less docs have no postings rows, so the
+    * store carries one 8-byte row per live doc (the [[graft.operators.Dedup.memberStore]]
+    * discipline). At scale: postings bucketed on `w` (the query join
+    * key), docIds on doc_id. */
+  final case class PostingsStore(postings: DataFrame, docIds: DataFrame)
+
+  /** Build [[PostingsStore]] state for a corpus (ONE tokenization
+    * scan for the postings + a column projection for the id tier). */
+  def postingsStore(docs: DataFrame): PostingsStore =
+    PostingsStore(searchIndex(docs), docs.select(col("doc_id")))
+
+  /** RETRACTION for the postings index: election-free — a doc's
+    * postings rows and id row leave by two anti-joins (takedown batch
+    * broadcast, store sides stream past map-side), and every
+    * df/weight the serving path uses is DERIVED at query time from
+    * the filtered postings ([[searchIndexed]] computes df per query),
+    * so nothing else needs decrementing. Serving the shrunk store
+    * with nDocs = the shrunk id tier's count is EXACTLY
+    * [[search]] over corpus-minus-retracted (spec-pinned, and the
+    * `ta_search_retract` oracle replays it): the retracted doc's rows
+    * are out of every candidate set, its df contributions vanish with
+    * them, and N is the survivor count. Incremental the other way
+    * too: an ingest appends [[searchIndex]] of the delta plus its id
+    * rows (postings are per-doc projections — no cross-doc state). */
+  def postingsRetract(store: PostingsStore,
+                      retractIds: DataFrame): PostingsStore = {
+    val r = retractIds.select(col("doc_id")).distinct()
+    PostingsStore(
+      store.postings.join(broadcast(r), Seq("doc_id"), "left_anti"),
+      store.docIds.join(broadcast(r), Seq("doc_id"), "left_anti"))
+  }
 
   /** [[search]] served from a prebuilt postings index — the repeated-
     * query scale path (mirror of [[Similarity.knnLshIndexed]]): no

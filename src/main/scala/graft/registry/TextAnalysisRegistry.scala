@@ -35,8 +35,37 @@ object TextAnalysisRegistry {
     2L -> "table", 2L -> "join",
     3L -> "window")
 
+  /** ta_search_retract's deterministic takedown: every 7th doc —
+    * ~14% of the corpus leaves, enough to move both df weights and N
+    * so a stale index would hash-mismatch. */
+  val RetractMod = 7
+
   private val PredLangCase: String =
     predLangCase(TextAnalysis.StopwordsByLang.map(_._1), "s_")
+
+  /** ta_search's replay over an arbitrary source relation — ONE
+    * spelling shared by the build, served, and retract rows (the
+    * retract oracle is the same query with a survivor CTE prepended),
+    * so the three oracles cannot drift. */
+  private def searchSql(preludeCtes: String, src: String): String = {
+    val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH ${preludeCtes}tf AS (
+       |  SELECT doc_id, w, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($ToksExpr) AS w FROM $src)
+       |  WHERE w IN ($termList)
+       |  GROUP BY 1, 2
+       |), n AS (SELECT count(*) AS n_docs FROM $src),
+       |wts AS (
+       |  SELECT w, df, n_docs * ${TextAnalysis.IdfScale} // df AS wt
+       |  FROM (SELECT w, count(*) AS df FROM tf GROUP BY w) d CROSS JOIN n
+       |)
+       |SELECT doc_id, count(*) AS n_terms,
+       |  CAST(sum(tf * wt) AS BIGINT) AS score
+       |FROM tf JOIN wts USING (w)
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC
+       |LIMIT $SearchK""".stripMargin
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
@@ -85,6 +114,27 @@ object TextAnalysisRegistry {
         (Seq(TextAnalysis.searchIndex(docs)), docs.count())
       }
       TextAnalysis.searchIndexed(s.read.parquet(paths.head), nDocs,
+        SearchTerms, SearchK)
+    }),
+    // retraction reaching the SERVING store (r17, VERDICT r16 item
+    // #1): the memoized retraction-capable postings store (postings +
+    // per-doc id tier) takes a deterministic takedown, and the SAME
+    // query is served from the shrunk store — the oracle replays
+    // ta_search over the survivors, so a store that still served the
+    // retracted docs' postings (their rows, their df contributions,
+    // or a stale N) hash-mismatches. The survivor count is one count()
+    // over the slim id tier — the serving N after erasure.
+    "ta_search_retract" -> ((s, d) => {
+      val (paths, _) = ServingIndexes.once("postings_ret", d) {
+        val store = TextAnalysis.postingsStore(Tables.documents(s, d))
+        (Seq(store.postings, store.docIds), 0L)
+      }
+      val store = TextAnalysis.PostingsStore(
+        s.read.parquet(paths.head), s.read.parquet(paths(1)))
+      val c = org.apache.spark.sql.functions.col("doc_id")
+      val shrunk = TextAnalysis.postingsRetract(store,
+        store.docIds.filter(c % RetractMod === 0))
+      TextAnalysis.searchIndexed(shrunk.postings, shrunk.docIds.count(),
         SearchTerms, SearchK)
     }),
     // multi-query serving: three query bags answered in ONE pass over
@@ -291,25 +341,13 @@ object TextAnalysisRegistry {
            |       THEN 1.0 - CAST(ss AS DOUBLE) / (n_tokens * n_tokens)
            |       ELSE 0.0 END AS simpson
            |FROM base b LEFT JOIN agg USING (doc_id)""".stripMargin,
-      "ta_search" -> {
-        val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
-        s"""WITH tf AS (
-           |  SELECT doc_id, w, count(*) AS tf
-           |  FROM (SELECT doc_id, unnest($ToksExpr) AS w FROM documents)
-           |  WHERE w IN ($termList)
-           |  GROUP BY 1, 2
-           |), n AS (SELECT count(*) AS n_docs FROM documents),
-           |wts AS (
-           |  SELECT w, df, n_docs * ${TextAnalysis.IdfScale} // df AS wt
-           |  FROM (SELECT w, count(*) AS df FROM tf GROUP BY w) d CROSS JOIN n
-           |)
-           |SELECT doc_id, count(*) AS n_terms,
-           |  CAST(sum(tf * wt) AS BIGINT) AS score
-           |FROM tf JOIN wts USING (w)
-           |GROUP BY doc_id
-           |ORDER BY score DESC, doc_id ASC
-           |LIMIT $SearchK""".stripMargin
-      },
+      "ta_search" -> searchSql("", "documents"),
+      // the takedown replay: the IDENTICAL query over the survivors —
+      // df, N, and the candidate set all re-derive from the shrunk
+      // relation, exactly what serving the retracted store must equal
+      "ta_search_retract" -> searchSql(
+        s"surv AS (SELECT * FROM documents WHERE doc_id % $RetractMod <> 0), ",
+        "surv"),
       "ta_word_stats" ->
         s"""WITH toks AS (
            |  SELECT lang, unnest($ToksExpr) AS word FROM documents

@@ -794,7 +794,7 @@ class DeltaDedupSpec extends AnyFunSuite {
   }
 
   test("semanticBestRetract: whole-cluster and keeper-only takedowns") {
-    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.functions.col
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val tau = 0.35
     val k = 5
@@ -840,6 +840,72 @@ class DeltaDedupSpec extends AnyFunSuite {
     assert(r.assignment.filter(col("keep_id") === c2).count() == 0)
     assert(r.updatedStore.assignment
       .filter(col("keep_id") === c2).count() == 0)
+  }
+
+  test("semanticRetract: affected-cluster rebuild equals the fresh survivor store") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tau = 0.35
+    val rIds = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
+    val surv = emb.filter(col("vec_id") % 5 =!= 0)
+    val r = Dedup.semanticRetract(Dedup.semanticStore(emb, tau), rIds, emb, tau)
+    val fresh = Dedup.semanticStore(surv, tau)
+    assert(stor2(r.updatedStore.assignment) == stor2(fresh.assignment))
+    assert(asn(r.assignment) ==
+      asn(Dedup.semanticKeepers(surv, tau)))
+    // the reps tier matches the fresh build row-for-row: retracted
+    // reps are gone, values whose rep was retracted re-elected their
+    // min surviving member, unaffected reps are untouched
+    def lshRows(s: Dedup.SemanticStore) = s.lsh.bucketed
+      .select(col("vec_id"), col("table"), col("bucket"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(lshRows(r.updatedStore) == lshRows(fresh))
+  }
+
+  test("semanticRetract: removing a bridge vector splits its component") {
+    val dim = 64
+    def v(f: Int => Float): Array[Float] = Array.tabulate(dim)(f)
+    val a = v(i => if (i < 8) 1f else 0f)
+    val b = v(i => if (i >= 8 && i < 16) 1f else 0f)
+    val w = v(i => if (i < 16) 1f else 0f) // bridges a and b (cos ≈ 0.71)
+    val all = Seq((5L, w), (10L, a), (11L, a), (20L, b), (21L, b))
+      .toDF("vec_id", "embedding")
+    val tau = 0.35
+    val store = Dedup.semanticStore(all, tau)
+    // one merged component labeled by the bridge (the min id)
+    assert(stor2(store.assignment) == Set(5L -> 5L, 10L -> 5L, 11L -> 5L,
+      20L -> 5L, 21L -> 5L))
+    val r = Dedup.semanticRetract(store, Seq(5L).toDF("vec_id"), all, tau)
+    // the takedown splits the component back into A and B
+    assert(asn(r.assignment) == Set((10L, 10L, 0), (11L, 10L, 1),
+      (20L, 20L, 0), (21L, 20L, 1)))
+  }
+
+  test("semanticRetract composes with the ingest in either order") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tau = 0.35
+    val rIds = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
+    val surv = emb.filter(col("vec_id") % 5 =!= 0)
+    // retract → ingest: re-admit the retracted VALUES under fresh ids
+    // (the content-addressed shape) — known-value routing must resolve
+    // against the re-elected reps, not the retracted ones
+    val reAdmit = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val r1 = Dedup.semanticRetract(Dedup.semanticStore(emb, tau), rIds,
+      emb, tau)
+    val g1 = Dedup.semanticKeepersDelta(r1.updatedStore, reAdmit, tau)
+    assert(stor2(g1.updatedStore.assignment) ==
+      stor2(Dedup.semanticStore(
+        surv.select(col("vec_id"), col("embedding")).union(reAdmit),
+        tau).assignment))
+    // ingest → retract: a store grown by a delta takes the takedown
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val grown = Dedup.semanticKeepersDelta(Dedup.semanticStore(old, tau),
+      emb.filter(col("vec_id") % 3 === 0), tau).updatedStore
+    val r2 = Dedup.semanticRetract(grown, rIds, emb, tau)
+    assert(stor2(r2.updatedStore.assignment) ==
+      stor2(Dedup.semanticStore(surv, tau).assignment))
   }
 
   test("Dedup.cached releases every persist the bracket's operators took") {

@@ -153,6 +153,64 @@ class MultimodalSpec extends AnyFunSuite {
       r.updatedStore.store.rows.count())
   }
 
+  test("payloadRetract: takedown equals payloadDedup over the survivors") {
+    // keeper takedown (doc 2 keeps the duplicated text's digest in the
+    // dupDocs fixture below), non-keeper takedown, and an emptied
+    // digest — the exactRetract quartet on the payload seam, with the
+    // sniffed kind riding the re-elected assignment
+    val dupDocs = docs.union(Seq((4L, "short", "s"))
+      .toDF("doc_id", "text", "source"))
+    val rIds = Seq(2L).toDF("doc_id") // the (2,4) digest group's keeper
+    val r = Multimodal.payloadRetract(
+      Multimodal.payloadKeeperStore(dupDocs),
+      Multimodal.payloadMemberStore(dupDocs), rIds)
+    val surv = dupDocs.filter($"doc_id" =!= 2L)
+    def asg(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "kind", "keep_id", "is_dup")
+        .as[(Long, String, Long, Int)].collect().toSet
+    assert(asg(r.assignment) == asg(Multimodal.payloadDedup(surv)))
+    // doc 4 re-elected itself as the digest's keeper
+    assert(asg(r.assignment).contains((4L, "text/plain", 4L, 0)))
+    val keeperRows = r.updatedKeepers.as[(String, Long)].collect().toSet
+    assert(keeperRows == Multimodal.payloadKeeperStore(surv)
+      .as[(String, Long)].collect().toSet)
+    // the shrunk stores feed the next ingest: re-admitting doc 2's
+    // bytes under a fresh id inherits the RE-ELECTED keeper
+    val again = Multimodal.payloadDedupDelta(r.updatedKeepers,
+      Seq((9L, "short", "s")).toDF("doc_id", "text", "source"))
+    assert(again.assignment.as[(Long, String, Long, Int)].collect()
+      .toSeq == Seq((9L, "text/plain", 4L, 1)))
+  }
+
+  test("payloadNearDupRetract: the shrunk frame store equals a fresh survivor store through a delta") {
+    val base = ("the quick brown fox jumps over the lazy dog again and " +
+      "again and again while the crawler records every byte it sees " +
+      "for the media near dup fixture corpus of this spec today " * 2)
+      .take(200)
+    val other = ("completely different content with no shared windows " +
+      "anywhere in the byte stream of this second store document " * 4)
+      .take(220)
+    val tailed = base + " tail-variant!"
+    val store0 = Seq((1L, base, "s"), (2L, other, "s"), (3L, base, "s"))
+      .toDF("doc_id", "text", "source")
+    val tau = 0.5
+    // retract doc 1 (a pair-capable payload), then ingest the tailed
+    // variant: pairs must come from the SURVIVORS only — a stale frame
+    // row would resurrect the (1, 9) pair
+    val ret = Multimodal.payloadNearDupRetract(
+      Multimodal.payloadNearDupStore(store0, tau), Seq(1L).toDF("doc_id"))
+    val delta = Seq((9L, tailed, "s")).toDF("doc_id", "text", "source")
+    val d1 = Multimodal.payloadNearDupDelta(ret, delta, tau)
+    val fresh = Multimodal.payloadNearDupStore(
+      store0.filter($"doc_id" =!= 1L), tau)
+    val d2 = Multimodal.payloadNearDupDelta(fresh, delta, tau)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairSet(d1.pairs) == pairSet(d2.pairs))
+    assert(pairSet(d1.pairs) == Set((3L, 9L))) // 1 is gone, 3 pairs
+    assert(ret.store.rows.collect().toSet == fresh.store.rows.collect().toSet)
+  }
+
   test("batched decode is batch-size- and partition-independent") {
     val a = Multimodal.features(docs.repartition(1), batchSize = 2)
       .as[(Long, Int, Array[Float])].collect().sortBy(_._1)
