@@ -3094,7 +3094,24 @@ object Dedup {
     * `embeddings` is the CURRENT full corpus table (pre- or
     * post-takedown rows for the retracted ids both work — retracted
     * ids are dropped before the slice join); the takedown batch is
-    * driver-small by the retraction-family contract. */
+    * driver-small by the retraction-family contract.
+    *
+    * Cost boundary (RetractProbe, §6): the pass is proportional to
+    * affected-cluster MASS, not takedown size — the slice re-enters
+    * the batch operator, whose exact-first order keeps pair work
+    * value-bounded, but the slice scan/grouping is every member of
+    * every touched cluster. On corpora where the min-id transitive
+    * closure forms GIANT components (loose τ, chained near-copies —
+    * the probe's perturbed fixture reaches affected_share ≈ 0.93 at a
+    * 2% takedown), any exact split must re-close the whole component
+    * and this degenerates to ≈ a full rebuild plus bookkeeping; that
+    * is intrinsic to keeping the store two slim tables. A deployment
+    * whose takedowns routinely touch giant components should run the
+    * centrality family instead ([[SemanticBestStore]] /
+    * [[semanticBestRetract]]) — its pair-table tier makes re-closure
+    * an edge-list FILTER at the storage price this store declines to
+    * pay. The two semantic families price that trade in both
+    * directions on purpose. */
   def semanticRetract(store: SemanticStore, retractIds: DataFrame,
                       embeddings: DataFrame, tau: Double,
                       nTables: Int = 6, planesPerTable: Int = 4,

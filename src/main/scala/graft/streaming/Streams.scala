@@ -874,16 +874,28 @@ object Streams {
       TempDirs.create("graft_st_search_n"))
 
   /** [[searchServe]] with CALLER-SUPPLIED index paths — the production
-    * entry point: the postings and doc-count tables land durably where
-    * the caller says, survive the session, and can be re-served (or
-    * grown by a later drain) without rebuilding. Re-draining the same
-    * source into the same paths is IDEMPOTENT (each micro-batch
+    * entry point: the postings and per-doc id tables land durably
+    * where the caller says, survive the session, and can be re-served
+    * (or grown by a later drain) without rebuilding. Re-draining the
+    * same source into the same paths is IDEMPOTENT (each micro-batch
     * overwrites its own batchId-keyed subdirectory, see
     * [[searchIndexFromStream]]) and SAFE: the fresh drain lands in
     * `<dir>.staging` siblings and only replaces the live batch dirs
     * after it completes, so a drain that fails mid-way (source error,
     * job failure) leaves the caller's previous index fully intact and
-    * serveable. */
+    * serveable.
+    *
+    * r17 layout: the second tier holds one (doc_id) row per streamed
+    * doc — [[graft.operators.TextAnalysis.PostingsStore]]'s id tier,
+    * same size class as the per-batch counts it replaced and strictly
+    * more informative — so the drained artifacts ARE a PostingsStore
+    * and [[graft.operators.TextAnalysis.postingsRetract]] applies to
+    * a STREAMED index verbatim (a takedown against the live search
+    * index needs the surviving N, which a count-only tier cannot
+    * produce once token-less docs are involved; StreamsSpec pins the
+    * drained-then-retracted serve against the batch survivors). A
+    * pre-r17 counts-tier directory fails the doc_id read loudly
+    * rather than serving a wrong N. */
   def searchServe(spark: SparkSession, dir: String, terms: Seq[String],
                   k: Int, postingsDir: String, countsDir: String): DataFrame = {
     val stream = FileStreamSource(s"$dir/documents.parquet").stream(spark)
@@ -901,8 +913,7 @@ object Streams {
     Seq((stageP, postingsDir), (stageN, countsDir)).foreach {
       case (stage, live) => promoteStaged(stage, live)
     }
-    val nDocs = spark.read.parquet(countsDir)
-      .agg(sum(col("n")).as("n")).head().getLong(0)
+    val nDocs = spark.read.parquet(countsDir).select("doc_id").count()
     // the batchId partition column is layout, not postings data
     graft.operators.TextAnalysis.searchIndexed(
       spark.read.parquet(postingsDir).select("doc_id", "w", "tf"),
@@ -966,21 +977,24 @@ object Streams {
   }
 
   /** Source-agnostic index-maintenance core: drain any document
-    * stream, writing term postings and per-batch doc counts. Each
-    * micro-batch OVERWRITES its own `batch=<id>` subdirectory instead
-    * of appending to a shared one — foreachBatch is at-least-once, so
-    * a replayed batch (failure retry, or a full re-drain from a fresh
-    * checkpoint) rewrites its own output rather than double-counting
-    * tf, df, and nDocs. */
+    * stream, writing term postings and the per-doc ID TIER (r17 —
+    * one (doc_id) row per streamed doc, replacing the per-batch count
+    * rows: the serving N derives as its count, and the tier is what
+    * makes a streamed index retraction-capable, see [[searchServe]]).
+    * Each micro-batch OVERWRITES its own `batch=<id>` subdirectory
+    * instead of appending to a shared one — foreachBatch is
+    * at-least-once, so a replayed batch (failure retry, or a full
+    * re-drain from a fresh checkpoint) rewrites its own output rather
+    * than double-counting tf, df, and nDocs. */
   private[streaming] def searchIndexFromStream(stream: DataFrame,
-      terms: Seq[String], postingsDir: String, countsDir: String): Unit = {
+      terms: Seq[String], postingsDir: String, docsDir: String): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.TextAnalysis.searchIndex(batch)
           .filter(col("w").isInCollection(terms))
           .write.mode("overwrite").parquet(s"$postingsDir/batch=$batchId")
-        batch.select(count(lit(1)).as("n"))
-          .write.mode("overwrite").parquet(s"$countsDir/batch=$batchId")
+        batch.select(col("doc_id"))
+          .write.mode("overwrite").parquet(s"$docsDir/batch=$batchId")
       }
       .trigger(Trigger.AvailableNow())
       .start()

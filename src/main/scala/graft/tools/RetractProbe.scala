@@ -34,7 +34,19 @@ object RetractProbe {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val rmods = (if (args.length > 1) args(1) else "50,20,5")
       .split(",").toSeq.map(_.toInt)
-    val tau = graft.registry.DedupRegistry.CosineTau
+    // optional third arg: which families to probe (default all) —
+    // "best" (semanticBestRetract), "exact" (exactRetract), "minid"
+    // (r17 semanticRetract, the affected-cluster rebuild)
+    val fams = (if (args.length > 2) args(2) else "best,exact,minid")
+      .split(",").toSet
+    // optional fourth arg: tau override. The minid family's cost is
+    // affected-cluster MASS, which τ controls end to end: the graded
+    // τ=0.35 closure over the perturbed corpus forms a giant
+    // component (any takedown touches ~everything), a tight τ keeps
+    // clusters at copy-family depth (affected ≈ 1-(1-p)^mult) — probe
+    // both to see the two regimes the scaladoc boundary documents.
+    val tauOverride = if (args.length > 3) Some(args(3).toDouble) else None
+    val tau = tauOverride.getOrElse(graft.registry.DedupRegistry.CosineTau)
     val k = graft.registry.SimilarityRegistry.K
     val spark = GraftSession.local("graft-retract-probe")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,6 +68,11 @@ object RetractProbe {
     val c = col("vec_id")
     val nAll = all.count()
     println(s"""{"probe_vectors":$nAll,"mult":$mult}""")
+    // the comparison corpus every family's rebuild uses: survivors of
+    // the FIRST rmod's hash slice
+    val surv = all.filter(
+      pmod(xxhash64(c), lit(rmods.head.toLong)) =!= 0)
+    if (fams("best")) {
     // ONE store for the whole sweep — retraction reads, never rebuilds
     val t0 = System.nanoTime()
     CacheTracker.scoped {
@@ -114,8 +131,6 @@ object RetractProbe {
     println(f"""{"stage":"global_floor","sec":${emptyPass()}%.3f}""")
     // the comparison retraction exists to beat: a full rebuild over
     // the first rmod's survivors
-    val surv = all.filter(
-      pmod(xxhash64(c), lit(rmods.head.toLong)) =!= 0)
     def fullPass(): Double = CacheTracker.scoped {
       val t = System.nanoTime()
       Dedup.semanticKeepersBest(surv, tau, k)
@@ -125,6 +140,60 @@ object RetractProbe {
     fullPass() // warm
     println(f"""{"stage":"full_rebuild","rmod":${rmods.head},""" +
       f""""sec":${fullPass()}%.3f}""")
+    }
+    if (fams("minid")) {
+    // ---- min-id semantic store (r17, semanticRetract): the one
+    // retraction whose cost is an AFFECTED-CLUSTER REBUILD — the
+    // store holds neither a pair table nor member embeddings, so
+    // touched clusters re-pair from a corpus-table slice. The number
+    // to watch is affected_share (fraction of corpus members living
+    // in touched clusters, ≈ 1-(1-p)^depth for copy-family depth):
+    // the pass's pair work is proportional to IT, not to the corpus,
+    // and the wall should sit between the floor and the full rebuild
+    // by roughly that ratio.
+    val t1 = System.nanoTime()
+    CacheTracker.scoped {
+      val st = Dedup.semanticStore(all, tau)
+      st.lsh.bucketed.write.mode(SaveMode.Overwrite)
+        .parquet(s"$out/mlsh.parquet")
+      st.assignment.write.mode(SaveMode.Overwrite)
+        .parquet(s"$out/masg.parquet")
+    }
+    println(f"""{"stage":"minid_store_build","sec":${(System.nanoTime() - t1) / 1e9}%.3f}""")
+    def mstore() = Dedup.SemanticStore(
+      Dedup.EmbeddingLshStore(spark.read.parquet(s"$out/mlsh.parquet")),
+      spark.read.parquet(s"$out/masg.parquet"))
+    rmods.foreach { rmod =>
+      val rIds = all.filter(pmod(xxhash64(c), lit(rmod.toLong)) === 0)
+        .select("vec_id")
+      val nR = rIds.count()
+      val affectedShare = CacheTracker.scoped {
+        val asg = mstore().assignment
+        val aff = asg.join(rIds, Seq("vec_id"))
+          .select(col("cluster_id")).distinct()
+        asg.join(aff, Seq("cluster_id")).count().toDouble / nAll
+      }
+      def mpass(): Double = CacheTracker.scoped {
+        val t = System.nanoTime()
+        Dedup.semanticRetract(mstore(), rIds, all, tau)
+          .assignment.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t) / 1e9
+      }
+      mpass() // warm
+      println(f"""{"stage":"minid_retract","rmod":$rmod,"retracted":$nR,""" +
+        f""""affected_share":$affectedShare%.4f,"sec":${mpass()}%.3f}""")
+    }
+    def mrebuild(): Double = CacheTracker.scoped {
+      val t = System.nanoTime()
+      Dedup.semanticKeepersDedup(surv, tau)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t) / 1e9
+    }
+    mrebuild() // warm
+    println(f"""{"stage":"minid_full_rebuild","rmod":${rmods.head},""" +
+      f""""sec":${mrebuild()}%.3f}""")
+    }
+    if (fams("exact")) {
     // the exact family on the mult×-duplicated documents table: every
     // fp group is mult deep, so a takedown that hits keepers forces
     // the re-election path on every affected group
@@ -153,6 +222,7 @@ object RetractProbe {
     exactPass() // warm
     println(f"""{"stage":"exact_retract","retracted":$nRD,""" +
       f""""sec":${exactPass()}%.3f,"rows":$eRows}""")
+    }
     spark.stop()
   }
 }

@@ -188,10 +188,9 @@ class StreamsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(served == batchRes && batchRes.nonEmpty)
     // the index is DURABLE at the caller's paths: serve again straight
-    // from the written tables, no stream, no rebuild
-    val nDocs = spark.read.parquet(n)
-      .agg(org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.col("n"))).head().getLong(0)
+    // from the written tables, no stream, no rebuild. The second tier
+    // is the per-doc ID tier (r17), so N derives as its count.
+    val nDocs = spark.read.parquet(n).select("doc_id").count()
     val reServed = TextAnalysis.searchIndexed(
       spark.read.parquet(p).select("doc_id", "w", "tf"),
       nDocs, SearchTerms, SearchK).as[(Long, Long, Long)].collect().toSet
@@ -204,11 +203,30 @@ class StreamsSpec extends AnyFunSuite {
     // sides and prove it does not leak into the rebuilt index
     Seq((1234567L, "spark", 1000L)).toDF("doc_id", "w", "tf")
       .write.mode("overwrite").parquet(s"$p/batch=99")
-    Seq(Tuple1(12345L)).toDF("n")
+    Seq(Tuple1(1234567L)).toDF("doc_id")
       .write.mode("overwrite").parquet(s"$n/batch=99")
     val reDrained = Streams.searchServe(spark, dir, SearchTerms, SearchK, p, n)
       .as[(Long, Long, Long)].collect().toSet
     assert(reDrained == batchRes)
+    // the drained artifacts ARE a retraction-capable PostingsStore:
+    // take every 7th doc out of the live streamed index and the serve
+    // equals the batch search over the survivors (the takedown hole
+    // closed for the STREAMING index too — r17)
+    val store = TextAnalysis.PostingsStore(
+      spark.read.parquet(p).select("doc_id", "w", "tf"),
+      spark.read.parquet(n).select("doc_id"))
+    val rIds = store.docIds
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
+    val shrunk = TextAnalysis.postingsRetract(store, rIds)
+    val servedRetract = TextAnalysis.searchIndexed(shrunk.postings,
+      shrunk.docIds.count(), SearchTerms, SearchK)
+      .as[(Long, Long, Long)].collect().toSet
+    val batchSurv = TextAnalysis.cached {
+      TextAnalysis.search(graft.sources.Tables.documents(spark, dir)
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 7 =!= 0),
+        SearchTerms, SearchK).as[(Long, Long, Long)].collect().toSet
+    }
+    assert(servedRetract == batchSurv && batchSurv.nonEmpty)
     scala.reflect.io.Directory(new java.io.File(root.toString)).deleteRecursively()
   }
 
@@ -368,9 +386,7 @@ class StreamsSpec extends AnyFunSuite {
       Streams.searchServe(spark, s"$root/no_such_corpus", SearchTerms,
         SearchK, p, n)
     }
-    val nDocs = spark.read.parquet(n)
-      .agg(org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.col("n"))).head().getLong(0)
+    val nDocs = spark.read.parquet(n).select("doc_id").count()
     val reServed = TextAnalysis.searchIndexed(
       spark.read.parquet(p).select("doc_id", "w", "tf"),
       nDocs, SearchTerms, SearchK).as[(Long, Long, Long)].collect().toSet
