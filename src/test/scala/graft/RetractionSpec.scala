@@ -243,6 +243,35 @@ class RetractionSpec extends AnyFunSuite {
         Seq((2L, 3L), (4L, 5L)).toDF("id_a", "id_b"), col("score"))))
   }
 
+  test("retraction edge cases: empty takedown is a no-op, unknown ids are ignored, a whole-store takedown empties the store") {
+    // empty takedown: every table survives verbatim
+    val store = TextAnalysis.postingsStore(docs)
+    val none = spark.emptyDataFrame.withColumn("doc_id",
+      org.apache.spark.sql.functions.lit(0L)).limit(0).select("doc_id")
+    val same = TextAnalysis.postingsRetract(store, none)
+    assert(rows(same.postings) == rows(store.postings))
+    assert(same.docIds.count() == store.docIds.count())
+    // unknown ids: nothing in the store matches, nothing leaves
+    val ghost = TextAnalysis.postingsRetract(store,
+      Seq(-1L, Long.MaxValue).toDF("doc_id"))
+    assert(ghost.docIds.count() == store.docIds.count())
+    // whole-store takedown: everything leaves, serving degrades to
+    // zero hits rather than wrong answers
+    val allGone = TextAnalysis.postingsRetract(store,
+      store.docIds.select("doc_id"))
+    assert(allGone.docIds.count() == 0L && allGone.postings.count() == 0L)
+    // the same three contracts on a keeper-elected store
+    val mh = Dedup.minhashStoreRetract(Dedup.minhashStore(docs),
+      Seq(-1L).toDF("doc_id"))
+    assert(rows(mh.banded) == rows(Dedup.minhashStore(docs).banded))
+    val kb = Dedup.keepBestRetract(
+      Dedup.keepBestStore(Seq((1L, 5L), (2L, 9L)).toDF("doc_id", "score"),
+        Seq((1L, 2L)).toDF("id_a", "id_b"), col("score")),
+      Seq(1L, 2L).toDF("doc_id"))
+    assert(kb.assignment.count() == 0L && kb.updatedStore.pairs.count() == 0L
+      && kb.updatedStore.scores.count() == 0L)
+  }
+
   test("keepBestRetract on the real corpus equals a fresh survivor election") {
     Dedup.cached {
       val pairs = Dedup.ngramJaccard(docs, 3, 0.5)
