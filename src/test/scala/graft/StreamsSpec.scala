@@ -259,6 +259,15 @@ class StreamsSpec extends AnyFunSuite {
         .as[(Long, Long)].collect().toSet
     val batchRun = asn(graft.operators.Dedup.semanticKeepers(emb, tau))
     assert(asn(store.assignment) == batchRun && batchRun.nonEmpty)
+    // the takedown reaches the STREAM-MAINTAINED store too (r17): a
+    // store grown micro-batch by micro-batch takes semanticRetract
+    // like any batch-built store — the drained state is the same two
+    // tables — and the result equals a fresh build over the survivors
+    val rIds = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
+    val surv = emb.filter(col("vec_id") % 5 =!= 0)
+    val ret = graft.operators.Dedup.semanticRetract(store, rIds, emb, tau)
+    assert(asn(ret.assignment) ==
+      asn(graft.operators.Dedup.semanticKeepers(surv, tau)))
   }
 
   test("semanticServe: durable store, drained == batch, idempotent re-drain") {
@@ -344,6 +353,19 @@ class StreamsSpec extends AnyFunSuite {
         .as[(Long, Long, Long)].collect().toSet
     }
     assert(served == batchRes && batchRes.nonEmpty)
+    // the takedown reaches the STREAM-MAINTAINED count table (r17):
+    // subtract docs 2 and 4's own counts from the drained per-batch
+    // rows and the shrunk table equals lmCounts over the survivors —
+    // the additive-counts argument is batching-independent
+    val retracted = (b1 ++ b2).filter(d => d._1 == 2L || d._1 == 4L)
+      .toDF("doc_id", "text")
+    val survivors = (b1 ++ b2).filterNot(d => d._1 == 2L || d._1 == 4L)
+      .toDF("doc_id", "text")
+    val shrunk = graft.operators.TextAnalysis.lmCountsRetract(
+      spark.read.parquet(countsDir).select("bigram", "c12"), retracted)
+    assert(shrunk.as[(String, Long)].collect().toSet ==
+      graft.operators.TextAnalysis.lmCounts(survivors)
+        .as[(String, Long)].collect().toSet)
   }
 
   test("lmServe with a caller-supplied counts path: durable, idempotent re-drain") {
