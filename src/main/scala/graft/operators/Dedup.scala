@@ -455,7 +455,12 @@ object Dedup {
     * (thousands-to-millions of ids — it rides two broadcast hints,
     * like every takedown a legal/PII queue actually emits). A "batch"
     * of store scale is a rebuild over the survivors, not a
-    * retraction. */
+    * retraction.
+    *
+    * `carry` names extra member-store columns to ride the assignment
+    * output (r17 — [[Multimodal.payloadRetract]] carries the sniffed
+    * media kind through the shared seam, the same knob
+    * [[exactDeltaKeyed]] gives the ingest side). */
   def exactRetract(keepers: DataFrame, members: DataFrame,
                    retractIds: DataFrame,
                    carry: Seq[String] = Nil): ExactRetract = {
