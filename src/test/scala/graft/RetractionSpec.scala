@@ -129,6 +129,33 @@ class RetractionSpec extends AnyFunSuite {
     assert(rows(ret) == rows(Similarity.knnGraph(survEmb, 10)))
   }
 
+  test("knnGraphRetract: a HUB takedown refills every survivor's top-k") {
+    // the worst case for the affected-probe bound: vec 0 is the pure
+    // cluster direction, every other vector a slightly larger
+    // perturbation of it, so 0 sits in EVERY top-k (verified below)
+    // and its takedown makes every survivor an affected probe — the
+    // refill must still equal the fresh survivor graph row-for-row
+    val dim = 64
+    def v(noiseDim: Int, eps: Float): Array[Float] =
+      Array.tabulate(dim)(j =>
+        (if (j < 8) 1f else 0f) + (if (j == noiseDim) eps else 0f))
+    val vecs = (0L until 12L).map(i =>
+      (i, if (i == 0) v(8, 0f) else v(8 + (i % 8).toInt, 0.001f * i)))
+    val all = vecs.toDF("vec_id", "embedding")
+    val k = 3
+    val graph = Similarity.knnGraph(all, k)
+    // fixture check: the hub really is in every other vector's top-k
+    val withHub = graph.filter(col("neighbor_id") === 0L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(withHub == (1L until 12L).toSet,
+      s"fixture must make 0 a universal neighbor, got $withHub")
+    val store = Dedup.embeddingLshStore(all, nTables = 4, planesPerTable = 6)
+    val ret = Similarity.knnGraphRetract(graph, store.bucketed,
+      Seq(0L).toDF("vec_id"), k)
+    assert(rows(ret) ==
+      rows(Similarity.knnGraph(all.filter(col("vec_id") =!= 0L), k)))
+  }
+
   // ---------------------------------------------------------------
   // banded / shingle / prefix stores (the near-dup candidate state)
   // ---------------------------------------------------------------

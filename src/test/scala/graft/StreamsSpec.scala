@@ -417,6 +417,47 @@ class StreamsSpec extends AnyFunSuite {
     scala.reflect.io.Directory(new java.io.File(root.toString)).deleteRecursively()
   }
 
+  test("a takedown QUEUE drains through exactRetract micro-batch by micro-batch") {
+    // production erasure arrives as a stream (a legal/PII queue), not
+    // one batch — the retraction story must compose under ANY
+    // batching of the queue. No new API: foreachBatch applies the
+    // batch operator per micro-batch, exactly the semanticBatchStep
+    // pattern, and chained retract∘retract is exact by the same
+    // min-survivor argument DeltaDedupSpec pins for one batch.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "group a"), (3L, "group a"), (5L, "group a"),
+      (2L, "group b"), (4L, "group b"),
+      (6L, "group c"), (7L, "group d")).toDF("doc_id", "text")
+    var keepers = graft.operators.Dedup.keeperStore(docs)
+    var members = graft.operators.Dedup.memberStore(docs)
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("doc_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val r = graft.operators.Dedup.exactRetract(keepers, members,
+          batch.toDF())
+        // flat lineage per queue batch, the semanticBatchStep rule
+        keepers = r.updatedKeepers.localCheckpoint(true)
+        members = r.updatedMembers.localCheckpoint(true)
+        ()
+      }
+      .start()
+    try {
+      input.addData(1L)       // batch 1: group a's keeper
+      q.processAllAvailable()
+      input.addData(4L, 6L)   // batch 2: a non-keeper + a whole group
+      q.processAllAvailable()
+    } finally q.stop()
+    val surv = docs.filter(!col("doc_id").isin(1L, 4L, 6L))
+    def stor(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+      df.as[(String, Long)].collect().toSet
+    assert(stor(keepers) == stor(graft.operators.Dedup.keeperStore(surv)))
+    assert(members.select("doc_id").as[Long].collect().toSet ==
+      Set(2L, 3L, 5L, 7L))
+  }
+
   test("streaming minhash: near-dup candidates across batches, bucket state capped") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
