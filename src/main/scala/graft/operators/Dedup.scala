@@ -2504,8 +2504,22 @@ object Dedup {
     * bucket) — [[MinHashStore]]'s analog for the semantic path. At
     * corpus scale a maintained table, written bucketed on `bucket`
     * ([[graft.sources.Sinks.writeBucketed]]) so the per-ingest
-    * candidate join reads it pre-partitioned on its join key. */
-  final case class EmbeddingLshStore(bucketed: DataFrame)
+    * candidate join reads it pre-partitioned on its join key.
+    *
+    * Carries its own BUILD-TIME GEOMETRY (r18, closing the ADVICE r17
+    * seam): bucket ids are only comparable under the (nTables,
+    * planesPerTable, dim) that hashed them, so every delta/retract
+    * pass DERIVES the geometry from the store instead of re-accepting
+    * it as parameters — two geometries can no longer be mixed into
+    * one bucket table silently. A store read back from parquet gets
+    * the library defaults (the persisted layout carries no geometry
+    * sidecar); callers persisting non-default geometry carry the
+    * three ints beside the path and restore them via the case-class
+    * fields ([[graft.operators.Dedup.SemanticBestStore]] precedent). */
+  final case class EmbeddingLshStore(bucketed: DataFrame,
+                                     nTables: Int = 6,
+                                     planesPerTable: Int = 4,
+                                     dim: Int = 64)
 
   /** Build [[EmbeddingLshStore]] state for an initial corpus. */
   def embeddingLshStore(embeddings: DataFrame, nTables: Int = 6,
@@ -2513,7 +2527,7 @@ object Dedup {
                         dim: Int = 64): EmbeddingLshStore =
     EmbeddingLshStore(Similarity.lshBucketed(
       embeddings.select(col("vec_id"), col("embedding").as("v")),
-      nTables, planesPerTable, dim))
+      nTables, planesPerTable, dim), nTables, planesPerTable, dim)
 
   /** Result of an incremental embedding near-dup pass: every verified
     * cosine pair TOUCHING the delta, and the bucketed store with the
@@ -2544,12 +2558,11 @@ object Dedup {
     * definitionally identical to a fresh build over the union — which
     * is why knn_lsh_delta shares knn_lsh's oracle verbatim, with no
     * old-side predicate at all. */
-  def embeddingLshStoreDelta(store: EmbeddingLshStore, delta: DataFrame,
-                             nTables: Int = 6, planesPerTable: Int = 4,
-                             dim: Int = 64): EmbeddingLshStore =
+  def embeddingLshStoreDelta(store: EmbeddingLshStore,
+                             delta: DataFrame): EmbeddingLshStore =
     storeWithBucketedDelta(store, delta, Similarity.lshBucketed(
       delta.select(col("vec_id"), col("embedding").as("v")),
-      nTables, planesPerTable, dim))
+      store.nTables, store.planesPerTable, store.dim))
 
   /** RETRACTION for a PER-VECTOR LSH bucket store (the layout
     * `knn_lsh_served` serves from): one anti-join. The hyperplanes are
@@ -2565,7 +2578,7 @@ object Dedup {
     * [[semanticRetract]], which re-elects value reps. */
   def embeddingLshStoreRetract(store: EmbeddingLshStore,
                                retractIds: DataFrame): EmbeddingLshStore =
-    EmbeddingLshStore(dropRetracted(store.bucketed, retractIds, "vec_id"))
+    store.copy(bucketed = dropRetracted(store.bucketed, retractIds, "vec_id"))
 
   /** Shared store-append tail: ONE definition of "anti-join the
     * delta's ids out, append its bucket rows", consumed by both the
@@ -2576,17 +2589,15 @@ object Dedup {
                                      delta: DataFrame,
                                      dBucketed: DataFrame): EmbeddingLshStore = {
     val dIds = delta.select(col("vec_id")).distinct()
-    EmbeddingLshStore(
+    store.copy(bucketed =
       store.bucketed.join(dIds, Seq("vec_id"), "left_anti").union(dBucketed))
   }
 
   def embeddingNearDupLshDelta(store: EmbeddingLshStore, delta: DataFrame,
-                               tau: Double, nTables: Int = 6,
-                               planesPerTable: Int = 4,
-                               dim: Int = 64): EmbeddingLshDelta = {
+                               tau: Double): EmbeddingLshDelta = {
     val dBucketed = Similarity.lshBucketed(
       delta.select(col("vec_id"), col("embedding").as("v")),
-      nTables, planesPerTable, dim)
+      store.nTables, store.planesPerTable, store.dim)
     val all = storeWithBucketedDelta(store, delta, dBucketed).bucketed
     // delta side x all sides; cosine is symmetric, so normalizing the
     // orientation to id_a < id_b keeps the full run's pair convention
@@ -2909,9 +2920,7 @@ object Dedup {
     * mint a new id per content version (the content-addressed ingest
     * shape). */
   def semanticKeepersDelta(store: SemanticStore, delta: DataFrame,
-                           tau: Double, nTables: Int = 6,
-                           planesPerTable: Int = 4,
-                           dim: Int = 64): SemanticDelta = {
+                           tau: Double): SemanticDelta = {
     val dIds = delta.select(col("vec_id")).distinct()
     // EAGER checkpoints, not lazy persists: the store tail and the
     // LSH pair join are each read more than once below (quotient
@@ -2986,10 +2995,10 @@ object Dedup {
     // out of contract (see the scaladoc above: stale labels on old
     // cluster mates are not retracted), but the store now never
     // serves a stale value→rep route.
-    val cleanLsh = EmbeddingLshStore(
+    val cleanLsh = store.lsh.copy(bucketed =
       store.lsh.bucketed.join(dIds, Seq("vec_id"), "left_anti"))
     val ed = embeddingNearDupLshDelta(cleanLsh,
-      newReps.union(srepReIngested), tau, nTables, planesPerTable, dim)
+      newReps.union(srepReIngested), tau)
     val dPairs = ed.pairs.select(col("id_a"), col("id_b"))
       .localCheckpoint(true)
     // quotient edges: LSH pairs among reps, member → batch-rep (the
@@ -3118,9 +3127,13 @@ object Dedup {
     * pay. The two semantic families price that trade in both
     * directions on purpose. */
   def semanticRetract(store: SemanticStore, retractIds: DataFrame,
-                      embeddings: DataFrame, tau: Double,
-                      nTables: Int = 6, planesPerTable: Int = 4,
-                      dim: Int = 64): SemanticDelta = {
+                      embeddings: DataFrame, tau: Double): SemanticDelta = {
+    // geometry comes from the STORE, not parameters (r18, ADVICE r17):
+    // the rebuilt slice's bucket rows union into keptLsh below, and
+    // bucket ids from two geometries are incomparable — deriving the
+    // three ints from the store makes that mix unrepresentable
+    val (nTables, planesPerTable, dim) =
+      (store.lsh.nTables, store.lsh.planesPerTable, store.lsh.dim)
     val r = CacheTracker.persistTracked(
       retractIds.select(col("vec_id")).distinct())
     val affected = CacheTracker.persistTracked(
@@ -3153,7 +3166,8 @@ object Dedup {
       .withColumn("is_dup",
         (col("vec_id") =!= col("cluster_id")).cast("int"))
     SemanticDelta(assignment,
-      SemanticStore(EmbeddingLshStore(keptLsh.union(rebuilt.lsh.bucketed)),
+      SemanticStore(
+        rebuilt.lsh.copy(bucketed = keptLsh.union(rebuilt.lsh.bucketed)),
         assignment.select(col("vec_id"), col("cluster_id"))))
   }
 }

@@ -1000,20 +1000,32 @@ object Similarity {
     *    ≤ |batch|·max-indegree rows) re-rank against the surviving
     *    LSH bucket store, with BOTH join sides taken from stored
     *    bucket rows — zero re-bucketing, zero corpus scans.
-    * `bucketed` is the maintained [[graft.operators.Dedup.EmbeddingLshStore]]
-    * table the graph was built from (same geometry — [[knnGraph]]'s
+    * `store` is the maintained [[graft.operators.Dedup.EmbeddingLshStore]]
+    * the graph was built from (same geometry — [[knnGraph]]'s
     * blocking is a per-row deterministic projection, so stored rows ≡
     * a fresh [[lshBucketed]] over the survivors after the anti-join);
     * callers shrink it alongside via
-    * [[graft.operators.Dedup.embeddingLshStoreRetract]]. Result ≡
+    * [[graft.operators.Dedup.embeddingLshStoreRetract]]. The store's
+    * carried geometry must MATCH the geometry the graph was built
+    * with (`nTables`/`planesPerTable`/`dim`, [[knnGraph]]'s defaults)
+    * — re-ranking affected probes against buckets hashed under a
+    * different plane family would silently return wrong candidates,
+    * so the mismatch is rejected up front (r18, ADVICE r17). Result ≡
     * [[knnGraph]] over corpus-minus-retracted (spec-pinned), because
     * the recomputed probes see exactly the rebuild's candidate sets
     * and the untouched rows are unchanged by the argument above. */
-  def knnGraphRetract(graph: DataFrame, bucketed: DataFrame,
-                      retractIds: DataFrame, k: Int): DataFrame = {
+  def knnGraphRetract(graph: DataFrame, store: Dedup.EmbeddingLshStore,
+                      retractIds: DataFrame, k: Int, nTables: Int = 4,
+                      planesPerTable: Int = 6, dim: Int = 64): DataFrame = {
+    require(store.nTables == nTables && store.planesPerTable == planesPerTable
+        && store.dim == dim,
+      s"knnGraphRetract: the bucket store's geometry (${store.nTables}x" +
+        s"${store.planesPerTable}, dim ${store.dim}) must match the graph's " +
+        s"build geometry (${nTables}x$planesPerTable, dim $dim) — bucket ids " +
+        "from two plane families are incomparable")
     val r = graft.operators.CacheTracker.persistTracked(
       retractIds.select(col("vec_id")).distinct())
-    val survBucketed = Dedup.dropRetracted(bucketed, r, "vec_id")
+    val survBucketed = Dedup.dropRetracted(store.bucketed, r, "vec_id")
     val affected = graph
       .join(broadcast(r.withColumnRenamed("vec_id", "neighbor_id")),
         Seq("neighbor_id"))

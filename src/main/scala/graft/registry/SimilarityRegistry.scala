@@ -29,6 +29,13 @@ object SimilarityRegistry {
     * oracle-unrollable, unlike run-to-convergence). */
   val PagerankIters = 3
 
+  /** knn_ivf_retract's deterministic takedown: every 7th vector —
+    * ~14% of the corpus leaves (the C-family's RetractMod convention),
+    * coprime to ProbeMod and CentroidMod so the takedown removes
+    * probes, centroid-seed vectors, and plain candidates alike without
+    * emptying any of those classes. */
+  val RetractVecMod = 7
+
   private val Dot = VectorSql.dot("p.pv", "e.v")
   private def nrm(expr: String) = VectorSql.nrm(expr)
 
@@ -150,7 +157,7 @@ object SimilarityRegistry {
       val grown = graft.operators.Dedup.embeddingLshStoreDelta(
         graft.operators.Dedup.embeddingLshStore(
           emb.filter(c % DeltaMod =!= 0), nTables = 4, planesPerTable = 6),
-        emb.filter(c % DeltaMod === 0), nTables = 4, planesPerTable = 6)
+        emb.filter(c % DeltaMod === 0))
       Similarity.knnLshIndexed(grown.bucketed, probes(s, d), K)
     }),
     "knn_lsh_served" -> ((s, d) => {
@@ -168,6 +175,32 @@ object SimilarityRegistry {
       Similarity.knnIvfIndexed(
         Similarity.IvfIndex(s.read.parquet(paths.head), s.read.parquet(paths(1))),
         probes(s, d), K, NProbe)
+    }),
+    // retraction reaching the VECTOR serving store (r18, VERDICT r17
+    // item #4 — the E-family's first driver-graded takedown; until
+    // now its retracts were spec-only): the SAME memoized IVF index
+    // knn_ivf_served reads takes a deterministic takedown
+    // (ivfRetract's one anti-join under the frozen codebook) and
+    // surviving probes query the shrunk index. The oracle replays
+    // knn_ivf with the survivor predicate on the assignment and probe
+    // sides while the codebook CTE stays corpus-wide (the frozen-
+    // quantizer contract) — an index that still served a retracted
+    // vector's rows, or re-derived its codebook from the survivors,
+    // hash-mismatches. The timed pass is takedown + query, never an
+    // index rebuild (the build is the memoized warm-up, the
+    // knn_ivf_served discipline).
+    "knn_ivf_retract" -> ((s, d) => {
+      val (paths, _) = ServingIndexes.once("ivf", d) {
+        val idx = Similarity.ivfIndex(Tables.embeddings(s, d), CentroidMod)
+        (Seq(idx.assigned, idx.centroids), 0L)
+      }
+      val c = org.apache.spark.sql.functions.col("vec_id")
+      val shrunk = Similarity.ivfRetract(
+        Similarity.IvfIndex(s.read.parquet(paths.head), s.read.parquet(paths(1))),
+        Tables.embeddings(s, d).filter(c % RetractVecMod === 0)
+          .select("vec_id"))
+      Similarity.knnIvfIndexed(shrunk,
+        probes(s, d).filter(c % RetractVecMod =!= 0), K, NProbe)
     }),
     // kNN-GRAPH serving (r13): the graph is the build artifact
     // SemDeDup-style pipelines precompute once and query repeatedly
@@ -239,6 +272,54 @@ object SimilarityRegistry {
         probes(s, d), K)
     }),
   )
+
+  /** knn_ivf's replay — ONE spelling shared by the build, served,
+    * delta, and retract rows so the four oracles cannot drift (the
+    * TextAnalysisRegistry.searchSql discipline). `centsPred` pins the
+    * codebook CTE to the delta row's old side; `survPred` restricts
+    * the assignment and probe sides to the retract row's survivors
+    * (the codebook deliberately does NOT take survPred — a served
+    * index's quantizer is frozen between rebuilds, so a takedown
+    * erases assigned rows while centroid values derived from
+    * retracted vectors legitimately keep serving). */
+  private def ivfSql(centsPred: String, survPred: String): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cid,
+       |    list_transform(v, x -> x / ${VectorSql.nrm("v")}) AS unit
+       |  FROM e WHERE vec_id % $CentroidMod = 0$centsPred
+       |), scored_cells AS (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |    ${VectorSql.dot("e.v", "c.unit")} AS d
+       |  FROM e CROSS JOIN cents c
+       |), assigned AS (
+       |  SELECT vec_id, v, cid AS cell FROM (
+       |    SELECT vec_id, v, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY d DESC, cid ASC) AS rn
+       |    FROM scored_cells WHERE TRUE$survPred) WHERE rn = 1
+       |), probe_cells AS (
+       |  SELECT vec_id AS probe_id, v AS pv, cid AS pcell FROM (
+       |    SELECT vec_id, v, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY d DESC, cid ASC) AS rn
+       |    FROM scored_cells
+       |    WHERE vec_id % $ProbeMod = 0$survPred) WHERE rn <= $NProbe
+       |), cand AS (
+       |  SELECT p.probe_id, e.vec_id AS neighbor_id,
+       |    ${VectorSql.cos("p.pv", "e.v")} AS cos_sim
+       |  FROM probe_cells p
+       |  JOIN (SELECT vec_id, v, cell FROM assigned) e
+       |    ON e.cell = p.pcell AND e.vec_id <> p.probe_id
+       |), ranked AS (
+       |  SELECT probe_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY probe_id
+       |                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+       |  FROM cand
+       |)
+       |SELECT probe_id, neighbor_id, cos_sim, rnk
+       |FROM ranked WHERE rnk <= $K""".stripMargin
 
   /** knn_pq's replay, parameterized by an extra seed predicate so the
     * delta row can pin the quantizer to the old side. */
@@ -530,84 +611,17 @@ object SimilarityRegistry {
     // L2-normalized exactly like the Spark codebook), assign each
     // vector to its argmax cell by dot(v, unit) with the kernel's
     // (dot desc, cid asc) tie-break, search nProbe cells per probe.
-    "knn_ivf" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |), cents AS (
-         |  SELECT vec_id AS cid,
-         |    list_transform(v, x -> x / ${VectorSql.nrm("v")}) AS unit
-         |  FROM e WHERE vec_id % $CentroidMod = 0
-         |), scored_cells AS (
-         |  SELECT e.vec_id, e.v, c.cid,
-         |    ${VectorSql.dot("e.v", "c.unit")} AS d
-         |  FROM e CROSS JOIN cents c
-         |), assigned AS (
-         |  SELECT vec_id, v, cid AS cell FROM (
-         |    SELECT vec_id, v, cid,
-         |      row_number() OVER (PARTITION BY vec_id
-         |                         ORDER BY d DESC, cid ASC) AS rn
-         |    FROM scored_cells) WHERE rn = 1
-         |), probe_cells AS (
-         |  SELECT vec_id AS probe_id, v AS pv, cid AS pcell FROM (
-         |    SELECT vec_id, v, cid,
-         |      row_number() OVER (PARTITION BY vec_id
-         |                         ORDER BY d DESC, cid ASC) AS rn
-         |    FROM scored_cells WHERE vec_id % $ProbeMod = 0) WHERE rn <= $NProbe
-         |), cand AS (
-         |  SELECT p.probe_id, e.vec_id AS neighbor_id,
-         |    ${VectorSql.cos("p.pv", "e.v")} AS cos_sim
-         |  FROM probe_cells p
-         |  JOIN (SELECT vec_id, v, cell FROM assigned) e
-         |    ON e.cell = p.pcell AND e.vec_id <> p.probe_id
-         |), ranked AS (
-         |  SELECT probe_id, neighbor_id, cos_sim,
-         |    row_number() OVER (PARTITION BY probe_id
-         |                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
-         |  FROM cand
-         |)
-         |SELECT probe_id, neighbor_id, cos_sim, rnk
-         |FROM ranked WHERE rnk <= $K""".stripMargin,
+    "knn_ivf" -> ivfSql("", ""),
     // the full knn_ivf replay under the STORE's codebook: centroids
     // come from the OLD side only (the index was built before the
     // delta arrived; the codebook stays fixed between rebuilds) —
     // assignment and probes cover the whole grown corpus
-    "knn_ivf_delta" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |), cents AS (
-         |  SELECT vec_id AS cid,
-         |    list_transform(v, x -> x / ${VectorSql.nrm("v")}) AS unit
-         |  FROM e WHERE vec_id % $CentroidMod = 0 AND vec_id % $DeltaMod <> 0
-         |), scored_cells AS (
-         |  SELECT e.vec_id, e.v, c.cid,
-         |    ${VectorSql.dot("e.v", "c.unit")} AS d
-         |  FROM e CROSS JOIN cents c
-         |), assigned AS (
-         |  SELECT vec_id, v, cid AS cell FROM (
-         |    SELECT vec_id, v, cid,
-         |      row_number() OVER (PARTITION BY vec_id
-         |                         ORDER BY d DESC, cid ASC) AS rn
-         |    FROM scored_cells) WHERE rn = 1
-         |), probe_cells AS (
-         |  SELECT vec_id AS probe_id, v AS pv, cid AS pcell FROM (
-         |    SELECT vec_id, v, cid,
-         |      row_number() OVER (PARTITION BY vec_id
-         |                         ORDER BY d DESC, cid ASC) AS rn
-         |    FROM scored_cells WHERE vec_id % $ProbeMod = 0) WHERE rn <= $NProbe
-         |), cand AS (
-         |  SELECT p.probe_id, e.vec_id AS neighbor_id,
-         |    ${VectorSql.cos("p.pv", "e.v")} AS cos_sim
-         |  FROM probe_cells p
-         |  JOIN (SELECT vec_id, v, cell FROM assigned) e
-         |    ON e.cell = p.pcell AND e.vec_id <> p.probe_id
-         |), ranked AS (
-         |  SELECT probe_id, neighbor_id, cos_sim,
-         |    row_number() OVER (PARTITION BY probe_id
-         |                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
-         |  FROM cand
-         |)
-         |SELECT probe_id, neighbor_id, cos_sim, rnk
-         |FROM ranked WHERE rnk <= $K""".stripMargin,
+    "knn_ivf_delta" -> ivfSql(s" AND vec_id % $DeltaMod <> 0", ""),
+    // the takedown replay (r18): the IDENTICAL query with the
+    // survivor predicate on the assignment and probe sides while the
+    // codebook stays corpus-wide — exactly what serving the retracted
+    // index under the frozen codebook must equal
+    "knn_ivf_retract" -> ivfSql("", s" AND vec_id % $RetractVecMod <> 0"),
     // The graph oracle is the LSH oracle without the probe filter:
     // bucketed self-join, exact cosine, per-vector rank.
     "knn_graph" ->

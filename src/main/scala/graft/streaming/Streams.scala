@@ -871,7 +871,7 @@ object Streams {
                   k: Int): DataFrame =
     searchServe(spark, dir, terms, k,
       TempDirs.create("graft_st_search_p"),
-      TempDirs.create("graft_st_search_n"))
+      TempDirs.create("graft_st_search_d"))
 
   /** [[searchServe]] with CALLER-SUPPLIED index paths — the production
     * entry point: the postings and per-doc id tables land durably
@@ -885,19 +885,22 @@ object Streams {
     * job failure) leaves the caller's previous index fully intact and
     * serveable.
     *
-    * r17 layout: the second tier holds one (doc_id) row per streamed
-    * doc — [[graft.operators.TextAnalysis.PostingsStore]]'s id tier,
-    * same size class as the per-batch counts it replaced and strictly
-    * more informative — so the drained artifacts ARE a PostingsStore
-    * and [[graft.operators.TextAnalysis.postingsRetract]] applies to
-    * a STREAMED index verbatim (a takedown against the live search
+    * r17 layout (the parameter was renamed `countsDir` → `docsDir` in
+    * r18 to match, closing the ADVICE r17 naming seam): the second
+    * tier holds one (doc_id) row per streamed doc —
+    * [[graft.operators.TextAnalysis.PostingsStore]]'s id tier, same
+    * size class as the per-batch (bigram-count) rows it replaced in
+    * r17 and strictly more informative — so the drained artifacts ARE
+    * a PostingsStore and
+    * [[graft.operators.TextAnalysis.postingsRetract]] applies to a
+    * STREAMED index verbatim (a takedown against the live search
     * index needs the surviving N, which a count-only tier cannot
     * produce once token-less docs are involved; StreamsSpec pins the
     * drained-then-retracted serve against the batch survivors). A
     * pre-r17 counts-tier directory fails the doc_id read loudly
-    * rather than serving a wrong N. */
+    * rather than serving a wrong N — do NOT point `docsDir` at one. */
   def searchServe(spark: SparkSession, dir: String, terms: Seq[String],
-                  k: Int, postingsDir: String, countsDir: String): DataFrame = {
+                  k: Int, postingsDir: String, docsDir: String): DataFrame = {
     val stream = FileStreamSource(s"$dir/documents.parquet").stream(spark)
     // every drain starts a FRESH checkpoint and re-lists the full
     // current source, so stale batch=N subdirectories from a PRIOR
@@ -905,15 +908,15 @@ object Streams {
     // index. Rather than clearing the live dirs up front (which would
     // destroy the previous good index if THIS drain then fails), drain
     // into staging siblings and swap only on success.
-    val (stageP, stageN) = (s"$postingsDir.staging", s"$countsDir.staging")
+    val (stageP, stageN) = (s"$postingsDir.staging", s"$docsDir.staging")
     Seq(stageP, stageN).foreach { p =>
       scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively(); ()
     }
     searchIndexFromStream(stream, terms, stageP, stageN)
-    Seq((stageP, postingsDir), (stageN, countsDir)).foreach {
+    Seq((stageP, postingsDir), (stageN, docsDir)).foreach {
       case (stage, live) => promoteStaged(stage, live)
     }
-    val nDocs = spark.read.parquet(countsDir).select("doc_id").count()
+    val nDocs = spark.read.parquet(docsDir).select("doc_id").count()
     // the batchId partition column is layout, not postings data
     graft.operators.TextAnalysis.searchIndexed(
       spark.read.parquet(postingsDir).select("doc_id", "w", "tf"),
@@ -1125,8 +1128,7 @@ object Streams {
     val u = graft.operators.Dedup.semanticKeepersDelta(store,
       batch.select(col("vec_id"), col("embedding")), tau).updatedStore
     graft.operators.Dedup.SemanticStore(
-      graft.operators.Dedup.EmbeddingLshStore(
-        u.lsh.bucketed.localCheckpoint(true)),
+      u.lsh.copy(bucketed = u.lsh.bucketed.localCheckpoint(true)),
       u.assignment.localCheckpoint(true))
   }
 
@@ -1157,13 +1159,14 @@ object Streams {
       if (new java.io.File(asg).isDirectory && new java.io.File(lsh).isDirectory)
         Some((asg, lsh))
       else None
-    val pointer = new java.io.File(storeDir, "CURRENT")
-    val versioned =
-      if (pointer.isFile) {
-        val v = java.nio.file.Files.readString(pointer.toPath).trim
-        complete(s"$storeDir/$v/assignment", s"$storeDir/$v/lsh")
-      } else None
-    versioned.orElse(complete(s"$storeDir/assignment", s"$storeDir/lsh"))
+    // versioned resolution through the shared seam (r18 — the r13
+    // contract generalized to graft.sources.VersionedStore so batch
+    // retraction write-backs get the same atomicity); the flat-layout
+    // fallback is this store's own pre-r13 compatibility path
+    graft.sources.VersionedStore
+      .resolve(storeDir, Seq("assignment", "lsh"))
+      .map { case Seq(asg, lsh) => (asg, lsh) }
+      .orElse(complete(s"$storeDir/assignment", s"$storeDir/lsh"))
   }
 
   /** [[semanticServe]] with a CALLER-SUPPLIED store path — the
@@ -1195,50 +1198,14 @@ object Streams {
         spark.read.parquet(s"$dir/embeddings.parquet").limit(0), tau)
     }
     val store = semanticMaintainFromStream(stream, store0, tau)
-    // next version = max existing + 1 (orphans from crashed drains
-    // count, so a retry never reuses a half-written dir)
-    val root = new java.io.File(storeDir)
-    root.mkdirs()
-    val VDir = "v(\\d{5})".r
-    val nextN = Option(root.listFiles()).getOrElse(Array.empty)
-      .collect { case f if f.isDirectory => f.getName }
-      .collect { case VDir(n) => n.toInt }
-      .maxOption.getOrElse(0) + 1
-    val vName = f"v$nextN%05d"
-    store.assignment.write.mode("overwrite")
-      .parquet(s"$storeDir/$vName/assignment")
-    store.lsh.bucketed.write.mode("overwrite")
-      .parquet(s"$storeDir/$vName/lsh")
-    // capture the previously-live version BEFORE the swap: cleanup
-    // retains it for one generation (r13 advice — a reader that
-    // resolved the old pointer just before promotion may still be
-    // mid-scan of its parquet files; deleting its version out from
-    // under it trades the torn-WRITE fix for a torn READ). N−2 and
-    // older, plus unreferenced orphans, are reclaimed.
-    val prevLive = Option(new java.io.File(storeDir, "CURRENT"))
-      .filter(_.isFile)
-      .map(p => java.nio.file.Files.readString(p.toPath).trim)
-    // the SINGLE atomic promotion: readers see the old pointer or the
-    // new one, never a torn store
-    val tmp = java.nio.file.Paths.get(storeDir, "CURRENT.tmp")
-    java.nio.file.Files.writeString(tmp, vName)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(storeDir, "CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // best-effort cleanup AFTER promotion: superseded versions except
-    // the one-generation grace copy, the pre-r13 flat tables, and any
-    // stale staging leftovers
-    Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
-      val stale = f.getName match {
-        case VDir(n) => n.toInt != nextN && !prevLive.contains(f.getName)
-        case "assignment" | "lsh" | "assignment.staging" | "lsh.staging" => true
-        case _ => false
-      }
-      if (stale && f.isDirectory) {
-        scala.reflect.io.Directory(f).deleteRecursively(); ()
-      }
-    }
-    spark.read.parquet(s"$storeDir/$vName/assignment")
+    // ONE atomic publish of both tables (r18: the r13 versioned-dir +
+    // pointer-promote contract now lives in the shared
+    // graft.sources.VersionedStore seam — identical semantics: fresh
+    // vNNNNN, orphan-skipping numbering, atomic CURRENT move,
+    // one-generation reader grace, flat/staging-leftover reclaim)
+    val paths = graft.sources.VersionedStore.write(storeDir,
+      Seq("assignment" -> store.assignment, "lsh" -> store.lsh.bucketed))
+    spark.read.parquet(paths.head)
       .select(col("vec_id"), col("cluster_id"),
         (col("vec_id") =!= col("cluster_id")).cast("int").as("is_dup"))
   }

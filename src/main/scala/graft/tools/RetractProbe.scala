@@ -72,23 +72,29 @@ object RetractProbe {
     // the FIRST rmod's hash slice
     val surv = all.filter(
       pmod(xxhash64(c), lit(rmods.head.toLong)) =!= 0)
+    val BestTables = Seq("bits", "graph", "assignment", "pairs")
     if (fams("best")) {
-    // ONE store for the whole sweep — retraction reads, never rebuilds
+    // ONE store for the whole sweep — retraction reads, never
+    // rebuilds. Persisted through the atomic multi-table seam (r18,
+    // VERDICT r17 #2): all four tables land in one vNNNNN version and
+    // publish with one pointer move — a crash mid-write leaves no
+    // torn four-table store, which for THIS store (the takedown
+    // target) is the difference between a retryable failure and a
+    // store serving half-forgotten content.
     val t0 = System.nanoTime()
     CacheTracker.scoped {
       val st = Dedup.semanticBestStore(all, tau, k)
-      st.bits.write.mode(SaveMode.Overwrite).parquet(s"$out/bits.parquet")
-      st.graph.write.mode(SaveMode.Overwrite).parquet(s"$out/graph.parquet")
-      st.assignment.write.mode(SaveMode.Overwrite)
-        .parquet(s"$out/assignment.parquet")
-      st.pairs.write.mode(SaveMode.Overwrite).parquet(s"$out/pairs.parquet")
+      graft.sources.VersionedStore.write(s"$out/best_store",
+        BestTables.zip(Seq(st.bits, st.graph, st.assignment, st.pairs)))
+      ()
     }
     println(f"""{"stage":"store_build","sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
-    def store() = Dedup.SemanticBestStore(
-      spark.read.parquet(s"$out/bits.parquet"),
-      spark.read.parquet(s"$out/graph.parquet"),
-      spark.read.parquet(s"$out/assignment.parquet"),
-      spark.read.parquet(s"$out/pairs.parquet"), tau, k)
+    def store() = {
+      val Seq(bits, graph, asg, pairs) = graft.sources.VersionedStore
+        .read(spark, s"$out/best_store", BestTables)
+        .getOrElse(sys.error("best_store has no live version"))
+      Dedup.SemanticBestStore(bits, graph, asg, pairs, tau, k)
+    }
     rmods.foreach { rmod =>
       // HASH-scattered slice, not a mod slice: the scaled corpus's
       // copies sit at base + i*2000, so vec_id % rmod picks WHOLE
@@ -140,6 +146,26 @@ object RetractProbe {
     fullPass() // warm
     println(f"""{"stage":"full_rebuild","rmod":${rmods.head},""" +
       f""""sec":${fullPass()}%.3f}""")
+    // the DURABLE takedown (r18): retract + atomic four-table
+    // write-back through the shared versioned seam — what a legal
+    // erasure queue actually runs per batch (the in-memory pass above
+    // prices the compute; this prices compute + all-or-nothing
+    // publish). The new version's tables replace the live store only
+    // at the pointer move, so a crash anywhere in this pass leaves
+    // the pre-takedown store fully live and the batch retryable.
+    def writeBackPass(): Double = CacheTracker.scoped {
+      val rIds = all.filter(pmod(xxhash64(c), lit(rmods.head.toLong)) === 0)
+        .select("vec_id")
+      val t = System.nanoTime()
+      val r = Dedup.semanticBestRetract(store(), rIds, tau, k)
+      graft.sources.VersionedStore.write(s"$out/best_store_wb",
+        BestTables.zip(Seq(r.updatedStore.bits, r.updatedStore.graph,
+          r.updatedStore.assignment, r.updatedStore.pairs)))
+      (System.nanoTime() - t) / 1e9
+    }
+    writeBackPass() // warm
+    println(f"""{"stage":"retract_writeback","rmod":${rmods.head},""" +
+      f""""sec":${writeBackPass()}%.3f}""")
     }
     if (fams("minid")) {
     // ---- min-id semantic store (r17, semanticRetract): the one

@@ -72,10 +72,36 @@ class RetractionSpec extends AnyFunSuite {
   test("lmCountsRetract equals lmCounts over survivors; rebuilt model matches") {
     val retractedDocs = docs.join(rDocs, "doc_id")
     val shrunk = TextAnalysis.lmCountsRetract(
-      TextAnalysis.lmCounts(docs), retractedDocs)
-    assert(rows(shrunk) == rows(TextAnalysis.lmCounts(survDocs)))
-    assert(rows(TextAnalysis.lmModelFromCounts(shrunk)) ==
+      TextAnalysis.lmCountsStore(docs), retractedDocs)
+    assert(rows(shrunk.counts) == rows(TextAnalysis.lmCounts(survDocs)))
+    assert(rows(TextAnalysis.lmModelFromCounts(shrunk.counts)) ==
       rows(TextAnalysis.lmModel(survDocs)))
+    // the ledger records exactly the batch's ids
+    assert(rows(shrunk.retracted) == rows(rDocs))
+  }
+
+  test("lmCountsRetract is replay-idempotent: the same batch twice subtracts once") {
+    // the repo's own takedown-queue pattern drains through
+    // foreachBatch, which is at-least-once — a RETRIED takedown batch
+    // is an ordinary event, and pre-r18 it double-subtracted counts
+    // silently (rows just vanished at zero). The ledger makes the
+    // replay a no-op: counts after feeding the batch twice ≡ counts
+    // after feeding it once ≡ lmCounts over the survivors.
+    val retractedDocs = docs.join(rDocs, "doc_id")
+    val once = TextAnalysis.lmCountsRetract(
+      TextAnalysis.lmCountsStore(docs), retractedDocs)
+    val twice = TextAnalysis.lmCountsRetract(once, retractedDocs)
+    assert(rows(twice.counts) == rows(TextAnalysis.lmCounts(survDocs)))
+    assert(rows(twice.counts) == rows(once.counts))
+    // replay appends nothing: the ledger still holds one row per doc
+    assert(twice.retracted.count() == once.retracted.count())
+    // a MIXED batch (already-processed ids + genuinely new ones)
+    // subtracts only the new ids' counts
+    val extra = docs.filter(col("doc_id") % 5 === 1).select("doc_id")
+    val mixed = docs.join(rDocs.union(extra), "doc_id")
+    val after = TextAnalysis.lmCountsRetract(once, mixed)
+    val surv2 = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+    assert(rows(after.counts) == rows(TextAnalysis.lmCounts(surv2)))
   }
 
   // ---------------------------------------------------------------
@@ -125,8 +151,22 @@ class RetractionSpec extends AnyFunSuite {
   test("knnGraphRetract equals knnGraph over the survivors") {
     val store = Dedup.embeddingLshStore(emb, nTables = 4, planesPerTable = 6)
     val graph = Similarity.knnGraph(emb, 10)
-    val ret = Similarity.knnGraphRetract(graph, store.bucketed, rVecs, 10)
+    val ret = Similarity.knnGraphRetract(graph, store, rVecs, 10)
     assert(rows(ret) == rows(Similarity.knnGraph(survEmb, 10)))
+  }
+
+  test("knnGraphRetract rejects a bucket store with mismatched geometry") {
+    // r18 (ADVICE r17): re-ranking affected probes against buckets
+    // hashed under a different plane family would silently return
+    // wrong candidates — the carried store geometry makes that a
+    // loud contract violation instead
+    val wrongGeom = Dedup.embeddingLshStore(emb, nTables = 6,
+      planesPerTable = 4)
+    val graph = Similarity.knnGraph(emb, 10)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnGraphRetract(graph, wrongGeom, rVecs, 10)
+    }
+    assert(e.getMessage.contains("geometry"))
   }
 
   test("knnGraphRetract: a HUB takedown refills every survivor's top-k") {
@@ -150,7 +190,7 @@ class RetractionSpec extends AnyFunSuite {
     assert(withHub == (1L until 12L).toSet,
       s"fixture must make 0 a universal neighbor, got $withHub")
     val store = Dedup.embeddingLshStore(all, nTables = 4, planesPerTable = 6)
-    val ret = Similarity.knnGraphRetract(graph, store.bucketed,
+    val ret = Similarity.knnGraphRetract(graph, store,
       Seq(0L).toDF("vec_id"), k)
     assert(rows(ret) ==
       rows(Similarity.knnGraph(all.filter(col("vec_id") =!= 0L), k)))

@@ -270,6 +270,72 @@ class StreamsSpec extends AnyFunSuite {
       asn(graft.operators.Dedup.semanticKeepers(surv, tau)))
   }
 
+  test("INTERLEAVED ingest and retract micro-batches drain to the net-corpus store") {
+    // r18 (VERDICT r17 item #5): a live system's semantic store takes
+    // ingests and takedowns on the SAME timeline — ingest, takedown,
+    // more ingest (possibly re-clustering around the hole), another
+    // takedown — and the drained store must equal the batch operator
+    // over the NET corpus (everything ingested minus everything
+    // retracted). The batch composition pins
+    // (DeltaDedupSpec retract∘ingest both ways) say this must hold;
+    // this proves it END-TO-END through two genuine streams draining
+    // against one shared store, the exact shape of an ingest pipeline
+    // running beside a legal-erasure queue.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val tau = graft.registry.DedupRegistry.CosineTau
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    var store = graft.operators.Dedup.semanticStore(emb.limit(0), tau)
+    // the corpus table a deployment maintains beside the store (the
+    // semanticRetract contract: pre- or post-takedown rows both work,
+    // so appending ingests without pruning takedowns is legal)
+    var corpus = emb.limit(0).select(col("vec_id"), col("embedding"))
+    val ingest = MemoryStream[(Long, Array[Float])]
+    val takedown = MemoryStream[Long]
+    val qI = ingest.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        corpus = corpus.union(batch.toDF()).localCheckpoint(true)
+        store = Streams.semanticBatchStep(store, batch.toDF(), tau)
+        ()
+      }
+      .start()
+    val qT = takedown.toDF().toDF("vec_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val r = graft.operators.Dedup.semanticRetract(store, batch.toDF(),
+          corpus, tau)
+        store = graft.operators.Dedup.SemanticStore(
+          r.updatedStore.lsh.copy(
+            bucketed = r.updatedStore.lsh.bucketed.localCheckpoint(true)),
+          r.updatedStore.assignment.select("vec_id", "cluster_id")
+            .localCheckpoint(true))
+        ()
+      }
+      .start()
+    // wave 1 can only name ids that EXIST yet (b1's), so b2's
+    // %10==0 ids legitimately survive the whole run — the net corpus
+    // is ingested-minus-retracted, not a global modulo slice
+    val wave1 = b1.map(_._1).filter(_ % 10 == 0)
+    val wave2 = (b1 ++ b2).map(_._1).filter(_ % 10 == 5)
+    try {
+      ingest.addData(b1.toSeq); qI.processAllAvailable()
+      takedown.addData(wave1); qT.processAllAvailable()
+      ingest.addData(b2.toSeq); qI.processAllAvailable()
+      takedown.addData(wave2); qT.processAllAvailable()
+    } finally { qI.stop(); qT.stop() }
+    val net = emb.join((wave1 ++ wave2).toSeq.toDF("vec_id"),
+      Seq("vec_id"), "left_anti")
+    def asn(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("vec_id"), col("cluster_id"))
+        .as[(Long, Long)].collect().toSet
+    val batchRun = asn(graft.operators.Dedup.semanticKeepers(net, tau))
+    assert(asn(store.assignment) == batchRun && batchRun.nonEmpty)
+  }
+
   test("semanticServe: durable store, drained == batch, idempotent re-drain") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -356,14 +422,17 @@ class StreamsSpec extends AnyFunSuite {
     // the takedown reaches the STREAM-MAINTAINED count table (r17):
     // subtract docs 2 and 4's own counts from the drained per-batch
     // rows and the shrunk table equals lmCounts over the survivors —
-    // the additive-counts argument is batching-independent
+    // the additive-counts argument is batching-independent (the store
+    // wraps the drained rows with a fresh ledger; the per-batch split
+    // needs no pre-merge, lmCountsStoreFromCounts re-sums)
     val retracted = (b1 ++ b2).filter(d => d._1 == 2L || d._1 == 4L)
       .toDF("doc_id", "text")
     val survivors = (b1 ++ b2).filterNot(d => d._1 == 2L || d._1 == 4L)
       .toDF("doc_id", "text")
     val shrunk = graft.operators.TextAnalysis.lmCountsRetract(
-      spark.read.parquet(countsDir).select("bigram", "c12"), retracted)
-    assert(shrunk.as[(String, Long)].collect().toSet ==
+      graft.operators.TextAnalysis.lmCountsStoreFromCounts(
+        spark.read.parquet(countsDir).select("bigram", "c12")), retracted)
+    assert(shrunk.counts.as[(String, Long)].collect().toSet ==
       graft.operators.TextAnalysis.lmCounts(survivors)
         .as[(String, Long)].collect().toSet)
   }

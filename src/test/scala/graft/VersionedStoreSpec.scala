@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VersionedStore
+
+/** r18 (VERDICT r17 item #2) — takedown write-back durability: batch
+  * retraction returns frames, and persisting a MULTI-table store
+  * non-atomically can tear it (new assignment beside stale pairs) if
+  * the writer crashes mid-rewrite. These tests pin the shared
+  * versioned-store seam's contract: every failure point before the
+  * single atomic pointer move leaves the PRIOR store fully live, a
+  * pointer naming an incomplete version is rejected rather than
+  * half-served, and promotion retains the superseded version for one
+  * reader-grace generation. The takedown path itself (retract →
+  * write → read-back serves the survivors) is proven end-to-end on a
+  * real store. */
+class VersionedStoreSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_vs").toString
+
+  private def table(n: Int) =
+    (0 until n).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+
+  private def ids(path: String): Set[Long] =
+    spark.read.parquet(path).select("id").as[Long].collect().toSet
+
+  test("write publishes all tables atomically; resolve returns them in order") {
+    val dir = tmp()
+    assert(VersionedStore.resolve(dir, Seq("a", "b")).isEmpty)
+    val paths = VersionedStore.write(dir, Seq("a" -> table(3), "b" -> table(5)))
+    assert(paths.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("a", "b"))
+    val live = VersionedStore.resolve(dir, Seq("a", "b")).get
+    assert(live == paths)
+    assert(ids(live.head) == Set(0L, 1L, 2L) && ids(live(1)).size == 5)
+  }
+
+  test("a simulated mid-write crash leaves the prior store fully live") {
+    val dir = tmp()
+    VersionedStore.write(dir, Seq("a" -> table(3), "b" -> table(3)))
+    val before = VersionedStore.resolve(dir, Seq("a", "b")).get
+    // CRASH SIMULATION: a second writer dies after writing ONE of the
+    // two tables into its fresh version dir and never reaches the
+    // pointer move — exactly the torn-multi-table failure the seam
+    // exists to prevent. (Also leave a stale CURRENT.tmp behind, the
+    // other mid-promotion artifact.)
+    table(9).write.parquet(s"$dir/v00002/a")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "CURRENT.tmp"), "v00002")
+    // the pointer still names v00001: readers see the full prior store
+    val after = VersionedStore.resolve(dir, Seq("a", "b")).get
+    assert(after == before)
+    assert(ids(after.head) == Set(0L, 1L, 2L))
+    // recovery is just the retry: the next successful write SKIPS the
+    // orphaned v00002 (never reuses a half-written dir), publishes
+    // v00003, and reclaims the orphan
+    val retry = VersionedStore.write(dir, Seq("a" -> table(4), "b" -> table(4)))
+    assert(retry.head.contains("v00003"))
+    assert(ids(VersionedStore.resolve(dir, Seq("a", "b")).get.head)
+      == Set(0L, 1L, 2L, 3L))
+    assert(!new java.io.File(s"$dir/v00002").exists(),
+      "the crashed orphan version should be reclaimed after promotion")
+  }
+
+  test("a pointer naming an incomplete version is rejected, not half-served") {
+    val dir = tmp()
+    VersionedStore.write(dir, Seq("a" -> table(2), "b" -> table(2)))
+    // external mutilation: one table of the live version disappears
+    scala.reflect.io.Directory(
+      new java.io.File(s"$dir/v00001/b")).deleteRecursively()
+    assert(VersionedStore.resolve(dir, Seq("a", "b")).isEmpty,
+      "a version missing any declared table must resolve to None")
+  }
+
+  test("promotion retains the superseded version for one reader-grace generation") {
+    val dir = tmp()
+    VersionedStore.write(dir, Seq("a" -> table(1)))
+    VersionedStore.write(dir, Seq("a" -> table(2)))
+    // v1 survives v2's promotion (a reader may be mid-scan of it)
+    assert(new java.io.File(s"$dir/v00001/a").isDirectory)
+    VersionedStore.write(dir, Seq("a" -> table(3)))
+    // v3's promotion keeps v2, reclaims v1 (two generations old)
+    assert(new java.io.File(s"$dir/v00002/a").isDirectory)
+    assert(!new java.io.File(s"$dir/v00001").exists())
+    assert(ids(VersionedStore.resolve(dir, Seq("a")).get.head).size == 3)
+  }
+
+  test("a takedown write-back round-trips: retract, publish, serve the survivors") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val dir = tmp()
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // build + publish the two-table exact-dedup store atomically
+    VersionedStore.write(dir, Seq(
+      "keepers" -> Dedup.keeperStore(docs),
+      "members" -> Dedup.memberStore(docs)))
+    val Seq(k0, m0) =
+      VersionedStore.read(spark, dir, Seq("keepers", "members")).get
+    // the takedown batch: retract against the LIVE version, publish
+    // the shrunk store as the next version with one pointer move
+    val rDocs = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+    val r = Dedup.exactRetract(k0, m0, rDocs)
+    VersionedStore.write(dir, Seq(
+      "keepers" -> r.updatedKeepers, "members" -> r.updatedMembers))
+    // the published store serves exactly the survivor rebuild
+    val Seq(k1, m1) =
+      VersionedStore.read(spark, dir, Seq("keepers", "members")).get
+    val surv = docs.filter(col("doc_id") % 5 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(rows(k1) == rows(Dedup.keeperStore(surv)))
+    assert(rows(m1) == rows(Dedup.memberStore(surv)))
+  }
+}
