@@ -180,15 +180,17 @@ object RetractProbe {
     val t1 = System.nanoTime()
     CacheTracker.scoped {
       val st = Dedup.semanticStore(all, tau)
-      st.lsh.bucketed.write.mode(SaveMode.Overwrite)
-        .parquet(s"$out/mlsh.parquet")
-      st.assignment.write.mode(SaveMode.Overwrite)
-        .parquet(s"$out/masg.parquet")
+      graft.sources.VersionedStore.write(s"$out/minid_store",
+        Seq("lsh" -> st.lsh.bucketed, "assignment" -> st.assignment))
+      ()
     }
     println(f"""{"stage":"minid_store_build","sec":${(System.nanoTime() - t1) / 1e9}%.3f}""")
-    def mstore() = Dedup.SemanticStore(
-      Dedup.EmbeddingLshStore(spark.read.parquet(s"$out/mlsh.parquet")),
-      spark.read.parquet(s"$out/masg.parquet"))
+    def mstore() = {
+      val Seq(lsh, asg) = graft.sources.VersionedStore
+        .read(spark, s"$out/minid_store", Seq("lsh", "assignment"))
+        .getOrElse(sys.error("minid_store has no live version"))
+      Dedup.SemanticStore(Dedup.EmbeddingLshStore(lsh), asg)
+    }
     rmods.foreach { rmod =>
       val rIds = all.filter(pmod(xxhash64(c), lit(rmod.toLong)) === 0)
         .select("vec_id")
