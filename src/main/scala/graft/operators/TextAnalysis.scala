@@ -451,10 +451,15 @@ object TextAnalysis {
     * The ledger probe is deliberately unhinted: the batch side is
     * driver-small but the ledger grows with lifetime takedowns, so
     * AQE picks the build side from runtime sizes instead of a hint
-    * committing to broadcasting an unbounded table. */
+    * committing to broadcasting an unbounded table. A duplicate row
+    * WITHIN one batch (the same doc enqueued twice into one
+    * micro-batch) dedupes before counting for the same reason the
+    * cross-batch ledger exists — each doc's counts subtract exactly
+    * once no matter how it arrives. */
   def lmCountsRetract(store: LmCountsStore,
                       retractedDocs: DataFrame): LmCountsStore = {
     val fresh = retractedDocs.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id")
       .join(store.retracted.select(col("doc_id")), Seq("doc_id"), "left_anti")
     LmCountsStore(
       store.counts.select(col("bigram"), col("c12"))

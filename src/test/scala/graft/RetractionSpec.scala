@@ -96,9 +96,11 @@ class RetractionSpec extends AnyFunSuite {
     // replay appends nothing: the ledger still holds one row per doc
     assert(twice.retracted.count() == once.retracted.count())
     // a MIXED batch (already-processed ids + genuinely new ones)
-    // subtracts only the new ids' counts
+    // subtracts only the new ids' counts — and a WITHIN-batch
+    // duplicate row (the same doc enqueued twice into one
+    // micro-batch) subtracts once, same contract as the replay
     val extra = docs.filter(col("doc_id") % 5 === 1).select("doc_id")
-    val mixed = docs.join(rDocs.union(extra), "doc_id")
+    val mixed = docs.join(rDocs.union(extra).union(extra), "doc_id")
     val after = TextAnalysis.lmCountsRetract(once, mixed)
     val surv2 = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
     assert(rows(after.counts) == rows(TextAnalysis.lmCounts(surv2)))
