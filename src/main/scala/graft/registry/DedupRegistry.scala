@@ -295,7 +295,7 @@ object DedupRegistry {
     // multiplicity by definition (100 copies of one doc = 4,950 true
     // pairs), so a duplication-heavy corpus must shed exact copies
     // before the pair stage — this row is the shape that survives it
-    // (scale-proven on the 100x-duplicated corpus, SURVEY §6). No SQL
+    // (scale-proven on the 100x-duplicated corpus, SURVEY §8). No SQL
     // oracle (xxhash64); both stages are oracle/spec-checked alone.
     // Incremental exact dedup: the delta's assignment against a keeper
     // store built from the rest of the corpus — no old-corpus rescan in
