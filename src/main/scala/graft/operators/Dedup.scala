@@ -2514,12 +2514,31 @@ object Dedup {
     * one bucket table silently. A store read back from parquet gets
     * the library defaults (the persisted layout carries no geometry
     * sidecar); callers persisting non-default geometry carry the
-    * three ints beside the path and restore them via the case-class
-    * fields ([[graft.operators.Dedup.SemanticBestStore]] precedent). */
+    * three ints beside the path and restore them via
+    * [[embeddingLshStoreReadBack]], which REQUIRES all three — the
+    * bare constructor's defaults exist for the Dedup family's 6×4
+    * builds, and read-back through it silently stamps 6×4 onto a
+    * table hashed under any other family (e.g. the graph/serving
+    * family's 4×6), which is ADVICE r18's one-missing-named-argument
+    * footgun ([[graft.operators.Dedup.SemanticBestStore]] precedent
+    * for the carry-beside-the-path contract). */
   final case class EmbeddingLshStore(bucketed: DataFrame,
                                      nTables: Int = 6,
                                      planesPerTable: Int = 4,
                                      dim: Int = 64)
+
+  /** Read-back constructor for a PERSISTED bucket table (ADVICE r18):
+    * all three geometry ints are REQUIRED, so restoring a store from
+    * parquet cannot silently default to the 6×4 Dedup family when the
+    * table was hashed under another plane family — a wrong geometry
+    * here re-buckets the next delta under planes that never hashed
+    * the stored rows (no error, just non-pairs). Callers that
+    * persisted a default-geometry store pass the defaults
+    * explicitly; the explicitness IS the guard. */
+  def embeddingLshStoreReadBack(bucketed: DataFrame, nTables: Int,
+                                planesPerTable: Int,
+                                dim: Int): EmbeddingLshStore =
+    EmbeddingLshStore(bucketed, nTables, planesPerTable, dim)
 
   /** Build [[EmbeddingLshStore]] state for an initial corpus. */
   def embeddingLshStore(embeddings: DataFrame, nTables: Int = 6,
@@ -2598,7 +2617,14 @@ object Dedup {
     val dBucketed = Similarity.lshBucketed(
       delta.select(col("vec_id"), col("embedding").as("v")),
       store.nTables, store.planesPerTable, store.dim)
-    val all = storeWithBucketedDelta(store, delta, dBucketed).bucketed
+    // the updated store is kept WHOLE (not just its bucketed frame) so
+    // the input's geometry propagates through the delta — rebuilding it
+    // via the bare constructor here once reset a non-default store to
+    // the (6,4,64) defaults, silently re-bucketing the NEXT pass under
+    // the wrong plane family (ADVICE r18, the exact mixed-geometry
+    // union the store-carried geometry exists to make unrepresentable)
+    val updated = storeWithBucketedDelta(store, delta, dBucketed)
+    val all = updated.bucketed
     // delta side x all sides; cosine is symmetric, so normalizing the
     // orientation to id_a < id_b keeps the full run's pair convention
     // (a delta-delta pair matching twice dedups in the distinct).
@@ -2611,7 +2637,7 @@ object Dedup {
           .as("cos_sim"))
       .distinct()
       .filter(col("cos_sim") >= tau)
-    EmbeddingLshDelta(pairs, EmbeddingLshStore(all))
+    EmbeddingLshDelta(pairs, updated)
   }
 
   /** Hyperplane-LSH recall QA (r13, [[minhashRecallReport]]'s

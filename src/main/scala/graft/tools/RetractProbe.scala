@@ -36,7 +36,11 @@ object RetractProbe {
       .split(",").toSeq.map(_.toInt)
     // optional third arg: which families to probe (default all) —
     // "best" (semanticBestRetract), "exact" (exactRetract), "minid"
-    // (r17 semanticRetract, the affected-cluster rebuild)
+    // (r17 semanticRetract, the affected-cluster rebuild), "quotient"
+    // (r19, NOT in the default set: the QuotientEdgeCap fallback's
+    // wall-clock class — the same delta ingest driven through the
+    // driver union-find and through the distributed-closure fallback
+    // a lowered cap forces)
     val fams = (if (args.length > 2) args(2) else "best,exact,minid")
       .split(",").toSet
     // optional fourth arg: tau override. The minid family's cost is
@@ -189,7 +193,9 @@ object RetractProbe {
       val Seq(lsh, asg) = graft.sources.VersionedStore
         .read(spark, s"$out/minid_store", Seq("lsh", "assignment"))
         .getOrElse(sys.error("minid_store has no live version"))
-      Dedup.SemanticStore(Dedup.EmbeddingLshStore(lsh), asg)
+      // explicit read-back geometry (ADVICE r18): built with defaults
+      Dedup.SemanticStore(Dedup.embeddingLshStoreReadBack(lsh,
+        nTables = 6, planesPerTable = 4, dim = 64), asg)
     }
     rmods.foreach { rmod =>
       val rIds = all.filter(pmod(xxhash64(c), lit(rmod.toLong)) === 0)
@@ -220,6 +226,52 @@ object RetractProbe {
     mrebuild() // warm
     println(f"""{"stage":"minid_full_rebuild","rmod":${rmods.head},""" +
       f""""sec":${mrebuild()}%.3f}""")
+    }
+    if (fams("quotient")) {
+    // ---- the QuotientEdgeCap FALLBACK at probe scale (r19, VERDICT
+    // r18 item #6): semanticKeepersDelta closes its ingest-bounded
+    // quotient with a driver union-find when the edge set fits the
+    // cap, else falls back to the distributed clusters() loop —
+    // logged, spec-covered at toy size, but never before driven over
+    // a real corpus. Price BOTH paths on the SAME ingest: one pass at
+    // the default cap (driver path) and one with the cap forced to 0
+    // (every quotient goes distributed), so the §6 anatomy can name
+    // the fallback's cost class before a 100 TB deployment meets it.
+    val dmod = 5L
+    val oldC = all.filter(pmod(xxhash64(c), lit(dmod)) =!= 0)
+    val delta = all.filter(pmod(xxhash64(c), lit(dmod)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val nD = delta.count()
+    val t3 = System.nanoTime()
+    CacheTracker.scoped {
+      val st = Dedup.semanticStore(oldC, tau)
+      graft.sources.VersionedStore.write(s"$out/q_store",
+        Seq("lsh" -> st.lsh.bucketed, "assignment" -> st.assignment))
+      ()
+    }
+    println(f"""{"stage":"quotient_store_build","sec":${(System.nanoTime() - t3) / 1e9}%.3f}""")
+    def qstore() = {
+      val Seq(lsh, asg) = graft.sources.VersionedStore
+        .read(spark, s"$out/q_store", Seq("lsh", "assignment"))
+        .getOrElse(sys.error("q_store has no live version"))
+      Dedup.SemanticStore(Dedup.embeddingLshStoreReadBack(lsh,
+        nTables = 6, planesPerTable = 4, dim = 64), asg)
+    }
+    def qpass(cap: Option[Int]): Double = CacheTracker.scoped {
+      cap.foreach(v => sys.props("graft.quotient.edge.cap") = v.toString)
+      try {
+        val t = System.nanoTime()
+        Dedup.semanticKeepersDelta(qstore(), delta, tau)
+          .assignment.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t) / 1e9
+      } finally cap.foreach(_ => sys.props.remove("graft.quotient.edge.cap"))
+    }
+    qpass(None) // warm
+    println(f"""{"stage":"quotient_driver","delta":$nD,""" +
+      f""""sec":${qpass(None)}%.3f}""")
+    qpass(Some(0)) // warm (the fallback path logs once per pass)
+    println(f"""{"stage":"quotient_fallback","delta":$nD,""" +
+      f""""sec":${qpass(Some(0))}%.3f}""")
     }
     if (fams("exact")) {
     // the exact family on the mult×-duplicated documents table: every

@@ -375,6 +375,40 @@ class DeltaDedupSpec extends AnyFunSuite {
     assert(r3.updatedStore.bucketed.count() == r.updatedStore.bucketed.count())
   }
 
+  test("embeddingNearDupLshDelta PROPAGATES non-default store geometry (ADVICE r18)") {
+    // the delta pass once rebuilt its updated store via the bare
+    // constructor, resetting a non-default (nTables, planesPerTable,
+    // dim) to the 6×4×64 defaults — so the NEXT pass derived the wrong
+    // plane family from the store and re-bucketed the new rows under
+    // planes that never hashed the stored ones (silent non-pairs, the
+    // exact mixed-geometry union the store-carried geometry forbids).
+    // Pin: geometry survives a delta, and two sequential deltas under
+    // 4×6 still compose to the one-shot 4×6 pass.
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tau = 0.35
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    val store46 = Dedup.embeddingLshStore(old, nTables = 4,
+      planesPerTable = 6, dim = 64)
+    val r1 = Dedup.embeddingNearDupLshDelta(store46,
+      delta.filter(col("vec_id") % 2 === 0), tau)
+    assert((r1.updatedStore.nTables, r1.updatedStore.planesPerTable,
+      r1.updatedStore.dim) == ((4, 6, 64)),
+      "updatedStore must carry the input store's geometry, not defaults")
+    val r2 = Dedup.embeddingNearDupLshDelta(r1.updatedStore,
+      delta.filter(col("vec_id") % 2 =!= 0), tau)
+    def pairs(df: DataFrame) = df.as[(Long, Long, Double)].collect().toSet
+    val oneShot = Dedup.embeddingNearDupLshDelta(store46, delta, tau)
+    assert(pairs(r1.pairs) ++ pairs(r2.pairs) == pairs(oneShot.pairs))
+    assert(pairs(oneShot.pairs).nonEmpty)
+    // the explicit read-back constructor restores what it is told —
+    // no silent defaulting path left for a persisted 4×6 table
+    val back = Dedup.embeddingLshStoreReadBack(store46.bucketed,
+      nTables = 4, planesPerTable = 6, dim = 64)
+    assert((back.nTables, back.planesPerTable, back.dim) == ((4, 6, 64)))
+  }
+
   test("semanticKeepersDelta: delta assignment equals the full rescan") {
     import org.apache.spark.sql.functions.col
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")

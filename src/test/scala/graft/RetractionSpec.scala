@@ -106,6 +106,34 @@ class RetractionSpec extends AnyFunSuite {
     assert(rows(after.counts) == rows(TextAnalysis.lmCounts(surv2)))
   }
 
+  test("lm replay protection SURVIVES store reconstruction via the two-frame overload (ADVICE r18)") {
+    // the restart boundary: drain → persist both tables → restart →
+    // re-wrap → at-least-once redelivery of an already-processed
+    // takedown. Reconstructing through the counts-only overload
+    // attaches an EMPTY ledger, so the replay double-subtracts — the
+    // pre-r18 silent failure, now documented as that overload's
+    // contract. The two-frame overload carries the ledger across.
+    val retractedDocs = docs.join(rDocs, "doc_id")
+    val once = TextAnalysis.lmCountsRetract(
+      TextAnalysis.lmCountsStore(docs), retractedDocs)
+    // persist + re-read both tables (parquet round trip = the restart)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_rt").toString
+    graft.sources.VersionedStore.write(dir,
+      Seq("counts" -> once.counts, "retracted" -> once.retracted))
+    val Seq(counts, ledger) = graft.sources.VersionedStore
+      .read(spark, dir, Seq("counts", "retracted")).get
+    val rewrapped = TextAnalysis.lmCountsStoreFromCounts(counts, ledger)
+    val replayed = TextAnalysis.lmCountsRetract(rewrapped, retractedDocs)
+    assert(rows(replayed.counts) == rows(TextAnalysis.lmCounts(survDocs)),
+      "a takedown replayed across the restart boundary must be a no-op")
+    assert(replayed.retracted.count() == once.retracted.count())
+    // and the counts-only overload indeed forfeits it (the documented
+    // trade — this assertion is the overload's WARNING made concrete)
+    val forfeits = TextAnalysis.lmCountsRetract(
+      TextAnalysis.lmCountsStoreFromCounts(counts), retractedDocs)
+    assert(rows(forfeits.counts) != rows(TextAnalysis.lmCounts(survDocs)))
+  }
+
   // ---------------------------------------------------------------
   // vector index stores (knn_*_served serving state)
   // ---------------------------------------------------------------

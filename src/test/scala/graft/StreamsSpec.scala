@@ -336,6 +336,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(asn(store.assignment) == batchRun && batchRun.nonEmpty)
   }
 
+  test("st_semantic_retract binding == batch dd_semantic over the net corpus (r19 graded row)") {
+    // the registry binding drives the SAME interleaved timeline the
+    // test above proves, plus the durable publish + read-back serve;
+    // pin the whole graded path against the oracle's net modulo slice
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val tau = graft.registry.DedupRegistry.CosineTau
+    val served = graft.registry.StreamsRegistry
+      .queries("st_semantic_retract")(spark, d)
+    val mod = graft.registry.StreamsRegistry.RetractWaveMod
+    val net = graft.sources.Tables.embeddings(spark, d)
+      .filter(col("vec_id") % mod =!=
+        graft.registry.StreamsRegistry.Wave1Rem &&
+        col("vec_id") % mod =!= graft.registry.StreamsRegistry.Wave2Rem)
+    def rows3(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select(col("vec_id"), col("cluster_id"), col("is_dup"))
+        .as[(Long, Long, Int)].collect().toSet
+    val batch = rows3(graft.operators.Dedup.semanticKeepers(net, tau))
+    assert(rows3(served) == batch && batch.nonEmpty)
+    // the graded frame is served from a PUBLISHED versioned store —
+    // retracted ids are genuinely gone from the durable assignment
+    assert(served.filter(col("vec_id") % mod === 0L ||
+      col("vec_id") % mod === 5L).count() == 0)
+  }
+
   test("semanticServe: durable store, drained == batch, idempotent re-drain") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

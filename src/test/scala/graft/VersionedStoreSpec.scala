@@ -90,6 +90,92 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(ids(VersionedStore.resolve(dir, Seq("a")).get.head).size == 3)
   }
 
+  test("two INTERLEAVED writers land distinct complete versions (r19, VERDICT r18 #2)") {
+    // the realistic racing pair: an ingest drain and a takedown queue
+    // sharing one storeDir. Before the atomic dir claim, both writers
+    // computed the same next vNNNNN and interleaved mode(overwrite)
+    // table writes into ONE version dir — a torn store published as
+    // atomic. Simulate the interleaving deterministically: both
+    // writers claim BEFORE either publishes, by driving the same
+    // claim primitive write() uses, then running two full write()
+    // calls whose claims must skip the pre-claimed dirs.
+    val dir = tmp()
+    VersionedStore.write(dir, Seq("a" -> table(1), "b" -> table(1)))
+    // writer X claims v00002 mid-flight — the REAL claim shape:
+    // createDirectory + the `.writing` in-flight marker
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(dir, "v00002"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir, "v00002", VersionedStore.WritingMarker))
+    // … writer Y starts: its claim must NOT reuse v00002, and its
+    // publish must NOT sweep X's in-flight dir
+    val yPaths = VersionedStore.write(dir, Seq("a" -> table(5), "b" -> table(5)))
+    assert(yPaths.head.contains("v00003"),
+      "a concurrent claim must advance past the other writer's dir")
+    assert(new java.io.File(s"$dir/v00002").isDirectory,
+      "cleanup must not sweep a concurrent writer's in-flight claim " +
+        "(young .writing marker)")
+    // X completes: writes its tables, drops its marker, promotes
+    table(9).write.parquet(s"$dir/v00002/a")
+    table(9).write.parquet(s"$dir/v00002/b")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "v00002", VersionedStore.WritingMarker))
+    val tmpP = java.nio.file.Paths.get(dir, "CURRENT.tmp")
+    java.nio.file.Files.writeString(tmpP, "v00002")
+    java.nio.file.Files.move(tmpP, java.nio.file.Paths.get(dir, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // both versions are individually complete — last pointer move wins
+    // (the documented contract), and NO version holds a mix
+    assert(ids(s"$dir/v00002/a") == ids(s"$dir/v00002/b"))
+    assert(ids(s"$dir/v00003/a") == ids(s"$dir/v00003/b"))
+    assert(ids(s"$dir/v00002/a").size == 9 && ids(s"$dir/v00003/a").size == 5)
+    assert(ids(VersionedStore.resolve(dir, Seq("a", "b")).get.head).size == 9)
+    // the NEXT writer claims past both and reclaims only superseded
+    // generations
+    val zPaths = VersionedStore.write(dir, Seq("a" -> table(7), "b" -> table(7)))
+    assert(zPaths.head.contains("v00004"))
+  }
+
+  test("a CRASHED writer's claim reclaims once its marker goes stale") {
+    val dir = tmp()
+    VersionedStore.write(dir, Seq("a" -> table(1)))
+    // a writer claims v00002 and dies — marker never removed
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(dir, "v00002"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir, "v00002", VersionedStore.WritingMarker))
+    // while the marker is YOUNG the claim is presumed live: protected
+    VersionedStore.write(dir, Seq("a" -> table(2))) // claims v00003
+    assert(new java.io.File(s"$dir/v00002").isDirectory)
+    // once STALE (simulated via the test knob) it reclaims like any
+    // orphan — crashed claims don't leak disk forever
+    sys.props("graft.store.claim.stale.ms") = "-1"
+    try VersionedStore.write(dir, Seq("a" -> table(3))) // claims v00004
+    finally sys.props.remove("graft.store.claim.stale.ms")
+    assert(!new java.io.File(s"$dir/v00002").exists(),
+      "a stale-marked crashed claim must be reclaimed")
+    assert(ids(VersionedStore.resolve(dir, Seq("a")).get.head).size == 3)
+  }
+
+  test("a scheme-qualified storeDir is rejected loudly (local-FS contract)") {
+    // Spark's df.write would accept hdfs:///s3a:// and publish the
+    // TABLES remotely while the java.nio pointer machinery ran on
+    // bogus local paths — a store that silently publishes nothing.
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedStore.write("hdfs://nn/store", Seq("a" -> table(1)))
+    }
+    assert(e1.getMessage.contains("local-filesystem only"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedStore.resolve("s3a://bucket/store", Seq("a"))
+    }
+    assert(e2.getMessage.contains("local-filesystem only"))
+    // a plain absolute path (and file-scheme-free relative ones) pass
+    val dir = tmp()
+    VersionedStore.write(dir, Seq("a" -> table(2)))
+    assert(VersionedStore.resolve(dir, Seq("a")).nonEmpty)
+  }
+
   test("a takedown write-back round-trips: retract, publish, serve the survivors") {
     import graft.operators.Dedup
     import graft.sources.Tables
