@@ -30,4 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Catalyst's recursive treeString/transform walks can overflow the
+  // JVM's default ~1 MB thread stack on DEEP plans (iterative
+  // closure/delta chains build them legitimately; Spark's own test
+  // builds raise -Xss for the same reason). One observed one-off
+  // suite abort traced to generateTreeString recursion — headroom is
+  // cheap insurance against that flake class.
+  "-Xss16m",
 )
