@@ -189,8 +189,12 @@ object VersionedStore {
       .filter(_.isFile)
       .map(p => java.nio.file.Files.readString(p.toPath).trim)
     // the SINGLE atomic promotion: readers see the old pointer or the
-    // new one, never a torn store
-    val tmp = java.nio.file.Paths.get(storeDir, "CURRENT.tmp")
+    // new one, never a torn store. The staging file is named PER CLAIM
+    // (r19): a shared CURRENT.tmp could be overwritten by a concurrent
+    // racer between this writer's write and move, publishing the
+    // racer's version under this writer's move (or a torn pointer) —
+    // per-claim names make each move publish exactly its own claim.
+    val tmp = java.nio.file.Paths.get(storeDir, s"CURRENT.tmp.$vName")
     java.nio.file.Files.writeString(tmp, vName)
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(storeDir, "CURRENT"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -217,6 +221,18 @@ object VersionedStore {
       if (stale && f.isDirectory) {
         scala.reflect.io.Directory(f).deleteRecursively(); ()
       }
+    }
+    // stale POINTER-STAGING files: the legacy shared `CURRENT.tmp`
+    // (pre-r19 crash debris) and any per-claim `CURRENT.tmp.vNNNNN`
+    // whose version dir is gone — its writer crashed and the claim was
+    // reclaimed. A tmp whose dir still EXISTS is left alone: it may be
+    // a concurrent racer in the instant between pointer write and move.
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      val staleTmp = n == "CURRENT.tmp" ||
+        (n.startsWith("CURRENT.tmp.") &&
+          !new java.io.File(root, n.stripPrefix("CURRENT.tmp.")).isDirectory)
+      if (staleTmp && f.isFile) { f.delete(); () }
     }
     tables.map { case (name, _) => s"$storeDir/$vName/$name" }
   }

@@ -137,6 +137,30 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(zPaths.head.contains("v00004"))
   }
 
+  test("pointer-staging hygiene: per-claim tmp names, stale tmps swept") {
+    // the pointer stages through a PER-CLAIM name (CURRENT.tmp.vNNNNN)
+    // so a concurrent racer can't overwrite this writer's staged
+    // pointer between write and move; a successful publish leaves no
+    // staging files behind, and debris from crashed writers (the
+    // legacy shared name, or a per-claim tmp whose version dir was
+    // reclaimed) is swept by the next publish.
+    val dir = tmp()
+    VersionedStore.write(dir, Seq("a" -> table(1)))
+    def tmps(): Seq[String] = new java.io.File(dir).listFiles()
+      .collect { case f if f.getName.startsWith("CURRENT.tmp") => f.getName }
+      .toSeq
+    assert(tmps().isEmpty, "a clean publish must leave no staging files")
+    // plant crashed-writer debris: the legacy shared name + a
+    // per-claim tmp whose claim dir no longer exists
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "CURRENT.tmp"), "v00001")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "CURRENT.tmp.v09999"), "v09999")
+    VersionedStore.write(dir, Seq("a" -> table(2)))
+    assert(tmps().isEmpty, "stale staging debris must be swept")
+    assert(ids(VersionedStore.resolve(dir, Seq("a")).get.head).size == 2)
+  }
+
   test("a CRASHED writer's claim reclaims once its marker goes stale") {
     val dir = tmp()
     VersionedStore.write(dir, Seq("a" -> table(1)))
