@@ -115,16 +115,19 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/v00002").isDirectory,
       "cleanup must not sweep a concurrent writer's in-flight claim " +
         "(young .writing marker)")
-    // X completes: writes its tables, drops its marker, promotes
+    // X completes with the REAL r20 sequence: writes its tables,
+    // promotes through its per-claim staging name, and only THEN
+    // drops its marker (r19 dropped it before the move — the race
+    // the markerless-gap test below pins closed)
     table(9).write.parquet(s"$dir/v00002/a")
     table(9).write.parquet(s"$dir/v00002/b")
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(dir, "v00002", VersionedStore.WritingMarker))
-    val tmpP = java.nio.file.Paths.get(dir, "CURRENT.tmp")
+    val tmpP = java.nio.file.Paths.get(dir, "CURRENT.tmp.v00002")
     java.nio.file.Files.writeString(tmpP, "v00002")
     java.nio.file.Files.move(tmpP, java.nio.file.Paths.get(dir, "CURRENT"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "v00002", VersionedStore.WritingMarker))
     // both versions are individually complete — last pointer move wins
     // (the documented contract), and NO version holds a mix
     assert(ids(s"$dir/v00002/a") == ids(s"$dir/v00002/b"))
@@ -135,6 +138,143 @@ class VersionedStoreSpec extends AnyFunSuite {
     // generations
     val zPaths = VersionedStore.write(dir, Seq("a" -> table(7), "b" -> table(7)))
     assert(zPaths.head.contains("v00004"))
+  }
+
+  test("a racer's FULL write() inside X's complete-but-unpromoted window " +
+    "leaves both versions intact (r20, VERDICT r19 #1)") {
+    // THE r19 race: write() dropped the `.writing` marker BEFORE the
+    // pointer move, so a version with all tables complete but not yet
+    // promoted sat markerless — a concurrent publisher's cleanup saw
+    // an orphan and swept it, the slow writer then promoted a pointer
+    // to a deleted dir, and resolve() returned None (store DOWN,
+    // racer's valid publish shadowed) until the next publish. r20
+    // closes it by ELIMINATING the state: the marker now outlives the
+    // promotion, so there is no markerless-unpromoted instant at all.
+    // This test drives writer X to exactly that most-exposed point —
+    // tables complete, not yet promoted — with the real claim shape,
+    // then runs writer Y's FULL write() (claim, tables, promote,
+    // cleanup) inside the window.
+    val dir = tmp()
+    VersionedStore.write(dir, Seq("a" -> table(1), "b" -> table(1)))
+    // writer X: real claim + marker, tables COMPLETE, promotion not
+    // yet run — under the r20 ordering the marker is still present
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(dir, "v00002"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir, "v00002", VersionedStore.WritingMarker))
+    table(9).write.parquet(s"$dir/v00002/a")
+    table(9).write.parquet(s"$dir/v00002/b")
+    // writer Y's full publish runs INSIDE X's window
+    val yPaths = VersionedStore.write(dir, Seq("a" -> table(5), "b" -> table(5)))
+    assert(yPaths.head.contains("v00003"))
+    // X's complete-but-unpromoted version survived Y's cleanup, and
+    // the store resolved Y's publish throughout — never None
+    assert(new java.io.File(s"$dir/v00002/a").isDirectory &&
+      new java.io.File(s"$dir/v00002/b").isDirectory,
+      "a complete-but-unpromoted version must survive a racer's publish")
+    assert(ids(VersionedStore.resolve(dir, Seq("a", "b")).get.head).size == 5)
+    // X finishes with the r20 sequence: promote, THEN drop the marker.
+    // The store must resolve at every instant, including the brief
+    // promoted-and-still-marked one.
+    val tmpP = java.nio.file.Paths.get(dir, "CURRENT.tmp.v00002")
+    java.nio.file.Files.writeString(tmpP, "v00002")
+    java.nio.file.Files.move(tmpP, java.nio.file.Paths.get(dir, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(ids(VersionedStore.resolve(dir, Seq("a", "b")).get.head).size == 9,
+      "the store must resolve in the promoted-but-still-marked instant")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "v00002", VersionedStore.WritingMarker))
+    // both versions individually complete, X's pointer move won
+    assert(ids(s"$dir/v00002/a") == ids(s"$dir/v00002/b"))
+    assert(ids(s"$dir/v00003/a") == ids(s"$dir/v00003/b"))
+    assert(ids(VersionedStore.resolve(dir, Seq("a", "b")).get.head).size == 9)
+  }
+
+  test("a CURRENT-named version with a STALE marker survives cleanup " +
+    "(crash between promote and marker-delete)") {
+    // the r20 marker ordering opens one new crash window: promoted
+    // but marker never dropped. That version is LIVE (the pointer
+    // names it) — its stale marker must not age it into reclaim.
+    val dir = tmp()
+    VersionedStore.write(dir, Seq("a" -> table(1)))
+    // X: claim v2, write table, promote — then crash (marker stays)
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(dir, "v00002"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir, "v00002", VersionedStore.WritingMarker))
+    table(5).write.parquet(s"$dir/v00002/a")
+    val tmpP = java.nio.file.Paths.get(dir, "CURRENT.tmp.v00002")
+    java.nio.file.Files.writeString(tmpP, "v00002")
+    java.nio.file.Files.move(tmpP, java.nio.file.Paths.get(dir, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // every marker instantly stale: only the CURRENT/prevLive guards
+    // can save v2 now
+    sys.props("graft.store.claim.stale.ms") = "-1"
+    try {
+      VersionedStore.write(dir, Seq("a" -> table(3))) // claims v00003
+      assert(new java.io.File(s"$dir/v00002/a").isDirectory,
+        "the version the pointer named at publish time must survive " +
+          "its marker going stale")
+      assert(ids(VersionedStore.resolve(dir, Seq("a")).get.head).size == 3)
+      // once superseded by TWO generations (no longer CURRENT, no
+      // longer the grace copy), the crashed-after-promote version
+      // reclaims like any stale claim — no disk leak
+      VersionedStore.write(dir, Seq("a" -> table(4))) // claims v00004
+      assert(!new java.io.File(s"$dir/v00002").exists(),
+        "a crashed-after-promote version must still reclaim once " +
+          "two generations superseded")
+    } finally sys.props.remove("graft.store.claim.stale.ms")
+  }
+
+  test("reclaim predicate: newer-than-claim versions are categorically " +
+    "untouchable; heartbeat resets staleness (r20, VERDICT r19 #1/#2)") {
+    val dir = tmp()
+    def dirOf(v: String): java.io.File = {
+      val f = new java.io.File(dir, v)
+      f.mkdirs(); f
+    }
+    val legacy = Set("a"); val legacyStaging = Set("a.staging")
+    def reclaim(f: java.io.File, cleanerN: Int): Boolean =
+      VersionedStore.reclaimable(f, cleanerN, currentNow = Some("v00009"),
+        prevLive = Some("v00008"), legacy, legacyStaging)
+    // a markerless version NEWER than the cleaner's claim is a
+    // concurrent writer's work — categorically untouched, even though
+    // it looks exactly like reclaimable debris (this is the n<cleanerN
+    // guard; pre-r20 the condition was n != cleanerN, which reclaimed
+    // newer markerless dirs)
+    assert(!reclaim(dirOf("v00007"), cleanerN = 5))
+    // …while the SAME dir is ordinary markerless debris to a cleaner
+    // whose claim is newer
+    assert(reclaim(dirOf("v00007"), cleanerN = 8))
+    // the CURRENT-named and grace versions never reclaim, regardless
+    assert(!reclaim(dirOf("v00009"), cleanerN = 12))
+    assert(!reclaim(dirOf("v00008"), cleanerN = 12))
+    // a YOUNG marker protects; a STALE one doesn't; a heartbeat
+    // (touchClaim — what write() calls after each table lands)
+    // resets the clock, so staleness measures idle time, not total
+    // write time
+    val claimed = dirOf("v00003")
+    val marker = java.nio.file.Paths.get(claimed.getPath,
+      VersionedStore.WritingMarker)
+    java.nio.file.Files.createFile(marker)
+    sys.props("graft.store.claim.stale.ms") = "5000"
+    try {
+      assert(!reclaim(claimed, cleanerN = 6), "young marker must protect")
+      // age the claim past the threshold — a writer that started long
+      // ago and NEVER progressed is presumed crashed
+      java.nio.file.Files.setLastModifiedTime(marker,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10000))
+      assert(reclaim(claimed, cleanerN = 6), "stale marker must reclaim")
+      // …but a slow writer that just landed a table heartbeats, and
+      // the SAME claim is live again: staleness = no-progress window
+      VersionedStore.touchClaim(marker)
+      assert(!reclaim(claimed, cleanerN = 6),
+        "a heartbeat must reset the staleness clock — long writes " +
+          "that keep landing tables are live, not crashed")
+    } finally sys.props.remove("graft.store.claim.stale.ms")
   }
 
   test("pointer-staging hygiene: per-claim tmp names, stale tmps swept") {
