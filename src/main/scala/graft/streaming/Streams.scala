@@ -1257,31 +1257,39 @@ object Streams {
       .select(col("vec_id"), col("embedding"))
     val rows = emb.as[(Long, Array[Float])].collect()
     val (b1, b2) = rows.partition(_._1 % 2 == 0)
-    var store = graft.operators.Dedup.semanticStore(emb.limit(0), tau)
+    // AtomicReference, not plain vars (r20, ADVICE r19): the two
+    // streaming queries' microbatch threads hand the store/corpus
+    // across each other, and while the processAllAvailable fences
+    // order the TURNS, cross-thread memory visibility of a plain var
+    // would ride those fences' internal locking incidentally — the
+    // atomics make the ingest→takedown handoff's happens-before
+    // explicit and guaranteed.
+    val store = new java.util.concurrent.atomic.AtomicReference(
+      graft.operators.Dedup.semanticStore(emb.limit(0), tau))
     // the corpus table a deployment maintains beside the store
     // (semanticRetract's contract accepts pre- or post-takedown rows,
     // so appending ingests without pruning takedowns is legal)
-    var corpus = emb.limit(0)
+    val corpus = new java.util.concurrent.atomic.AtomicReference(emb.limit(0))
     val ingest = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Array[Float])]
     val takedown = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Long]
     val qI = ingest.toDF().toDF("vec_id", "embedding").writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        corpus = corpus.union(batch.toDF()).localCheckpoint(true)
-        store = semanticBatchStep(store, batch.toDF(), tau)
+        corpus.set(corpus.get.union(batch.toDF()).localCheckpoint(true))
+        store.set(semanticBatchStep(store.get, batch.toDF(), tau))
         ()
       }
       .start()
     val qT = takedown.toDF().toDF("vec_id").writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val r = graft.operators.Dedup.semanticRetract(store, batch.toDF(),
-          corpus, tau)
-        store = graft.operators.Dedup.SemanticStore(
+        val r = graft.operators.Dedup.semanticRetract(store.get,
+          batch.toDF(), corpus.get, tau)
+        store.set(graft.operators.Dedup.SemanticStore(
           r.updatedStore.lsh.copy(
             bucketed = r.updatedStore.lsh.bucketed.localCheckpoint(true)),
           r.updatedStore.assignment.select("vec_id", "cluster_id")
-            .localCheckpoint(true))
+            .localCheckpoint(true)))
         ()
       }
       .start()
@@ -1297,7 +1305,8 @@ object Streams {
     // the PUBLISHED store, not the in-memory one
     val paths = graft.sources.VersionedStore.write(
       TempDirs.create("graft_st_semantic_retract"),
-      Seq("assignment" -> store.assignment, "lsh" -> store.lsh.bucketed))
+      Seq("assignment" -> store.get.assignment,
+        "lsh" -> store.get.lsh.bucketed))
     spark.read.parquet(paths.head)
       .select(col("vec_id"), col("cluster_id"),
         (col("vec_id") =!= col("cluster_id")).cast("int").as("is_dup"))

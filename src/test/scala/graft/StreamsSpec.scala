@@ -358,8 +358,10 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows3(served) == batch && batch.nonEmpty)
     // the graded frame is served from a PUBLISHED versioned store —
     // retracted ids are genuinely gone from the durable assignment
-    assert(served.filter(col("vec_id") % mod === 0L ||
-      col("vec_id") % mod === 5L).count() == 0)
+    assert(served.filter(col("vec_id") % mod ===
+        graft.registry.StreamsRegistry.Wave1Rem ||
+      col("vec_id") % mod === graft.registry.StreamsRegistry.Wave2Rem)
+      .count() == 0)
   }
 
   test("semanticServe: durable store, drained == batch, idempotent re-drain") {
