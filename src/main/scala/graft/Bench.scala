@@ -217,12 +217,23 @@ object Bench {
     // ta_search_batch's only clean graded readings are 0.24 (r18) and
     // the ~0.3s closing-run passes; 0.51 rode r17's adjudicated box
     "ta_search_batch" -> (0.14, 0.60),
-    // r19-only history (the durable shape's first round): closing run
-    // m 1.45 / n 0.94 — wide provisional band for an IO-bearing row
-    // whose per-pass FS work (version publish + cleanup) varies by
-    // design; tighten once 2-3 graded rounds accrue
-    "dd_exact_retract" -> (0.5, 2.8),
-    "wc_wordcount" -> (0.15, 0.45))
+    // r20 tightened (VERDICT r19 item #5) from the provisional
+    // r19-only [0.5, 2.8]: two rounds of clean durable-shape history
+    // — r19 close m 1.447/n 0.935 (fast box 0.839) and 1.094 (loaded
+    // box 1.368), graded 0.944, judge replay 1.061; r20 subset m
+    // 1.147/n 1.096 (fast box 0.626) — cluster at 0.94-1.45 across
+    // box_ratios 0.63-1.37, so house style gives lo 0.6×0.94 ≈ 0.55
+    // and hi 1.7×1.45 ≈ 2.5 (still wide-ish for the by-design
+    // per-pass FS variance intra flagged in r19); derivation table
+    // in SURVEY §6's r20 block
+    "dd_exact_retract" -> (0.55, 2.5),
+    // lo lowered 0.15 → 0.09 in r20: the r20 fast box (box_ratio
+    // 0.626) read a CLEAN 0.1441 median / 0.135 recheck with the
+    // row hash-verified at preflight — the old lo flagged a fast
+    // box, which is exactly what a lo must not do (r16 lesson);
+    // 0.09 ≈ 60% of the new best clean reading, still far above
+    // the wrong-row/empty-input anomaly class the lo exists for
+    "wc_wordcount" -> (0.09, 0.45))
 
   /** Every `*_served` row beside its build sibling. The compact line
     * carries `served_over` — served rows whose median exceeds the
@@ -233,7 +244,9 @@ object Bench {
     * knn_ivf_filtered_served read +45 ms ≈ the floor over its build
     * row and graded as an inversion). An EMPTY map in the graded file
     * is the claim "every serving path beats its build path by more
-    * than the floor's noise band, or ties within it". */
+    * than the floor's noise band, or ties within it". Each over
+    * entry is `{"d": graded delta, "r": one-shot isolated recheck
+    * delta}` (r20 — see the emit site's rationale). */
   val ServedBuild: Seq[(String, String)] = Seq(
     "ta_search_served" -> "ta_search",
     "ta_lm_score_served" -> "ta_lm_score",
@@ -714,7 +727,15 @@ object Bench {
     // floor-normalized served/build adjudication: only inversions
     // LARGER than one scheduling floor are real; emitted whenever at
     // least one served/build pair was benched (empty = all serving
-    // paths within the floor's noise band of their build siblings)
+    // paths within the floor's noise band of their build siblings).
+    // r20 (VERDICT r19 item #3): an over entry re-measures BOTH rows
+    // of its pair once, isolated at end of pass — the watch_out
+    // recheck protocol — and carries the recheck's served−build
+    // delta beside the graded one as `r`, so a judge can adjudicate
+    // a +0.05-0.13 s inversion (r19's knn_lsh/pq/ivfpq_served class)
+    // from the file: an `r` at-or-under the floor under an over `d`
+    // says load noise, an `r` that reproduces the inversion says the
+    // serving path really regressed.
     val servedJson = {
       val m = ok.toMap
       val pairs = ServedBuild.filter { case (s2, b2) =>
@@ -723,7 +744,14 @@ object Bench {
       else {
         val over = pairs.flatMap { case (s2, b2) =>
           val d2 = median(m(s2).times) - median(m(b2).times)
-          if (d2 > schedMedian) Some("\"" + s2 + "\":" + fmt3(d2)) else None
+          if (d2 > schedMedian) {
+            val rs = time(spark, s2, Seq(sfDir), 1)(sfDir)
+            val rb = time(spark, b2, Seq(sfDir), 1)(sfDir)
+            val re =
+              if (rs.failed || rb.failed) ""
+              else ",\"r\":" + fmt3(rs.times.head - rb.times.head)
+            Some("\"" + s2 + "\":{\"d\":" + fmt3(d2) + re + "}")
+          } else None
         }
         ",\"served_over\":{" + over.mkString(",") + "}"
       }
