@@ -188,6 +188,37 @@ class VersionedCatalogStoreSpec extends AnyFunSuite {
     assert(joined.count() == 100)
   }
 
+  test("a takedown write-back round-trips through the catalog store: " +
+    "retract, publish, serve the survivors (drop-in for the path variant)") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val p = fresh("vcs_takedown")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // the exact-dedup two-table store, BOTH bucketed on fp (the
+    // members⋈keepers join key — the StoreRoundTripSpec co-location),
+    // published atomically as one version
+    VersionedCatalogStore.write(spark, p, Seq(
+      TableSpec("keepers", Dedup.keeperStore(docs), "fp", 8),
+      TableSpec("members", Dedup.memberStore(docs), "fp", 8)))
+    val Seq(k0, m0) =
+      VersionedCatalogStore.read(spark, p, Seq("keepers", "members")).get
+    // the takedown batch retracts against the LIVE read-back version
+    // and the shrunk store publishes as the next version
+    val rDocs = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+    val r = Dedup.exactRetract(k0, m0, rDocs)
+    VersionedCatalogStore.write(spark, p, Seq(
+      TableSpec("keepers", r.updatedKeepers, "fp", 8),
+      TableSpec("members", r.updatedMembers, "fp", 8)))
+    // the published store serves exactly the survivor rebuild
+    val Seq(k1, m1) =
+      VersionedCatalogStore.read(spark, p, Seq("keepers", "members")).get
+    val surv = docs.filter(col("doc_id") % 5 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    assert(rows(k1) == rows(Dedup.keeperStore(surv)))
+    assert(rows(m1) == rows(Dedup.memberStore(surv)))
+  }
+
   test("a mixed-case or scheme-like prefix is rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       VersionedCatalogStore.write(spark, "Mixed_Case",
