@@ -105,12 +105,20 @@ object VersionedCatalogStore {
 
   /** Every version number present under `prefix`, read from the
     * catalog's table list (claim tables count — a claimed version
-    * with no tables yet written must still advance the next claim). */
+    * with no tables yet written must still advance the next claim).
+    * The listing is PATTERN-scoped to the store's own names: a
+    * warehouse at the 100 TB posture holds thousands of unrelated
+    * tables, and an unfiltered listTables per write/cleanup would
+    * pull the whole catalog driver-side on every publish. */
+  private def listStoreTables(spark: SparkSession,
+                              pattern: String): Seq[String] =
+    spark.catalog.listTables(spark.catalog.currentDatabase, pattern)
+      .collect().toSeq.map(_.name)
+
   private def versionNumbers(spark: SparkSession, prefix: String): Seq[Int] = {
     val pat = java.util.regex.Pattern
       .compile(java.util.regex.Pattern.quote(prefix) + "_v(\\d{5})_.*")
-    spark.catalog.listTables().collect().toSeq
-      .map(_.name)
+    listStoreTables(spark, s"${prefix}_v*")
       .flatMap { n =>
         val m = pat.matcher(n)
         if (m.matches()) Some(m.group(1).toInt) else None
@@ -199,9 +207,7 @@ object VersionedCatalogStore {
         // named them — the catalog form of the path variant's
         // whole-dir delete (reclaiming only currently-declared names
         // would leak tables across store schema evolutions)
-        val vPrefix = s"${prefix}_${v}_"
-        spark.catalog.listTables().collect()
-          .map(_.name).filter(_.startsWith(vPrefix))
+        listStoreTables(spark, s"${prefix}_${v}_*")
           .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       }
     }
