@@ -81,4 +81,32 @@ class ClustersSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == expected)
   }
+
+  test("driver fast path == distributed loop on the same pair graph (r20)") {
+    // chains (deep pointer-doubling), a merge-through-bridge, islands,
+    // and duplicate/reversed pairs — run once under the default cap
+    // (driver union-find) and once with the cap forced to 0 (the
+    // pointer-doubling loop), and require identical labels
+    val rnd = new scala.util.Random(41L)
+    val chain = (0 until 64).map(i => (100L + i, 101L + i))
+    val rand = Seq.fill(300) {
+      val a = rnd.nextInt(90).toLong; val b = rnd.nextInt(90).toLong
+      (a, b)
+    }.filter(p => p._1 != p._2)
+    val pairs = (chain ++ rand ++ Seq((89L, 100L), (500L, 501L), (501L, 500L)))
+      .toDF("id_a", "id_b")
+    val fast = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    val key = "graft.clusters.edge.cap"
+    val old = sys.props.get(key)
+    sys.props(key) = "0"
+    try {
+      val loop = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+      assert(fast == loop)
+    } finally old match {
+      case Some(v) => sys.props(key) = v
+      case None => sys.props.remove(key)
+    }
+    // sanity: the bridged chain collapses into 89's component
+    assert(fast(164L) == fast(89L))
+  }
 }
