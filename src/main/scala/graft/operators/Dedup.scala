@@ -1576,7 +1576,7 @@ object Dedup {
       .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("neighbor_id"),
         (Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
           .as("cos_sim"))
-      .distinct()
+      // no pre-ranking distinct (r20): rankTopK's heap dedupes by id
     // edges KEEP their cosine (r15) and their rank (r16): the
     // incremental form's graph maintenance merges stored rows with
     // fresh delta-pair scores, which needs the stored score; the
@@ -1882,7 +1882,7 @@ object Dedup {
           col("a.bucket") === col("b.bucket"))
       .select(col("a.vec_id").as("probe_id"),
         col("b.vec_id").as("neighbor_id"), pairScore("a", "b"))
-      .distinct()
+      // no pre-ranking distinct (r20): rankTopK's heap dedupes by id
       .transform(stageCount("bestDelta.vsDelta", _))
     // the delta itself ranks fresh over all its bucket mates
     val deltaSide = d46.as("a").join(all46.as("b"),
@@ -1891,7 +1891,7 @@ object Dedup {
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("probe_id"),
         col("b.vec_id").as("neighbor_id"), pairScore("a", "b"))
-      .distinct()
+      // no pre-ranking distinct (r20): rankTopK's heap dedupes by id
       .transform(stageCount("bestDelta.deltaSide", _))
     // stored edges stay valid iff NEITHER endpoint changed; rows with
     // a delta endpoint re-form identically in the two scoring passes
@@ -2140,7 +2140,7 @@ object Dedup {
         col("b.vec_id").as("neighbor_id"),
         (Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
           .as("cos_sim"))
-      .distinct()
+      // no pre-ranking distinct (r20): rankTopK's heap dedupes by id
       .transform(stageCount("bestRetract.rescored", _))
     val shrunk = CacheTracker.persistTracked(
       untouched

@@ -982,7 +982,10 @@ object Similarity {
       .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("neighbor_id"),
         (Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
           .as("cos_sim"))
-      .distinct() // a pair sharing several tables scores once
+      // no pre-ranking distinct (r20): a pair sharing several tables
+      // repeats with an identical deterministic cosine, and the topK
+      // heap dedupes by id map-side — the full-width dedup exchange
+      // the old .distinct() paid is gone
     rankTopK(scored, k).withColumnRenamed("probe_id", "vec_id")
   }
 
@@ -1044,7 +1047,7 @@ object Similarity {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         (Vec.dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")))
           .as("cos_sim"))
-      .distinct() // a pair sharing several tables scores once
+      // no pre-ranking distinct (r20): the topK heap dedupes by id
     untouched.union(rankTopK(scored, k).withColumnRenamed("probe_id", "vec_id"))
   }
 
@@ -1166,7 +1169,9 @@ object Similarity {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         (Vec.dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")))
           .as("cos_sim"))
-      .distinct() // union of candidate sets across tables (cosine is deterministic)
+      // no pre-ranking distinct (r20): the candidate-set union across
+      // tables repeats pairs with identical deterministic cosines, and
+      // the topK heap dedupes by id map-side
     rankTopK(scored, k)
   }
 }

