@@ -2203,13 +2203,20 @@ object Dedup {
     * incremental centrality election ([[semanticKeepersBestDelta]],
     * whose partition comes from a quotient remap rather than a fresh
     * closure) spell the identical arithmetic. `assigned` should be
-    * persisted by the caller (it is read three times). */
+    * persisted by the caller (it is read twice). */
   private def electMax(assigned: DataFrame): DataFrame = {
-    val best = assigned.groupBy(col("cluster_id"))
-      .agg(max(col("score")).as("best"))
-    val keepers = assigned.join(best, "cluster_id")
-      .filter(col("score") === col("best"))
-      .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("keep_id"))
+    // ONE cluster-keyed aggregate (r20; was max-score agg + join-back
+    // + min-id agg — two aggregates and an extra join/exchange over
+    // the same frame): max_by over the ordering (score, ~doc_id) —
+    // bitwise NOT is the overflow-free "negate" (monotone decreasing,
+    // bijective on the full long range, safe even at the
+    // Long.MinValue score sentinel), so the struct max IS "highest
+    // score, then smallest doc_id", and the ordering key is unique
+    // per row (doc_id unique within a cluster), which keeps max_by
+    // deterministic. Same election, arithmetic the oracle replays.
+    val keepers = assigned.groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("score"), bitwise_not(col("doc_id")))).as("keep_id"))
     assigned.join(keepers, "cluster_id")
       .select(col("doc_id"), col("keep_id"),
         (col("doc_id") =!= col("keep_id")).cast("int").as("is_dup"))

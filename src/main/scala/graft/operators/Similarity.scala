@@ -1102,12 +1102,18 @@ object Similarity {
     val nodes = CacheTracker.persistTracked(ids.select(col("vec_id")))
     val nTotal = CacheTracker.persistTracked(
       nodes.agg(count(lit(1)).as("N")))
-    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // outdeg attached to the edge list ONCE and persisted (r20; was a
+    // second src-keyed join INSIDE the loop — one aggregate + one join
+    // + their exchanges repaid every iteration for a frame that never
+    // changes across iterations)
+    val ew = CacheTracker.persistTracked(
+      edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+          "src")
+        .select(col("src"), col("dst"), col("outdeg")))
     var r = nodes.select(col("vec_id"), lit(1.0).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = edges
+      val contrib = ew
         .join(r.select(col("vec_id").as("src"), col("r")), "src")
-        .join(outd, "src")
         .select(col("dst").as("vec_id"),
           floor(col("r") / col("outdeg") * lit(1000000.0)).cast("long").as("c"))
       val inflow = contrib.groupBy(col("vec_id"))
