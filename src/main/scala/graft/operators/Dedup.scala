@@ -2320,15 +2320,18 @@ object Dedup {
           greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
     val cand = block(dPrefix, allRows).union(block(oldPrefix, dRows))
       .distinct()
-    val sizes = allRows.select(col("doc_id"), col("sz")).distinct()
+    // sz carried THROUGH the verification groupBy (r20 — jaccardOver's
+    // full-run shape): sz is functionally determined by doc_id on the
+    // sized item rows, so grouping by it adds no cardinality, and the
+    // old sizes-lookup (a distinct + two id-keyed joins, ~4 exchanges
+    // per delta pass) is gone. Same pairs, same IEEE division.
     val verified = cand
       .join(allRows.as("ra"), col("id_a") === col("ra.doc_id"))
       .join(allRows.as("rb"),
         col("id_b") === col("rb.doc_id") && col("ra.s") === col("rb.s"))
-      .groupBy(col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"),
+        col("ra.sz").as("sz_a"), col("rb.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard", col("inter").cast("double")
         / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= tau)
