@@ -721,8 +721,8 @@ object Dedup {
       s"minhashRecallSweep: every (bands, rowsPerBand) config must " +
         s"multiply to the 128-permutation signature budget; got $configs")
     val base = CacheTracker.persistTracked(shingleArrays(docs, n))
-    val rows = base.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sizes = base.select(col("doc_id"), size(col("sh")).as("sz"))
+    val rows = base.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
     val truth = CacheTracker.persistTracked(
       ngramJaccard(docs, n, tau).select(col("id_a"), col("id_b")))
     configs.map { case (b, r) =>
@@ -733,7 +733,7 @@ object Dedup {
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
       val found = CacheTracker.persistTracked(
-        verifyCandidatesWith(cand, rows, sizes, tau)
+        verifyCandidates(cand, rows, tau)
           .select(col("id_a"), col("id_b")))
       recallCounts(truth, found)
         .select(lit(s"${b}x$r").as("config"), col("n_true"),
@@ -942,23 +942,18 @@ object Dedup {
     * streaming. */
   private[graft] def verifyCandidates(cand: DataFrame, rows: DataFrame,
                                       tau: Double): DataFrame =
-    verifyCandidatesWith(cand, rows,
-      rows.select(col("doc_id"), col("sz")).distinct(), tau)
-
-  /** [[verifyCandidates]] with an explicit (doc_id, sz) size frame —
-    * the batch MinHash pipeline already has sizes as a signature-stage
-    * projection, so it must not pay a second aggregation for them. */
-  private[graft] def verifyCandidatesWith(cand: DataFrame, rows: DataFrame,
-                                          sizes: DataFrame,
-                                          tau: Double): DataFrame =
     cand
       .join(rows.as("ra"), col("id_a") === col("ra.doc_id"))
       .join(rows.as("rb"),
         col("id_b") === col("rb.doc_id") && col("ra.s") === col("rb.s"))
-      .groupBy(col("id_a"), col("id_b"))
+      // sz rides the verify joins and keys the groupBy — functionally
+      // determined by doc_id, so group cardinality is unchanged and
+      // the post-agg size-lookup joins ([[jaccardOver]]'s pattern)
+      // are not paid at all.
+      .select(col("id_a"), col("id_b"),
+        col("ra.sz").as("sz_a"), col("rb.sz").as("sz_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard", col("inter").cast("double")
         / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= tau)
@@ -982,19 +977,19 @@ object Dedup {
     // (the standard materialize-the-shingle-table step, kept in array
     // form — smaller than exploded rows).
     val base = CacheTracker.persistTracked(shingleArrays(docs, n))
-    val rows = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rows = base.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
     val banded = bandedKeys(base, bands, rowsPerBand)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // Verify on the shingle rows ([[verifyCandidatesWith]]): pairs
+    // Verify on the shingle rows ([[verifyCandidates]]): pairs
     // with no shared shingle can't reach any tau > 0, so the inner
-    // join is lossless; sizes come from the persisted shingle arrays
-    // (no extra aggregation).
-    verifyCandidatesWith(cand, rows,
-      base.select(col("doc_id"), size(col("sh")).as("sz")), tau)
+    // join is lossless; sizes ride the rows frame from the persisted
+    // shingle arrays (no extra aggregation, no post-agg lookup join).
+    verifyCandidates(cand, rows, tau)
   }
 
   /** (doc_id, sh) shingle-array rows, empty sets dropped — the shared
