@@ -1102,14 +1102,25 @@ object Similarity {
     val nodes = CacheTracker.persistTracked(ids.select(col("vec_id")))
     val nTotal = CacheTracker.persistTracked(
       nodes.agg(count(lit(1)).as("N")))
-    // outdeg attached to the edge list ONCE and persisted (r20; was a
-    // second src-keyed join INSIDE the loop — one aggregate + one join
+    // outdeg attached to the edge list ONCE (r20; was a second
+    // src-keyed join INSIDE the loop — one aggregate + one join
     // + their exchanges repaid every iteration for a frame that never
-    // changes across iterations)
-    val ew = CacheTracker.persistTracked(
-      edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+    // changes across iterations). Eager localCheckpoint, not persist
+    // (r20 optimization round): a persisted frame keeps its FULL
+    // logical subtree, and the unrolled iterations re-embed ew's tree
+    // 3x (the callers' edge frames are themselves LSH-scored kNN
+    // builds or retraction decay unions, so the duplicated subtree is
+    // the largest in the query) — event-log profiling of
+    // dd_semantic_retract showed ~2.5 s of its pass as pure driver
+    // gaps, Catalyst re-optimizing that duplication. The checkpoint
+    // truncates ew to a LogicalRDD: same blocks, same arithmetic
+    // (order-independence is pinned by the quantized-floor sums), one
+    // materialization job either way, and the downstream plan the
+    // optimizer sees is iterations x a flat scan.
+    val ew = edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
           "src")
-        .select(col("src"), col("dst"), col("outdeg")))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint(true)
     var r = nodes.select(col("vec_id"), lit(1.0).as("r"))
     for (_ <- 1 to iters) {
       val contrib = ew
