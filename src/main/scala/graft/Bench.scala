@@ -774,8 +774,26 @@ object Bench {
         ",\"served_over\":{" + over.mkString(",") + "}"
       }
     }
-    println(s"""{"metric":"bench_detail","stats":$stats$trend$vsPrev,"calibration_stats":{"median":${fmt(calibMedian)},"min":${fmt(calib.min)},"max":${fmt(calib.max)},"n":${calib.size}},"calibration_sched_stats":{"median":${fmt(schedMedian)},"min":${fmt(sched.min)},"max":${fmt(sched.max)},"n":${sched.size}},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"calibration":${fmt(calibMedian)},"calibration_sched":${fmt(schedMedian)}$adjudication$watchJson$servedJson$intraJson,"sf":"$sfDir"}""")
+    val detailLine = s"""{"metric":"bench_detail","stats":$stats$trend$vsPrev,"calibration_stats":{"median":${fmt(calibMedian)},"min":${fmt(calib.min)},"max":${fmt(calib.max)},"n":${calib.size}},"calibration_sched_stats":{"median":${fmt(schedMedian)},"min":${fmt(sched.min)},"max":${fmt(sched.max)},"n":${sched.size}},"sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"calibration":${fmt(calibMedian)},"calibration_sched":${fmt(schedMedian)}$adjudication$watchJson$servedJson$intraJson,"sf":"$sfDir"}"""
+    println(detailLine)
+    println(compactLine)
+    // Durability (r21, VERDICT r20 item #2): the compact line above is
+    // the ONLY record the driver grades, and it survives only as a
+    // ~2000-char stdout TAIL — r19's line head-truncated into
+    // parsed:null and the round lost its official perf comparison.
+    // Write the full line (compact first — line 1 parses standalone —
+    // then the detail line) to files as well, best-effort: stdout
+    // stays the contract, the files are the recovery path.
+    for (p <- Seq("bench_out.json", "/tmp/graft_bench_line.json")) {
+      try {
+        val w = new java.io.PrintWriter(new java.io.File(p), "UTF-8")
+        try { w.println(compactLine); w.println(detailLine) }
+        finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -1231,7 +1231,13 @@ object Dedup {
     // reads undirected pairs, and the loop path derives the doubled
     // edge frame from the cached blocks — the checkpoint materializes
     // half the rows the old both-directions checkpoint wrote.
-    val p2 = pairs.select(col("id_a").cast("long").as("src"),
+    // null endpoints dropped up front (r21, ADVICE r20): the driver
+    // fast path read ids with Row.getLong (NPE on null) while the
+    // distributed loop silently dropped them through its joins — both
+    // paths now agree that a malformed pair row contributes nothing.
+    val p2 = pairs
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+      .select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
       .localCheckpoint(true)
     if (sys.env.contains("SPARK_GRAFT_CLUSTERS_DEBUG"))
@@ -1251,8 +1257,23 @@ object Dedup {
     // scans the already-materialized checkpoint blocks, so the probe
     // never re-executes the pair stage.
     val tProbe = System.nanoTime()
-    val capped = p2.limit(ClustersEdgeCap + 1).collect()
-    if (capped.length <= ClustersEdgeCap) {
+    // r21 (VERDICT r20 item #3): the probe is a bounded COUNT over the
+    // checkpointed blocks — never a collect — so the over-cap path (the
+    // 100 TB posture) materializes ZERO pair rows on the driver where
+    // the r20 probe pulled cap+1 (~4M) Rows only to discard them. Each
+    // partition iterates at most cap+1 cached InternalRows and ships
+    // ONE long (a limit(cap+1).count() would instead funnel up to
+    // cap+1 rows per partition through a single-partition shuffle);
+    // a partition alone exceeding the cap already proves over-cap, so
+    // the truncated per-partition counts still decide correctly.
+    // Under the cap this costs one extra tiny job on cached blocks —
+    // the price of making the scale path driver-safe.
+    val cap = ClustersEdgeCap
+    val underCap = p2.queryExecution.toRdd
+      .mapPartitions(it => Iterator(it.take(cap + 1).size.toLong))
+      .collect().sum <= cap
+    if (underCap) {
+      val capped = p2.collect()
       val labels = unionFindMinLabels(capped.iterator
         .map(r => (r.getLong(0), r.getLong(1))))
       if (sys.env.contains("SPARK_GRAFT_CLUSTERS_DEBUG"))
@@ -1261,9 +1282,15 @@ object Dedup {
       import sp.implicits._
       return labels.toSeq.toDF("doc_id", "cluster_id")
     }
+    if (sys.env.contains("SPARK_GRAFT_CLUSTERS_DEBUG"))
+      println(f"clusters over_cap probe_sec=${(System.nanoTime() - tProbe) / 1e9}%.3f at=${System.nanoTime() / 1e9}%.3f")
+    // NOT a second eager checkpoint (r21, ADVICE r20): the doubled
+    // frame is a narrow union of two scans of p2's already-cached
+    // blocks — each loop round reads E rows twice either way, and
+    // skipping the materialization saves a full 2E-row checkpoint job
+    // exactly on the path where E is corpus-scale.
     val edges = p2
       .union(p2.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
     val tInit = System.nanoTime()
     // seeded init = round 0's hook for free: every node starts at
     // min(own id, min neighbor id) — one aggregate over the cached
@@ -1586,6 +1613,16 @@ object Dedup {
       Similarity.rankTopK(gScored, edgeDepth)
         .select(col("probe_id").as("src"), col("neighbor_id").as("dst"),
           col("cos_sim"), col("rnk"), lit(edgeDepth).as("cap")))
+    // §2.6 overlap measured and REJECTED here (r21): forking
+    // clusters(pairs) onto a helper thread while the graph branch
+    // checkpoints overlaps two HEAVY 32-task self-join jobs that (a)
+    // fight for the same cores — total CPU is the sum either way —
+    // and (b) race to first-materialize the shared upstream cache in
+    // the dedup variant (both subtrees read `keyed`), where block-
+    // lock waits occupy task slots: dd_semantic_best_dedup measured
+    // 3.9 s sequential → 8-17 s forked. The overlap only pays when
+    // the helper side is driver-bound (a quotient collect) — the
+    // delta/retract paths keep it. Here the branches stay sequential.
     val ranks = Similarity.pagerankFromEdges(edges.filter(col("rnk") <= k),
         embeddings.select(col("vec_id")), iters = 3, damping = 0.85)
       .select(col("vec_id").as("doc_id"),
@@ -1835,16 +1872,12 @@ object Dedup {
         coalesce(col("lb"), col("id_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
-    val remap = quotientRemap(quotient, delta.sparkSession)
-    val storedPart = storedAsg
-      .join(remap, storedAsg("keep_id") === remap("node"), "left")
-      .select(storedAsg("vec_id"),
-        coalesce(col("merged"), storedAsg("keep_id")).as("cluster_id"))
-    val deltaPart = dIds
-      .join(remap, dIds("vec_id") === remap("node"), "left")
-      .select(dIds("vec_id"),
-        coalesce(col("merged"), dIds("vec_id")).as("cluster_id"))
-    val partition = storedPart.union(deltaPart)
+    // §2.6 overlap (r21): the quotient's driver closure (an eager
+    // collect over the delta pair list) and the graph branch below
+    // (whose persist + pagerank checkpoint is the other eager block)
+    // are independent until the election — close the quotient on a
+    // helper thread and join it where the partition is assembled.
+    val remapF = onThread(quotientRemap(quotient, delta.sparkSession))
     // kNN-graph maintenance (r15): EXACT merged top-k, delta-bounded
     // pair work. The r14 form re-ranked every vector sharing a 4×6
     // bucket with the delta over ALL its bucket mates — and the 50×
@@ -1933,6 +1966,20 @@ object Dedup {
       .select(col("vec_id"),
         floor(col("pagerank") * lit(1000000000.0)).cast("long").as("s9"))
       .transform(stageCount("bestDelta.ranks", _))
+    // partition update, assembled here from the helper thread's remap:
+    // stored labels (the elected keeper is constant within a
+    // component — any canonical label induces the same grouping) +
+    // the delta-touching quotient
+    val remap = remapF()
+    val storedPart = storedAsg
+      .join(remap, storedAsg("keep_id") === remap("node"), "left")
+      .select(storedAsg("vec_id"),
+        coalesce(col("merged"), storedAsg("keep_id")).as("cluster_id"))
+    val deltaPart = dIds
+      .join(remap, dIds("vec_id") === remap("node"), "left")
+      .select(dIds("vec_id"),
+        coalesce(col("merged"), dIds("vec_id")).as("cluster_id"))
+    val partition = storedPart.union(deltaPart)
     val assigned = CacheTracker.persistTracked(
       partition.join(ranks, Seq("vec_id"))
         .select(col("vec_id").as("doc_id"), col("s9").as("score"),
@@ -2062,15 +2109,14 @@ object Dedup {
       .join(touchedIds.select(col("vec_id").as("id_a")), Seq("id_a"))
       .select(col("id_a"), col("id_b"))
       .transform(stageCount("bestRetract.tPairs", _))
-    val remap = quotientRemap(tPairs, sp)
-    val touchedPart = touchedIds
-      .join(remap, touchedIds("vec_id") === remap("node"), "left")
-      .select(touchedIds("vec_id"),
-        coalesce(col("merged"), touchedIds("vec_id")).as("cluster_id"))
-    val untouchedPart = survAsg
-      .join(broadcast(touchedKeys), Seq("keep_id"), "left_anti")
-      .select(col("vec_id"), col("keep_id").as("cluster_id"))
-    val partition = untouchedPart.union(touchedPart)
+    // §2.6 overlap (r21): the touched components' driver closure (an
+    // eager collect over the filtered stored pair list) and the graph
+    // section below (whose decay-union persist + pagerank checkpoint
+    // is the other eager block) are independent until the election —
+    // close the quotient on a helper thread and join it where the
+    // partition is assembled, after the graph branch has been kicked
+    // off.
+    val remapF = onThread(quotientRemap(tPairs, sp))
     // ---- graph: drop retracted endpoints. The SURPLUS (r16 —
     // [[graphDepth]] = 2k stored edges per probe) makes this
     // filter-only for almost every touched probe: a stored list is
@@ -2150,6 +2196,17 @@ object Dedup {
         bits.select(col("vec_id")), iters = 3, damping = 0.85)
       .select(col("vec_id"),
         floor(col("pagerank") * lit(1000000000.0)).cast("long").as("s9"))
+    // partition, assembled from the helper thread's remap: untouched
+    // components keep their stored grouping, touched ones re-closed
+    val remap = remapF()
+    val touchedPart = touchedIds
+      .join(remap, touchedIds("vec_id") === remap("node"), "left")
+      .select(touchedIds("vec_id"),
+        coalesce(col("merged"), touchedIds("vec_id")).as("cluster_id"))
+    val untouchedPart = survAsg
+      .join(broadcast(touchedKeys), Seq("keep_id"), "left_anti")
+      .select(col("vec_id"), col("keep_id").as("cluster_id"))
+    val partition = untouchedPart.union(touchedPart)
     val assigned = CacheTracker.persistTracked(
       partition.join(ranks, Seq("vec_id"))
         .select(col("vec_id").as("doc_id"), col("s9").as("score"),
@@ -2179,8 +2236,15 @@ object Dedup {
     * cluster_id would single-task the giant boilerplate cluster that
     * dedup exists to find). Null scores sort below every real score. */
   def keepBest(docs: DataFrame, pairs: DataFrame,
-               score: org.apache.spark.sql.Column): DataFrame = {
-    val comp = clusters(pairs)
+               score: org.apache.spark.sql.Column): DataFrame =
+    keepBestOver(docs, clusters(pairs), score)
+
+  /** [[keepBest]] with a CALLER-SUPPLIED component map — factored
+    * (r21) so [[semanticBestFrames]] can close its cluster pairs on a
+    * helper thread (guide §2.6) while the kNN-graph branch
+    * materializes, and hand the finished map here. */
+  private def keepBestOver(docs: DataFrame, comp: DataFrame,
+                           score: org.apache.spark.sql.Column): DataFrame = {
     val assigned = CacheTracker.persistTracked(
       docs.select(col("doc_id"), score.cast("long").as("score"))
         .join(comp.select(col("doc_id"), col("cluster_id")), Seq("doc_id"),
@@ -2189,6 +2253,26 @@ object Dedup {
           coalesce(col("score"), lit(Long.MinValue)).as("score"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")))
     electMax(assigned)
+  }
+
+  /** Run `body` on a helper thread and return a join handle — guide
+    * §2.6 ("overlap independent jobs: actions are only sequential
+    * because your driver code calls them sequentially"). Used where an
+    * operator has TWO independent eager branches (e.g. the cluster
+    * pairs' closure and the kNN graph's checkpoint in
+    * [[semanticBestFrames]]): each branch's jobs back-fill executor
+    * slots freed by the other's stragglers, and the per-branch driver
+    * planning latency overlaps instead of adding. The body must not
+    * call [[CacheTracker.persistTracked]] under a [[CacheTracker.scoped]]
+    * bracket it expects to ride — scopes are thread-local (the bodies
+    * used here only collect/checkpoint; they take no tracked
+    * persists). Failures propagate to the joining thread. */
+  private def onThread[T](body: => T): () => T = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f = Future(body)
+    () => Await.result(f, Duration.Inf)
   }
 
   /** The election TAIL alone — max-score keeper (min doc_id on ties)

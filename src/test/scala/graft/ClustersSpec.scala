@@ -70,6 +70,27 @@ class ClustersSpec extends AnyFunSuite {
     assert(raw.contains((1L, 3L, 3L))) // docs 4, 5, 6 all self-kept
   }
 
+  test("null endpoints are ignored on both paths (r21)") {
+    // a malformed pair row (null id) must contribute nothing — the
+    // r20 driver fast path NPE'd on it while the loop dropped it
+    val pairs = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (null, 3L), (4L, null), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L)
+    val fast = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(fast == expected)
+    val key = "graft.clusters.edge.cap"
+    val old = sys.props.get(key)
+    sys.props(key) = "0"
+    try {
+      val loop = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+      assert(loop == expected)
+    } finally old match {
+      case Some(v) => sys.props(key) = v
+      case None => sys.props.remove(key)
+    }
+  }
+
   test("random graphs match union-find") {
     val rnd = new scala.util.Random(7L)
     val pairs = Seq.fill(200) {
