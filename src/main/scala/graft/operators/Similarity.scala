@@ -1121,19 +1121,37 @@ object Similarity {
           "src")
       .select(col("src"), col("dst"), col("outdeg"))
       .localCheckpoint(true)
-    var r = nodes.select(col("vec_id"), lit(1.0).as("r"))
+    // The loop iterates the INFLOW frame, not the rank frame (r21,
+    // guide §2.4): the damped rank r = (1−d) + d·inflow is a per-row
+    // expression of inflow, so attaching it to every node each round
+    // (the old nodes ⋈ inflow teleport join, one join + exchange per
+    // iteration) is only needed where a rank is actually READ — the
+    // edge sources of the next round (a LEFT join of ew alone; a
+    // source with no inflow row coalesces to the same (1−d) the old
+    // join produced) and the final output (the one nodes join kept,
+    // below). Round 1's rank is the constant 1.0, so its old
+    // identity-attach join folds away too: 6 joins → 2 across the 3
+    // iterations, with bit-identical doubles (same expression tree,
+    // same floor-quantized sums — the oracle's unrolled replay is
+    // unchanged).
+    def rankOf(inflow: org.apache.spark.sql.Column) =
+      lit(1.0 - damping) + lit(damping) * coalesce(inflow, lit(0.0))
+    var inflow: Option[DataFrame] = None
     for (_ <- 1 to iters) {
-      val contrib = ew
-        .join(r.select(col("vec_id").as("src"), col("r")), "src")
+      val contrib = (inflow match {
+          case None => ew.select(col("dst"), lit(1.0).as("r"), col("outdeg"))
+          case Some(f) => ew
+            .join(f.select(col("vec_id").as("src"), col("inflow")),
+              Seq("src"), "left")
+            .select(col("dst"), rankOf(col("inflow")).as("r"), col("outdeg"))
+        })
         .select(col("dst").as("vec_id"),
           floor(col("r") / col("outdeg") * lit(1000000.0)).cast("long").as("c"))
-      val inflow = contrib.groupBy(col("vec_id"))
-        .agg((sum(col("c")).cast("double") / lit(1000000.0)).as("inflow"))
-      r = nodes.join(inflow, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          (lit(1.0 - damping) +
-            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+      inflow = Some(contrib.groupBy(col("vec_id"))
+        .agg((sum(col("c")).cast("double") / lit(1000000.0)).as("inflow")))
     }
+    val r = nodes.join(inflow.get, Seq("vec_id"), "left")
+      .select(col("vec_id"), rankOf(col("inflow")).as("r"))
     r.crossJoin(broadcast(nTotal))
       .select(col("vec_id"), (col("r") / col("N")).as("pagerank"))
   }
