@@ -1450,8 +1450,13 @@ object Dedup {
     val keyed = CacheTracker.persistTracked(
       embeddings.select(col("vec_id"), col("embedding"))
         .withColumn("vh", xxhash64(col("embedding"))))
-    val reps = keyed.groupBy(col("vh"), col("embedding"))
-      .agg(min(col("vec_id")).as("rep_id"))
+    // reps persisted (r21, guide §2.4): read THREE times — the LSH
+    // pair chain, [[semanticKeepers]]'s id join-back, and the
+    // member→rep join below — each re-running the wide
+    // (vh, embedding)-keyed aggregate and its exchange before this.
+    val reps = CacheTracker.persistTracked(
+      keyed.groupBy(col("vh"), col("embedding"))
+        .agg(min(col("vec_id")).as("rep_id")))
     val repKeepers = semanticKeepers(
       reps.select(col("rep_id").as("vec_id"), col("embedding")),
       tau, nTables, planesPerTable, dim)
@@ -1670,8 +1675,14 @@ object Dedup {
     val keyed = CacheTracker.persistTracked(
       embeddings.select(col("vec_id"), col("embedding"))
         .withColumn("vh", xxhash64(col("embedding"))))
-    val reps = keyed.groupBy(col("vh"), col("embedding"))
-      .agg(min(col("vec_id")).as("rep_id"))
+    // reps persisted (r21, guide §2.4): the pass reads it FOUR times —
+    // the cluster-family pair chain, the graph-family edge chain, the
+    // pagerank's id frame, and the member→rep join below — and each
+    // read re-ran the wide (vh, embedding)-keyed aggregate and its
+    // exchange. One materialization, three re-aggregations gone.
+    val reps = CacheTracker.persistTracked(
+      keyed.groupBy(col("vh"), col("embedding"))
+        .agg(min(col("vec_id")).as("rep_id")))
     val repBest = semanticKeepersBest(
       reps.select(col("rep_id").as("vec_id"), col("embedding")),
       tau, k, nTables, planesPerTable, dim)
