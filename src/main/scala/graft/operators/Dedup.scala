@@ -1280,7 +1280,18 @@ object Dedup {
         println(f"clusters driver_uf edges=${capped.length} nodes=${labels.size} sec=${(System.nanoTime() - tProbe) / 1e9}%.3f at=${System.nanoTime() / 1e9}%.3f")
       val sp = pairs.sparkSession
       import sp.implicits._
-      return labels.toSeq.toDF("doc_id", "cluster_id")
+      val seq = labels.toSeq
+      // r21 (VERDICT r20 item #7): a LocalRelation is embedded in every
+      // downstream plan and broadcast per join — fine for the typical
+      // few-thousand-label closure, wasteful near the edge cap (up to
+      // 2x cap labels ≈ hundreds of MB). Past the relation cap the
+      // labels ship once as a parallelized dataset and downstream
+      // joins plan distributed instead.
+      return (if (seq.size <= ClustersLocalRelationCap)
+          seq.toDF("doc_id", "cluster_id")
+        else sp.createDataset(sp.sparkContext.parallelize(seq,
+            math.max(2, sp.sparkContext.defaultParallelism)))
+          .toDF("doc_id", "cluster_id"))
     }
     if (sys.env.contains("SPARK_GRAFT_CLUSTERS_DEBUG"))
       println(f"clusters over_cap probe_sec=${(System.nanoTime() - tProbe) / 1e9}%.3f at=${System.nanoTime() / 1e9}%.3f")
@@ -2293,7 +2304,15 @@ object Dedup {
     * incremental centrality election ([[semanticKeepersBestDelta]],
     * whose partition comes from a quotient remap rather than a fresh
     * closure) spell the identical arithmetic. `assigned` should be
-    * persisted by the caller (it is read twice). */
+    * persisted by the caller (it is read twice).
+    *
+    * NULL-score contract (r21, ADVICE r20): `score` must be non-null —
+    * every caller coalesces it to the Long.MinValue sentinel. The
+    * r20 max_by rewrite diverges from the pre-r20 max+filter+join on
+    * an all-NULL-score cluster: the old shape dropped such a cluster's
+    * rows entirely (no row survives score === null), max_by elects the
+    * min-doc_id member. Unreachable through the sentinel coalesce; a
+    * future caller without it inherits the max_by reading. */
   private def electMax(assigned: DataFrame): DataFrame = {
     // ONE cluster-keyed aggregate (r20; was max-score agg + join-back
     // + min-id agg — two aggregates and an extra join/exchange over
@@ -2993,6 +3012,16 @@ object Dedup {
     * loop, which §6 r19 priced at 1.2-1.7x the driver form. */
   private[graft] def ClustersEdgeCap: Int =
     sys.props.get("graft.clusters.edge.cap").map(_.toInt).getOrElse(4000000)
+
+  /** Label-count bound for returning [[clusters]]' fast-path result
+    * as a driver LocalRelation (embedded in downstream plans and
+    * broadcast per join); above it the labels ship once as a
+    * parallelized dataset instead (r21 — the edge cap was doing
+    * double duty as collect guard AND relation-size guard, and 2x
+    * 4M labels is far past sensible broadcast size). */
+  private[graft] def ClustersLocalRelationCap: Int =
+    sys.props.get("graft.clusters.local.relation.cap").map(_.toInt)
+      .getOrElse(1000000)
 
   /** Path-compressed min-label union-find over an edge iterator —
     * the shared driver core of [[quotientRemap]] and [[clusters]]'

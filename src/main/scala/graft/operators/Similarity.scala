@@ -1117,6 +1117,15 @@ object Similarity {
     // (order-independence is pinned by the quantized-floor sums), one
     // materialization job either way, and the downstream plan the
     // optimizer sees is iterations x a flat scan.
+    // Cluster caveat (r21, ADVICE r20): localCheckpoint blocks are
+    // unreplicated and lineage-free, so on a real cluster an executor
+    // loss inside the bounded 3-iteration window fails the query
+    // instead of recomputing — the guide's accepted trade for plan
+    // truncation on a bounded loop. A deployment that cannot retry
+    // the query should set a checkpoint dir and use reliable
+    // checkpoint() here; the streaming callers additionally rely on
+    // the ContextCleaner to GC each micro-batch's blocks (the frame's
+    // lifetime is one batch — matching the cache-bracket discipline).
     val ew = edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
           "src")
       .select(col("src"), col("dst"), col("outdeg"))

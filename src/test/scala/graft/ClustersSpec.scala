@@ -91,6 +91,23 @@ class ClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("fast path past the local-relation cap returns identical labels (r21)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+    val key = "graft.clusters.local.relation.cap"
+    val old = sys.props.get(key)
+    sys.props(key) = "0" // force the parallelized-dataset return
+    try {
+      val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+      assert(got == expected)
+    } finally old match {
+      case Some(v) => sys.props(key) = v
+      case None => sys.props.remove(key)
+    }
+  }
+
   test("random graphs match union-find") {
     val rnd = new scala.util.Random(7L)
     val pairs = Seq.fill(200) {
