@@ -3219,6 +3219,13 @@ object Dedup {
       store.lsh.bucketed.join(dIds, Seq("vec_id"), "left_anti"))
     val ed = embeddingNearDupLshDelta(cleanLsh,
       newReps.union(srepReIngested), tau)
+    // EAGER checkpoint kept (re-measured r21): swapping it for a lazy
+    // persist — "fold the materialization into the quotient collect's
+    // job" — read 0.3-0.4 s WORSE on dd_semantic_delta in interleaved
+    // A/B: the capped limit-collect over the un-truncated LSH-delta
+    // subtree pays planning + incremental-take overhead that exceeds
+    // the one checkpoint job the persist saved. The flat LogicalRDD
+    // under the collect is load-bearing.
     val dPairs = ed.pairs.select(col("id_a"), col("id_b"))
       .localCheckpoint(true)
     // quotient edges: LSH pairs among reps, member → batch-rep (the
