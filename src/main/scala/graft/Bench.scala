@@ -775,7 +775,11 @@ object Bench {
       }
     }
     val detailLine = s"""{"metric":"bench_detail","stats":$stats$trend$vsPrev,"calibration_stats":{"median":${fmt(calibMedian)},"min":${fmt(calib.min)},"max":${fmt(calib.max)},"n":${calib.size}},"calibration_sched_stats":{"median":${fmt(schedMedian)},"min":${fmt(sched.min)},"max":${fmt(sched.max)},"n":${sched.size}},"sf":"$sfDir"}"""
-    val compactLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"calibration":${fmt(calibMedian)},"calibration_sched":${fmt(schedMedian)}$adjudication$watchJson$servedJson$intraJson,"sf":"$sfDir"}"""
+    // "cpus" rides the line's END (tail-side real estate — survives
+    // the driver's stdout-tail truncation) so a reader of the durable
+    // file can tell the 32-core graded run from the 8-core scaling
+    // run: both write bench_out.json, last run wins.
+    val compactLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"calibration":${fmt(calibMedian)},"calibration_sched":${fmt(schedMedian)}$adjudication$watchJson$servedJson$intraJson,"sf":"$sfDir","cpus":"${GraftSession.cpus}"}"""
     println(detailLine)
     println(compactLine)
     // Durability (r21, VERDICT r20 item #2): the compact line above is
